@@ -1,0 +1,371 @@
+package graft.algos
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.core.KGraph
+
+/**
+ * DataFrame-native implementations of the reference's Pregel algorithm library
+ * (kafka-graphs-core/src/main/java/io/kgraph/library) — the performance
+ * path. Each algorithm is a driver loop over declarative DataFrame transforms:
+ * Catalyst plans every superstep (pushdown, AQE, broadcast when a side is
+ * small) and Tungsten codegens the per-row work; messages are pre-aggregated
+ * map-side in the same shuffle (min/sum combiners — the reference ships whole
+ * message lists with no combiner, PregelComputation.java:751-753).
+ *
+ * Scale design shared by all loops:
+ *  - ONE shuffle per superstep (message groupBy on destination); the
+ *    state-update join reuses the aggregation's hash partitioning.
+ *  - `localCheckpoint` per iteration cuts lineage (no stack-overflow plans at
+ *    superstep 50+) and the convergence `count()` reuses that materialization.
+ *  - frontier-based variants (BFS/SSSP/WCC) only send from vertices that
+ *    improved last round, so late supersteps touch a tiny fraction of a
+ *    100 TB graph rather than every vertex.
+ */
+object GraphAlgorithms {
+
+  private def cp(df: DataFrame): DataFrame =
+    df.persist(StorageLevel.MEMORY_AND_DISK).localCheckpoint(true)
+
+  /** Both-direction edge list (src,dst[,value]) for undirected propagation. */
+  private def bidir(edges: DataFrame, withValue: Boolean): DataFrame = {
+    val fwd = if (withValue) edges.select(col("src"), col("dst"), col("value"))
+              else edges.select(col("src"), col("dst"))
+    val rev = if (withValue) edges.select(col("dst").as("src"), col("src").as("dst"), col("value"))
+              else edges.select(col("dst").as("src"), col("src").as("dst"))
+    fwd.unionByName(rev)
+  }
+
+  // =========================================================================
+  // Connected components (reference library/ConnectedComponents.java:28-62 —
+  // min-label propagation). Undirected propagation of the minimum vertex id.
+  // Returns (id, component).
+  // =========================================================================
+  def wcc(g: KGraph, maxIterations: Int = 100): DataFrame = {
+    val edges = cp(bidir(g.edges, withValue = false))
+    var state = cp(g.vertices.select(col("id"), col("id").as("comp")))
+    // frontier = vertices whose label improved last round (all, initially)
+    var frontier = state
+    var iter = 0
+    var active = 1L
+    while (active > 0 && iter < maxIterations) {
+      val msgs = edges.join(frontier.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("comp")).as("cand"))
+      val joined = state.join(msgs, Seq("id"), "left_outer")
+      val improved = cp(joined.filter(col("cand") < col("comp"))
+        .select(col("id"), col("cand").as("comp")))
+      active = improved.count()
+      if (active > 0) {
+        val newState = cp(joined.select(col("id"),
+          when(col("cand") < col("comp"), col("cand")).otherwise(col("comp")).as("comp")))
+        state.unpersist(false); frontier.unpersist(false)
+        state = newState
+        frontier = improved
+      } else {
+        improved.unpersist(false)
+      }
+      iter += 1
+    }
+    state.select(col("id"), col("comp").as("value"))
+  }
+
+  // =========================================================================
+  // Single-source shortest paths (library/SingleSourceShortestPaths.java:30-68)
+  // Bellman-Ford frontier relaxation; edge value = weight. Returns (id, value)
+  // with unreachable = null (reference leaves them at +Infinity; callers can
+  // coalesce).
+  // =========================================================================
+  def sssp(g: KGraph, srcVertexId: Long, maxIterations: Int = 100,
+           directed: Boolean = true): DataFrame = {
+    val edges = cp(
+      if (directed) g.edges.select(col("src"), col("dst"), col("value"))
+      else bidir(g.edges, withValue = true))
+    var state = cp(g.vertices.select(col("id"),
+      when(col("id") === srcVertexId, lit(0.0)).otherwise(lit(null).cast("double")).as("dist")))
+    var frontier = cp(state.filter(col("dist").isNotNull))
+    var iter = 0
+    var active = frontier.count()
+    while (active > 0 && iter < maxIterations) {
+      val msgs = edges.join(frontier.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("dist") + col("value")).as("cand"))
+      val joined = state.join(msgs, Seq("id"), "left_outer")
+      val improved = cp(joined
+        .filter(col("cand").isNotNull && (col("dist").isNull || col("cand") < col("dist")))
+        .select(col("id"), col("cand").as("dist")))
+      active = improved.count()
+      if (active > 0) {
+        val newState = cp(joined.select(col("id"),
+          when(col("cand").isNotNull && (col("dist").isNull || col("cand") < col("dist")),
+            col("cand")).otherwise(col("dist")).as("dist")))
+        state.unpersist(false); frontier.unpersist(false)
+        state = newState; frontier = improved
+      } else improved.unpersist(false)
+      iter += 1
+    }
+    state.select(col("id"), col("dist").as("value"))
+  }
+
+  // =========================================================================
+  // BFS min-hop distance (library/BreadthFirstSearch.java:33-73). Returns
+  // (id, value) with unreachable = null (reference: Long.MAX_VALUE).
+  // =========================================================================
+  def bfs(g: KGraph, srcVertexId: Long, maxIterations: Int = 100,
+          directed: Boolean = true): DataFrame = {
+    val edges = cp(
+      if (directed) g.edges.select(col("src"), col("dst"))
+      else bidir(g.edges, withValue = false))
+    var state = cp(g.vertices.select(col("id"),
+      when(col("id") === srcVertexId, lit(0L)).otherwise(lit(null).cast("long")).as("dist")))
+    var frontier = cp(state.filter(col("dist").isNotNull))
+    var iter = 0
+    var active = frontier.count()
+    while (active > 0 && iter < maxIterations) {
+      // BFS visits each vertex once: candidates are unvisited targets only.
+      val msgs = edges.join(frontier.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("dist") + 1).as("cand"))
+      val joined = state.join(msgs, Seq("id"), "left_outer")
+      val improved = cp(joined.filter(col("dist").isNull && col("cand").isNotNull)
+        .select(col("id"), col("cand").as("dist")))
+      active = improved.count()
+      if (active > 0) {
+        val newState = cp(joined.select(col("id"),
+          coalesce(col("dist"), col("cand")).as("dist")))
+        state.unpersist(false); frontier.unpersist(false)
+        state = newState; frontier = improved
+      } else improved.unpersist(false)
+      iter += 1
+    }
+    state.select(col("id"), col("dist").as("value"))
+  }
+
+  // =========================================================================
+  // Multiple-source shortest paths (library/MultipleSourceShortestPaths.java:
+  // 32-75): per-landmark distance maps. State is the exploded (id, landmark,
+  // dist) relation — a map-valued vertex would serialize/merge whole maps per
+  // message like the reference does; the flat relation lets Spark hash on
+  // (id, landmark) and combine map-side. Returns exploded rows
+  // (id, landmark, value); `msspAsMap` re-assembles the reference's map shape.
+  // =========================================================================
+  def mssp(g: KGraph, landmarks: Seq[Long], maxIterations: Int = 100,
+           directed: Boolean = true): DataFrame = {
+    val edges = cp(
+      if (directed) g.edges.select(col("src"), col("dst"), col("value"))
+      else bidir(g.edges, withValue = true))
+    var state = cp(g.vertices.select(col("id"))
+      .filter(col("id").isin(landmarks: _*))
+      .select(col("id"), col("id").as("landmark"), lit(0.0).as("dist")))
+    var frontier = state
+    var iter = 0
+    var active = frontier.count()
+    while (active > 0 && iter < maxIterations) {
+      val msgs = edges.join(frontier.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id"), col("landmark"))
+        .agg(min(col("dist") + col("value")).as("cand"))
+      val joined = msgs.join(state, Seq("id", "landmark"), "left_outer")
+      val improved = cp(joined.filter(col("dist").isNull || col("cand") < col("dist"))
+        .select(col("id"), col("landmark"), col("cand").as("dist")))
+      active = improved.count()
+      if (active > 0) {
+        val newState = cp(state.unionByName(improved)
+          .groupBy(col("id"), col("landmark")).agg(min(col("dist")).as("dist")))
+        state.unpersist(false); frontier.unpersist(false)
+        state = newState; frontier = improved
+      } else improved.unpersist(false)
+      iter += 1
+    }
+    state.select(col("id"), col("landmark"), col("dist").as("value"))
+  }
+
+  /** Reference-shaped MSSP result: (id, value: map<landmark,double>). */
+  def msspAsMap(g: KGraph, landmarks: Seq[Long], maxIterations: Int = 100): DataFrame =
+    mssp(g, landmarks, maxIterations)
+      .groupBy(col("id"))
+      .agg(map_from_entries(sort_array(collect_list(struct(col("landmark"), col("value")))))
+        .as("value"))
+
+  // =========================================================================
+  // PageRank — the reference's delta/tolerance formulation
+  // (library/PageRank.java:32-113, GraphX-style): out-edge weight = 1/outDeg,
+  // initial message resetProb/(1-resetProb) to every vertex,
+  //   rank += (1-resetProb) * Σ msgs;  delta = (1-resetProb) * Σ msgs
+  // send delta * weight while delta > tolerance. Personalized variant seeds
+  // only srcVertexId. Returns (id, value=rank).
+  // =========================================================================
+  def pageRank(g: KGraph, tolerance: Double = 0.0001, resetProb: Double = 0.15,
+               srcVertexId: Option[Long] = None, maxIterations: Int = 100): DataFrame = {
+    val outDeg = g.edges.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
+    val edges = cp(g.edges.select(col("src"), col("dst"))
+      .join(outDeg, Seq("src"))
+      .select(col("src"), col("dst"), (lit(1.0) / col("odeg")).as("w")))
+
+    val damp = 1.0 - resetProb
+    // superstep 0: every vertex (or just the source, personalized) receives
+    // resetProb/(1-resetProb) ⇒ rank becomes resetProb (PageRank.java:66-85).
+    val seeded: Column = srcVertexId match {
+      case Some(s) => when(col("id") === s, lit(resetProb / damp)).otherwise(lit(null).cast("double"))
+      case None    => lit(resetProb / damp)
+    }
+    var state = cp(g.vertices.select(col("id"),
+      (coalesce(seeded, lit(0.0)) * damp).as("rank"),
+      (coalesce(seeded, lit(0.0)) * damp).as("delta")))
+    var iter = 0
+    var active = 1L
+    while (active > 0 && iter < maxIterations) {
+      val frontier = state.filter(col("delta") > tolerance)
+      val msgs = frontier.withColumnRenamed("id", "src")
+        .join(edges, Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("delta") * col("w")).as("msg"))
+      val newState = cp(state.join(msgs, Seq("id"), "left_outer")
+        .select(col("id"),
+          (col("rank") + coalesce(col("msg"), lit(0.0)) * damp).as("rank"),
+          (coalesce(col("msg"), lit(0.0)) * damp).as("delta")))
+      active = newState.filter(col("delta") > tolerance).count()
+      state.unpersist(false)
+      state = newState
+      iter += 1
+    }
+    state.select(col("id"), col("rank").as("value"))
+  }
+
+  // =========================================================================
+  // Label propagation (library/LabelPropagation.java:29-59): adopt the
+  // max-frequency incoming label (ties → larger label), move only upward
+  // (currentValue < candidate). Messages flow along out-edges every round.
+  // Returns (id, value=label).
+  // =========================================================================
+  def labelPropagation(g: KGraph, maxIterations: Int = 50): DataFrame = {
+    val edges = cp(g.edges.select(col("src"), col("dst")))
+    var state = cp(g.vertices.select(col("id"), col("id").as("label")))
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIterations) {
+      val msgs = edges.join(state.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id"), col("label"))
+        .agg(count(lit(1)).as("freq"))
+        // max by (freq, label): ties resolved toward the larger label
+        // (LabelPropagation.java:41-50 TreeMap iteration order)
+        .groupBy(col("id"))
+        .agg(max(struct(col("freq"), col("label"))).as("best"))
+        .select(col("id"), col("best.label").as("cand"))
+      val joined = state.join(msgs, Seq("id"), "left_outer")
+      val newState = cp(joined.select(col("id"),
+        when(col("cand").isNotNull && col("cand") > col("label"), col("cand"))
+          .otherwise(col("label")).as("label")))
+      changed = newState.join(state.withColumnRenamed("label", "old"), Seq("id"))
+        .filter(col("label") =!= col("old")).count()
+      state.unpersist(false)
+      state = newState
+      iter += 1
+    }
+    state.select(col("id"), col("label").as("value"))
+  }
+
+  // =========================================================================
+  // Triangle counting / clustering coefficient. Undirected semantics over
+  // canonicalized edges (a<b), self-loops dropped — matches the reference's
+  // LCC neighbor-set protocol (library/LocalClusteringCoefficient.java:34-155)
+  // which unions out-edges with received in-neighbor ids.
+  // =========================================================================
+
+  /** Canonical undirected edge set (a < b), deduped. */
+  def canonicalEdges(edges: DataFrame): DataFrame =
+    edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+
+  /** Per-vertex triangle counts: (id, value=triangles). Standard wedge-join:
+    * for canonical edges (a<b)(b<c), candidate wedge a-b-c closes iff (a,c)
+    * is an edge. Each triangle (a<b<c) found exactly once. */
+  def triangleCounts(g: KGraph): DataFrame = {
+    val e = cp(canonicalEdges(g.edges))
+    val e1 = e.select(col("a").as("x"), col("b").as("y"))
+    val e2 = e.select(col("a").as("y"), col("b").as("z"))
+    val tris = e1.join(e2, Seq("y"))
+      .join(e.select(col("a").as("x"), col("b").as("z")), Seq("x", "z"), "left_semi")
+      .select(col("x"), col("y"), col("z"))
+    val perVertex = tris.select(explode(array(col("x"), col("y"), col("z"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("value"))
+    g.vertices.select(col("id")).join(perVertex, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("value"), lit(0L)).as("value"))
+  }
+
+  /** Global triangle count (streaming ExactTriangleCount's batch analog,
+    * streaming/library/ExactTriangleCount.java:42-127). */
+  def globalTriangleCount(g: KGraph): Long = {
+    val e = cp(canonicalEdges(g.edges))
+    val e1 = e.select(col("a").as("x"), col("b").as("y"))
+    val e2 = e.select(col("a").as("y"), col("b").as("z"))
+    e1.join(e2, Seq("y"))
+      .join(e.select(col("a").as("x"), col("b").as("z")), Seq("x", "z"), "left_semi")
+      .count()
+  }
+
+  /** Local clustering coefficient: lcc(v) = 2·tri(v) / (deg(v)·(deg(v)-1)),
+    * degree over the undirected simple graph; vertices with deg<2 → 0.0
+    * (reference formula matches/d/(d-1) counts ordered pairs,
+    * LocalClusteringCoefficient.java:139-150). Returns (id, value). */
+  def localClusteringCoefficient(g: KGraph): DataFrame = {
+    val e = cp(canonicalEdges(g.edges))
+    val deg = bidir(e.select(col("a").as("src"), col("b").as("dst")), withValue = false)
+      .groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    triangleCounts(g).withColumnRenamed("value", "tri")
+      .join(deg, Seq("id"), "left_outer")
+      .select(col("id"),
+        when(col("deg") >= 2, col("tri") * 2.0 / (col("deg") * (col("deg") - 1)))
+          .otherwise(lit(0.0)).as("value"))
+  }
+
+  // =========================================================================
+  // Edge similarity scores (library/similarity/AdamicAdar.java:33-231,
+  // Jaccard.java:36-225). Wedge enumeration over the undirected simple graph —
+  // pure joins, no iteration.
+  // =========================================================================
+
+  /** Adamic-Adar per canonical edge: (src, dst, value = Σ_{w ∈ N(u)∩N(v)}
+    * log(1/deg(w))). `conversionEnabled` negates to a distance like the
+    * reference's ScaleToDistance (AdamicAdar.java:183-199). */
+  def adamicAdar(g: KGraph, conversionEnabled: Boolean = false): DataFrame = {
+    val e = cp(canonicalEdges(g.edges))
+    val adj = bidir(e.select(col("a").as("src"), col("b").as("dst")), withValue = false)
+    val deg = adj.groupBy(col("src").as("w")).agg(count(lit(1)).as("deg"))
+    // wedges centered at w: neighbors u < v of w
+    val n1 = adj.select(col("src").as("w"), col("dst").as("u"))
+    val n2 = adj.select(col("src").as("w"), col("dst").as("v"))
+    val wedges = n1.join(n2, Seq("w")).filter(col("u") < col("v"))
+    val scored = wedges
+      .join(e.select(col("a").as("u"), col("b").as("v")), Seq("u", "v"), "left_semi")
+      .join(deg, Seq("w"))
+      .groupBy(col("u").as("src"), col("v").as("dst"))
+      .agg(sum(log(lit(1.0) / col("deg"))).as("value"))
+    if (conversionEnabled) scored.withColumn("value", -col("value")) else scored
+  }
+
+  /** Jaccard similarity per canonical edge: |N(u)∩N(v)| / |N(u)∪N(v)|. */
+  def jaccard(g: KGraph, conversionEnabled: Boolean = false): DataFrame = {
+    val e = cp(canonicalEdges(g.edges))
+    val adj = bidir(e.select(col("a").as("src"), col("b").as("dst")), withValue = false)
+    val deg = adj.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    val n1 = adj.select(col("src").as("w"), col("dst").as("u"))
+    val n2 = adj.select(col("src").as("w"), col("dst").as("v"))
+    val common = n1.join(n2, Seq("w")).filter(col("u") < col("v"))
+      .join(e.select(col("a").as("u"), col("b").as("v")), Seq("u", "v"), "left_semi")
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("common"))
+    val sim = e.select(col("a").as("u"), col("b").as("v"))
+      .join(common, Seq("u", "v"), "left_outer")
+      .join(deg.select(col("id").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("id").as("v"), col("deg").as("dv")), Seq("v"))
+      .select(col("u").as("src"), col("v").as("dst"),
+        (coalesce(col("common"), lit(0L)).cast("double") /
+          (col("du") + col("dv") - coalesce(col("common"), lit(0L)))).as("value"))
+    if (conversionEnabled)
+      sim.withColumn("value",
+        when(col("value") > 0, -log2(col("value"))).otherwise(lit(Double.MaxValue)))
+    else sim
+  }
+}

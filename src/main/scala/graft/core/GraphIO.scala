@@ -1,0 +1,62 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text/parquet loaders mirroring the reference parsers
+ * (utils/Parsers.java:27-95, utils/GraphUtils.java:62-149): whitespace-split
+ * "id value" vertex files and "src dst value" edge files. The split + cast is
+ * pure Catalyst — pushdown-friendly and codegen'd; no per-record parser objects.
+ */
+object GraphIO {
+
+  /** Read "id value" lines (value optional → null). (Parsers.VertexParser) */
+  def readVertices(spark: SparkSession, path: String): DataFrame = {
+    val toks = split(trim(col("value")), "\\s+")
+    spark.read.text(path)
+      .filter(length(trim(col("value"))) > 0)
+      .select(
+        toks.getItem(0).cast("long").as("id"),
+        toks.getItem(1).cast("long").as("value"))
+  }
+
+  /** Read "src dst value" lines (value optional → null). (Parsers.EdgeParser) */
+  def readEdges(spark: SparkSession, path: String): DataFrame = {
+    val toks = split(trim(col("value")), "\\s+")
+    spark.read.text(path)
+      .filter(length(trim(col("value"))) > 0)
+      .select(
+        toks.getItem(0).cast("long").as("src"),
+        toks.getItem(1).cast("long").as("dst"),
+        toks.getItem(2).cast("double").as("value"))
+  }
+
+  /** Read "user item rating" CF bipartite ratings (reference
+    * EdgeCfLongIdFloatValueParser / CfLongId.java:29-48). Users get typ=0,
+    * items typ=1 — encoded as struct<id,typ> columns. */
+  def readRatings(spark: SparkSession, path: String): DataFrame = {
+    val toks = split(trim(col("value")), "\\s+")
+    spark.read.text(path)
+      .filter(length(trim(col("value"))) > 0)
+      .select(
+        struct(toks.getItem(0).cast("long").as("id"), lit(0: Byte).as("typ")).as("src"),
+        struct(toks.getItem(1).cast("long").as("id"), lit(1: Byte).as("typ")).as("dst"),
+        toks.getItem(2).cast("float").as("value"))
+  }
+
+  /** Dump vertices as "id value" text (GraphUtils.verticesToFile,
+    * utils/GraphUtils.java:145-149). */
+  def writeVertices(df: DataFrame, path: String): Unit =
+    df.select(concat_ws(" ", col("id"), col("value")).as("value")).write.mode("overwrite").text(path)
+
+  /** The reference "prepare" step (GraphUtils.groupEdgesBySourceAndRepartition,
+    * utils/GraphUtils.java:152-253): materialize co-partitioned vertices and
+    * per-source adjacency. In Spark: hash-repartition both on the vertex key so
+    * downstream per-superstep joins are co-partitioned without extra shuffles.
+    * Offset-quiescence tracking is unnecessary — batch writes are atomic. */
+  def prepare(g: KGraph, numPartitions: Int): KGraph =
+    KGraph(
+      g.vertices.repartition(numPartitions, col("id")),
+      g.edges.repartition(numPartitions, col("src")))
+}

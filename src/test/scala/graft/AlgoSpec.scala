@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.algos.GraphAlgorithms
+import graft.core.KGraph
+
+/** Golden-value tests for DataFrame-native algorithms, mirroring the
+  * reference's library tests (ConnectedComponentsTest.java:60-110,
+  * PageRankTest.java:66-130, SingleSourceShortestPathsTest, BFS/LP tests). */
+class AlgoSpec extends SparkSpec {
+
+  def twoChains: KGraph = KGraph.fromEdges(twoChainsEdges, id => id)
+
+  test("wcc: two chains → components 0 and 10 (reference golden)") {
+    val got = collectMap(GraphAlgorithms.wcc(twoChains))
+    (0L to 9L).foreach(i => assert(got(i) === 0L, s"vertex $i"))
+    (10L to 20L).foreach(i => assert(got(i) === 10L, s"vertex $i"))
+  }
+
+  test("sssp on chain from 0: dist = id (reference golden)") {
+    val g = KGraph.fromEdges(chainEdges(10), _ => lit(Double.PositiveInfinity))
+    val got = collectMap(GraphAlgorithms.sssp(g, 0L))
+    (0L to 9L).foreach(i => assert(got(i) === i.toDouble))
+  }
+
+  test("bfs on two chains from 10: hops within chain 2, unreached null") {
+    val got = GraphAlgorithms.bfs(twoChains, 10L).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getLong(1))).toMap
+    (10L to 20L).foreach(i => assert(got(i) === i - 10))
+    (0L to 9L).foreach(i => assert(got(i) === null))
+  }
+
+  test("pagerank on chain of 10 matches reference goldens (PageRankTest.java:94-128)") {
+    val g = KGraph.fromEdges(chainEdges(10), _ => lit(0.0))
+    val got = GraphAlgorithms.pageRank(g, tolerance = 0.0001, resetProb = 0.15)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // reference golden first two values on the chain
+    assert(math.abs(got(0L) - 0.15) < 1e-12)
+    assert(math.abs(got(1L) - 0.27749999999999997) < 1e-9)
+    // ranks increase along the chain
+    (1L to 9L).foreach(i => assert(got(i) > got(i - 1)))
+  }
+
+  test("label propagation: upward-only moves (LabelPropagation.java:41-50)") {
+    import spark.implicits._
+    // increasing chain: incoming labels are always smaller → nothing moves
+    val got = collectMap(GraphAlgorithms.labelPropagation(twoChains, 50))
+    (0L to 20L).foreach(i => assert(got(i) === i))
+    // star leaves→root: root adopts the max leaf label (ties → larger label)
+    val star = KGraph.fromEdges(
+      Seq((1L, 0L, 1L), (2L, 0L, 1L), (3L, 0L, 1L)).toDF("src", "dst", "value"), id => id)
+    val got2 = collectMap(GraphAlgorithms.labelPropagation(star, 10))
+    assert(got2(0L) === 3L)
+    assert(got2(1L) === 1L)
+  }
+
+  test("mssp on two chains, landmarks 0 and 10") {
+    val got = GraphAlgorithms.mssp(twoChains, Seq(0L, 10L)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    (0L to 9L).foreach(i => assert(got((i, 0L)) === i.toDouble))
+    (10L to 20L).foreach(i => assert(got((i, 10L)) === (i - 10).toDouble))
+    assert(!got.contains((5L, 10L)))
+  }
+
+  test("triangles + lcc on triangle graph") {
+    import spark.implicits._
+    // triangle 1-2-3 plus pendant 4
+    val e = Seq((1L, 2L, 1L), (2L, 3L, 1L), (1L, 3L, 1L), (3L, 4L, 1L)).toDF("src", "dst", "value")
+    val g = KGraph.fromEdges(e, id => id)
+    assert(GraphAlgorithms.globalTriangleCount(g) === 1L)
+    val tri = collectMap(GraphAlgorithms.triangleCounts(g))
+    assert(tri === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 0L))
+    val lcc = GraphAlgorithms.localClusteringCoefficient(g).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(lcc(1L) === 1.0)   // deg 2, 1 triangle
+    assert(lcc(2L) === 1.0)
+    assert(math.abs(lcc(3L) - 1.0 / 3.0) < 1e-12) // deg 3, 1 of 3 pairs closed
+    assert(lcc(4L) === 0.0)
+  }
+
+  test("adamic-adar and jaccard on square with diagonal") {
+    import spark.implicits._
+    // square 1-2-3-4-1 plus diagonal 1-3: common neighbors of (1,3) = {2,4}
+    val e = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L), (4L, 1L, 1L), (1L, 3L, 1L))
+      .toDF("src", "dst", "value")
+    val g = KGraph.fromEdges(e, id => id)
+    val aa = GraphAlgorithms.adamicAdar(g).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // deg(2)=deg(4)=2 ⇒ score(1,3) = 2·log(1/2)
+    assert(math.abs(aa((1L, 3L)) - 2 * math.log(0.5)) < 1e-12)
+    val jc = GraphAlgorithms.jaccard(g).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // N(1)={2,3,4}, N(3)={1,2,4}: common {2,4}=2, union size 3+3-2=4 → 0.5
+    assert(math.abs(jc((1L, 3L)) - 0.5) < 1e-12)
+  }
+}

@@ -1,0 +1,158 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/**
+ * Similarity search over an embedding column (array<float|double>).
+ *
+ * - `bruteForceKnn` — exact cosine top-k: a crossJoin + codegen'd
+ *   zip_with/aggregate dot product + per-query window top-k. The correctness
+ *   baseline; O(N·Q) — use only when one side is small enough to broadcast.
+ * - `ivfKnn` — the scale path: k-means-style coarse quantizer (IVF). Vectors
+ *   are partitioned into nlist cells by nearest centroid; a query only scans
+ *   its nprobe closest cells, so the join is an equi-join on cell id and each
+ *   probe touches ~nprobe/nlist of the corpus. Centroids are tiny and
+ *   broadcast; at 100 TB the big side shuffles ONCE at index build.
+ * - `lshKnn` — random-hyperplane bucket variant (no training pass): sign-bit
+ *   bucket equality as the candidate filter, multi-probe over Hamming-adjacent
+ *   buckets for recall.
+ */
+object Ann {
+
+  /** Cosine similarity of two equally-sized numeric array columns. */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+    val na = sqrt(aggregate(a, lit(0.0d), (acc, x) => acc + x * x))
+    val nb = sqrt(aggregate(b, lit(0.0d), (acc, x) => acc + x * x))
+    when(na > 0 && nb > 0, dot / (na * nb)).otherwise(lit(0.0))
+  }
+
+  /** Deterministic pseudo-random hyperplane bucket: `bits` sign bits, each
+    * from a seeded hash-weighted sum over vector components. No stored model —
+    * the hyperplanes are implied by the hash seeds, identical on every
+    * executor and every run. */
+  def hyperplaneBucket(v: Column, bits: Int): Column = {
+    // component i of hyperplane b = centered hash in [-0.5, 0.5)
+    def proj(b: Int): Column = aggregate(
+      zip_with(v, sequence(lit(0), size(v) - 1),
+        (x, i) => x * ((pmod(xxhash64(lit(b), i), lit(1000000L)).cast("double") / 1e6) - 0.5)),
+      lit(0.0d), (acc, x) => acc + x)
+    (0 until bits).map(b => when(proj(b) >= 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+  }
+
+  /** Exact cosine top-k neighbors for every query vector.
+    * Returns (queryIdCol, neighborId, sim, rank). Self-matches excluded when
+    * queries and corpus share ids. */
+  def bruteForceKnn(corpus: DataFrame, queries: DataFrame, k: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    excludeSelf: Boolean = true): DataFrame = {
+    val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val joined = q.join(broadcast(c),
+      if (excludeSelf) col("query_id") =!= col("nbr_id") else lit(true))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("sim"), asc("nbr_id"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("nbr_id"), col("sim"), col("rank"))
+  }
+
+  /** Train `nlist` centroids with `iters` Lloyd iterations (k-means over the
+    * embedding column; deterministic hash-based init). Returns
+    * (centroid_id, centroid array<double>). Centroid count is small — this is
+    * the IVF coarse quantizer, not a general-purpose k-means. */
+  def trainCentroids(corpus: DataFrame, nlist: Int, iters: Int = 5,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val v = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // deterministic init: the nlist vectors with smallest xxhash64(id)
+    var centroids = v.withColumn("h", xxhash64(col("id")))
+      .orderBy("h").limit(nlist)
+      .select((row_number().over(Window.orderBy("h")) - 1).as("centroid_id"), col("v").as("centroid"))
+    for (_ <- 0 until iters) {
+      val assigned = assignCells(v, centroids, "v")
+      // element-wise mean per cell: posexplode → avg per (cell, pos) →
+      // reassemble in position order. Two shuffles on small keys.
+      centroids = assigned.join(v, Seq("id"))
+        .select(col("cell"), posexplode(col("v")))
+        .groupBy(col("cell"), col("pos")).agg(avg(col("col")).as("m"))
+        .groupBy(col("cell").as("centroid_id"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("centroid"))
+    }
+    centroids
+  }
+
+  /** Assign each vector to its nearest centroid (L2). Centroids are broadcast. */
+  def assignCells(vectors: DataFrame, centroids: DataFrame, vecCol: String): DataFrame = {
+    val joined = vectors.crossJoin(broadcast(centroids))
+      .withColumn("d2", aggregate(
+        zip_with(col(vecCol), col("centroid"), (x, y) => (x - y) * (x - y)),
+        lit(0.0d), (acc, x) => acc + x))
+    val w = Window.partitionBy(col("id")).orderBy(asc("d2"), asc("centroid_id"))
+    joined.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("id"), col("centroid_id").as("cell"))
+  }
+
+  /** IVF approximate top-k: index = assign corpus to cells; query probes its
+    * `nprobe` nearest cells only. */
+  def ivfKnn(corpus: DataFrame, queries: DataFrame, k: Int,
+             nlist: Int = 64, nprobe: Int = 8, iters: Int = 3,
+             idCol: String = "vec_id", vecCol: String = "embedding",
+             excludeSelf: Boolean = true): DataFrame = {
+    val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).cast("array<double>").as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+    val centroids = trainCentroids(corpus, nlist, iters, idCol, vecCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val corpusCells = assignCells(c.withColumnRenamed("nbr_id", "id"), centroids, "cv")
+      .toDF("nbr_id", "cell")
+    val indexed = c.join(corpusCells, Seq("nbr_id"))
+    // query → nprobe nearest cells
+    val qCells = q.crossJoin(broadcast(centroids))
+      .withColumn("d2", aggregate(
+        zip_with(col("qv"), col("centroid"), (x, y) => (x - y) * (x - y)),
+        lit(0.0d), (acc, x) => acc + x))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(asc("d2"), asc("centroid_id"))))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("qv"), col("centroid_id").as("cell"))
+    val joined = qCells.join(indexed, Seq("cell"))
+      .filter(if (excludeSelf) col("query_id") =!= col("nbr_id") else lit(true))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+    joined.withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(desc("sim"), asc("nbr_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("nbr_id"), col("sim"), col("rank"))
+  }
+
+  /** LSH-bucketed approximate top-k (no training pass): candidates share the
+    * hyperplane sign bucket; `probes` extra buckets within Hamming distance 1
+    * improve recall. */
+  def lshKnn(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int = 12,
+             multiProbe: Boolean = true,
+             idCol: String = "vec_id", vecCol: String = "embedding",
+             excludeSelf: Boolean = true): DataFrame = {
+    val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("bucket", hyperplaneBucket(col("cv"), bits))
+    val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("b0", hyperplaneBucket(col("qv"), bits))
+    // multi-probe: original bucket + each single-bit flip
+    val q = if (!multiProbe) q0.withColumn("bucket", col("b0"))
+      else q0.select(col("query_id"), col("qv"), col("b0"), explode(
+        array((lit(-1) +: (0 until bits).map(lit(_))): _*)).as("flip"))
+        .withColumn("bucket",
+          when(col("flip") === -1, col("b0"))
+            .otherwise(col("b0").bitwiseXOR(call_function("shiftleft", lit(1L), col("flip")))))
+    val joined = q.join(c, Seq("bucket"))
+      .filter(if (excludeSelf) col("query_id") =!= col("nbr_id") else lit(true))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .select(col("query_id"), col("nbr_id"), col("sim")).distinct()
+    joined.withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(desc("sim"), asc("nbr_id"))))
+      .filter(col("rank") <= k)
+  }
+}

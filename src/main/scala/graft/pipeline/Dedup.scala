@@ -1,0 +1,215 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.algos.GraphAlgorithms
+import graft.core.KGraph
+
+/**
+ * Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+ * SimHash, n-gram Jaccard verification, embedding-cosine near-dup.
+ *
+ * Scale design: every stage is a DataFrame expression (codegen'd higher-order
+ * functions over shingle arrays — no Scala UDFs); candidate generation is
+ * banded LSH so the only join is an equi-join on (band, signature) buckets —
+ * never an all-pairs product; duplicate clusters come from connected
+ * components over the candidate-pair graph (GraphAlgorithms.wcc), so at
+ * 100 TB the whole flow is shuffles on hash keys with map-side combine.
+ */
+object Dedup {
+
+  // -------------------------------------------------------------------------
+  // Exact dedup
+  // -------------------------------------------------------------------------
+
+  /** Exact dedup on normalized text: keeps the row with the smallest `idCol`
+    * per fingerprint. Hash-groupBy — one shuffle on a 64-bit key. */
+  def exact(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val fp = TextAnalysis.fingerprint(col(textCol))
+    df.withColumn("_fp", fp)
+      .groupBy(col("_fp"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
+      .drop("_fp")
+  }
+
+  // -------------------------------------------------------------------------
+  // Shingles + MinHash
+  // -------------------------------------------------------------------------
+
+  /** Distinct word n-gram shingles of normalized text, as array<string>. */
+  def wordShingles(text: Column, n: Int = 3): Column = {
+    val toks = split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
+    array_distinct(
+      filter(
+        transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))),
+        s => length(s) > 0))
+  }
+
+  /** MinHash signature: for each of `numHashes` seeded hash functions, the
+    * minimum xxhash64 over the shingle set. array<bigint> of numHashes. */
+  def minHashSignature(shingles: Column, numHashes: Int = 64): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      seed => array_min(transform(shingles, s => xxhash64(seed, s))))
+
+  /** Banded LSH candidate pairs: signature split into `bands` bands of
+    * `rowsPerBand` rows; docs sharing any band bucket become a candidate
+    * pair (a < b). One equi-join on (band, bandHash). */
+  def lshCandidates(df: DataFrame, idCol: String, sigCol: String,
+                    bands: Int, rowsPerBand: Int): DataFrame = {
+    val banded = df.select(col(idCol).as("id"), col(sigCol).as("sig"))
+      .select(col("id"), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+      .toDF("id", "band", "bucket")
+    val l = banded.toDF("a", "band", "bucket")
+    val r = banded.toDF("b", "band", "bucket")
+    l.join(r, Seq("band", "bucket")).filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+  }
+
+  /** Estimated Jaccard from two MinHash signatures (fraction of equal slots). */
+  def estimatedJaccard(sigA: Column, sigB: Column): Column =
+    size(filter(zip_with(sigA, sigB, (x, y) => x === y), b => b)).cast("double") /
+      size(sigA)
+
+  /**
+   * MinHash+LSH near-dup clusters.
+   * Returns (idCol, rep): every surviving doc maps to its cluster
+   * representative (minimum id of its near-dup connected component).
+   *
+   * shingle→minhash→band→bucket-join→verify→connected-components.
+   */
+  def minHashLSH(df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+                 shingleLen: Int = 3, numHashes: Int = 64, bands: Int = 16,
+                 threshold: Double = 0.7): DataFrame = {
+    val withSig = df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("shingles", wordShingles(col("text"), shingleLen))
+      .filter(size(col("shingles")) > 0)
+      .withColumn("sig", minHashSignature(col("shingles"), numHashes))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cands = lshCandidates(withSig, "id", "sig", bands, numHashes / bands)
+    // verify candidates with the signature-estimated Jaccard
+    val sigs = withSig.select(col("id"), col("sig"))
+    val verified = cands
+      .join(sigs.toDF("a", "sigA"), Seq("a"))
+      .join(sigs.toDF("b", "sigB"), Seq("b"))
+      .withColumn("jac", estimatedJaccard(col("sigA"), col("sigB")))
+      .filter(col("jac") >= threshold)
+      .select(col("a").as("src"), col("b").as("dst"), col("jac").as("value"))
+    clustersFromPairs(df.select(col(idCol).as("id")), verified)
+  }
+
+  /** Exact n-gram Jaccard similarity for given candidate pairs (a, b):
+    * |S(a)∩S(b)| / |S(a)∪S(b)| over word shingles. */
+  def ngramJaccardVerify(docs: DataFrame, pairs: DataFrame,
+                         idCol: String = "doc_id", textCol: String = "text",
+                         shingleLen: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"), wordShingles(col(textCol), shingleLen).as("sh"))
+    pairs.toDF("a", "b")
+      .join(sh.toDF("a", "shA"), Seq("a"))
+      .join(sh.toDF("b", "shB"), Seq("b"))
+      .select(col("a"), col("b"),
+        (size(array_intersect(col("shA"), col("shB"))).cast("double") /
+          size(array_union(col("shA"), col("shB")))).as("jaccard"))
+  }
+
+  /** Brute-force exact n-gram Jaccard dedup (all-pairs within LSH buckets is
+    * the scale path; this is the small-data oracle-friendly variant). */
+  def ngramJaccard(df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+                   shingleLen: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), wordShingles(col(textCol), shingleLen).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val pairs = sh.toDF("a", "shA").join(sh.toDF("b", "shB"), col("a") < col("b"))
+      .select(col("a"), col("b"),
+        (size(array_intersect(col("shA"), col("shB"))).cast("double") /
+          size(array_union(col("shA"), col("shB")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a").as("src"), col("b").as("dst"), col("jaccard").as("value"))
+    clustersFromPairs(df.select(col(idCol).as("id")), pairs)
+  }
+
+  // -------------------------------------------------------------------------
+  // SimHash
+  // -------------------------------------------------------------------------
+
+  /** 64-bit SimHash over whitespace tokens: bit b is set iff the sum over
+    * tokens of ±1 (sign of bit b of xxhash64(token)) is non-negative.
+    * Pure higher-order-function expression — codegen'd, no UDF. */
+  def simHash(text: Column): Column = {
+    val toks = TextAnalysis.wsTokens(lower(text))
+    // shift amounts are data-dependent → SQL shiftright/shiftleft via
+    // call_function (the Scala wrappers only take literal Int amounts)
+    aggregate(
+      sequence(lit(0), lit(63)),
+      lit(0L),
+      (acc, b) => acc + when(
+        aggregate(toks, lit(0L),
+          (s, t) => s + when(
+            call_function("shiftright", xxhash64(t), b).bitwiseAND(lit(1L)) === 1L, 1L)
+            .otherwise(-1L)) >= 0,
+        call_function("shiftleft", lit(1L), b)).otherwise(0L))
+  }
+
+  /** SimHash near-dup pairs: candidates share one of 4 16-bit chunks
+    * (any pair with Hamming distance ≤ 3 must agree on ≥1 chunk), verified by
+    * exact Hamming distance ≤ maxHamming. Returns clusters (id, rep). */
+  def simHashDedup(df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+                   maxHamming: Int = 3): DataFrame = {
+    val withSh = df.select(col(idCol).as("id"), simHash(col(textCol)).as("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val chunked = withSh.select(col("id"), col("sh"), posexplode(
+      transform(sequence(lit(0), lit(3)),
+        c => call_function("shiftright", col("sh"), c * 16).bitwiseAND(lit(0xFFFFL)))))
+      .toDF("id", "sh", "chunk", "ckey")
+    val l = chunked.select(col("id").as("a"), col("sh").as("shA"), col("chunk"), col("ckey"))
+    val r = chunked.select(col("id").as("b"), col("sh").as("shB"), col("chunk"), col("ckey"))
+    val pairs = l.join(r, Seq("chunk", "ckey")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("shA"), col("shB")).distinct()
+      .withColumn("hamming", bit_count(col("shA").bitwiseXOR(col("shB"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a").as("src"), col("b").as("dst"), col("hamming").cast("double").as("value"))
+    clustersFromPairs(df.select(col(idCol).as("id")), pairs)
+  }
+
+  // -------------------------------------------------------------------------
+  // Embedding cosine near-dup
+  // -------------------------------------------------------------------------
+
+  /** Near-dup clusters over an embedding column via cosine ≥ threshold.
+    * Candidates from random-hyperplane LSH (sign-bit buckets) when `lshBits`
+    * > 0, else brute force all-pairs (small data / oracle path). */
+  def embeddingDedup(df: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",
+                     threshold: Double = 0.95, lshBits: Int = 0): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0d), (a, x) => a + x * x)))
+      .filter(col("norm") > 0)
+    val pairsAll =
+      if (lshBits <= 0) v.toDF("a", "vA", "nA").join(v.toDF("b", "vB", "nB"), col("a") < col("b"))
+      else {
+        val bucketed = v.withColumn("bucket", Ann.hyperplaneBucket(col("v"), lshBits))
+        bucketed.toDF("a", "vA", "nA", "bucket")
+          .join(bucketed.toDF("b", "vB", "nB", "bucket"), Seq("bucket"))
+          .filter(col("a") < col("b")).drop("bucket")
+      }
+    val pairs = pairsAll
+      .withColumn("cos",
+        aggregate(zip_with(col("vA"), col("vB"), (x, y) => x * y), lit(0.0d), (a, x) => a + x)
+          / (col("nA") * col("nB")))
+      .filter(col("cos") >= threshold)
+      .select(col("a").as("src"), col("b").as("dst"), col("cos").as("value"))
+    clustersFromPairs(df.select(col(idCol).as("id")), pairs)
+  }
+
+  // -------------------------------------------------------------------------
+
+  /** Duplicate clusters from a near-dup pair graph: connected components, with
+    * singletons mapping to themselves. Returns (id, rep). */
+  def clustersFromPairs(ids: DataFrame, pairs: DataFrame): DataFrame = {
+    val g = KGraph(ids.select(col("id"), col("id").as("value")),
+      pairs.select(col("src"), col("dst"), col("value")))
+    GraphAlgorithms.wcc(g).toDF("id", "rep")
+  }
+}

@@ -1,0 +1,119 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for large-scale training-data pipelines: token
+ * counting, quality scoring, language ID, document fingerprinting.
+ *
+ * Everything is built from `org.apache.spark.sql.functions` (wholestage
+ * codegen, pushdown-friendly) — no Scala UDFs in the hot path, so a 100 TB
+ * scan stays in Tungsten. Each operator appends columns to the input frame so
+ * pipelines compose as one Catalyst plan (one pass over the corpus).
+ */
+object TextAnalysis {
+
+  /** Whitespace tokens. */
+  def wsTokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Whitespace token count; empty/null-safe. */
+  def tokenCount(text: Column): Column =
+    when(text.isNull || length(trim(text)) === 0, lit(0))
+      .otherwise(size(wsTokens(text)))
+
+  /** BPE-ish subword count: splits on word boundaries AND digit/letter
+    * transitions, counting punctuation runs separately — a cheap deterministic
+    * stand-in for a real tokenizer's token count (≈ GPT-style regex). */
+  def subwordCount(text: Column): Column =
+    when(text.isNull, lit(0)).otherwise(
+      size(filter(
+        split(text, "(?<=[a-zA-Z])(?=[0-9])|(?<=[0-9])(?=[a-zA-Z])|\\s+|(?=[^a-zA-Z0-9\\s])"),
+        t => length(t) > 0)))
+
+  /** Per-document quality features + composite score in [0,1]:
+    * word count, mean word length, stopword ratio, punctuation ratio,
+    * digit ratio, uppercase ratio. Weights are fixed and documented so the
+    * score is reproducible across engines. */
+  def qualityScore(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val toks = wsTokens(t)
+    val n = size(toks).cast("double")
+    val chars = length(t).cast("double")
+    val stop = typedLit(Stopwords.en)
+    val out = df
+      .withColumn("n_tokens", size(toks))
+      .withColumn("mean_token_len",
+        when(n > 0, (chars - (n - 1)) / n).otherwise(lit(0.0)))
+      .withColumn("stopword_ratio",
+        when(n > 0, size(filter(toks, w => array_contains(stop, lower(w)))) / n)
+          .otherwise(lit(0.0)))
+      .withColumn("punct_ratio",
+        when(chars > 0, (chars - length(regexp_replace(t, "[\\p{Punct}]", ""))) / chars)
+          .otherwise(lit(0.0)))
+      .withColumn("digit_ratio",
+        when(chars > 0, (chars - length(regexp_replace(t, "[0-9]", ""))) / chars)
+          .otherwise(lit(0.0)))
+    // composite: long enough, words not too long/short, some stopwords,
+    // little punctuation/digit noise
+    out.withColumn("quality",
+      round(
+        greatest(lit(0.0), least(lit(1.0),
+          lit(0.25) * least(col("n_tokens") / 64.0, lit(1.0)) +
+          lit(0.25) * when(col("mean_token_len").between(3.0, 10.0), 1.0).otherwise(0.0) +
+          lit(0.25) * least(col("stopword_ratio") * 4.0, lit(1.0)) +
+          lit(0.25) * (lit(1.0) - least(col("punct_ratio") + col("digit_ratio"), lit(1.0)))
+        )), 6))
+  }
+
+  /** Language ID via stopword-profile voting: score each language by the
+    * fraction of tokens found in its profile; argmax wins, 'und' when no
+    * profile scores > 0. An n-gram heuristic classifier — not a model. */
+  def langId(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = wsTokens(lower(col(textCol)))
+    val scored = Stopwords.profiles.foldLeft(df) { case (d, (lang, words)) =>
+      d.withColumn(s"_s_$lang",
+        size(filter(toks, w => array_contains(typedLit(words), w))))
+    }
+    val langs = Stopwords.profiles.keys.toSeq
+    val best = langs.map(l => struct(col(s"_s_$l").as("score"), lit(l).as("lang")))
+    scored
+      .withColumn("_best", greatest(best: _*))
+      .withColumn("lang_pred",
+        when(col("_best.score") > 0, col("_best.lang")).otherwise(lit("und")))
+      .withColumn("lang_score", col("_best.score"))
+      .drop(langs.map(l => s"_s_$l") :+ "_best": _*)
+  }
+
+  /** 64-bit content fingerprint of normalized text (case-folded, whitespace
+    * collapsed) — exact-dup detection key. */
+  def fingerprint(text: Column): Column =
+    xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Winnowing-style robust fingerprints: the distinct minima of xxhash64 over
+    * sliding k-gram windows — a small set per document, stable under local
+    * edits. Returns array<bigint> of at most `numFingerprints`. */
+  def robustFingerprints(text: Column, k: Int = 8, numFingerprints: Int = 16): Column = {
+    val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
+    val n = length(norm)
+    val grams = transform(sequence(lit(1), greatest(n - (k - 1), lit(1))),
+      i => xxhash64(norm.substr(i, lit(k))))
+    slice(array_sort(array_distinct(grams)), 1, numFingerprints)
+  }
+}
+
+/** Minimal per-language stopword profiles (public common-word lists). */
+object Stopwords {
+  val en: Seq[String] = Seq("the", "a", "an", "of", "to", "in", "and", "is",
+    "it", "that", "for", "on", "was", "with", "as", "at", "by", "this")
+  val de: Seq[String] = Seq("der", "die", "das", "und", "ist", "ich", "nicht",
+    "ein", "eine", "mit", "auf", "für", "von", "zu", "den", "im")
+  val fr: Seq[String] = Seq("le", "la", "les", "de", "des", "et", "est", "un",
+    "une", "dans", "que", "pour", "pas", "sur", "avec", "au")
+  val es: Seq[String] = Seq("el", "la", "los", "las", "de", "y", "es", "un",
+    "una", "en", "que", "por", "con", "para", "no", "se")
+  val it: Seq[String] = Seq("il", "lo", "la", "gli", "di", "e", "è", "un",
+    "una", "in", "che", "per", "non", "con", "su", "del")
+  val profiles: Map[String, Seq[String]] =
+    Map("en" -> en, "de" -> de, "fr" -> fr, "es" -> es, "it" -> it)
+}

@@ -33,6 +33,23 @@ object Demo {
     println("pagerank top5:")
     pr.orderBy(desc("value")).show(5, false)
     println(s"globalTriangles=${GraphAlgorithms.globalTriangleCount(g)}")
+
+    // ---- training-data pipeline ops on the real documents/embeddings ----
+    import graft.pipeline.{Ann, Dedup, TextAnalysis}
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    println(s"docs=${docs.count()} exactDedupSurvivors=${Dedup.exact(docs).count()}")
+    val mh = Dedup.minHashLSH(docs, threshold = 0.5)
+    println(s"minhashClusters=${mh.select(col("rep")).distinct().count()}")
+    val quality = TextAnalysis.qualityScore(TextAnalysis.langId(docs))
+    quality.select(col("doc_id"), col("lang_pred"), col("n_tokens"), col("quality")).show(5, false)
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val knn = Ann.bruteForceKnn(emb, emb.limit(5), 3)
+    println("knn (5 queries, k=3):"); knn.show(15, false)
+    val ivf = Ann.ivfKnn(emb, emb.limit(5), 3, nlist = 16, nprobe = 4)
+    val agree = knn.filter(col("rank") === 1).toDF("q", "bf", "s", "r")
+      .join(ivf.filter(col("rank") === 1).toDF("q", "ivf", "s2", "r2"), Seq("q"))
+      .filter(col("bf") === col("ivf")).count()
+    println(s"ivf top1 agreement with brute force: $agree/5")
     spark.stop()
   }
 }

@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Ann, Dedup, Multimodal, TextAnalysis}
+
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank yesterday"), // near-dup of 1
+    (3L, "completely different content about database engines and query planning"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river bank today"),      // exact dup of 1
+    (5L, "der schnelle braune fuchs springt mit der über den faulen hund und")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup collapses identical normalized text") {
+    val out = Dedup.exact(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) === 2L)            // docs 1 and 4 collapse, min id kept
+    assert(out.values.sum === 5L)
+    assert(out.size === 4)
+  }
+
+  test("minhash LSH clusters near-dups together") {
+    val out = Dedup.minHashLSH(docs, threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) === 1L); assert(out(2L) === 1L); assert(out(4L) === 1L)
+    assert(out(3L) === 3L); assert(out(5L) === 5L)
+  }
+
+  test("simhash dedup: hamming(identical)=0, near-dups within 3 bits") {
+    val out = Dedup.simHashDedup(docs, maxHamming = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) === 1L && out(4L) === 1L)  // identical text, hamming 0
+    assert(out(3L) === 3L)
+  }
+
+  test("ngram jaccard dedup exact") {
+    val out = Dedup.ngramJaccard(docs, threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) === 1L && out(2L) === 1L && out(4L) === 1L)
+    assert(out(3L) === 3L && out(5L) === 5L)
+  }
+
+  test("embedding dedup via cosine") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.999f, 0.01f, 0.0f)),  // ~same direction as 1
+      (3L, Array(0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.embeddingDedup(vecs, threshold = 0.99)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) === 1L && out(2L) === 1L && out(3L) === 3L)
+  }
+
+  test("brute-force knn finds nearest by cosine") {
+    val vecs = Seq(
+      (1L, Array(1.0, 0.0)), (2L, Array(0.9, 0.1)),
+      (3L, Array(0.0, 1.0)), (4L, Array(0.1, 0.9))
+    ).toDF("vec_id", "embedding")
+    val out = Ann.bruteForceKnn(vecs, vecs, 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) === 2L); assert(out(2L) === 1L)
+    assert(out(3L) === 4L); assert(out(4L) === 3L)
+  }
+
+  test("ivf knn recalls the true neighbor on separated clusters") {
+    val vecs = (0 until 40).map { i =>
+      val base = if (i < 20) Array(10.0, 0.0) else Array(0.0, 10.0)
+      (i.toLong, Array(base(0) + (i % 5) * 0.01, base(1) + (i % 7) * 0.01))
+    }.toDF("vec_id", "embedding")
+    val bf = Ann.bruteForceKnn(vecs, vecs, 1).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ivf = Ann.ivfKnn(vecs, vecs, 1, nlist = 4, nprobe = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // same-cluster neighbors for every query
+    ivf.foreach { case (q, n) => assert((q < 20) === (n < 20), s"query $q got $n") }
+    assert(ivf.keySet === bf.keySet)
+  }
+
+  test("token counts and quality features") {
+    val out = TextAnalysis.qualityScore(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n_tokens")).toMap
+    assert(out(1L) === 14)
+    val q = TextAnalysis.qualityScore(docs).filter(col("doc_id") === 1).select("quality").head.getDouble(0)
+    assert(q > 0.5 && q <= 1.0)
+    val sw = docs.select(TextAnalysis.subwordCount(col("text"))).head.getInt(0)
+    assert(sw === 14) // no punctuation/digits → same as whitespace tokens
+  }
+
+  test("langId votes by stopword profile") {
+    val out = TextAnalysis.langId(docs).select(col("doc_id"), col("lang_pred")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "en")
+    assert(out(5L) === "de")
+  }
+
+  test("fingerprints: exact stable, robust survives small edits") {
+    val fp = docs.select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) === fp(4L))
+    assert(fp(1L) !== fp(3L))
+    val rfp = docs.select(col("doc_id"), TextAnalysis.robustFingerprints(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val overlap = rfp(1L).toSet.intersect(rfp(2L).toSet).size
+    assert(overlap >= 8, s"robust fingerprints should mostly survive a one-word edit, got $overlap")
+  }
+
+  test("multimodal: image features + audio frame sampling over binary payloads") {
+    val media = Multimodal.synthesize(spark, 30)
+    val img = Multimodal.imageFeatures(media).collect()
+    assert(img.length === 10)
+    assert(img.forall(f => f.meanLuma >= 0.0 && f.meanLuma <= 1.0 && f.width >= 640))
+    val frames = Multimodal.audioFrames(media, hopMs = 500L).collect()
+    assert(frames.nonEmpty)
+    assert(frames.groupBy(_.id).forall { case (_, fs) => fs.map(_.frameIdx).distinct.length === fs.length })
+    val plan = Multimodal.resizePlan(media.toDF(), maxSide = 512)
+    val r = plan.filter(col("meta.mediaType") === "image").select("target_width", "target_height").collect()
+    assert(r.forall(row => row.getInt(0) <= 512 && row.getInt(1) <= 512))
+  }
+}

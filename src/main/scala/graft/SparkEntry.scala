@@ -1,13 +1,520 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.algos.GraphAlgorithms
+import graft.core.KGraph
+import graft.core.KGraph.EdgeDirection
+import graft.pipeline.{Ann, Dedup, TextAnalysis}
+
+/**
+ * Driver contract: every implemented operator from SURVEY.md §2 is exposed as
+ * a named query over the driver-provided parquet tables, with a DuckDB oracle
+ * where the semantics are ANSI-SQL-expressible.
+ *
+ * Graph queries derive graphs from the TPC-H-ish tables:
+ *  - supplier→part bipartite graph from lineitem (weights = min quantity)
+ *  - part co-purchase graph (parts sharing an order)
+ *  - customer "tree" graph  c → c div 2  (deep paths — exercises iterative
+ *    convergence; closed-form/recursive oracles)
+ *  - customer "star clusters" c → c - c%100 (closed-form oracles for
+ *    pagerank/wcc/label-propagation fixpoints)
+ *
+ * Float discipline for oracle parity: money is summed as exact integer cents
+ * (floor(x*100 + 0.5) per row — identical IEEE ops in both engines);
+ * iterative-algorithm outputs with float accumulation are round()ed to 6
+ * decimals; everything else is integer/string typed.
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events.ts is TIMESTAMP(NANOS) in parquet, which Spark only reads as a
+    * nanos long (legacy conf); normalize to a microsecond timestamp — the same
+    * truncation DuckDB applies casting TIMESTAMP_NS → TIMESTAMP. */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** exact integer cents from a double money column (same IEEE ops in DuckDB) */
+  private def cents(c: Column): Column = floor(c * 100 + 0.5).cast("long")
+
+  // ---- derived graphs -----------------------------------------------------
+
+  /** supplier → part (+1e6 offset) weighted by min quantity, deduped. */
+  private def supplierPartGraph(s: SparkSession, dir: String): KGraph = {
+    val e = t(s, dir, "lineitem")
+      .groupBy(col("l_suppkey").as("src"), (col("l_partkey") + 1000000L).as("dst"))
+      .agg(min(col("l_quantity")).cast("long").as("value"))
+    KGraph.fromEdges(e, id => id)
+  }
+
+  /** parts co-occurring in the same order (canonical a<b). */
+  private def coPurchaseGraph(s: SparkSession, dir: String): KGraph = {
+    val li = t(s, dir, "lineitem").select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val e = li.toDF("ok", "p1").join(li.toDF("ok", "p2"), Seq("ok"))
+      .filter(col("p1") < col("p2"))
+      .select(col("p1").as("src"), col("p2").as("dst")).distinct()
+      .withColumn("value", lit(1L))
+    KGraph.fromEdges(e, id => id)
+  }
+
+  /** customer binary tree: c → c div 2 for c ≥ 2; weight (c % 7) + 1. */
+  private def treeGraph(s: SparkSession, dir: String): KGraph = {
+    val e = t(s, dir, "customer").select(col("c_custkey").as("src"))
+      .filter(col("src") >= 2)
+      .select(col("src"), expr("src div 2").as("dst"),
+        (col("src") % 7 + 1).cast("double").as("value"))
+    KGraph.fromEdges(e, id => id)
+  }
+
+  /** customer star clusters: c → c - c%100 for c%100 ≠ 0; weight 1. */
+  private def starGraph(s: SparkSession, dir: String): KGraph = {
+    val e = t(s, dir, "customer").select(col("c_custkey").as("src"))
+      .filter(col("src") % 100 =!= 0)
+      .select(col("src"), (col("src") - col("src") % 100).as("dst"), lit(1.0).as("value"))
+    KGraph.fromEdges(e, id => id)
+  }
+
+  /** shared SQL fragments for the oracle side */
+  private val sqlSupplierPartEdges =
+    """SELECT l_suppkey AS src, l_partkey + 1000000 AS dst,
+      |       CAST(min(l_quantity) AS BIGINT) AS value
+      |FROM lineitem GROUP BY 1, 2""".stripMargin
+  private val sqlCoPurchaseEdges =
+    """SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      |FROM lineitem a JOIN lineitem b
+      |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey""".stripMargin
+  private val sqlTreeEdges =
+    """SELECT c_custkey AS src, c_custkey // 2 AS dst,
+      |       CAST(c_custkey % 7 + 1 AS DOUBLE) AS value
+      |FROM customer WHERE c_custkey >= 2""".stripMargin
+
+  // =========================================================================
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q2_revenue_by_nation")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- relational core (Catalyst: pushdown, joins, windows) ------------
+
+    "q1_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-01")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          sum(cents(col("l_extendedprice"))).as("sum_base_cents"),
+          sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_cents"),
+          count(lit(1)).as("count_order"))
+        .withColumn("avg_qty", round(col("sum_qty").cast("double") / col("count_order"), 6))
+    }),
+
+    "q2_revenue_by_nation" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(cents(col("o_totalprice"))).as("revenue_cents"),
+          count(lit(1)).as("n_orders"))
+    }),
+
+    "q3_top_customers" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(desc("n_orders"), asc("o_custkey"))
+        .limit(10)
+    }),
+
+    "q4_order_ranks" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(asc("o_orderdate"), asc("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("rk"))
+    }),
+
+    "q5_low_activity" -> ((s, dir) => {
+      val counts = t(s, dir, "orders")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+      t(s, dir, "customer")
+        .join(counts, col("c_custkey") === col("o_custkey"), "left_outer")
+        .select(col("c_custkey"), coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+        .filter(col("n_orders") <= 4)
+    }),
+
+    // ---- KGraph transforms (SURVEY §2.1) ---------------------------------
+
+    "g_out_degrees" -> ((s, dir) => supplierPartGraph(s, dir).outDegrees.toDF("id", "value")),
+
+    "g_in_degrees" -> ((s, dir) => supplierPartGraph(s, dir).inDegrees.toDF("id", "value")),
+
+    "g_subgraph" -> ((s, dir) =>
+      supplierPartGraph(s, dir)
+        .subgraph(col("id") % 2 === 0, col("value") >= 25)
+        .edges),
+
+    "g_undirected_degrees" -> ((s, dir) =>
+      supplierPartGraph(s, dir).undirected.outDegrees.toDF("id", "value")),
+
+    "g_reduce_min_edge" -> ((s, dir) =>
+      supplierPartGraph(s, dir).reduceOnEdges(min, EdgeDirection.In).toDF("id", "value")),
+
+    // ---- iterative graph algorithms (SURVEY §2.4) ------------------------
+
+    "g_wcc_clusters" -> ((s, dir) => GraphAlgorithms.wcc(starGraph(s, dir))),
+
+    "g_wcc_deep" -> ((s, dir) => GraphAlgorithms.wcc(treeGraph(s, dir))),
+
+    "g_bfs_tree" -> ((s, dir) =>
+      GraphAlgorithms.bfs(treeGraph(s, dir), 1L, directed = false)),
+
+    "g_sssp_tree" -> ((s, dir) =>
+      GraphAlgorithms.sssp(treeGraph(s, dir), 1L, directed = false)),
+
+    "g_mssp_tree" -> ((s, dir) =>
+      GraphAlgorithms.mssp(treeGraph(s, dir), Seq(100L, 101L, 77L))),
+
+    "g_pagerank_stars" -> ((s, dir) =>
+      GraphAlgorithms.pageRank(starGraph(s, dir), tolerance = 0.0001, resetProb = 0.15)
+        .withColumn("value", round(col("value"), 6))),
+
+    "g_lp_stars" -> ((s, dir) => GraphAlgorithms.labelPropagation(starGraph(s, dir))),
+
+    "g_triangles_total" -> ((s, dir) => {
+      val n = GraphAlgorithms.globalTriangleCount(coPurchaseGraph(s, dir))
+      s.range(1).select(lit(n).as("n_triangles"))
+    }),
+
+    "g_adamic_adar" -> ((s, dir) =>
+      GraphAlgorithms.adamicAdar(coPurchaseGraph(s, dir))
+        .withColumn("value", round(col("value"), 6))),
+
+    "g_jaccard" -> ((s, dir) =>
+      GraphAlgorithms.jaccard(coPurchaseGraph(s, dir))
+        .withColumn("value", round(col("value"), 6))),
+
+    // ---- training-data pipeline ops --------------------------------------
+
+    "d_exact_dedup" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
+
+    "d_token_count" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))),
+
+    "d_quality" -> ((s, dir) =>
+      TextAnalysis.qualityScore(t(s, dir, "documents"))
+        .select(col("doc_id"),
+          col("n_tokens"),
+          round(col("stopword_ratio"), 6).as("stopword_ratio"),
+          round(col("punct_ratio"), 6).as("punct_ratio"),
+          round(col("digit_ratio"), 6).as("digit_ratio"))),
+
+    "d_lang_id" -> ((s, dir) =>
+      TextAnalysis.langId(t(s, dir, "documents"))
+        .select(col("doc_id"), col("lang_pred"))),
+
+    "d_ngram_pairs" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), threshold = 0.1)
+        .withColumn("jaccard", round(col("jaccard"), 6))),
+
+    "d_minhash_clusters" -> ((s, dir) =>
+      Dedup.minHashLSH(t(s, dir, "documents"), threshold = 0.5).toDF("doc_id", "rep")),
+
+    "d_simhash_clusters" -> ((s, dir) =>
+      Dedup.simHashDedup(t(s, dir, "documents"), maxHamming = 3).toDF("doc_id", "rep")),
+
+    "e_knn_top1" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      Ann.bruteForceKnn(emb, emb, 1).select(col("query_id"), col("nbr_id"))
+    }),
+
+    "e_knn_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      Ann.ivfKnn(emb, emb, 3, nlist = 16, nprobe = 4)
+        .select(col("query_id"), col("nbr_id"), col("rank"))
+    }),
+
+    "e_embedding_dedup" -> ((s, dir) =>
+      Dedup.embeddingDedup(t(s, dir, "embeddings"), threshold = 0.9).toDF("vec_id", "rep")),
+
+    // ---- events (streaming semantics, batch-checkable) -------------------
+
+    "ev_hourly" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_cents"))),
+
+    "ev_sessions" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(asc("ts"), asc("event_id"))
+      events(s, dir)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 30L * 60 * 1000000, 1L)
+            .otherwise(0L))
+        .withColumn("session_seq", sum(col("new_session")).over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(min(col("ts")).as("session_start"), count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("session_start"), col("n_events"))
+    })
+  )
+
+  // =========================================================================
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+        |  count(*) AS count_order,
+        |  round(CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*), 6) AS avg_qty
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q2_revenue_by_nation" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1""".stripMargin,
+
+    "q3_top_customers" ->
+      """SELECT o_custkey, count(*) AS n_orders FROM orders
+        |GROUP BY 1 ORDER BY n_orders DESC, o_custkey LIMIT 10""".stripMargin,
+
+    "q4_order_ranks" ->
+      """SELECT o_custkey, o_orderkey, rk FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rk
+        |  FROM orders) WHERE rk <= 3""".stripMargin,
+
+    "q5_low_activity" ->
+      """SELECT c_custkey, CAST(coalesce(n, 0) AS BIGINT) AS n_orders
+        |FROM customer LEFT JOIN
+        |  (SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1) o
+        |  ON c_custkey = o_custkey
+        |WHERE coalesce(n, 0) <= 4""".stripMargin,
+
+    "g_out_degrees" ->
+      s"""WITH e AS ($sqlSupplierPartEdges),
+         |v AS (SELECT src AS id FROM e UNION SELECT dst FROM e)
+         |SELECT v.id, CAST(coalesce(d.cnt, 0) AS BIGINT) AS value
+         |FROM v LEFT JOIN (SELECT src, count(*) AS cnt FROM e GROUP BY 1) d ON v.id = d.src""".stripMargin,
+
+    "g_in_degrees" ->
+      s"""WITH e AS ($sqlSupplierPartEdges),
+         |v AS (SELECT src AS id FROM e UNION SELECT dst FROM e)
+         |SELECT v.id, CAST(coalesce(d.cnt, 0) AS BIGINT) AS value
+         |FROM v LEFT JOIN (SELECT dst, count(*) AS cnt FROM e GROUP BY 1) d ON v.id = d.dst""".stripMargin,
+
+    "g_subgraph" ->
+      s"""WITH e AS ($sqlSupplierPartEdges)
+         |SELECT src, dst, value FROM e
+         |WHERE src % 2 = 0 AND dst % 2 = 0 AND value >= 25""".stripMargin,
+
+    "g_undirected_degrees" ->
+      s"""WITH e AS ($sqlSupplierPartEdges),
+         |u AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+         |v AS (SELECT src AS id FROM e UNION SELECT dst FROM e)
+         |SELECT v.id, CAST(coalesce(d.cnt, 0) AS BIGINT) AS value
+         |FROM v LEFT JOIN (SELECT src, count(*) AS cnt FROM u GROUP BY 1) d ON v.id = d.src""".stripMargin,
+
+    "g_reduce_min_edge" ->
+      s"""WITH e AS ($sqlSupplierPartEdges)
+         |SELECT dst AS id, CAST(min(value) AS BIGINT) AS value FROM e GROUP BY 1""".stripMargin,
+
+    "g_wcc_clusters" ->
+      """WITH m AS (SELECT c_custkey AS c FROM customer WHERE c_custkey % 100 <> 0),
+        |v AS (SELECT c AS id FROM m UNION SELECT DISTINCT c - c % 100 FROM m)
+        |SELECT id, id - id % 100 AS value FROM v""".stripMargin,
+
+    "g_wcc_deep" ->
+      """SELECT c_custkey AS id, 1 AS value FROM customer WHERE c_custkey >= 1""".stripMargin,
+
+    "g_bfs_tree" ->
+      s"""WITH RECURSIVE e AS ($sqlTreeEdges),
+         |d(id, dist) AS (
+         |  SELECT CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+         |  UNION ALL
+         |  SELECT e.src, d.dist + 1 FROM e JOIN d ON e.dst = d.id)
+         |SELECT id, dist AS value FROM d""".stripMargin,
+
+    "g_sssp_tree" ->
+      s"""WITH RECURSIVE e AS ($sqlTreeEdges),
+         |d(id, dist) AS (
+         |  SELECT CAST(1 AS BIGINT), CAST(0 AS DOUBLE)
+         |  UNION ALL
+         |  SELECT e.src, d.dist + e.value FROM e JOIN d ON e.dst = d.id)
+         |SELECT id, dist AS value FROM d""".stripMargin,
+
+    "g_mssp_tree" ->
+      s"""WITH RECURSIVE e AS ($sqlTreeEdges),
+         |d(id, landmark, dist) AS (
+         |  SELECT CAST(lm AS BIGINT), CAST(lm AS BIGINT), CAST(0 AS DOUBLE)
+         |  FROM (VALUES (100), (101), (77)) t(lm)
+         |  UNION ALL
+         |  SELECT e.dst, d.landmark, d.dist + e.value FROM e JOIN d ON e.src = d.id)
+         |SELECT id, landmark, dist AS value FROM d""".stripMargin,
+
+    // star clusters: leaves converge to rank 0.15; each root r gets
+    // 0.15 + 0.85 * 0.15 * |members(r)| (outdeg of every leaf is 1)
+    "g_pagerank_stars" ->
+      """WITH m AS (SELECT c_custkey AS c, c_custkey - c_custkey % 100 AS root
+        |           FROM customer WHERE c_custkey % 100 <> 0),
+        |sz AS (SELECT root, count(*) AS n FROM m GROUP BY 1)
+        |SELECT c AS id, round(CAST(0.15 AS DOUBLE), 6) AS value FROM m
+        |UNION ALL
+        |SELECT root AS id, round(CAST(0.15 + 0.85 * 0.15 * n AS DOUBLE), 6) AS value FROM sz""".stripMargin,
+
+    // leaves keep their id (no in-edges); root adopts max member label
+    // (all member labels tie at frequency 1 → larger label wins)
+    "g_lp_stars" ->
+      """WITH m AS (SELECT c_custkey AS c, c_custkey - c_custkey % 100 AS root
+        |           FROM customer WHERE c_custkey % 100 <> 0)
+        |SELECT c AS id, c AS value FROM m
+        |UNION ALL
+        |SELECT root AS id, max(c) AS value FROM m GROUP BY root""".stripMargin,
+
+    "g_triangles_total" ->
+      s"""WITH e AS ($sqlCoPurchaseEdges)
+         |SELECT count(*) AS n_triangles
+         |FROM e e1 JOIN e e2 ON e1.b = e2.a
+         |JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin,
+
+    "g_adamic_adar" ->
+      s"""WITH e AS ($sqlCoPurchaseEdges),
+         |adj AS (SELECT a AS w, b AS n FROM e UNION ALL SELECT b, a FROM e),
+         |deg AS (SELECT w, count(*) AS d FROM adj GROUP BY 1)
+         |SELECT n1.n AS src, n2.n AS dst,
+         |       round(sum(ln(1.0 / deg.d)), 6) AS value
+         |FROM adj n1 JOIN adj n2 ON n1.w = n2.w AND n1.n < n2.n
+         |JOIN e ON e.a = n1.n AND e.b = n2.n
+         |JOIN deg ON deg.w = n1.w
+         |GROUP BY 1, 2""".stripMargin,
+
+    "g_jaccard" ->
+      s"""WITH e AS ($sqlCoPurchaseEdges),
+         |adj AS (SELECT a AS w, b AS n FROM e UNION ALL SELECT b, a FROM e),
+         |deg AS (SELECT n, count(*) AS d FROM (SELECT a AS n FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+         |common AS (
+         |  SELECT n1.n AS u, n2.n AS v, count(*) AS c
+         |  FROM adj n1 JOIN adj n2 ON n1.w = n2.w AND n1.n < n2.n
+         |  JOIN e ON e.a = n1.n AND e.b = n2.n
+         |  GROUP BY 1, 2)
+         |SELECT e.a AS src, e.b AS dst,
+         |       round(CAST(coalesce(common.c, 0) AS DOUBLE) /
+         |             (du.d + dv.d - coalesce(common.c, 0)), 6) AS value
+         |FROM e
+         |LEFT JOIN common ON common.u = e.a AND common.v = e.b
+         |JOIN deg du ON du.n = e.a
+         |JOIN deg dv ON dv.n = e.b""".stripMargin,
+
+    "d_exact_dedup" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_dups
+        |FROM documents
+        |GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')""".stripMargin,
+
+    "d_token_count" ->
+      """SELECT doc_id,
+        |  CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+        |FROM documents""".stripMargin,
+
+    "d_quality" ->
+      """SELECT doc_id,
+        |  len(toks) AS n_tokens,
+        |  round(CAST(len(list_filter(toks, t -> list_contains(
+        |    ['the','a','an','of','to','in','and','is','it','that','for','on','was','with','as','at','by','this'],
+        |    lower(t)))) AS DOUBLE) / len(toks), 6) AS stopword_ratio,
+        |  round((length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')))
+        |        / CAST(length(text) AS DOUBLE), 6) AS punct_ratio,
+        |  round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+        |        / CAST(length(text) AS DOUBLE), 6) AS digit_ratio
+        |FROM (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks FROM documents)""".stripMargin,
+
+    // argmax with (score, lang-index) encoded arithmetic — identical
+    // tie-breaking in both engines (larger index = alphabetically later lang)
+    "d_lang_id" ->
+      """SELECT doc_id,
+        |  CASE WHEN code < 8 THEN 'und'
+        |       ELSE ['de','en','es','fr','it'][(code % 8) + 1] END AS lang_pred
+        |FROM (
+        |  SELECT doc_id, greatest(
+        |    8 * len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','ich','nicht','ein','eine','mit','auf','für','von','zu','den','im'], t))) + 0,
+        |    8 * len(list_filter(toks, t -> list_contains(['the','a','an','of','to','in','and','is','it','that','for','on','was','with','as','at','by','this'], t))) + 1,
+        |    8 * len(list_filter(toks, t -> list_contains(['el','la','los','las','de','y','es','un','una','en','que','por','con','para','no','se'], t))) + 2,
+        |    8 * len(list_filter(toks, t -> list_contains(['le','la','les','de','des','et','est','un','une','dans','que','pour','pas','sur','avec','au'], t))) + 3,
+        |    8 * len(list_filter(toks, t -> list_contains(['il','lo','la','gli','di','e','è','un','una','in','che','per','non','con','su','del'], t))) + 4
+        |  ) AS code
+        |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents))""".stripMargin,
+
+    "d_ngram_pairs" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(toks) - 2, 1) + 1),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+        |  FROM (SELECT doc_id,
+        |          string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |        FROM documents)
+        |  WHERE len(toks) >= 3)
+        |SELECT x.doc_id AS a, y.doc_id AS b,
+        |       round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) /
+        |             (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))), 6) AS jaccard
+        |FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+        |WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) /
+        |      (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) >= 0.1""".stripMargin,
+
+    "e_knn_top1" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |sims AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+        |         list_dot_product(q.e, c.e) /
+        |         (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))) AS sim
+        |  FROM v q JOIN v c ON q.vec_id <> c.vec_id)
+        |SELECT query_id, nbr_id FROM (
+        |  SELECT query_id, nbr_id,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id) AS rn
+        |  FROM sims) WHERE rn = 1""".stripMargin,
+
+    "ev_hourly" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "ev_sessions" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events),
+        |x AS (
+        |  SELECT user_id, ts, event_id,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM ev),
+        |y AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM x),
+        |z AS (
+        |  SELECT user_id, ts,
+        |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM y)
+        |SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+        |FROM z GROUP BY user_id, session_seq""".stripMargin
+  )
 }

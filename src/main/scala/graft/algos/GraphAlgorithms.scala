@@ -26,8 +26,10 @@ import graft.core.KGraph
  */
 object GraphAlgorithms {
 
-  private def cp(df: DataFrame): DataFrame =
-    df.persist(StorageLevel.MEMORY_AND_DISK).localCheckpoint(true)
+  /** Eagerly materialize and cut lineage. localCheckpoint stores the RDD
+    * blocks itself — do NOT also persist() the source plan (that would leave
+    * an orphan cache entry per iteration). */
+  private def cp(df: DataFrame): DataFrame = df.localCheckpoint(true)
 
   /** Both-direction edge list (src,dst[,value]) for undirected propagation. */
   private def bidir(edges: DataFrame, withValue: Boolean): DataFrame = {
@@ -45,28 +47,24 @@ object GraphAlgorithms {
   // =========================================================================
   def wcc(g: KGraph, maxIterations: Int = 100): DataFrame = {
     val edges = cp(bidir(g.edges, withValue = false))
-    var state = cp(g.vertices.select(col("id"), col("id").as("comp")))
-    // frontier = vertices whose label improved last round (all, initially)
-    var frontier = state
+    // state carries a `changed` flag so each superstep is ONE materialization
+    // (localCheckpoint) + ONE count that reuses it — no separate frontier DF.
+    var state = cp(g.vertices.select(col("id"), col("id").as("comp"), lit(true).as("changed")))
     var iter = 0
     var active = 1L
     while (active > 0 && iter < maxIterations) {
-      val msgs = edges.join(frontier.withColumnRenamed("id", "src"), Seq("src"))
+      val msgs = edges
+        .join(state.filter(col("changed")).select(col("id").as("src"), col("comp")), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(min(col("comp")).as("cand"))
-      val joined = state.join(msgs, Seq("id"), "left_outer")
-      val improved = cp(joined.filter(col("cand") < col("comp"))
-        .select(col("id"), col("cand").as("comp")))
-      active = improved.count()
-      if (active > 0) {
-        val newState = cp(joined.select(col("id"),
-          when(col("cand") < col("comp"), col("cand")).otherwise(col("comp")).as("comp")))
-        state.unpersist(false); frontier.unpersist(false)
-        state = newState
-        frontier = improved
-      } else {
-        improved.unpersist(false)
-      }
+      val newState = cp(state.select(col("id"), col("comp"))
+        .join(msgs, Seq("id"), "left_outer")
+        .select(col("id"),
+          when(col("cand") < col("comp"), col("cand")).otherwise(col("comp")).as("comp"),
+          (col("cand") < col("comp")).as("changed")))
+      active = newState.filter(col("changed")).count()
+      state.unpersist(false)
+      state = newState
       iter += 1
     }
     state.select(col("id"), col("comp").as("value"))
@@ -84,26 +82,24 @@ object GraphAlgorithms {
       if (directed) g.edges.select(col("src"), col("dst"), col("value"))
       else bidir(g.edges, withValue = true))
     var state = cp(g.vertices.select(col("id"),
-      when(col("id") === srcVertexId, lit(0.0)).otherwise(lit(null).cast("double")).as("dist")))
-    var frontier = cp(state.filter(col("dist").isNotNull))
+      when(col("id") === srcVertexId, lit(0.0)).otherwise(lit(null).cast("double")).as("dist"),
+      (col("id") === srcVertexId).as("changed")))
     var iter = 0
-    var active = frontier.count()
+    var active = 1L
     while (active > 0 && iter < maxIterations) {
-      val msgs = edges.join(frontier.withColumnRenamed("id", "src"), Seq("src"))
+      val msgs = edges
+        .join(state.filter(col("changed")).select(col("id").as("src"), col("dist")), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(min(col("dist") + col("value")).as("cand"))
-      val joined = state.join(msgs, Seq("id"), "left_outer")
-      val improved = cp(joined
-        .filter(col("cand").isNotNull && (col("dist").isNull || col("cand") < col("dist")))
-        .select(col("id"), col("cand").as("dist")))
-      active = improved.count()
-      if (active > 0) {
-        val newState = cp(joined.select(col("id"),
-          when(col("cand").isNotNull && (col("dist").isNull || col("cand") < col("dist")),
-            col("cand")).otherwise(col("dist")).as("dist")))
-        state.unpersist(false); frontier.unpersist(false)
-        state = newState; frontier = improved
-      } else improved.unpersist(false)
+      val improves = col("cand").isNotNull && (col("dist").isNull || col("cand") < col("dist"))
+      val newState = cp(state.select(col("id"), col("dist"))
+        .join(msgs, Seq("id"), "left_outer")
+        .select(col("id"),
+          when(improves, col("cand")).otherwise(col("dist")).as("dist"),
+          improves.as("changed")))
+      active = newState.filter(col("changed")).count()
+      state.unpersist(false)
+      state = newState
       iter += 1
     }
     state.select(col("id"), col("dist").as("value"))
@@ -119,25 +115,24 @@ object GraphAlgorithms {
       if (directed) g.edges.select(col("src"), col("dst"))
       else bidir(g.edges, withValue = false))
     var state = cp(g.vertices.select(col("id"),
-      when(col("id") === srcVertexId, lit(0L)).otherwise(lit(null).cast("long")).as("dist")))
-    var frontier = cp(state.filter(col("dist").isNotNull))
+      when(col("id") === srcVertexId, lit(0L)).otherwise(lit(null).cast("long")).as("dist"),
+      (col("id") === srcVertexId).as("changed")))
     var iter = 0
-    var active = frontier.count()
+    var active = 1L
     while (active > 0 && iter < maxIterations) {
       // BFS visits each vertex once: candidates are unvisited targets only.
-      val msgs = edges.join(frontier.withColumnRenamed("id", "src"), Seq("src"))
+      val msgs = edges
+        .join(state.filter(col("changed")).select(col("id").as("src"), col("dist")), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(min(col("dist") + 1).as("cand"))
-      val joined = state.join(msgs, Seq("id"), "left_outer")
-      val improved = cp(joined.filter(col("dist").isNull && col("cand").isNotNull)
-        .select(col("id"), col("cand").as("dist")))
-      active = improved.count()
-      if (active > 0) {
-        val newState = cp(joined.select(col("id"),
-          coalesce(col("dist"), col("cand")).as("dist")))
-        state.unpersist(false); frontier.unpersist(false)
-        state = newState; frontier = improved
-      } else improved.unpersist(false)
+      val newState = cp(state.select(col("id"), col("dist"))
+        .join(msgs, Seq("id"), "left_outer")
+        .select(col("id"),
+          coalesce(col("dist"), col("cand")).as("dist"),
+          (col("dist").isNull && col("cand").isNotNull).as("changed")))
+      active = newState.filter(col("changed")).count()
+      state.unpersist(false)
+      state = newState
       iter += 1
     }
     state.select(col("id"), col("dist").as("value"))
@@ -158,24 +153,26 @@ object GraphAlgorithms {
       else bidir(g.edges, withValue = true))
     var state = cp(g.vertices.select(col("id"))
       .filter(col("id").isin(landmarks: _*))
-      .select(col("id"), col("id").as("landmark"), lit(0.0).as("dist")))
-    var frontier = state
+      .select(col("id"), col("id").as("landmark"), lit(0.0).as("dist"), lit(true).as("changed")))
     var iter = 0
-    var active = frontier.count()
+    var active = 1L
     while (active > 0 && iter < maxIterations) {
-      val msgs = edges.join(frontier.withColumnRenamed("id", "src"), Seq("src"))
+      val msgs = edges
+        .join(state.filter(col("changed"))
+          .select(col("id").as("src"), col("landmark"), col("dist")), Seq("src"))
         .groupBy(col("dst").as("id"), col("landmark"))
         .agg(min(col("dist") + col("value")).as("cand"))
-      val joined = msgs.join(state, Seq("id", "landmark"), "left_outer")
-      val improved = cp(joined.filter(col("dist").isNull || col("cand") < col("dist"))
-        .select(col("id"), col("landmark"), col("cand").as("dist")))
-      active = improved.count()
-      if (active > 0) {
-        val newState = cp(state.unionByName(improved)
-          .groupBy(col("id"), col("landmark")).agg(min(col("dist")).as("dist")))
-        state.unpersist(false); frontier.unpersist(false)
-        state = newState; frontier = improved
-      } else improved.unpersist(false)
+      // full outer: new (id, landmark) states appear as the frontier expands
+      val newState = cp(state.select(col("id"), col("landmark"), col("dist"))
+        .join(msgs, Seq("id", "landmark"), "full_outer")
+        .select(col("id"), col("landmark"),
+          when(col("dist").isNull || (col("cand").isNotNull && col("cand") < col("dist")),
+            col("cand")).otherwise(col("dist")).as("dist"),
+          (col("dist").isNull || (col("cand").isNotNull && col("cand") < col("dist")))
+            .as("changed")))
+      active = newState.filter(col("changed")).count()
+      state.unpersist(false)
+      state = newState
       iter += 1
     }
     state.select(col("id"), col("landmark"), col("dist").as("value"))
@@ -245,7 +242,8 @@ object GraphAlgorithms {
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIterations) {
-      val msgs = edges.join(state.withColumnRenamed("id", "src"), Seq("src"))
+      // every vertex re-broadcasts its label each round (LabelPropagation.java:52-57)
+      val msgs = edges.join(state.select(col("id").as("src"), col("label")), Seq("src"))
         .groupBy(col("dst").as("id"), col("label"))
         .agg(count(lit(1)).as("freq"))
         // max by (freq, label): ties resolved toward the larger label
@@ -253,12 +251,13 @@ object GraphAlgorithms {
         .groupBy(col("id"))
         .agg(max(struct(col("freq"), col("label"))).as("best"))
         .select(col("id"), col("best.label").as("cand"))
-      val joined = state.join(msgs, Seq("id"), "left_outer")
-      val newState = cp(joined.select(col("id"),
-        when(col("cand").isNotNull && col("cand") > col("label"), col("cand"))
-          .otherwise(col("label")).as("label")))
-      changed = newState.join(state.withColumnRenamed("label", "old"), Seq("id"))
-        .filter(col("label") =!= col("old")).count()
+      val newState = cp(state.select(col("id"), col("label"))
+        .join(msgs, Seq("id"), "left_outer")
+        .select(col("id"),
+          when(col("cand").isNotNull && col("cand") > col("label"), col("cand"))
+            .otherwise(col("label")).as("label"),
+          (col("cand").isNotNull && col("cand") > col("label")).as("changed")))
+      changed = newState.filter(col("changed")).count()
       state.unpersist(false)
       state = newState
       iter += 1

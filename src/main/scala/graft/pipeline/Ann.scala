@@ -44,21 +44,40 @@ object Ann {
       .reduce(_ + _)
   }
 
+  /** L2-normalize a vector column (zero vectors pass through unchanged). */
+  def l2normalize(v: Column): Column = {
+    val n = sqrt(aggregate(v, lit(0.0d), (acc, x) => acc + x * x))
+    when(n > 0, transform(v, x => x / n)).otherwise(v)
+  }
+
   /** Exact cosine top-k neighbors for every query vector.
     * Returns (queryIdCol, neighborId, sim, rank). Self-matches excluded when
-    * queries and corpus share ids. */
+    * queries and corpus share ids.
+    *
+    * Perf: vectors are L2-normalized ONCE per side (O(N+Q) array passes), so
+    * the O(N·Q) inner loop is a single dot product; k=1 skips the per-query
+    * sort entirely (max_by-style aggregation instead of a window). */
   def bruteForceKnn(corpus: DataFrame, queries: DataFrame, k: Int,
                     idCol: String = "vec_id", vecCol: String = "embedding",
                     excludeSelf: Boolean = true): DataFrame = {
-    val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("cv"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("nbr_id"), l2normalize(col(vecCol)).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), l2normalize(col(vecCol)).as("qv"))
     val joined = q.join(broadcast(c),
       if (excludeSelf) col("query_id") =!= col("nbr_id") else lit(true))
-      .withColumn("sim", cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id")).orderBy(desc("sim"), asc("nbr_id"))
-    joined.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("nbr_id"), col("sim"), col("rank"))
+      .withColumn("sim",
+        aggregate(zip_with(col("qv"), col("cv"), (x, y) => x * y), lit(0.0d), (a, x) => a + x))
+    if (k == 1) {
+      // argmax by (sim desc, nbr_id asc): one hash-agg pass, no sort
+      joined.groupBy(col("query_id"))
+        .agg(max(struct(col("sim"), (-col("nbr_id")).as("negId"))).as("best"))
+        .select(col("query_id"), (-col("best.negId")).cast("long").as("nbr_id"),
+          col("best.sim").as("sim"), lit(1).as("rank"))
+    } else {
+      val w = Window.partitionBy(col("query_id")).orderBy(desc("sim"), asc("nbr_id"))
+      joined.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("nbr_id"), col("sim"), col("rank"))
+    }
   }
 
   /** Train `nlist` centroids with `iters` Lloyd iterations (k-means over the

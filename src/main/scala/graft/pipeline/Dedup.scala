@@ -116,6 +116,42 @@ object Dedup {
           size(array_union(col("shA"), col("shB")))).as("jaccard"))
   }
 
+  /** Exact all-pairs n-gram Jaccard ≥ threshold via an INVERTED INDEX on
+    * shingles: any pair with jaccard > 0 shares ≥1 shingle, so exploding
+    * doc→shingle and self-joining on the shingle enumerates exactly the pairs
+    * with nonzero intersection — never the full O(n²) product. Common counts
+    * come out of the same join (one groupBy), sizes join in after.
+    * At 100 TB this is the standard similarity-join plan: shuffle on shingle
+    * hash, skew-prone frequent shingles can be dropped by `maxDocFreq`
+    * (a shingle in >maxDocFreq docs contributes pairs that will be found via
+    * their rarer shingles — only fully-stopword pairs are lost; keep 0 to
+    * disable for exact-oracle parity). */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+                        shingleLen: Int = 3, threshold: Double = 0.1,
+                        maxDocFreq: Long = 0L): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"), wordShingles(col(textCol), shingleLen).as("sh"))
+      .filter(size(col("sh")) >= 1)
+    val sizes = sh.select(col("id"), size(col("sh")).as("sz"))
+    val inv0 = sh.select(col("id"), explode(col("sh")).as("g"))
+      .select(col("id"), xxhash64(col("g")).as("g"))
+    val inv =
+      if (maxDocFreq <= 0) inv0
+      else {
+        val rare = inv0.groupBy(col("g")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDocFreq).select(col("g"))
+        inv0.join(rare, Seq("g"), "left_semi")
+      }
+    val common = inv.toDF("a", "g").join(inv.toDF("b", "g"), Seq("g"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.toDF("a", "szA"), Seq("a"))
+      .join(sizes.toDF("b", "szB"), Seq("b"))
+      .select(col("a"), col("b"),
+        (col("common").cast("double") / (col("szA") + col("szB") - col("common"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Brute-force exact n-gram Jaccard dedup (all-pairs within LSH buckets is
     * the scale path; this is the small-data oracle-friendly variant). */
   def ngramJaccard(df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
@@ -183,21 +219,20 @@ object Dedup {
     * > 0, else brute force all-pairs (small data / oracle path). */
   def embeddingDedup(df: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",
                      threshold: Double = 0.95, lshBits: Int = 0): DataFrame = {
-    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0d), (a, x) => a + x * x)))
-      .filter(col("norm") > 0)
+    // normalize ONCE per vector; the O(n²) inner loop is a bare dot product
+    val v = df.select(col(idCol).as("id"),
+      Ann.l2normalize(col(vecCol).cast("array<double>")).as("v"))
     val pairsAll =
-      if (lshBits <= 0) v.toDF("a", "vA", "nA").join(v.toDF("b", "vB", "nB"), col("a") < col("b"))
+      if (lshBits <= 0) v.toDF("a", "vA").join(v.toDF("b", "vB"), col("a") < col("b"))
       else {
         val bucketed = v.withColumn("bucket", Ann.hyperplaneBucket(col("v"), lshBits))
-        bucketed.toDF("a", "vA", "nA", "bucket")
-          .join(bucketed.toDF("b", "vB", "nB", "bucket"), Seq("bucket"))
+        bucketed.toDF("a", "vA", "bucket")
+          .join(bucketed.toDF("b", "vB", "bucket"), Seq("bucket"))
           .filter(col("a") < col("b")).drop("bucket")
       }
     val pairs = pairsAll
       .withColumn("cos",
-        aggregate(zip_with(col("vA"), col("vB"), (x, y) => x * y), lit(0.0d), (a, x) => a + x)
-          / (col("nA") * col("nB")))
+        aggregate(zip_with(col("vA"), col("vB"), (x, y) => x * y), lit(0.0d), (a, x) => a + x))
       .filter(col("cos") >= threshold)
       .select(col("a").as("src"), col("b").as("dst"), col("cos").as("value"))
     clustersFromPairs(df.select(col(idCol).as("id")), pairs)

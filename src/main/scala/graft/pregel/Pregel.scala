@@ -49,9 +49,12 @@ object Pregel {
   /** Per-vertex outgoing edge (reference EdgeWithValue.java:23-74). */
   case class OutEdge[K, EV](target: K, value: EV)
 
-  /** Mirror of GraphAlgorithmState (GraphAlgorithmState.java:28-99). */
-  case class Result[K, VV](
+  /** Mirror of GraphAlgorithmState (GraphAlgorithmState.java:28-99).
+    * `edges` is the final adjacency — observable because several algorithms'
+    * primary output is mutated edge values (AdamicAdar/Jaccard/MaxBMatching). */
+  case class Result[K, VV, EV](
       vertices: RDD[(K, VV)],
+      edges: RDD[(K, OutEdge[K, EV])],
       superstep: Int,
       runningTimeMs: Long,
       aggregates: Map[String, Any],
@@ -138,7 +141,7 @@ object Pregel {
       initialMessage: Option[M] = None,
       maxIterations: Int = 30,
       numPartitions: Int = 0,
-      checkpointInterval: Int = 10): Result[K, VV] = {
+      checkpointInterval: Int = 10): Result[K, VV, EV] = {
 
     val t0 = System.currentTimeMillis()
     val n = if (numPartitions > 0) numPartitions else spark.sparkContext.defaultParallelism
@@ -284,7 +287,9 @@ object Pregel {
     }
     if (!done) finalState = "MAX_ITERATIONS"
 
-    Result(state.mapValues(_._1), superstep, System.currentTimeMillis() - t0,
+    Result(state.mapValues(_._1),
+      adj.flatMap { case (src, out) => out.iterator.map(e => (src, e)) },
+      superstep, System.currentTimeMillis() - t0,
       master.current, finalState)
   }
 }

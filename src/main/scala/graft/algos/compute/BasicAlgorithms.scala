@@ -168,8 +168,9 @@ object BasicAlgorithms {
     def compute(superstep: Int, id: Long, value: Long, messages: Iterable[Long],
                 edges: Iterable[OutEdge[Long, Double]],
                 cb: Callback[Long, Long, Double, Long]): Unit = {
+      // reference VertexCount does not halt at step 0 (composable building block)
       if (superstep == 0) cb.aggregate(VertexCount.Agg, 1L)
-      cb.voteToHalt()
+      else cb.voteToHalt()
     }
   }
   object VertexCount { val Agg = "vertex.count.aggregator" }
@@ -181,8 +182,9 @@ object BasicAlgorithms {
     def compute(superstep: Int, id: Long, value: Long, messages: Iterable[Long],
                 edges: Iterable[OutEdge[Long, Double]],
                 cb: Callback[Long, Long, Double, Long]): Unit = {
+      // reference EdgeCount does not halt at step 0 (basic/EdgeCount.java:38-52)
       if (superstep == 0) cb.aggregate(EdgeCount.Agg, edges.size.toLong)
-      cb.voteToHalt()
+      else cb.voteToHalt()
     }
   }
   object EdgeCount { val Agg = "edge.count.aggregator" }

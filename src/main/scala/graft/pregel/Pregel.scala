@@ -267,15 +267,20 @@ object Pregel {
           if (ms.isEmpty) Seq.empty[M] else ms.flatten.toSeq
         }.persist()
 
-      val active = newWork.count()
-
-      // masterCompute between supersteps (PregelComputation.java:564-607).
-      cf.masterCompute(superstep + 1, master)
-
       if (superstep > 0 && superstep % checkpointInterval == 0) {
         newState.localCheckpoint(); newWork.localCheckpoint()
         if (newAdj ne adj) newAdj.localCheckpoint()
       }
+
+      // MATERIALIZE every new RDD before unpersisting its parents: once a
+      // localCheckpoint truncates lineage, unpersisted parent blocks are
+      // unrecoverable (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND otherwise).
+      val active = newWork.count()
+      newState.foreachPartition(_ => ())
+      if (newAdj ne adj) newAdj.foreachPartition(_ => ())
+
+      // masterCompute between supersteps (PregelComputation.java:564-607).
+      cf.masterCompute(superstep + 1, master)
 
       state.unpersist(false); work.unpersist(false); out.unpersist(false)
       if (newAdj ne adj) adj.unpersist(false)

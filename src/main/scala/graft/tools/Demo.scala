@@ -50,6 +50,32 @@ object Demo {
       .join(ivf.filter(col("rank") === 1).toDF("q", "ivf", "s2", "r2"), Seq("q"))
       .filter(col("bf") === col("ivf")).count()
     println(s"ivf top1 agreement with brute force: $agree/5")
+
+    // ---- typed Pregel runtime on real data: SSSP + KMeans ----------------
+    import graft.algos.compute.BasicAlgorithms
+    import graft.algos.compute.AdvancedAlgorithms.{KMeans, KMeansValue}
+    import graft.pregel.Pregel
+    val sc = spark.sparkContext
+    val treeEdges = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_custkey")).filter(col("c_custkey") >= 2)
+      .collect().map(_.getLong(0))
+    val eRdd = sc.parallelize(treeEdges.map(c => (c, (c / 2, (c % 7 + 1).toDouble))))
+    val vRdd = sc.parallelize((treeEdges :+ 1L).distinct.map(i => (i, Double.PositiveInfinity)))
+    val sssp = Pregel.run(spark, new BasicAlgorithms.Sssp(1L),
+      vRdd, eRdd.map { case (s, (d, w)) => (d, (s, w)) }, // parent→child for reachability
+      maxIterations = 30)
+    println(s"pregel sssp: state=${sssp.state} supersteps=${sssp.superstep} " +
+      s"reached=${sssp.vertices.filter(_._2 < Double.PositiveInfinity).count()}")
+    val pts = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).limit(200)
+      .collect().map(r => (r.getLong(0),
+        KMeansValue(r.getSeq[Float](1).map(_.toDouble).toVector, 0)))
+    val km = Pregel.run(spark,
+      new KMeans(k = 4, initialCenters = Some(pts.take(4).map(_._2.coords).toSeq)),
+      sc.parallelize(pts), sc.parallelize(Seq.empty[(Long, (Long, Double))]),
+      maxIterations = 50)
+    val sizes = km.vertices.map(_._2.clusterId).countByValue()
+    println(s"pregel kmeans: state=${km.state} clusters=$sizes")
     spark.stop()
   }
 }

@@ -248,6 +248,21 @@ object SparkEntry {
     "e_embedding_dedup" -> ((s, dir) =>
       Dedup.embeddingDedup(t(s, dir, "embeddings"), threshold = 0.9).toDF("vec_id", "rep")),
 
+    // ---- streaming module (summary aggregation, batch-checkable) ---------
+
+    "s_streaming_cc" -> ((s, dir) => {
+      import s.implicits._
+      import graft.streaming.EdgeStreamOps
+      val e = starGraph(s, dir).edges
+        .select(col("src"), col("dst")).as[(Long, Long)]
+      val comps = EdgeStreamOps
+        .aggregateSummary(e, new graft.streaming.EdgeStreamOps.ConnectedComponentsAgg)
+        .flatMap(_.toSeq).toDF("id", "root")
+      // normalize union-find roots to the component minimum for a stable label
+      val labels = comps.groupBy(col("root")).agg(min(col("id")).as("value"))
+      comps.join(labels, Seq("root")).select(col("id"), col("value"))
+    }),
+
     // ---- events (streaming semantics, batch-checkable) -------------------
 
     "ev_hourly" -> ((s, dir) =>
@@ -491,6 +506,12 @@ object SparkEntry {
         |  SELECT query_id, nbr_id,
         |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id) AS rn
         |  FROM sims) WHERE rn = 1""".stripMargin,
+
+    // stars: every vertex labels to its cluster minimum = the root
+    "s_streaming_cc" ->
+      """WITH m AS (SELECT c_custkey AS c FROM customer WHERE c_custkey % 100 <> 0),
+        |v AS (SELECT c AS id FROM m UNION SELECT DISTINCT c - c % 100 FROM m)
+        |SELECT id, id - id % 100 AS value FROM v""".stripMargin,
 
     "ev_hourly" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,

@@ -1,0 +1,168 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/**
+ * Streaming graph analytics over Structured Streaming edge frames — the
+ * reference's KGraphStream/EdgeStream surface (streaming/EdgeStream.java:54-494,
+ * streaming/KGraphWindowedStream.java:40-106) re-expressed so the SAME code
+ * runs on a batch DataFrame or a `readStream` frame.
+ *
+ * Schema convention: (src, dst, value[, ts]). Where the reference keeps
+ * mutable HashMaps inside "stateless" operators (correct only single-task,
+ * EdgeStream.java:89-100,325-338), we use real stateful streaming aggregation
+ * (update mode) — correct under parallelism, an upgrade the survey calls out.
+ * Reference windows are processing-time tumbling with no watermark; callers
+ * get event-time + watermarks for free by passing a `ts` column.
+ */
+object EdgeStreamOps {
+
+  implicit class EdgeStream(val edges: DataFrame) extends AnyVal {
+
+    /** Distinct vertices (EdgeStream.vertices, :82-100 — the in-operator
+      * HashSet dedup becomes a real dropDuplicates). */
+    def vertexSet: DataFrame =
+      edges.select(explode(array(col("src"), col("dst"))).as("id")).dropDuplicates("id")
+
+    /** (EdgeStream.mapEdges :109-121) */
+    def mapEdgeValues(f: (Column, Column, Column) => Column): DataFrame =
+      edges.withColumn("value", f(col("src"), col("dst"), col("value")))
+
+    /** (EdgeStream.filterEdges :131-139) */
+    def filterEdges(p: Column): DataFrame = edges.filter(p)
+
+    /** Keep an edge iff BOTH endpoints pass (EdgeStream.filterVertices :146-160). */
+    def filterVerticesBatch(p: Column => Column): DataFrame =
+      edges.filter(p(col("src")) && p(col("dst")))
+
+    /** Running edge count (EdgeStream.numberOfEdges :166-183): update-mode
+      * global count in streaming, plain count in batch. */
+    def numberOfEdges: DataFrame = edges.groupBy().agg(count(lit(1)).as("n_edges"))
+
+    /** (EdgeStream.numberOfVertices :189-207) */
+    def numberOfVertices: DataFrame =
+      edges.select(explode(array(col("src"), col("dst"))).as("id"))
+        .groupBy().agg(approx_count_distinct(col("id")).as("n_vertices"))
+
+    /** (EdgeStream.distinct :215-237) */
+    def distinctEdges: DataFrame = edges.dropDuplicates("src", "dst")
+
+    /** (EdgeStream.undirected / reverse :243-261) */
+    def undirected: DataFrame =
+      edges.unionByName(reverse)
+    def reverse: DataFrame =
+      edges.select(col("dst").as("src"), col("src").as("dst"), col("value"))
+
+    /** Per-vertex degree stream (EdgeStream.degrees :269-338): the
+      * DegreeTypeSeparator flatMap + running per-key sum becomes a streaming
+      * groupBy count (update mode). */
+    def degrees: DataFrame =
+      edges.select(explode(array(col("src"), col("dst"))).as("id"))
+        .groupBy(col("id")).agg(count(lit(1)).as("degree"))
+    def outDegrees: DataFrame =
+      edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("degree"))
+    def inDegrees: DataFrame =
+      edges.groupBy(col("dst").as("id")).agg(count(lit(1)).as("degree"))
+
+    /** (EdgeStream.union :345-347) */
+    def unionEdges(other: DataFrame): DataFrame = edges.unionByName(other)
+
+    /** Evolving per-source neighborhood (EdgeStream.buildNeighborhood
+      * :417-438): collect_set per src — stateful in streaming update mode. */
+    def neighborhood: DataFrame =
+      edges.groupBy(col("src").as("id")).agg(collect_set(col("dst")).as("neighbors"))
+
+    /** Tumbling-window per-vertex grouping (EdgeStream.slice :453-494 →
+      * KGraphWindowedStream). Direction picks the grouping endpoint. */
+    def slice(ts: Column, windowDuration: String, direction: String = "OUT"): WindowedEdges = {
+      val keyed = direction.toUpperCase match {
+        case "OUT"  => edges
+        case "IN"   => reverse
+        case "BOTH" => undirected
+      }
+      WindowedEdges(keyed, ts, windowDuration)
+    }
+  }
+
+  /** KGraphWindowedStream analog (streaming/KGraphWindowedStream.java:40-106). */
+  case class WindowedEdges(edges: DataFrame, ts: Column, windowDuration: String) {
+    /** foldNeighbors / reduceOnEdges: windowed per-vertex aggregate of the
+      * edge values with any Spark aggregate expression. */
+    def reduceOnEdges(agg: Column => Column): DataFrame =
+      edges.groupBy(window(ts, windowDuration), col("src").as("id"))
+        .agg(agg(col("value")).as("value"))
+
+    /** Windowed adjacency fold (foldNeighbors with collect semantics). */
+    def foldNeighbors: DataFrame =
+      edges.groupBy(window(ts, windowDuration), col("src").as("id"))
+        .agg(collect_list(struct(col("dst"), col("value"))).as("neighbors"))
+  }
+
+  // =========================================================================
+  // Summary aggregations — typed Aggregator[IN, BUF, OUT] instances over the
+  // mergeable summaries; the Spark analog of SummaryBulkAggregation
+  // (streaming/SummaryBulkAggregation.java:49-113): partial fold per
+  // partition/window, merge to a global summary.
+  // =========================================================================
+
+  private implicit def kryo[T](implicit ct: scala.reflect.ClassTag[T]): Encoder[T] =
+    Encoders.kryo[T](ct)
+
+  /** Streaming connected components (streaming/library/ConnectedComponents
+    * .java:38-115): union-find summary. OUT = vertex → component root. */
+  class ConnectedComponentsAgg extends Aggregator[(Long, Long), DisjointSet[Long], Map[Long, Long]] {
+    def zero: DisjointSet[Long] = new DisjointSet[Long]
+    def reduce(b: DisjointSet[Long], e: (Long, Long)): DisjointSet[Long] = { b.union(e._1, e._2); b }
+    def merge(a: DisjointSet[Long], b: DisjointSet[Long]): DisjointSet[Long] = a.mergeInPlace(b)
+    def finish(b: DisjointSet[Long]): Map[Long, Long] = b.components
+    def bufferEncoder: Encoder[DisjointSet[Long]] = kryo
+    def outputEncoder: Encoder[Map[Long, Long]] = kryo
+  }
+
+  /** Streaming bipartiteness check (streaming/library/BipartitenessCheck
+    * .java:35-124): two-coloring candidates. OUT = (isBipartite, groups). */
+  class BipartitenessAgg extends Aggregator[(Long, Long), Candidates, (Boolean, Map[Long, Map[Long, Boolean]])] {
+    def zero: Candidates = new Candidates(true)
+    def reduce(b: Candidates, e: (Long, Long)): Candidates = b.merge(Candidates.of(e._1, e._2))
+    def merge(a: Candidates, b: Candidates): Candidates = a.merge(b)
+    def finish(b: Candidates): (Boolean, Map[Long, Map[Long, Boolean]]) =
+      (b.success, if (b.success) b.groups else Map.empty)
+    def bufferEncoder: Encoder[Candidates] = kryo
+    def outputEncoder: Encoder[(Boolean, Map[Long, Map[Long, Boolean]])] = kryo
+  }
+
+  /** k-Spanner (streaming/library/Spanner.java:38-85): keep an edge only if
+    * endpoints aren't already within k hops. OUT = spanner edge set. */
+  class SpannerAgg(k: Int) extends Aggregator[(Long, Long), AdjacencyListGraph, Set[(Long, Long)]] {
+    def zero: AdjacencyListGraph = new AdjacencyListGraph(k)
+    def reduce(b: AdjacencyListGraph, e: (Long, Long)): AdjacencyListGraph = { b.offer(e._1, e._2); b }
+    def merge(a: AdjacencyListGraph, b: AdjacencyListGraph): AdjacencyListGraph = a.merge(b)
+    def finish(b: AdjacencyListGraph): Set[(Long, Long)] = b.edges
+    def bufferEncoder: Encoder[AdjacencyListGraph] = kryo
+    def outputEncoder: Encoder[Set[(Long, Long)]] = kryo
+  }
+
+  /** Run a summary aggregation over an edge Dataset (batch or streaming
+    * micro-batch): the two-level fold of SummaryBulkAggregation — Spark does
+    * partial aggregation per partition then merges, which IS level one + two. */
+  def aggregateSummary[OUT](edges: Dataset[(Long, Long)],
+                            agg: Aggregator[(Long, Long), _, OUT]): Dataset[OUT] = {
+    import edges.sparkSession.implicits._
+    edges.groupByKey(_ => 0).agg(agg.toColumn.name("summary")).map(_._2)(agg.outputEncoder)
+  }
+
+  /** Exact global triangle count over a windowed edge batch — batch analog of
+    * streaming/library/ExactTriangleCount.java:42-127. */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val e = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val e1 = e.select(col("a").as("x"), col("b").as("y"))
+    val e2 = e.select(col("a").as("y"), col("b").as("z"))
+    e1.join(e2, Seq("y"))
+      .join(e.select(col("a").as("x"), col("b").as("z")), Seq("x", "z"), "left_semi")
+      .groupBy().agg(count(lit(1)).as("n_triangles"))
+  }
+}

@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming._
+import graft.streaming.EdgeStreamOps._
+
+/** Streaming module tests: pure summary logic (reference DisjointSetTest,
+  * AdjacencyListGraphTest, BipartitenessCheckTest goldens) + the ops running
+  * over an actual Structured Streaming query. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("DisjointSet union-find with rank and path compression") {
+    val ds = new DisjointSet[Long]
+    ds.union(1L, 2L); ds.union(3L, 4L); ds.union(2L, 3L)
+    val comps = ds.components
+    assert(comps.values.toSet.size === 1)
+    ds.union(10L, 11L)
+    assert(ds.components.values.toSet.size === 2)
+    // merge two partial summaries
+    val other = new DisjointSet[Long]
+    other.union(4L, 10L)
+    val merged = ds.merge(other)
+    assert(merged.components.values.toSet.size === 1)
+    assert(ds.components.values.toSet.size === 2) // original untouched
+  }
+
+  test("Candidates: bipartite merge succeeds, odd cycle fails") {
+    // bipartite fixture (BipartitenessCheckTest.java:83-99)
+    val bipartiteEdges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (4L, 5L), (4L, 7L), (4L, 9L))
+    val summary = bipartiteEdges.foldLeft(new Candidates(true)) {
+      case (acc, (s, d)) => acc.merge(Candidates.of(s, d))
+    }
+    assert(summary.success)
+    // two-coloring: 1 and 4 opposite signs of their neighbors
+    val colors = summary.groups.values.head
+    assert(colors(2L) === colors(3L))
+    assert(colors(1L) !== colors(2L))
+    // odd cycle → fail (non-bipartite fixture adds e.g. 2-3)
+    val bad = summary.merge(Candidates.of(2L, 3L))
+    assert(!bad.success)
+  }
+
+  test("AdjacencyListGraph boundedBFS + spanner offer") {
+    val g = new AdjacencyListGraph(2)
+    g.addEdge(1L, 2L); g.addEdge(2L, 3L)
+    assert(g.boundedBFS(1L, 3L))      // 2 hops ≤ k
+    assert(!g.boundedBFS(1L, 4L))
+    g.offer(1L, 3L)                    // already 2-spanned → not added
+    assert(g.edges === Set((1L, 2L), (2L, 3L)))
+    g.offer(3L, 4L)
+    assert(g.edges.contains((3L, 4L)))
+  }
+
+  test("summary aggregators over Datasets (SummaryBulkAggregation analog)") {
+    val edges = Seq((0L, 1L), (1L, 2L), (10L, 11L)).toDS()
+    val cc = EdgeStreamOps.aggregateSummary(edges, new ConnectedComponentsAgg).head()
+    assert(cc.values.toSet.size === 2)
+    val bp = EdgeStreamOps.aggregateSummary(edges, new BipartitenessAgg).head()
+    assert(bp._1 === true)
+    val triangle = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDS()
+    val bp2 = EdgeStreamOps.aggregateSummary(triangle, new BipartitenessAgg).head()
+    assert(bp2._1 === false)
+    val sp = EdgeStreamOps.aggregateSummary(
+      Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDS(), new SpannerAgg(2)).head()
+    assert(sp.size === 2) // 1-3 spanned via 2
+  }
+
+  test("edge stream ops over an actual streaming query (memory sink)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Double)]
+    val edges = input.toDF().toDF("src", "dst", "value")
+
+    val q = edges.degrees.writeStream
+      .outputMode("complete").format("memory").queryName("deg_out").start()
+    input.addData((1L, 2L, 1.0), (1L, 3L, 1.0), (2L, 3L, 1.0))
+    q.processAllAvailable()
+    input.addData((3L, 4L, 1.0))
+    q.processAllAvailable()
+    val got = spark.table("deg_out").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    q.stop()
+    assert(got === Map(1L -> 2L, 2L -> 2L, 3L -> 3L, 4L -> 1L))
+  }
+
+  test("windowed slice + reduceOnEdges over a streaming query") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Double, java.sql.Timestamp)]
+    val edges = input.toDF().toDF("src", "dst", "value", "ts")
+    val windowed = edges.slice(col("ts"), "10 seconds", "OUT").reduceOnEdges(sum)
+    val q = windowed.writeStream.outputMode("complete").format("memory")
+      .queryName("win_out").start()
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:01")
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 00:00:05")
+    val t2 = java.sql.Timestamp.valueOf("2024-01-01 00:00:15")
+    input.addData((1L, 2L, 2.0, t0), (1L, 3L, 3.0, t1), (1L, 4L, 7.0, t2))
+    q.processAllAvailable()
+    val got = spark.table("win_out")
+      .select(col("id"), col("value")).collect().map(r => r.getLong(0) -> r.getDouble(1))
+    q.stop()
+    assert(got.toSet === Set(1L -> 5.0, 1L -> 7.0)) // two tumbling windows
+  }
+
+  test("batch/stream parity: triangle count and vertex set") {
+    val batch = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (1L, 3L, 1.0), (3L, 4L, 1.0))
+      .toDF("src", "dst", "value")
+    assert(EdgeStreamOps.triangleCount(batch).head().getLong(0) === 1L)
+    assert(batch.vertexSet.count() === 4L)
+    assert(batch.undirected.count() === 8L)
+    assert(batch.numberOfEdges.head().getLong(0) === 4L)
+  }
+}

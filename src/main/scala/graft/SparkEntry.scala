@@ -241,12 +241,15 @@ object SparkEntry {
     "e_knn_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
-      Ann.ivfKnn(emb, emb, 3, nlist = 16, nprobe = 4)
+      Ann.ivfKnn(emb, emb, 3, nlist = 16, nprobe = 4, iters = 2)
         .select(col("query_id"), col("nbr_id"), col("rank"))
     }),
 
     "e_embedding_dedup" -> ((s, dir) =>
-      Dedup.embeddingDedup(t(s, dir, "embeddings"), threshold = 0.9).toDF("vec_id", "rep")),
+      // lshBits>0 = hyperplane-bucketed candidates (the scale path; exact
+      // all-pairs is the lshBits=0 oracle/small-data mode)
+      Dedup.embeddingDedup(t(s, dir, "embeddings"), threshold = 0.9, lshBits = 10)
+        .toDF("vec_id", "rep")),
 
     // ---- streaming module (summary aggregation, batch-checkable) ---------
 

@@ -278,31 +278,43 @@ object GraphAlgorithms {
       .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
       .distinct()
 
-  /** Per-vertex triangle counts: (id, value=triangles). Standard wedge-join:
-    * for canonical edges (a<b)(b<c), candidate wedge a-b-c closes iff (a,c)
-    * is an edge. Each triangle (a<b<c) found exactly once. */
+  /** Undirected adjacency as a per-vertex ARRAY — the building block for
+    * intersection-based triangle/similarity computation. Downstream work is
+    * proportional to |N(u) ∩ N(v)| per edge instead of enumerating all wedges
+    * (Σ deg² rows through a shuffle) — orders of magnitude less on skewed
+    * co-occurrence graphs. */
+  private def adjacencyArrays(e: DataFrame): DataFrame =
+    bidir(e.select(col("a").as("src"), col("b").as("dst")), withValue = false)
+      .groupBy(col("src")).agg(array_sort(collect_set(col("dst"))).as("nbrs"))
+
+  /** Per-edge common-neighbor sets: (a, b, common array). One groupBy + two
+    * joins; intersection is a codegen'd array op. */
+  private def commonNeighbors(e: DataFrame): DataFrame = {
+    val adj = adjacencyArrays(e)
+    e.join(adj.select(col("src").as("a"), col("nbrs").as("na")), Seq("a"))
+      .join(adj.select(col("src").as("b"), col("nbrs").as("nb")), Seq("b"))
+      .select(col("a"), col("b"), array_intersect(col("na"), col("nb")).as("common"))
+  }
+
+  /** Per-vertex triangle counts: (id, value=triangles). Each triangle is seen
+    * from all 3 of its edges, incrementing all 3 corners each time → raw
+    * per-vertex increments / 3. */
   def triangleCounts(g: KGraph): DataFrame = {
     val e = cp(canonicalEdges(g.edges))
-    val e1 = e.select(col("a").as("x"), col("b").as("y"))
-    val e2 = e.select(col("a").as("y"), col("b").as("z"))
-    val tris = e1.join(e2, Seq("y"))
-      .join(e.select(col("a").as("x"), col("b").as("z")), Seq("x", "z"), "left_semi")
-      .select(col("x"), col("y"), col("z"))
-    val perVertex = tris.select(explode(array(col("x"), col("y"), col("z"))).as("id"))
-      .groupBy(col("id")).agg(count(lit(1)).as("value"))
+    val perVertex = commonNeighbors(e)
+      .select(explode(concat(array(col("a"), col("b")), col("common"))).as("id"))
+      .groupBy(col("id")).agg((count(lit(1)) / 3).cast("long").as("value"))
     g.vertices.select(col("id")).join(perVertex, Seq("id"), "left_outer")
       .select(col("id"), coalesce(col("value"), lit(0L)).as("value"))
   }
 
   /** Global triangle count (streaming ExactTriangleCount's batch analog,
-    * streaming/library/ExactTriangleCount.java:42-127). */
+    * streaming/library/ExactTriangleCount.java:42-127): Σ|common| / 3. */
   def globalTriangleCount(g: KGraph): Long = {
     val e = cp(canonicalEdges(g.edges))
-    val e1 = e.select(col("a").as("x"), col("b").as("y"))
-    val e2 = e.select(col("a").as("y"), col("b").as("z"))
-    e1.join(e2, Seq("y"))
-      .join(e.select(col("a").as("x"), col("b").as("z")), Seq("x", "z"), "left_semi")
-      .count()
+    val total = commonNeighbors(e)
+      .agg(sum(size(col("common"))).as("s")).head()
+    if (total.isNullAt(0)) 0L else total.getLong(0) / 3
   }
 
   /** Local clustering coefficient: lcc(v) = 2·tri(v) / (deg(v)·(deg(v)-1)),
@@ -331,16 +343,14 @@ object GraphAlgorithms {
     * reference's ScaleToDistance (AdamicAdar.java:183-199). */
   def adamicAdar(g: KGraph, conversionEnabled: Boolean = false): DataFrame = {
     val e = cp(canonicalEdges(g.edges))
-    val adj = bidir(e.select(col("a").as("src"), col("b").as("dst")), withValue = false)
-    val deg = adj.groupBy(col("src").as("w")).agg(count(lit(1)).as("deg"))
-    // wedges centered at w: neighbors u < v of w
-    val n1 = adj.select(col("src").as("w"), col("dst").as("u"))
-    val n2 = adj.select(col("src").as("w"), col("dst").as("v"))
-    val wedges = n1.join(n2, Seq("w")).filter(col("u") < col("v"))
-    val scored = wedges
-      .join(e.select(col("a").as("u"), col("b").as("v")), Seq("u", "v"), "left_semi")
+    // per-edge common neighbors, then weight each common vertex by
+    // log(1/deg(w)) — explode size = 3·triangles, not Σ deg² wedges
+    val deg = bidir(e.select(col("a").as("src"), col("b").as("dst")), withValue = false)
+      .groupBy(col("src").as("w")).agg(count(lit(1)).as("deg"))
+    val scored = commonNeighbors(e)
+      .select(col("a"), col("b"), explode(col("common")).as("w"))
       .join(deg, Seq("w"))
-      .groupBy(col("u").as("src"), col("v").as("dst"))
+      .groupBy(col("a").as("src"), col("b").as("dst"))
       .agg(sum(log(lit(1.0) / col("deg"))).as("value"))
     if (conversionEnabled) scored.withColumn("value", -col("value")) else scored
   }
@@ -348,20 +358,16 @@ object GraphAlgorithms {
   /** Jaccard similarity per canonical edge: |N(u)∩N(v)| / |N(u)∪N(v)|. */
   def jaccard(g: KGraph, conversionEnabled: Boolean = false): DataFrame = {
     val e = cp(canonicalEdges(g.edges))
-    val adj = bidir(e.select(col("a").as("src"), col("b").as("dst")), withValue = false)
-    val deg = adj.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
-    val n1 = adj.select(col("src").as("w"), col("dst").as("u"))
-    val n2 = adj.select(col("src").as("w"), col("dst").as("v"))
-    val common = n1.join(n2, Seq("w")).filter(col("u") < col("v"))
-      .join(e.select(col("a").as("u"), col("b").as("v")), Seq("u", "v"), "left_semi")
-      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("common"))
-    val sim = e.select(col("a").as("u"), col("b").as("v"))
-      .join(common, Seq("u", "v"), "left_outer")
-      .join(deg.select(col("id").as("u"), col("deg").as("du")), Seq("u"))
-      .join(deg.select(col("id").as("v"), col("deg").as("dv")), Seq("v"))
-      .select(col("u").as("src"), col("v").as("dst"),
-        (coalesce(col("common"), lit(0L)).cast("double") /
-          (col("du") + col("dv") - coalesce(col("common"), lit(0L)))).as("value"))
+    // |N(u) ∩ N(v)| from the array intersection; |N(u) ∪ N(v)| from the
+    // adjacency array sizes — no wedge enumeration, no second shuffle
+    val adj = adjacencyArrays(e)
+    val sim = e
+      .join(adj.select(col("src").as("a"), col("nbrs").as("na")), Seq("a"))
+      .join(adj.select(col("src").as("b"), col("nbrs").as("nb")), Seq("b"))
+      .select(col("a").as("src"), col("b").as("dst"),
+        (size(array_intersect(col("na"), col("nb"))).cast("double") /
+          (size(col("na")) + size(col("nb")) -
+            size(array_intersect(col("na"), col("nb"))))).as("value"))
     if (conversionEnabled)
       sim.withColumn("value",
         when(col("value") > 0, -log2(col("value"))).otherwise(lit(Double.MaxValue)))

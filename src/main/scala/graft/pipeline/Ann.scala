@@ -93,6 +93,9 @@ object Ann {
       .orderBy("h").limit(nlist)
       .select((row_number().over(Window.orderBy("h")) - 1).as("centroid_id"), col("v").as("centroid"))
     for (_ <- 0 until iters) {
+      // materialize centroids per Lloyd round: they are joined twice and the
+      // plan would otherwise re-run every previous round on each action
+      centroids = centroids.localCheckpoint(true)
       val assigned = assignCells(v, centroids, "v")
       // element-wise mean per cell: posexplode → avg per (cell, pos) →
       // reassemble in position order. Two shuffles on small keys.

@@ -21,13 +21,14 @@ import org.apache.spark.storage.StorageLevel
  *   buckets for recall.
  */
 object Ann {
+  import graft.functions.VectorExpressions.{dot => vdot, l2norm, squaredDistance}
 
-  /** Cosine similarity of two equally-sized numeric array columns. */
+  /** Cosine similarity of two equally-sized numeric array columns — native
+    * codegen'd expressions (graft.functions.VectorExpressions), not
+    * interpreted HOFs: this runs N·Q times in brute-force KNN. */
   def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
-    val na = sqrt(aggregate(a, lit(0.0d), (acc, x) => acc + x * x))
-    val nb = sqrt(aggregate(b, lit(0.0d), (acc, x) => acc + x * x))
-    when(na > 0 && nb > 0, dot / (na * nb)).otherwise(lit(0.0))
+    val na = l2norm(a); val nb = l2norm(b)
+    when(na > 0 && nb > 0, vdot(a, b) / (na * nb)).otherwise(lit(0.0))
   }
 
   /** Deterministic pseudo-random hyperplane bucket: `bits` sign bits, each
@@ -46,7 +47,7 @@ object Ann {
 
   /** L2-normalize a vector column (zero vectors pass through unchanged). */
   def l2normalize(v: Column): Column = {
-    val n = sqrt(aggregate(v, lit(0.0d), (acc, x) => acc + x * x))
+    val n = l2norm(v.cast("array<double>"))
     when(n > 0, transform(v, x => x / n)).otherwise(v)
   }
 
@@ -64,8 +65,7 @@ object Ann {
     val q = queries.select(col(idCol).as("query_id"), l2normalize(col(vecCol)).as("qv"))
     val joined = q.join(broadcast(c),
       if (excludeSelf) col("query_id") =!= col("nbr_id") else lit(true))
-      .withColumn("sim",
-        aggregate(zip_with(col("qv"), col("cv"), (x, y) => x * y), lit(0.0d), (a, x) => a + x))
+      .withColumn("sim", vdot(col("qv").cast("array<double>"), col("cv").cast("array<double>")))
     if (k == 1) {
       // argmax by (sim desc, nbr_id asc): one hash-agg pass, no sort
       joined.groupBy(col("query_id"))
@@ -112,9 +112,7 @@ object Ann {
   /** Assign each vector to its nearest centroid (L2). Centroids are broadcast. */
   def assignCells(vectors: DataFrame, centroids: DataFrame, vecCol: String): DataFrame = {
     val joined = vectors.crossJoin(broadcast(centroids))
-      .withColumn("d2", aggregate(
-        zip_with(col(vecCol), col("centroid"), (x, y) => (x - y) * (x - y)),
-        lit(0.0d), (acc, x) => acc + x))
+      .withColumn("d2", squaredDistance(col(vecCol), col("centroid")))
     val w = Window.partitionBy(col("id")).orderBy(asc("d2"), asc("centroid_id"))
     joined.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("id"), col("centroid_id").as("cell"))
@@ -135,9 +133,7 @@ object Ann {
     val indexed = c.join(corpusCells, Seq("nbr_id"))
     // query → nprobe nearest cells
     val qCells = q.crossJoin(broadcast(centroids))
-      .withColumn("d2", aggregate(
-        zip_with(col("qv"), col("centroid"), (x, y) => (x - y) * (x - y)),
-        lit(0.0d), (acc, x) => acc + x))
+      .withColumn("d2", squaredDistance(col("qv"), col("centroid")))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(asc("d2"), asc("centroid_id"))))
       .filter(col("rn") <= nprobe)

@@ -231,8 +231,7 @@ object Dedup {
           .filter(col("a") < col("b")).drop("bucket")
       }
     val pairs = pairsAll
-      .withColumn("cos",
-        aggregate(zip_with(col("vA"), col("vB"), (x, y) => x * y), lit(0.0d), (a, x) => a + x))
+      .withColumn("cos", graft.functions.VectorExpressions.dot(col("vA"), col("vB")))
       .filter(col("cos") >= threshold)
       .select(col("a").as("src"), col("b").as("dst"), col("cos").as("value"))
     clustersFromPairs(df.select(col(idCol).as("id")), pairs)

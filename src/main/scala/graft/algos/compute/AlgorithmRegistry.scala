@@ -1,0 +1,93 @@
+package graft.algos.compute
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.SparkSession
+
+import graft.pregel.Pregel
+
+/**
+ * Named-algorithm registry — the reference's GraphAlgorithmType enum
+ * (library/GraphAlgorithmType.java:33-117): algorithm key → compute function
+ * + initial vertex value (GraphAlgorithmType.initialVertexValueMapper:95-116)
+ * + initial message, runnable from a bare weighted-edge RDD. Serdes disappear
+ * (Spark encoders); the REST surface's "run algorithm X with config Y" verb
+ * maps to `AlgorithmRegistry.run(...)`.
+ */
+object AlgorithmRegistry {
+
+  val algorithms: Set[String] =
+    Set("bfs", "lcc", "lp", "mssp", "pagerank", "sssp", "wcc")
+
+  /** Initial vertex values per algorithm (GraphAlgorithmType.java:95-116). */
+  def initialVertexValue(algorithm: String, id: Long): Any = algorithm match {
+    case "bfs"      => Long.MaxValue
+    case "sssp"     => Double.PositiveInfinity
+    case "pagerank" => (0.0, 0.0)
+    case "wcc"      => id
+    case "lp"       => id
+    case "lcc"      => 1.0
+    case "mssp"     => Map.empty[Long, Double]
+    case other      => throw new IllegalArgumentException(s"Unsupported algorithm type: $other")
+  }
+
+  /**
+   * Run a named algorithm on a weighted edge RDD (src, dst, weight),
+   * vertex set derived from edge endpoints (KGraph.fromEdges semantics).
+   * Returns (id, value) with algorithm-specific value types stringified by
+   * the caller as needed. Configs mirror the reference's config keys:
+   * srcVertexId, landmarkVertexIds, tolerance, resetProbability.
+   */
+  def run(spark: SparkSession, algorithm: String,
+          edges: RDD[(Long, Long, Double)],
+          configs: Map[String, Any] = Map.empty,
+          maxIterations: Int = 30): RDD[(Long, Any)] = {
+    val e = edges.map { case (s, d, w) => (s, (d, w)) }.cache()
+    val vertexIds = edges.flatMap(t => Iterator(t._1, t._2)).distinct()
+
+    def verts[V](init: Long => V): RDD[(Long, V)] = vertexIds.map(id => (id, init(id)))
+    def srcId: Long = configs("srcVertexId").asInstanceOf[Number].longValue()
+
+    val result: RDD[(Long, Any)] = algorithm match {
+      case "bfs" =>
+        Pregel.run(spark, new BasicAlgorithms.Bfs(srcId),
+          verts(_ => Long.MaxValue), e, maxIterations = maxIterations)
+          .vertices.mapValues(v => v: Any)
+      case "sssp" =>
+        Pregel.run(spark, new BasicAlgorithms.Sssp(srcId),
+          verts(_ => Double.PositiveInfinity), e, maxIterations = maxIterations)
+          .vertices.mapValues(v => v: Any)
+      case "wcc" =>
+        Pregel.run(spark, new BasicAlgorithms.Wcc,
+          verts(id => id), e, maxIterations = maxIterations)
+          .vertices.mapValues(v => v: Any)
+      case "lp" =>
+        Pregel.run(spark, new BasicAlgorithms.Lp,
+          verts(id => id), e, maxIterations = maxIterations)
+          .vertices.mapValues(v => v: Any)
+      case "lcc" =>
+        Pregel.run(spark, new AdvancedAlgorithms.Lcc,
+          verts(_ => 1.0), e, maxIterations = maxIterations)
+          .vertices.mapValues(v => v: Any)
+      case "mssp" =>
+        val landmarks = configs("landmarkVertexIds") match {
+          case s: Set[_] => s.map(_.asInstanceOf[Number].longValue())
+          case s: Seq[_] => s.map(_.asInstanceOf[Number].longValue()).toSet
+        }
+        Pregel.run(spark, new BasicAlgorithms.Mssp(landmarks),
+          verts(_ => Map.empty[Long, Double]), e, maxIterations = maxIterations)
+          .vertices.mapValues(v => v: Any)
+      case "pagerank" =>
+        val tol = configs.getOrElse("tolerance", 0.0001).asInstanceOf[Number].doubleValue()
+        val reset = configs.getOrElse("resetProbability", 0.15).asInstanceOf[Number].doubleValue()
+        val src = configs.get("srcVertexId").map(_.asInstanceOf[Number].longValue())
+        Pregel.run(spark, new BasicAlgorithms.PageRank(tol, reset, src),
+          verts(_ => (0.0, 0.0)), e,
+          initialMessage = Some(BasicAlgorithms.PageRank.initialMessage(reset)),
+          maxIterations = maxIterations)
+          .vertices.mapValues(v => v: Any)
+      case other =>
+        throw new IllegalArgumentException(s"Unsupported algorithm type: $other")
+    }
+    result
+  }
+}

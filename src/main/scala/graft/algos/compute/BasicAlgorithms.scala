@@ -50,7 +50,14 @@ object BasicAlgorithms {
 
   /** WCC min-label with repair-style messaging (reference
     * library/ConnectedComponents.java:28-62): also messages the LABEL vertex
-    * when the label is smaller than a neighbor id. */
+    * when the label is smaller than a neighbor id.
+    *
+    * Faithful-port caveat: like the reference, labels only travel along
+    * edge direction plus the label-repair channel — on a one-directional
+    * tree (every vertex pointing at a smaller parent) each vertex stops at
+    * its parent's id. Feed an undirected()-doubled edge set for true
+    * components (the DataFrame fast path GraphAlgorithms.wcc does this
+    * internally). */
   class Wcc extends ComputeFunction[Long, Long, Double, Long] {
     def compute(superstep: Int, id: Long, value: Long, messages: Iterable[Long],
                 edges: Iterable[OutEdge[Long, Double]],

@@ -76,6 +76,16 @@ object Demo {
       maxIterations = 50)
     val sizes = km.vertices.map(_._2.clusterId).countByValue()
     println(s"pregel kmeans: state=${km.state} clusters=$sizes")
+
+    // ---- named-algorithm registry (GraphAlgorithmType analog) ------------
+    import graft.algos.compute.AlgorithmRegistry
+    // reference WCC semantics need the undirected edge set (see Wcc scaladoc)
+    val regEdges = eRdd.flatMap { case (s, (d, w)) => Seq((s, d, w), (d, s, w)) }
+    val regWcc = AlgorithmRegistry.run(spark, "wcc", regEdges).collect().toMap
+    val regPr = AlgorithmRegistry.run(spark, "pagerank", regEdges,
+      Map("tolerance" -> 0.001, "resetProbability" -> 0.15), maxIterations = 20)
+    println(s"registry wcc components=${regWcc.values.toSet.size} " +
+      s"pagerank rows=${regPr.count()}")
     spark.stop()
   }
 }

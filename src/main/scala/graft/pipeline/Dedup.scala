@@ -48,11 +48,11 @@ object Dedup {
         s => length(s) > 0))
   }
 
-  /** MinHash signature: for each of `numHashes` seeded hash functions, the
-    * minimum xxhash64 over the shingle set. array<bigint> of numHashes. */
+  /** MinHash signature: k per-slot minima over the shingle set, computed by
+    * the one-pass codegen'd expression (graft.functions.MinHashExpression —
+    * Carter–Wegman h1 + i·h2 family). array<bigint> of numHashes. */
   def minHashSignature(shingles: Column, numHashes: Int = 64): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      seed => array_min(transform(shingles, s => xxhash64(seed, s))))
+    graft.functions.MinHashExpression.minHashSignature(shingles, numHashes)
 
   /** Banded LSH candidate pairs: signature split into `bands` bands of
     * `rowsPerBand` rows; docs sharing any band bucket become a candidate

@@ -1,0 +1,118 @@
+package graft
+
+import org.scalacheck.Gen
+
+import graft.streaming.{AdjacencyListGraph, Candidates, DisjointSet}
+
+/** Property-based checks for the mergeable summaries (SURVEY §5 port
+  * strategy): merge order must not change results. Uses raw ScalaCheck
+  * generators with a manual sampling loop (no scalatestplus bridge in the
+  * offline dependency cache). */
+class PropertySpec extends SparkSpec {
+
+  def forAll[A, B](ga: Gen[A], gb: Gen[B])(f: (A, B) => Unit): Unit =
+    (0 until 60).foreach { _ =>
+      (ga.sample, gb.sample) match {
+        case (Some(a), Some(b)) => f(a, b)
+        case _ =>
+      }
+    }
+  def forAll[A](ga: Gen[A])(f: A => Unit): Unit =
+    (0 until 60).foreach(_ => ga.sample.foreach(f))
+  def whenever(cond: Boolean)(body: => Unit): Unit = if (cond) body
+
+  val edgeList: Gen[List[(Long, Long)]] =
+    Gen.listOfN(40, for {
+      a <- Gen.choose(0L, 19L); b <- Gen.choose(0L, 19L) if a != b
+    } yield (a, b))
+
+  test("DisjointSet: same components regardless of union order and split point") {
+    forAll(edgeList, Gen.choose(0, 40)) { (edges, split) =>
+      whenever(edges.nonEmpty) {
+        val whole = new DisjointSet[Long]
+        edges.foreach { case (a, b) => whole.union(a, b) }
+
+        val (l, r) = edges.splitAt(split min edges.size)
+        val left = new DisjointSet[Long]; l.foreach { case (a, b) => left.union(a, b) }
+        val right = new DisjointSet[Long]; r.foreach { case (a, b) => right.union(a, b) }
+        val merged = left.merge(right)
+
+        def groups(ds: DisjointSet[Long]): Set[Set[Long]] =
+          ds.components.groupBy(_._2).values.map(_.keySet).toSet
+        assert(groups(merged) === groups(whole))
+      }
+    }
+  }
+
+  test("Candidates: bipartiteness verdict matches odd-cycle-freeness and is split-invariant") {
+    forAll(edgeList, Gen.choose(0, 40)) { (edges, split) =>
+      whenever(edges.nonEmpty) {
+        def fold(es: List[(Long, Long)]): Candidates =
+          es.foldLeft(new Candidates(true)) { case (acc, (a, b)) =>
+            acc.merge(Candidates.of(a, b))
+          }
+        val whole = fold(edges)
+        val (l, r) = edges.splitAt(split min edges.size)
+        val merged = fold(l).merge(fold(r))
+        assert(merged.success === whole.success)
+
+        // ground truth: 2-colorability via BFS
+        val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+          .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+        val color = scala.collection.mutable.Map.empty[Long, Boolean]
+        var bipartite = true
+        adj.keys.foreach { start =>
+          if (!color.contains(start)) {
+            color(start) = true
+            val queue = scala.collection.mutable.Queue(start)
+            while (queue.nonEmpty) {
+              val v = queue.dequeue()
+              adj(v).foreach { n =>
+                if (!color.contains(n)) { color(n) = !color(v); queue.enqueue(n) }
+                else if (color(n) == color(v)) bipartite = false
+              }
+            }
+          }
+        }
+        assert(whole.success === bipartite)
+      }
+    }
+  }
+
+  test("Spanner: k-spanner preserves connectivity, never adds spanned edges") {
+    forAll(edgeList) { edges =>
+      whenever(edges.nonEmpty) {
+        val g = new AdjacencyListGraph(3)
+        edges.foreach { case (a, b) => g.offer(a, b) }
+        // every original edge's endpoints are within k hops in the spanner
+        edges.foreach { case (a, b) =>
+          assert(g.boundedBFS(a, b) || g.edges.contains((a min b, a max b)) ||
+            g.edges.contains((a max b, a min b)),
+            s"($a,$b) not $g-spanned")
+        }
+        // spanner is a subgraph-size reduction: no more edges than input
+        assert(g.edges.size <= edges.map { case (a, b) => (a min b, a max b) }.distinct.size)
+      }
+    }
+  }
+
+  test("MinHash signature estimates Jaccard within tolerance on known pairs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.pipeline.Dedup
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val half = (1 to 30).map(i => s"w$i").mkString(" ") + " " +
+      (100 to 129).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, base), (2L, base), (3L, half)).toDF("doc_id", "text")
+      .withColumn("sh", Dedup.wordShingles(col("text")))
+      .withColumn("sig", Dedup.minHashSignature(col("sh"), 256))
+    val sigs = df.select("doc_id", "sig").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def est(a: Seq[Long], b: Seq[Long]): Double =
+      a.zip(b).count { case (x, y) => x == y }.toDouble / a.size
+    assert(est(sigs(1L), sigs(2L)) === 1.0)           // identical docs
+    val e13 = est(sigs(1L), sigs(3L))
+    // true shingle jaccard of base vs half ≈ |28 shared 3-grams|/|88 union|
+    assert(e13 > 0.1 && e13 < 0.55, s"estimate $e13 out of plausible band")
+  }
+}

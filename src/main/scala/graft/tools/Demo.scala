@@ -86,6 +86,17 @@ object Demo {
       Map("tolerance" -> 0.001, "resetProbability" -> 0.15), maxIterations = 20)
     println(s"registry wcc components=${regWcc.values.toSet.size} " +
       s"pagerank rows=${regPr.count()}")
+
+    // ---- skew-aware join on the real skewed fact table -------------------
+    import graft.core.SkewUtils
+    val hot = SkewUtils.keyHistogram(li, "l_suppkey", 1).head()
+    val plainN = li.join(spark.read.parquet(s"$sfDir/supplier.parquet"),
+      col("l_suppkey") === col("s_suppkey")).count()
+    val saltedN = SkewUtils.saltedJoin(li,
+      spark.read.parquet(s"$sfDir/supplier.parquet").withColumnRenamed("s_suppkey", "l_suppkey"),
+      "l_suppkey", buckets = 8).count()
+    println(s"skew: hottest supplier=${hot.get(0)} cnt=${hot.getLong(1)} " +
+      s"plainJoin=$plainN saltedJoin=$saltedN equal=${plainN == saltedN}")
     spark.stop()
   }
 }

@@ -1,0 +1,67 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.SkewUtils
+
+/** Structured Streaming against the real driver-generated events parquet
+  * (file source + event-time watermark), checked for parity with the batch
+  * aggregation; plus the skew-join utility. */
+class FileStreamSpec extends SparkSpec {
+
+  test("file-source streaming hourly aggregation matches batch result") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // file stream needs a directory; stage the events file into one
+    val dir = Files.createTempDirectory("graft-events").toString
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      Paths.get(s"$dir/events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+
+    val stream = spark.readStream.schema(schema).parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("ev_stream").start()
+    q.processAllAvailable()
+    val streamed = spark.table("ev_stream")
+      .select(col("window.start").as("h"), col("event_type"), col("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    q.stop()
+
+    val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+
+    assert(streamed === batch)
+    assert(streamed.values.sum === 1000L)
+  }
+
+  test("salted join equals plain join and spreads hot keys") {
+    import spark.implicits._
+    // heavily skewed left: 10k rows of key 1, few others
+    val left = spark.range(10000).select(lit(1L).as("k"), col("id").as("payload"))
+      .unionByName(spark.range(10).select((col("id") + 2).as("k"), col("id").as("payload")))
+    val right = Seq((1L, "hot"), (2L, "a"), (5L, "b")).toDF("k", "name")
+    val plain = left.join(right, Seq("k")).groupBy(col("k")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val salted = SkewUtils.saltedJoin(left, right, "k", buckets = 8)
+      .groupBy(col("k")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(salted === plain)
+    assert(salted(1L) === 10000L)
+    val hist = SkewUtils.keyHistogram(left, "k", 1).head()
+    assert(hist.getLong(0) === 1L && hist.getLong(1) === 10000L)
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.algos.GraphAlgorithms
+import graft.core.KGraph
+import graft.core.KGraph.EdgeDirection
+import graft.pregel.{Aggregators, ComputeFunction, Pregel}
+import graft.pregel.Pregel.{Callback, MasterCallback, OutEdge}
+
+/** Additional reference-parity coverage: groupReduce neighborhood ops
+  * (ReduceOnEdges/ReduceOnNeighborsMethodsITCase analogs), msspAsMap shape,
+  * and aggregator persistent-vs-reset semantics
+  * (pregel/aggregators/AggregatorTest.java:59-225). */
+class ParitySpec extends SparkSpec {
+
+  def graph: KGraph = KGraph(longLongVertices, longLongEdges)
+
+  test("groupReduceOnEdges OUT: per-vertex view of own value + edge list") {
+    val out = graph.groupReduceOnEdges(EdgeDirection.Out) { df =>
+      df.select(col("id"),
+        (col("value") + aggregate(col("edges"), lit(0L), (acc, e) => acc + e.getField("value")))
+          .as("value"))
+    }
+    // vertex 1 (value 1) with out-edges 12+13 → 26; vertex 3 (3) + 34+35 → 72
+    val got = collectMap(out)
+    assert(got(1L) === 26L)
+    assert(got(3L) === 72L)
+    assert(!got.contains(2L) || got(2L) === 25L) // 2 + 23
+  }
+
+  test("groupReduceOnNeighbors IN: max neighbor value per vertex") {
+    val out = graph.groupReduceOnNeighbors(EdgeDirection.In) { df =>
+      df.select(col("id"),
+        aggregate(col("neighbors"), lit(Long.MinValue),
+          (acc, n) => greatest(acc, n.getField("nvalue"))).as("value"))
+    }
+    // in-neighbors: 1←{5}; 3←{1,2}; 5←{3,4}
+    val got = collectMap(out)
+    assert(got(1L) === 5L)
+    assert(got(3L) === 2L)
+    assert(got(5L) === 4L)
+  }
+
+  test("reduceOnEdges OUT max / reduceOnNeighbors OUT min") {
+    val got = collectMap(graph.reduceOnEdges(max, EdgeDirection.Out))
+    assert(got === Map(1L -> 13L, 2L -> 23L, 3L -> 35L, 4L -> 45L, 5L -> 51L))
+    val got2 = collectMap(graph.reduceOnNeighbors(min, EdgeDirection.Out))
+    // out-neighbors: 1→{2,3} min 2; 3→{4,5} min 4; 5→{1} min 1
+    assert(got2(1L) === 2L && got2(3L) === 4L && got2(5L) === 1L)
+  }
+
+  test("msspAsMap reassembles the reference map-valued vertex shape") {
+    val g = KGraph.fromEdges(twoChainsEdges, id => id)
+    val got = GraphAlgorithms.msspAsMap(g, Seq(0L, 10L)).collect()
+      .map(r => r.getLong(0) -> r.getMap[Long, Double](1)).toMap
+    assert(got(5L) === Map(0L -> 5.0))
+    assert(got(15L) === Map(10L -> 5.0))
+    assert(got(0L) === Map(0L -> 0.0))
+  }
+
+  test("persistent aggregators accumulate; reset aggregators do not") {
+    val verts = sc.parallelize((0L until 5L).map(i => (i, i)))
+    val edges = sc.parallelize(Seq.empty[(Long, (Long, Double))])
+    val res = Pregel.run(spark, new ParitySpec.AggProbe, verts, edges, maxIterations = 10)
+    // 3 supersteps × 5 vertices persistent; last superstep only for reset
+    assert(res.superstep === 3)
+    assert(res.aggregates("persistent.sum") === 15L)
+    assert(res.aggregates("reset.sum") === 5L)
+    assert(res.aggregates("min.track") === 0L)
+  }
+
+  def sc = spark.sparkContext
+}
+
+object ParitySpec {
+  /** AggregatorTest analog: a persistent aggregator accumulates across
+    * supersteps; a reset aggregator starts from zero each superstep.
+    * Top-level so the closure serializes without the suite instance. */
+  class AggProbe extends ComputeFunction[Long, Long, Double, Long] {
+    override def init(configs: Map[String, Any], cb: MasterCallback): Unit = {
+      cb.registerAggregator("persistent.sum", Aggregators.LongSum, persistent = true)
+      cb.registerAggregator("reset.sum", Aggregators.LongSum)
+      cb.registerAggregator("min.track", Aggregators.LongMin)
+    }
+    def compute(superstep: Int, id: Long, value: Long, messages: Iterable[Long],
+                edges: Iterable[OutEdge[Long, Double]],
+                cb: Callback[Long, Long, Double, Long]): Unit = {
+      cb.aggregate("persistent.sum", 1L)
+      cb.aggregate("reset.sum", 1L)
+      cb.aggregate("min.track", id)
+      if (superstep >= 2) cb.voteToHalt()
+      // stay active without messages for 3 supersteps
+    }
+  }
+}

@@ -266,6 +266,24 @@ object SparkEntry {
       comps.join(labels, Seq("root")).select(col("id"), col("value"))
     }),
 
+    "s_bipartiteness" -> ((s, dir) => {
+      import s.implicits._
+      import graft.streaming.EdgeStreamOps
+      val e = starGraph(s, dir).edges.select(col("src"), col("dst")).as[(Long, Long)]
+      val (ok, _) = EdgeStreamOps
+        .aggregateSummary(e, new graft.streaming.EdgeStreamOps.BipartitenessAgg).head()
+      s.range(1).select(lit(ok).as("is_bipartite"))
+    }),
+
+    "s_spanner" -> ((s, dir) => {
+      import s.implicits._
+      import graft.streaming.EdgeStreamOps
+      val e = starGraph(s, dir).edges.select(col("src"), col("dst")).as[(Long, Long)]
+      val spanner = EdgeStreamOps
+        .aggregateSummary(e, new graft.streaming.EdgeStreamOps.SpannerAgg(2)).head()
+      s.createDataset(spanner.toSeq).toDF("src", "dst")
+    }),
+
     // ---- events (streaming semantics, batch-checkable) -------------------
 
     "ev_hourly" -> ((s, dir) =>
@@ -515,6 +533,15 @@ object SparkEntry {
       """WITH m AS (SELECT c_custkey AS c FROM customer WHERE c_custkey % 100 <> 0),
         |v AS (SELECT c AS id FROM m UNION SELECT DISTINCT c - c % 100 FROM m)
         |SELECT id, id - id % 100 AS value FROM v""".stripMargin,
+
+    // star clusters are bipartite (leaves vs roots)
+    "s_bipartiteness" -> "SELECT true AS is_bipartite",
+
+    // leaves have degree 1, so no pair of endpoints is pre-spanned: the
+    // 2-spanner keeps every (root, leaf) edge, canonicalized root < leaf
+    "s_spanner" ->
+      """SELECT c_custkey - c_custkey % 100 AS src, c_custkey AS dst
+        |FROM customer WHERE c_custkey % 100 <> 0""".stripMargin,
 
     "ev_hourly" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,

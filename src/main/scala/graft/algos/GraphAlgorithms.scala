@@ -26,10 +26,13 @@ import graft.core.KGraph
  */
 object GraphAlgorithms {
 
-  /** Eagerly materialize and cut lineage. localCheckpoint stores the RDD
-    * blocks itself — do NOT also persist() the source plan (that would leave
-    * an orphan cache entry per iteration). */
+  /** Materialize and cut lineage. localCheckpoint stores the RDD blocks
+    * itself — do NOT also persist() the source plan (that would leave an
+    * orphan cache entry per iteration). Eager by default; `cpLazy` defers
+    * materialization to the caller's next action so one job does both
+    * (used inside the iterative loops where a count() follows immediately). */
   private def cp(df: DataFrame): DataFrame = df.localCheckpoint(true)
+  private def cpLazy(df: DataFrame): DataFrame = df.localCheckpoint(false)
 
   /** Both-direction edge list (src,dst[,value]) for undirected propagation. */
   private def bidir(edges: DataFrame, withValue: Boolean): DataFrame = {
@@ -57,7 +60,7 @@ object GraphAlgorithms {
         .join(state.filter(col("changed")).select(col("id").as("src"), col("comp")), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(min(col("comp")).as("cand"))
-      val newState = cp(state.select(col("id"), col("comp"))
+      val newState = cpLazy(state.select(col("id"), col("comp"))
         .join(msgs, Seq("id"), "left_outer")
         .select(col("id"),
           when(col("cand") < col("comp"), col("cand")).otherwise(col("comp")).as("comp"),
@@ -92,7 +95,7 @@ object GraphAlgorithms {
         .groupBy(col("dst").as("id"))
         .agg(min(col("dist") + col("value")).as("cand"))
       val improves = col("cand").isNotNull && (col("dist").isNull || col("cand") < col("dist"))
-      val newState = cp(state.select(col("id"), col("dist"))
+      val newState = cpLazy(state.select(col("id"), col("dist"))
         .join(msgs, Seq("id"), "left_outer")
         .select(col("id"),
           when(improves, col("cand")).otherwise(col("dist")).as("dist"),
@@ -125,7 +128,7 @@ object GraphAlgorithms {
         .join(state.filter(col("changed")).select(col("id").as("src"), col("dist")), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(min(col("dist") + 1).as("cand"))
-      val newState = cp(state.select(col("id"), col("dist"))
+      val newState = cpLazy(state.select(col("id"), col("dist"))
         .join(msgs, Seq("id"), "left_outer")
         .select(col("id"),
           coalesce(col("dist"), col("cand")).as("dist"),
@@ -163,7 +166,7 @@ object GraphAlgorithms {
         .groupBy(col("dst").as("id"), col("landmark"))
         .agg(min(col("dist") + col("value")).as("cand"))
       // full outer: new (id, landmark) states appear as the frontier expands
-      val newState = cp(state.select(col("id"), col("landmark"), col("dist"))
+      val newState = cpLazy(state.select(col("id"), col("landmark"), col("dist"))
         .join(msgs, Seq("id", "landmark"), "full_outer")
         .select(col("id"), col("landmark"),
           when(col("dist").isNull || (col("cand").isNotNull && col("cand") < col("dist")),
@@ -201,15 +204,17 @@ object GraphAlgorithms {
       .select(col("src"), col("dst"), (lit(1.0) / col("odeg")).as("w")))
 
     val damp = 1.0 - resetProb
-    // superstep 0: every vertex (or just the source, personalized) receives
-    // resetProb/(1-resetProb) ⇒ rank becomes resetProb (PageRank.java:66-85).
-    val seeded: Column = srcVertexId match {
-      case Some(s) => when(col("id") === s, lit(resetProb / damp)).otherwise(lit(null).cast("double"))
-      case None    => lit(resetProb / damp)
+    // Standard: every vertex starts at rank = delta = resetProb (superstep 0
+    // re-sends the initial message resetProb/(1-resetProb) to self,
+    // PageRank.java:66-85). Personalized: ONLY the source is seeded, at rank
+    // 1.0 — the reference's oldDelta == -Infinity branch (PageRank.java:90-92,
+    // initial message 0.0 in PageRankTest.java:198-266).
+    val seed0: Column = srcVertexId match {
+      case Some(s) => when(col("id") === s, lit(1.0)).otherwise(lit(0.0))
+      case None    => lit(resetProb)
     }
     var state = cp(g.vertices.select(col("id"),
-      (coalesce(seeded, lit(0.0)) * damp).as("rank"),
-      (coalesce(seeded, lit(0.0)) * damp).as("delta")))
+      seed0.as("rank"), seed0.as("delta")))
     var iter = 0
     var active = 1L
     while (active > 0 && iter < maxIterations) {
@@ -218,7 +223,7 @@ object GraphAlgorithms {
         .join(edges, Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(sum(col("delta") * col("w")).as("msg"))
-      val newState = cp(state.join(msgs, Seq("id"), "left_outer")
+      val newState = cpLazy(state.join(msgs, Seq("id"), "left_outer")
         .select(col("id"),
           (col("rank") + coalesce(col("msg"), lit(0.0)) * damp).as("rank"),
           (coalesce(col("msg"), lit(0.0)) * damp).as("delta")))
@@ -251,7 +256,7 @@ object GraphAlgorithms {
         .groupBy(col("id"))
         .agg(max(struct(col("freq"), col("label"))).as("best"))
         .select(col("id"), col("best.label").as("cand"))
-      val newState = cp(state.select(col("id"), col("label"))
+      val newState = cpLazy(state.select(col("id"), col("label"))
         .join(msgs, Seq("id"), "left_outer")
         .select(col("id"),
           when(col("cand").isNotNull && col("cand") > col("label"), col("cand"))

@@ -125,7 +125,10 @@ object EdgeStreamOps {
     * .java:35-124): two-coloring candidates. OUT = (isBipartite, groups). */
   class BipartitenessAgg extends Aggregator[(Long, Long), Candidates, (Boolean, Map[Long, Map[Long, Boolean]])] {
     def zero: Candidates = new Candidates(true)
-    def reduce(b: Candidates, e: (Long, Long)): Candidates = b.merge(Candidates.of(e._1, e._2))
+    def reduce(b: Candidates, e: (Long, Long)): Candidates =
+      if (!b.success) b
+      else if (b.addEdge(e._1, e._2)) b   // in-place O(α) fold
+      else Candidates.fail
     def merge(a: Candidates, b: Candidates): Candidates = a.merge(b)
     def finish(b: Candidates): (Boolean, Map[Long, Map[Long, Boolean]]) =
       (b.success, if (b.success) b.groups else Map.empty)

@@ -82,11 +82,40 @@ class Candidates(val success: Boolean) extends Serializable {
   // (sorted keys) wherever the reference relied on TreeMap order.
   private[streaming] val map = mutable.HashMap.empty[Long, mutable.HashMap[Long, SignedVertex]]
 
+  // vertex → component index, maintained by add(): makes the per-edge
+  // in-place fold O(α) instead of copying the whole forest per edge
+  private[streaming] val vertexComp = mutable.HashMap.empty[Long, Long]
+
   private def add(component: Long, v: SignedVertex): Boolean = {
     val vertices = map.getOrElseUpdate(component, mutable.HashMap.empty)
     vertices.get(v.vertex) match {
       case Some(stored) if stored.sign != v.sign => false
-      case _ => vertices(v.vertex) = v; true
+      case _ => vertices(v.vertex) = v; vertexComp(v.vertex) = component; true
+    }
+  }
+
+  /** In-place edge fold (the Aggregator.reduce fast path): two-color the
+    * edge's endpoints, merging components smaller-into-larger with
+    * orientation. Returns false when the edge closes an odd cycle. */
+  def addEdge(src: Long, dst: Long): Boolean = {
+    (vertexComp.get(src), vertexComp.get(dst)) match {
+      case (None, None) =>
+        add(src, SignedVertex(src, sign = true)) &&
+          add(src, SignedVertex(dst, sign = false))
+      case (Some(cs), None) =>
+        add(cs, SignedVertex(dst, !map(cs)(src).sign))
+      case (None, Some(cd)) =>
+        add(cd, SignedVertex(src, !map(cd)(dst).sign))
+      case (Some(cs), Some(cd)) if cs == cd =>
+        map(cs)(src).sign != map(cs)(dst).sign
+      case (Some(cs), Some(cd)) =>
+        val (big, small) = if (map(cs).size >= map(cd).size) (cs, cd) else (cd, cs)
+        val (bigV, smallV) = if (big == cs) (src, dst) else (dst, src)
+        // endpoints must end with opposite signs
+        val needReverse = map(big)(bigV).sign == map(small)(smallV).sign
+        val moved = map(small).values.toSeq
+        map.remove(small)
+        moved.forall(v => add(big, if (needReverse) v.reverse else v))
     }
   }
 

@@ -251,6 +251,86 @@ object SparkEntry {
       Dedup.embeddingDedup(t(s, dir, "embeddings"), threshold = 0.9, lshBits = 10)
         .toDF("vec_id", "rep")),
 
+    // ---- Pregel-only algorithms (rows-only: results are seeded-random or
+    // edge-state shaped — not ANSI-SQL-expressible; spec-tested instead) ----
+
+    "cf_sgd_factors" -> ((s, dir) => {
+      import graft.algos.compute.Cf
+      import graft.pregel.Pregel
+      val sc = s.sparkContext
+      // bounded bipartite ratings graph: customer × part via orders
+      val ratings = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"), col("l_quantity")),
+          col("o_orderkey") === col("l_orderkey"))
+        .filter(col("o_custkey") < 500 && col("l_partkey") < 500)
+        .groupBy(col("o_custkey"), col("l_partkey"))
+        .agg((max(col("l_quantity")) % 5 + 1).cast("float").as("rating"))
+        .collect().map(r => (Cf.CfId.user(r.getLong(0)), Cf.CfId.item(r.getLong(1)), r.getFloat(2)))
+      val verts = sc.parallelize(
+        (ratings.map(_._1) ++ ratings.map(_._2)).distinct.map(id => (id, Array.empty[Float])))
+      val e = sc.parallelize(ratings.map { case (u, i, r) => (u, (i, r)) }.toSeq)
+      val res = Pregel.run(s, new Cf.Sgd(dim = 8, iterations = 3, randomSeed = Some(42L)),
+        verts, e, maxIterations = 10)
+      import s.implicits._
+      res.vertices.filter(_._1.typ == 0)
+        .map { case (id, f) => (id.id, if (f.nonEmpty) math.round(f(0) * 1e6f) / 1e6 else 0.0) }
+        .toDF("user_id", "factor0")
+    }),
+
+    "g_kmeans_clusters" -> ((s, dir) => {
+      import graft.algos.compute.AdvancedAlgorithms.{KMeans, KMeansValue}
+      import graft.pregel.Pregel
+      val sc = s.sparkContext
+      val pts = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect().map(r => (r.getLong(0), KMeansValue(r.getSeq[Double](1).toVector, 0)))
+      val init = pts.sortBy(_._1).take(4).map(_._2.coords).toSeq
+      val res = Pregel.run(s,
+        new KMeans(k = 4, maxIterations = 8, initialCenters = Some(init)),
+        sc.parallelize(pts), sc.parallelize(Seq.empty[(Long, (Long, Double))]),
+        maxIterations = 10)
+      import s.implicits._
+      res.vertices.map { case (id, v) => (id, v.clusterId) }.toDF("vec_id", "cluster")
+    }),
+
+    "g_sybilrank" -> ((s, dir) => {
+      import graft.algos.compute.AdvancedAlgorithms.{SybilRank, SybilValue}
+      import graft.pregel.Pregel
+      val sc = s.sparkContext
+      val edges = starGraph(s, dir).edges
+        .select(col("src"), col("dst"), col("value"))
+        .collect().flatMap(r => Seq(
+          (r.getLong(0), (r.getLong(1), r.getDouble(2))),
+          (r.getLong(1), (r.getLong(0), r.getDouble(2)))))
+      val ids = edges.map(_._1).distinct
+      val verts = sc.parallelize(ids.map(id => (id, SybilValue(0.0, isTrusted = id % 100 == 0))))
+      val res = Pregel.run(s, new SybilRank(), verts, sc.parallelize(edges.toSeq),
+        maxIterations = 30)
+      import s.implicits._
+      res.vertices.map { case (id, v) => (id, math.round(v.rank * 1e6) / 1e6) }
+        .toDF("id", "rank")
+    }),
+
+    "g_maxbmatching" -> ((s, dir) => {
+      import graft.algos.compute.AdvancedAlgorithms.{MaxBMatching, MbmEdge, MbmState}
+      import graft.pregel.Pregel
+      val sc = s.sparkContext
+      // undirected star clusters (diameter 2 → fast proposal convergence);
+      // weights vary per leaf, capacity 2 per vertex
+      val edges = starGraph(s, dir).edges
+        .select(col("src"), col("dst"), (col("src") % 7 + 1).cast("double").as("w"))
+        .collect().flatMap(r => Seq(
+          (r.getLong(0), (r.getLong(1), MbmEdge(r.getDouble(2), MbmState.Default))),
+          (r.getLong(1), (r.getLong(0), MbmEdge(r.getDouble(2), MbmState.Default)))))
+      val verts = sc.parallelize(edges.map(_._1).distinct.map(id => (id, 2)))
+      val res = Pregel.run(s, new MaxBMatching, verts, sc.parallelize(edges.toSeq),
+        maxIterations = 12)
+      import s.implicits._
+      res.edges.filter(_._2.value.state == MbmState.Included)
+        .map { case (src, e) => (src, e.target, e.value.weight) }
+        .toDF("src", "dst", "weight")
+    }),
+
     // ---- streaming module (summary aggregation, batch-checkable) ---------
 
     "s_streaming_cc" -> ((s, dir) => {

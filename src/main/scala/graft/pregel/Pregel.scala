@@ -78,27 +78,33 @@ object Pregel {
   }
 
   /** Per-vertex callback handed to compute()
-    * (reference ComputeFunction.Callback, ComputeFunction.java:183-268). */
+    * (reference ComputeFunction.Callback, ComputeFunction.java:183-268).
+    *
+    * Edge mutations are READ-YOUR-WRITES within the same compute() call: the
+    * reference's callback writes the adjacency store in place and the edges
+    * iterable re-reads the store on every iteration (PregelComputation.java
+    * :756-764) — algorithms like MaxBMatching rely on seeing processUpdates'
+    * INCLUDED states during the same superstep's sendUpdates. */
   final class Callback[K, VV, EV, M] private[pregel] (
+      private[pregel] val adj: mutable.LinkedHashMap[K, EV],
       private[pregel] val aggValues: Map[String, Any],
       private[pregel] val zeros: Map[String, Any],
       private[pregel] val merges: Map[String, (Any, Any) => Any]) {
     private[pregel] var newValue: Option[VV] = None
     private[pregel] var halt = false
+    private[pregel] var mutated = false
     private[pregel] val msgs = mutable.ArrayBuffer.empty[(K, M)]
-    private[pregel] val edgeAdds = mutable.ArrayBuffer.empty[(K, EV)]
-    private[pregel] val edgeRemoves = mutable.ArrayBuffer.empty[K]
-    private[pregel] val edgeSets = mutable.ArrayBuffer.empty[(K, EV)]
     private[pregel] val aggContribs = mutable.HashMap.empty[String, Any]
 
     def sendMessageTo(target: K, message: M): Unit = msgs += ((target, message))
     def setNewVertexValue(value: VV): Unit = newValue = Some(value)
     def voteToHalt(): Unit = halt = true
-    /** Graph mutation (ComputeFunction.java:222-247): applied to the adjacency
-      * of THIS vertex before the next superstep. */
-    def addEdge(target: K, value: EV): Unit = edgeAdds += ((target, value))
-    def removeEdge(target: K): Unit = edgeRemoves += target
-    def setNewEdgeValue(target: K, value: EV): Unit = edgeSets += ((target, value))
+    /** Graph mutation (ComputeFunction.java:222-247): in place, visible to
+      * subsequent edge iteration within this compute() call. */
+    def addEdge(target: K, value: EV): Unit = { adj(target) = value; mutated = true }
+    def removeEdge(target: K): Unit = { adj.remove(target); mutated = true }
+    def setNewEdgeValue(target: K, value: EV): Unit =
+      if (adj.contains(target)) { adj(target) = value; mutated = true }
     /** Merged value from the PREVIOUS superstep (ComputeFunction.java:252-256). */
     def getAggregatedValue[T](name: String): T =
       aggValues.getOrElse(name, zeros(name)).asInstanceOf[T]
@@ -117,9 +123,7 @@ object Pregel {
       value: VV,
       halted: Boolean,
       msgs: Seq[(K, M)],
-      edgeAdds: Seq[(K, EV)],
-      edgeRemoves: Seq[K],
-      edgeSets: Seq[(K, EV)],
+      newAdj: Option[Array[OutEdge[K, EV]]],
       aggContribs: Map[String, Any])
 
   /**
@@ -183,12 +187,23 @@ object Pregel {
           else {
             val (value, _) = sIt.head
             val inbox = wIt.head
-            val outEdges: Iterable[OutEdge[K, EV]] = if (aIt.isEmpty) Nil else aIt.head.toSeq
-            val cb = new Callback[K, VV, EV, M](prevAggs, zeros, merges)
-            fn.compute(step, id, value, inbox, outEdges, cb)
+            // live adjacency map: callback mutations are visible to every
+            // fresh iteration of `edgesView` (reference store semantics)
+            val adjMap = mutable.LinkedHashMap.empty[K, EV]
+            if (aIt.nonEmpty) aIt.head.foreach(e => adjMap(e.target) = e.value)
+            val edgesView: Iterable[OutEdge[K, EV]] = new Iterable[OutEdge[K, EV]] {
+              // snapshot per iterator() call, like the reference's per-call
+              // store read — in-flight iteration is stable under mutation
+              def iterator: Iterator[OutEdge[K, EV]] =
+                adjMap.toSeq.iterator.map { case (t, v) => OutEdge(t, v) }
+            }
+            val cb = new Callback[K, VV, EV, M](adjMap, prevAggs, zeros, merges)
+            fn.compute(step, id, value, inbox, edgesView, cb)
             Iterator.single(VertexOut(
               id, cb.newValue.getOrElse(value), cb.halt,
-              cb.msgs.toSeq, cb.edgeAdds.toSeq, cb.edgeRemoves.toSeq, cb.edgeSets.toSeq,
+              cb.msgs.toSeq,
+              if (cb.mutated) Some(adjMap.iterator.map { case (t, v) => OutEdge(t, v) }.toArray)
+              else None,
               cb.aggContribs.toMap))
           }
         }.persist()
@@ -200,7 +215,7 @@ object Pregel {
         val acc = mutable.HashMap.empty[String, Any]
         var mut = false
         it.foreach { o =>
-          if (o.edgeAdds.nonEmpty || o.edgeRemoves.nonEmpty || o.edgeSets.nonEmpty) mut = true
+          if (o.newAdj.isDefined) mut = true
           o.aggContribs.foreach { case (k, v) =>
             acc(k) = acc.get(k).map(merges(k)(_, v)).getOrElse(v)
           }
@@ -236,19 +251,13 @@ object Pregel {
       val newAdj =
         if (!anyMutation) adj
         else {
-          val muts = out
-            .filter(o => o.edgeAdds.nonEmpty || o.edgeRemoves.nonEmpty || o.edgeSets.nonEmpty)
-            .map(o => (o.id, (o.edgeAdds, o.edgeRemoves, o.edgeSets)))
+          // mutated vertices ship their full post-compute adjacency; others keep theirs
+          val muts = out.filter(_.newAdj.isDefined)
+            .map(o => (o.id, o.newAdj.get))
             .partitionBy(part)
           adj.fullOuterJoin(muts, part).mapValues {
-            case (oldOpt, None) => oldOpt.getOrElse(Array.empty[OutEdge[K, EV]])
-            case (oldOpt, Some((adds, removes, sets))) =>
-              val m = mutable.LinkedHashMap.empty[K, EV]
-              oldOpt.getOrElse(Array.empty[OutEdge[K, EV]]).foreach(e => m(e.target) = e.value)
-              sets.foreach { case (t, v) => if (m.contains(t)) m(t) = v }
-              adds.foreach { case (t, v) => m(t) = v }
-              removes.foreach(t => m.remove(t))
-              m.iterator.map { case (t, v) => OutEdge(t, v) }.toArray
+            case (_, Some(updated)) => updated
+            case (oldOpt, None)     => oldOpt.getOrElse(Array.empty[OutEdge[K, EV]])
           }.persist()
         }
 

@@ -118,14 +118,17 @@ class AdvancedSpec extends SparkSpec {
     (verts, e)
   }
 
-  test("SGD converges: final RMSE below initial") {
+  test("SGD alternation runs and reduces RMSE") {
     val (verts, e) = cfGraph
-    val cf = new Cf.Sgd(dim = 5, iterations = 12, gamma = 0.01f, randomSeed = Some(42L))
+    // reference defaults (γ=0.005, 0.01-scale init) move imperceptibly in a
+    // few iterations — crank γ to observe actual learning in-test
+    val cf = new Cf.Sgd(dim = 5, iterations = 30, gamma = 0.1f, randomSeed = Some(42L))
     val res = Pregel.run(spark, cf, verts, e, maxIterations = 40)
     val n = res.aggregates(Cf.EdgeCountAggregator).asInstanceOf[Long]
     assert(n === 6L)
     val rmse = math.sqrt(res.aggregates(Cf.RmseAggregator).asInstanceOf[Double] / n)
-    assert(rmse < 2.0, s"rmse $rmse should improve below the ~3 of random init")
+    // initial error ≈ sqrt(mean r²) ≈ 3.14 with near-zero factors
+    assert(rmse < 2.0, s"rmse $rmse should improve below the ~3.14 of random init")
     // reverse edges were created: items now have out-edges to users
     val itemEdges = res.edges.filter(_._1.typ == 1).count()
     assert(itemEdges === 6L)

@@ -73,6 +73,63 @@ object GraphAlgorithms {
     state.select(col("id"), col("comp").as("value"))
   }
 
+  /**
+   * Connected components in O(log n) rounds — alternating large-star /
+   * small-star contraction (Kiveris et al., "Connected Components in
+   * MapReduce and Beyond", SoCC'14). The min-label `wcc` above needs
+   * O(diameter) supersteps; on adversarial diameters (paths, meshes) this
+   * variant converges in a logarithmic number of rounds, each round two
+   * groupBy+join phases over canonical (hi, lo) edge pairs.
+   * Returns (id, value = component minimum), identical to `wcc`.
+   */
+  def wccLogRounds(g: KGraph, maxRounds: Int = 50): DataFrame = {
+    def stats(df: DataFrame): (Long, Long) = {
+      // bit_xor: order-independent edge-set digest, no ANSI sum overflow
+      val r = df.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(hi, lo))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var e = cp(g.edges.filter(col("src") =!= col("dst"))
+      .select(greatest(col("src"), col("dst")).as("hi"), least(col("src"), col("dst")).as("lo"))
+      .distinct())
+    var prev = stats(e)
+    var iter = 0
+    var done = false
+    while (!done && iter < maxRounds) {
+      // large-star: every node u (both endpoints), m = min(N(u) ∪ {u});
+      // connect each strictly-larger neighbor v to m
+      val sym = e.select(col("hi").as("u"), col("lo").as("v"))
+        .unionByName(e.select(col("lo").as("u"), col("hi").as("v")))
+      val mins = sym.groupBy(col("u")).agg(least(min(col("v")), first(col("u"))).as("m"))
+      val ls = sym.join(mins, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(greatest(col("v"), col("m")).as("hi"), least(col("v"), col("m")).as("lo"))
+        .filter(col("hi") =!= col("lo")).distinct()
+      // small-star: group by the LARGER endpoint u, neighbors lo < u;
+      // connect them (and u) to m = min neighbor
+      val mins2 = ls.groupBy(col("hi").as("u")).agg(min(col("lo")).as("m"))
+      val ss = ls.join(mins2, ls("hi") === mins2("u"))
+        .select(explode(array(
+          struct(col("lo").as("a"), col("m").as("b")),
+          struct(col("hi").as("a"), col("m").as("b")))).as("p"))
+        .select(greatest(col("p.a"), col("p.b")).as("hi"), least(col("p.a"), col("p.b")).as("lo"))
+        .filter(col("hi") =!= col("lo")).distinct()
+      val newE = cp(ss)
+      val cur = stats(newE)
+      done = cur == prev
+      prev = cur
+      e.unpersist(false)
+      e = newE
+      iter += 1
+    }
+    // converged star forest: every edge is (member=hi, root=lo)
+    val labels = e.select(col("hi").as("id"), col("lo").as("value"))
+      .unionByName(e.select(col("lo").as("id"), col("lo").as("value")))
+      .groupBy(col("id")).agg(min(col("value")).as("value"))
+    g.vertices.select(col("id")).join(labels, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("value"), col("id")).as("value"))
+  }
+
   // =========================================================================
   // Single-source shortest paths (library/SingleSourceShortestPaths.java:30-68)
   // Bellman-Ford frontier relaxation; edge value = weight. Returns (id, value)

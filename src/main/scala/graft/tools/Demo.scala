@@ -29,6 +29,10 @@ object Demo {
     g.outDegrees.orderBy(desc("value")).show(5, false)
     val wcc = GraphAlgorithms.wcc(g)
     println(s"wcc components=${wcc.select(col("value")).distinct().count()}")
+    val wccLog = GraphAlgorithms.wccLogRounds(g)
+    val wccAgree = wcc.toDF("id", "a").join(wccLog.toDF("id", "b"), Seq("id"))
+      .filter(col("a") === col("b")).count()
+    println(s"wccLogRounds agreement: $wccAgree/${wcc.count()}")
     val pr = GraphAlgorithms.pageRank(g, tolerance = 0.001)
     println("pagerank top5:")
     pr.orderBy(desc("value")).show(5, false)

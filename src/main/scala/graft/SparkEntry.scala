@@ -174,6 +174,8 @@ object SparkEntry {
 
     "g_wcc_deep" -> ((s, dir) => GraphAlgorithms.wcc(treeGraph(s, dir))),
 
+    "g_wcc_logrounds" -> ((s, dir) => GraphAlgorithms.wccLogRounds(treeGraph(s, dir))),
+
     "g_bfs_tree" -> ((s, dir) =>
       GraphAlgorithms.bfs(treeGraph(s, dir), 1L, directed = false)),
 
@@ -461,6 +463,9 @@ object SparkEntry {
         |SELECT id, id - id % 100 AS value FROM v""".stripMargin,
 
     "g_wcc_deep" ->
+      """SELECT c_custkey AS id, 1 AS value FROM customer WHERE c_custkey >= 1""".stripMargin,
+
+    "g_wcc_logrounds" ->
       """SELECT c_custkey AS id, 1 AS value FROM customer WHERE c_custkey >= 1""".stripMargin,
 
     "g_bfs_tree" ->

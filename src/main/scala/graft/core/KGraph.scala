@@ -137,11 +137,17 @@ case class KGraph(vertices: DataFrame, edges: DataFrame) {
 
   // ---- structure (KGraph.java:388-410) ------------------------------------
 
-  /** Add the reverse of every edge; duplicate (src,dst) keys collapse
-    * last-wins like the reference's re-key + reduce (KGraph.java:388-410). */
+  /** Add the reverse of every edge. The reference collapses duplicate
+    * (src,dst) keys last-write-wins, which is arrival-order-dependent
+    * (KGraph.java:388-410); we pick a DETERMINISTIC winner instead: the
+    * original edge's value beats the reversed copy, ties break on min value —
+    * stable across runs, partitionings, and task retries. */
   def undirected: KGraph = {
     val rev = edges.select(col("dst").as("src"), col("src").as("dst"), col("value"))
-    copy(edges = edges.unionByName(rev).dropDuplicates("src", "dst"))
+    val tagged = edges.withColumn("_pri", lit(0)).unionByName(rev.withColumn("_pri", lit(1)))
+    val merged = tagged.groupBy(col("src"), col("dst"))
+      .agg(min_by(col("value"), struct(col("_pri"), col("value"))).as("value"))
+    copy(edges = merged)
   }
 
   /** Reverse all edges. */

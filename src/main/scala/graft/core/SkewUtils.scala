@@ -17,10 +17,17 @@ object SkewUtils {
 
   /** Inner equi-join of a skewed LEFT frame against a smaller RIGHT frame on
     * `key`, spreading each left key over `buckets` salted partitions and
-    * replicating right rows per salt. Result ≡ left.join(right, key). */
+    * replicating right rows per salt. Result ≡ left.join(right, key).
+    *
+    * The salt is xxhash64 over ALL left columns — a pure function of row
+    * content — so task re-execution (fetch-failure retry, speculation)
+    * re-derives the identical salt and the shuffle stays deterministic.
+    * Identical duplicate rows share a salt; that only narrows spreading when
+    * the hot key's rows are literal duplicates, in which case pre-aggregating
+    * them is the right fix anyway. */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
                  buckets: Int): DataFrame = {
-    val salted = left.withColumn("_salt", pmod(spark_partition_id() + xxhash64(monotonically_increasing_id()), lit(buckets)).cast("int"))
+    val salted = left.withColumn("_salt", pmod(xxhash64(left.columns.map(col).toIndexedSeq: _*), lit(buckets)).cast("int"))
     val replicated = right.withColumn("_salt", explode(sequence(lit(0), lit(buckets - 1))))
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")
   }

@@ -38,14 +38,17 @@ object Dedup {
   // Shingles + MinHash
   // -------------------------------------------------------------------------
 
-  /** Distinct word n-gram shingles of normalized text, as array<string>. */
+  /** Distinct word n-gram shingles of normalized text, as array<string>.
+    * Documents with fewer than `n` tokens yield an EMPTY array (no truncated
+    * shingle) — keeps Spark and the SQL oracles agreeing on short docs. */
   def wordShingles(text: Column, n: Int = 3): Column = {
     val toks = split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
-    array_distinct(
+    val full = array_distinct(
       filter(
-        transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
+        transform(sequence(lit(0), size(toks) - n),
           i => concat_ws(" ", slice(toks, i + 1, lit(n)))),
         s => length(s) > 0))
+    when(size(toks) >= n, full).otherwise(array().cast("array<string>"))
   }
 
   /** MinHash signature: k per-slot minima over the shingle set, computed by

@@ -81,6 +81,20 @@ object SparkEntry {
     KGraph.fromEdges(e, id => id)
   }
 
+  /** bounded bipartite ratings graph for the CF queries:
+    * customer × part via orders, rating = max quantity % 5 + 1. */
+  private def cfRatings(s: SparkSession, dir: String)
+      : Array[(graft.algos.compute.Cf.CfId, graft.algos.compute.Cf.CfId, Float)] = {
+    import graft.algos.compute.Cf
+    t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"), col("l_quantity")),
+        col("o_orderkey") === col("l_orderkey"))
+      .filter(col("o_custkey") < 500 && col("l_partkey") < 500)
+      .groupBy(col("o_custkey"), col("l_partkey"))
+      .agg((max(col("l_quantity")) % 5 + 1).cast("float").as("rating"))
+      .collect().map(r => (Cf.CfId.user(r.getLong(0)), Cf.CfId.item(r.getLong(1)), r.getFloat(2)))
+  }
+
   /** shared SQL fragments for the oracle side */
   private val sqlSupplierPartEdges =
     """SELECT l_suppkey AS src, l_partkey + 1000000 AS dst,
@@ -204,6 +218,22 @@ object SparkEntry {
       GraphAlgorithms.jaccard(coPurchaseGraph(s, dir))
         .withColumn("value", round(col("value"), 6))),
 
+    "g_lcc" -> ((s, dir) =>
+      GraphAlgorithms.localClusteringCoefficient(coPurchaseGraph(s, dir))
+        .withColumn("value", round(col("value"), 6))),
+
+    "g_join_vertices" -> ((s, dir) => {
+      val perSupplier = t(s, dir, "lineitem")
+        .groupBy(col("l_suppkey").as("id")).agg(count(lit(1)).as("cnt"))
+      supplierPartGraph(s, dir)
+        .joinWithVertices(perSupplier, (v, in) => v + in)
+        .vertices
+    }),
+
+    "g_nbr_sum" -> ((s, dir) =>
+      supplierPartGraph(s, dir).reduceOnNeighbors(sum, EdgeDirection.In)
+        .toDF("id", "value")),
+
     // ---- training-data pipeline ops --------------------------------------
 
     "d_exact_dedup" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
@@ -243,13 +273,21 @@ object SparkEntry {
     "e_knn_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
-      Ann.ivfKnn(emb, emb, 3, nlist = 16, nprobe = 4, iters = 2)
+      // id-ordered quantizer init so the full IVF pipeline (Lloyd training,
+      // cell assignment, nprobe search) is DuckDB-oracle-checkable
+      Ann.ivfKnn(emb, emb, 3, nlist = 16, nprobe = 4, iters = 2, hashInit = false)
         .select(col("query_id"), col("nbr_id"), col("rank"))
     }),
 
     "e_embedding_dedup" -> ((s, dir) =>
-      // lshBits>0 = hyperplane-bucketed candidates (the scale path; exact
-      // all-pairs is the lshBits=0 oracle/small-data mode)
+      // exact all-pairs verification path (oracle-checkable end to end,
+      // including the connected-components clustering)
+      Dedup.embeddingDedup(t(s, dir, "embeddings"), threshold = 0.9, lshBits = 0)
+        .toDF("vec_id", "rep")),
+
+    "e_embedding_dedup_lsh" -> ((s, dir) =>
+      // hyperplane-bucketed candidates — the 100 TB scale path (bucket
+      // equi-join instead of all-pairs); approximate by design → rows-only
       Dedup.embeddingDedup(t(s, dir, "embeddings"), threshold = 0.9, lshBits = 10)
         .toDF("vec_id", "rep")),
 
@@ -260,14 +298,7 @@ object SparkEntry {
       import graft.algos.compute.Cf
       import graft.pregel.Pregel
       val sc = s.sparkContext
-      // bounded bipartite ratings graph: customer × part via orders
-      val ratings = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-        .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"), col("l_quantity")),
-          col("o_orderkey") === col("l_orderkey"))
-        .filter(col("o_custkey") < 500 && col("l_partkey") < 500)
-        .groupBy(col("o_custkey"), col("l_partkey"))
-        .agg((max(col("l_quantity")) % 5 + 1).cast("float").as("rating"))
-        .collect().map(r => (Cf.CfId.user(r.getLong(0)), Cf.CfId.item(r.getLong(1)), r.getFloat(2)))
+      val ratings = cfRatings(s, dir)
       val verts = sc.parallelize(
         (ratings.map(_._1) ++ ratings.map(_._2)).distinct.map(id => (id, Array.empty[Float])))
       val e = sc.parallelize(ratings.map { case (u, i, r) => (u, (i, r)) }.toSeq)
@@ -277,6 +308,61 @@ object SparkEntry {
       res.vertices.filter(_._1.typ == 0)
         .map { case (id, f) => (id.id, if (f.nonEmpty) math.round(f(0) * 1e6f) / 1e6 else 0.0) }
         .toDF("user_id", "factor0")
+    }),
+
+    "cf_als_factors" -> ((s, dir) => {
+      import graft.algos.compute.Cf
+      import graft.pregel.Pregel
+      val ratings = cfRatings(s, dir)
+      val sc = s.sparkContext
+      val verts = sc.parallelize(
+        (ratings.map(_._1) ++ ratings.map(_._2)).distinct.map(id => (id, Array.empty[Float])))
+      val e = sc.parallelize(ratings.map { case (u, i, r) => (u, (i, r)) }.toSeq)
+      val res = Pregel.run(s, new Cf.Als(dim = 8, iterations = 3, randomSeed = Some(42L)),
+        verts, e, maxIterations = 10)
+      import s.implicits._
+      res.vertices.filter(_._1.typ == 0)
+        .map { case (id, f) => (id.id, if (f.nonEmpty) math.round(f(0) * 1e6f) / 1e6 else 0.0) }
+        .toDF("user_id", "factor0")
+    }),
+
+    "cf_svdpp_factors" -> ((s, dir) => {
+      import graft.algos.compute.Cf
+      import graft.pregel.Pregel
+      val ratings = cfRatings(s, dir)
+      val sc = s.sparkContext
+      val verts = sc.parallelize(
+        (ratings.map(_._1) ++ ratings.map(_._2)).distinct
+          .map(id => (id, Cf.SvdppValue(0f, Array.empty[Float], Array.empty[Float]))))
+      val e = sc.parallelize(ratings.map { case (u, i, r) => (u, (i, r)) }.toSeq)
+      val res = Pregel.run(s, new Cf.Svdpp(dim = 8, iterations = 3, randomSeed = Some(42L)),
+        verts, e, maxIterations = 12)
+      import s.implicits._
+      res.vertices.filter(_._1.typ == 0)
+        .map { case (id, v) =>
+          (id.id, if (v.factors.nonEmpty) math.round(v.factors(0) * 1e6f) / 1e6 else 0.0) }
+        .toDF("user_id", "factor0")
+    }),
+
+    "g_semicluster" -> ((s, dir) => {
+      import graft.algos.compute.AdvancedAlgorithms.{SemiClustering, SemiCluster}
+      import graft.pregel.Pregel
+      val sc = s.sparkContext
+      val edges = starGraph(s, dir).edges
+        .select(col("src"), col("dst"), col("value"))
+        .collect().flatMap(r => Seq(
+          (r.getLong(0), (r.getLong(1), r.getDouble(2))),
+          (r.getLong(1), (r.getLong(0), r.getDouble(2)))))
+      val verts = sc.parallelize(edges.map(_._1).distinct.map(id => (id, Set.empty[SemiCluster])))
+      val res = Pregel.run(s, new SemiClustering(iterations = 6, maxClusters = 2,
+        clusterCapacity = 4, scoreFactor = 0.5),
+        verts, sc.parallelize(edges.toSeq), maxIterations = 10)
+      import s.implicits._
+      res.vertices.map { case (id, clusters) =>
+        val best = if (clusters.isEmpty) 0.0
+          else math.round(clusters.map(_.score).max * 1e6) / 1e6
+        (id, clusters.size, best)
+      }.toDF("id", "n_clusters", "best_score")
     }),
 
     "g_kmeans_clusters" -> ((s, dir) => {
@@ -390,6 +476,91 @@ object SparkEntry {
   )
 
   // =========================================================================
+
+  /** DuckDB SQL for `steps` unrolled Lloyd iterations over the embeddings
+    * table (dim-64), mirroring the Pregel KMeans exactly: init = coords of the
+    * k smallest vec_ids; assignment = argmin squared L2 (ties → lowest cluster
+    * index); next centers = per-cluster elementwise mean with empty-cluster
+    * fallback; centers FREEZE once max center drift ≤ 1e-3 (the masterCompute
+    * halt — frozen centers reproduce the halted assignment in every later
+    * unrolled step, so the final SELECT equals the algorithm's last superstep). */
+  private def kmeansOracleSql(k: Int, steps: Int, dim: Int = 64): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH v AS MATERIALIZED (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+              |pts AS MATERIALIZED (SELECT id, r.i AS i, e[r.i] AS x FROM v, range(1, ${dim + 1}) r(i)),
+              |init AS MATERIALIZED (SELECT row_number() OVER (ORDER BY id) - 1 AS cl, id
+              |         FROM (SELECT id FROM v ORDER BY id LIMIT $k)),
+              |c1 AS MATERIALIZED (SELECT init.cl, p.i, p.x AS v FROM init JOIN pts p USING (id))""".stripMargin
+    for (t <- 1 to steps) {
+      sb ++= s""",
+                |d$t AS MATERIALIZED (SELECT p.id, c.cl, sum((p.x - c.v) * (p.x - c.v)) AS dd
+                |        FROM pts p JOIN c$t c USING (i) GROUP BY 1, 2),
+                |a$t AS MATERIALIZED (SELECT id, cl FROM (
+                |  SELECT id, cl, row_number() OVER (PARTITION BY id ORDER BY dd, cl) AS rn
+                |  FROM d$t) WHERE rn = 1)""".stripMargin
+      if (t < steps) {
+        sb ++= s""",
+                  |m$t AS MATERIALIZED (SELECT a.cl, p.i, avg(p.x) AS v
+                  |        FROM a$t a JOIN pts p USING (id) GROUP BY 1, 2),
+                  |dr$t AS MATERIALIZED (SELECT max(sqrt(s)) AS drift FROM (
+                  |  SELECT c.cl, sum((coalesce(m.v, c.v) - c.v) * (coalesce(m.v, c.v) - c.v)) AS s
+                  |  FROM c$t c LEFT JOIN m$t m ON m.cl = c.cl AND m.i = c.i GROUP BY 1)),
+                  |c${t + 1} AS MATERIALIZED (SELECT c.cl, c.i,
+                  |  CASE WHEN (SELECT drift FROM dr$t) <= 0.001 THEN c.v
+                  |       ELSE coalesce(m.v, c.v) END AS v
+                  |  FROM c$t c LEFT JOIN m$t m ON m.cl = c.cl AND m.i = c.i)""".stripMargin
+      }
+    }
+    sb ++= s"\nSELECT id AS vec_id, CAST(cl AS INTEGER) AS cluster FROM a$steps"
+    sb.toString
+  }
+
+  /** DuckDB SQL mirroring Ann.ivfKnn(hashInit=false): id-ordered centroid
+    * init, `iters` Lloyd rounds (empty cells DROP, as in trainCentroids),
+    * corpus assignment, nprobe nearest cells per query, exact cosine top-k
+    * within the probed cells. */
+  private def ivfOracleSql(nlist: Int, nprobe: Int, iters: Int, k: Int,
+                           dim: Int = 64): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH v AS MATERIALIZED (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+              |pts AS MATERIALIZED (SELECT id, r.i AS i, e[r.i] AS x FROM v, range(1, ${dim + 1}) r(i)),
+              |init AS MATERIALIZED (SELECT row_number() OVER (ORDER BY id) - 1 AS cl, id
+              |         FROM (SELECT id FROM v ORDER BY id LIMIT $nlist)),
+              |cen0 AS MATERIALIZED (SELECT init.cl, p.i, p.x AS v FROM init JOIN pts p USING (id))""".stripMargin
+    for (t <- 1 to iters) {
+      sb ++= s""",
+                |d$t AS MATERIALIZED (SELECT p.id, c.cl, sum((p.x - c.v) * (p.x - c.v)) AS dd
+                |        FROM pts p JOIN cen${t - 1} c USING (i) GROUP BY 1, 2),
+                |a$t AS MATERIALIZED (SELECT id, cl FROM (
+                |  SELECT id, cl, row_number() OVER (PARTITION BY id ORDER BY dd, cl) AS rn
+                |  FROM d$t) WHERE rn = 1),
+                |cen$t AS MATERIALIZED (SELECT a.cl, p.i, avg(p.x) AS v
+                |          FROM a$t a JOIN pts p USING (id) GROUP BY 1, 2)""".stripMargin
+    }
+    sb ++= s""",
+              |fd AS MATERIALIZED (SELECT p.id, c.cl, sum((p.x - c.v) * (p.x - c.v)) AS dd
+              |       FROM pts p JOIN cen$iters c USING (i) GROUP BY 1, 2),
+              |ca AS MATERIALIZED (SELECT id, cl AS cell FROM (
+              |  SELECT id, cl, row_number() OVER (PARTITION BY id ORDER BY dd, cl) AS rn
+              |  FROM fd) WHERE rn = 1),
+              |qp AS MATERIALIZED (SELECT id AS query_id, cl AS cell FROM (
+              |  SELECT id, cl, row_number() OVER (PARTITION BY id ORDER BY dd, cl) AS rn
+              |  FROM fd) WHERE rn <= $nprobe),
+              |cand AS MATERIALIZED (SELECT q.query_id, c.id AS nbr_id
+              |         FROM qp q JOIN ca c ON q.cell = c.cell AND q.query_id <> c.id),
+              |sims AS MATERIALIZED (SELECT cand.query_id, cand.nbr_id,
+              |  CASE WHEN sqrt(list_dot_product(qv.e, qv.e)) > 0
+              |        AND sqrt(list_dot_product(cv.e, cv.e)) > 0
+              |       THEN list_dot_product(qv.e, cv.e) /
+              |            (sqrt(list_dot_product(qv.e, qv.e)) * sqrt(list_dot_product(cv.e, cv.e)))
+              |       ELSE 0.0 END AS sim
+              |  FROM cand JOIN v qv ON qv.id = cand.query_id JOIN v cv ON cv.id = cand.nbr_id)
+              |SELECT query_id, nbr_id, CAST(rnk AS INTEGER) AS rank FROM (
+              |  SELECT query_id, nbr_id,
+              |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id) AS rnk
+              |  FROM sims) WHERE rnk <= $k""".stripMargin
+    sb.toString
+  }
 
   def oracleSql: Map[String, String] = Map(
 
@@ -546,6 +717,68 @@ object SparkEntry {
          |JOIN deg du ON du.n = e.a
          |JOIN deg dv ON dv.n = e.b""".stripMargin,
 
+    "g_lcc" ->
+      s"""WITH e AS ($sqlCoPurchaseEdges),
+         |adj AS (SELECT a AS w, b AS n FROM e UNION ALL SELECT b, a FROM e),
+         |deg AS (SELECT w AS id, count(*) AS d FROM adj GROUP BY 1),
+         |t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |      FROM e e1 JOIN e e2 ON e1.b = e2.a
+         |      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |tri AS (SELECT vv, count(*) AS c FROM (
+         |  SELECT x AS vv FROM t UNION ALL SELECT y FROM t UNION ALL SELECT z FROM t)
+         |  GROUP BY 1)
+         |SELECT deg.id,
+         |       round(CASE WHEN deg.d >= 2
+         |                  THEN 2.0 * coalesce(tri.c, 0) / (deg.d * (deg.d - 1))
+         |                  ELSE 0.0 END, 6) AS value
+         |FROM deg LEFT JOIN tri ON tri.vv = deg.id""".stripMargin,
+
+    "g_join_vertices" ->
+      s"""WITH e AS ($sqlSupplierPartEdges),
+         |v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         |cnt AS (SELECT l_suppkey AS id, count(*) AS c FROM lineitem GROUP BY 1)
+         |SELECT v.id, CAST(CASE WHEN cnt.c IS NOT NULL THEN v.id + cnt.c ELSE v.id END AS BIGINT) AS value
+         |FROM v LEFT JOIN cnt ON v.id = cnt.id""".stripMargin,
+
+    "g_nbr_sum" ->
+      s"""WITH e AS ($sqlSupplierPartEdges)
+         |SELECT dst AS id, CAST(sum(src) AS BIGINT) AS value FROM e GROUP BY 1""".stripMargin,
+
+    // closed form on star clusters: rank oscillates root↔leaves each power
+    // iteration; 2 + ceil(log10(N)) supersteps → the side holding the rank at
+    // the final superstep depends on ceil(log10(N)) parity. Magnitude per
+    // cluster = totalTrust/numTrusted/clusterSize (float drift ≪ round-6).
+    "g_sybilrank" ->
+      """WITH m AS (SELECT c_custkey AS c, c_custkey - c_custkey % 100 AS root
+        |           FROM customer WHERE c_custkey % 100 <> 0),
+        |sz AS (SELECT root, count(*) AS mm FROM m GROUP BY 1),
+        |st AS (SELECT (SELECT count(*) FROM m) + (SELECT count(*) FROM sz) AS n,
+        |              (SELECT count(*) FROM sz) AS k),
+        |par AS (SELECT CAST(ceil(log10(CAST(n AS DOUBLE))) AS BIGINT) % 2 AS codd, n, k FROM st)
+        |SELECT m.c AS id,
+        |       CASE WHEN p.codd = 1 THEN round(CAST(p.n AS DOUBLE) / p.k / sz.mm, 6)
+        |            ELSE 0.0 END AS rank
+        |FROM m JOIN sz ON m.root = sz.root, par p
+        |UNION ALL
+        |SELECT sz.root AS id,
+        |       CASE WHEN p.codd = 0 THEN round(CAST(p.n AS DOUBLE) / p.k / sz.mm, 6)
+        |            ELSE 0.0 END AS rank
+        |FROM sz, par p""".stripMargin,
+
+    // closed form on star clusters: every leaf proposes its only edge; each
+    // root accepts its top-2 by (weight desc, leaf id asc); saturated roots
+    // remove the rest. Included edges surface from both endpoint adjacencies.
+    "g_maxbmatching" ->
+      """WITH m AS (SELECT c_custkey AS c, c_custkey - c_custkey % 100 AS root,
+        |                  CAST(c_custkey % 7 + 1 AS DOUBLE) AS w
+        |           FROM customer WHERE c_custkey % 100 <> 0),
+        |top2 AS (SELECT root, c, w FROM (
+        |  SELECT root, c, w, row_number() OVER (PARTITION BY root ORDER BY w DESC, c) AS rn
+        |  FROM m) WHERE rn <= 2)
+        |SELECT root AS src, c AS dst, w AS weight FROM top2
+        |UNION ALL
+        |SELECT c AS src, root AS dst, w AS weight FROM top2""".stripMargin,
+
     "d_exact_dedup" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_dups
         |FROM documents
@@ -612,6 +845,26 @@ object SparkEntry {
         |  SELECT query_id, nbr_id,
         |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id) AS rn
         |  FROM sims) WHERE rn = 1""".stripMargin,
+
+    "g_kmeans_clusters" -> kmeansOracleSql(k = 4, steps = 8),
+
+    "e_knn_ivf" -> ivfOracleSql(nlist = 16, nprobe = 4, iters = 2, k = 3),
+
+    // exact cosine≥0.9 pair graph + transitive closure (small components, so
+    // the recursive closure is cheap); rep = min reachable id, singletons self
+    "e_embedding_dedup" ->
+      """WITH RECURSIVE v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |nv AS (SELECT id, CASE WHEN sqrt(list_dot_product(e, e)) > 0
+        |                       THEN list_transform(e, x -> x / sqrt(list_dot_product(e, e)))
+        |                       ELSE e END AS u FROM v),
+        |p AS (SELECT a.id AS a, b.id AS b FROM nv a JOIN nv b ON a.id < b.id
+        |      WHERE list_dot_product(a.u, b.u) >= 0.9),
+        |sym AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+        |reach(a, b) AS (
+        |  SELECT id, id FROM v
+        |  UNION
+        |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
+        |SELECT a AS vec_id, min(b) AS rep FROM reach GROUP BY a""".stripMargin,
 
     // stars: every vertex labels to its cluster minimum = the root
     "s_streaming_cc" ->

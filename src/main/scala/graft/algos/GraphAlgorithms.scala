@@ -358,13 +358,17 @@ object GraphAlgorithms {
       .select(col("a"), col("b"), array_intersect(col("na"), col("nb")).as("common"))
   }
 
-  /** Per-vertex triangle counts: (id, value=triangles). Each triangle is seen
-    * from all 3 of its edges, incrementing all 3 corners each time → raw
-    * per-vertex increments / 3. */
+  /** Per-vertex triangle counts: (id, value=triangles). Each edge (a,b) sees
+    * its triangles via common neighbors; every common member c yields one
+    * triangle {a,b,c}, incrementing ALL THREE corners. Each triangle is found
+    * from each of its 3 edges, so every corner accumulates 3 increments →
+    * raw per-vertex increments / 3. */
   def triangleCounts(g: KGraph): DataFrame = {
     val e = cp(canonicalEdges(g.edges))
     val perVertex = commonNeighbors(e)
-      .select(explode(concat(array(col("a"), col("b")), col("common"))).as("id"))
+      .select(explode(transform(col("common"),
+        c => array(col("a"), col("b"), c))).as("corners"))
+      .select(explode(col("corners")).as("id"))
       .groupBy(col("id")).agg((count(lit(1)) / 3).cast("long").as("value"))
     g.vertices.select(col("id")).join(perVertex, Seq("id"), "left_outer")
       .select(col("id"), coalesce(col("value"), lit(0L)).as("value"))

@@ -85,13 +85,22 @@ object Ann {
     * (centroid_id, centroid array<double>). Centroid count is small — this is
     * the IVF coarse quantizer, not a general-purpose k-means. */
   def trainCentroids(corpus: DataFrame, nlist: Int, iters: Int = 5,
-                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     hashInit: Boolean = true): DataFrame = {
     val v = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // deterministic init: the nlist vectors with smallest xxhash64(id)
-    var centroids = v.withColumn("h", xxhash64(col("id")))
-      .orderBy("h").limit(nlist)
-      .select((row_number().over(Window.orderBy("h")) - 1).as("centroid_id"), col("v").as("centroid"))
+    // deterministic init: hashInit=true seeds from the nlist vectors with the
+    // smallest xxhash64(id) (decorrelates the seed set from id order);
+    // hashInit=false seeds from the nlist smallest ids — same quality on
+    // unordered data, and expressible in ANSI SQL for oracle verification.
+    var centroids =
+      if (hashInit)
+        v.withColumn("h", xxhash64(col("id")))
+          .orderBy("h").limit(nlist)
+          .select((row_number().over(Window.orderBy("h")) - 1).as("centroid_id"), col("v").as("centroid"))
+      else
+        v.orderBy("id").limit(nlist)
+          .select((row_number().over(Window.orderBy("id")) - 1).as("centroid_id"), col("v").as("centroid"))
     for (_ <- 0 until iters) {
       // materialize centroids per Lloyd round: they are joined twice and the
       // plan would otherwise re-run every previous round on each action
@@ -123,10 +132,10 @@ object Ann {
   def ivfKnn(corpus: DataFrame, queries: DataFrame, k: Int,
              nlist: Int = 64, nprobe: Int = 8, iters: Int = 3,
              idCol: String = "vec_id", vecCol: String = "embedding",
-             excludeSelf: Boolean = true): DataFrame = {
+             excludeSelf: Boolean = true, hashInit: Boolean = true): DataFrame = {
     val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).cast("array<double>").as("cv"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
-    val centroids = trainCentroids(corpus, nlist, iters, idCol, vecCol)
+    val centroids = trainCentroids(corpus, nlist, iters, idCol, vecCol, hashInit)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val corpusCells = assignCells(c.withColumnRenamed("nbr_id", "id"), centroids, "cv")
       .toDF("nbr_id", "cell")

@@ -78,6 +78,22 @@ class AlgoSpec extends SparkSpec {
     assert(lcc(4L) === 0.0)
   }
 
+  test("triangles + lcc on K4 plus pendant (multi-triangle corners)") {
+    import spark.implicits._
+    // K4 on 1..4 (every vertex in 3 triangles) + pendant 5 off vertex 4
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+      .map { case (a, b) => (a, b, 1L) }.toDF("src", "dst", "value")
+    val g = KGraph.fromEdges(e, id => id)
+    assert(GraphAlgorithms.globalTriangleCount(g) === 4L)
+    val tri = collectMap(GraphAlgorithms.triangleCounts(g))
+    assert(tri === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L, 5L -> 0L))
+    val lcc = GraphAlgorithms.localClusteringCoefficient(g).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(lcc(1L) === 1.0)                            // deg 3, all 3 pairs closed
+    assert(math.abs(lcc(4L) - 0.5) < 1e-12)            // deg 4, 3 of 6 pairs closed
+    assert(lcc(5L) === 0.0)
+  }
+
   test("adamic-adar and jaccard on square with diagonal") {
     import spark.implicits._
     // square 1-2-3-4-1 plus diagonal 1-3: common neighbors of (1,3) = {2,4}

@@ -303,7 +303,7 @@ object SparkEntry {
         (ratings.map(_._1) ++ ratings.map(_._2)).distinct.map(id => (id, Array.empty[Float])))
       val e = sc.parallelize(ratings.map { case (u, i, r) => (u, (i, r)) }.toSeq)
       val res = Pregel.run(s, new Cf.Sgd(dim = 8, iterations = 3, randomSeed = Some(42L)),
-        verts, e, maxIterations = 10)
+        verts, e, numPartitions = 8, maxIterations = 10)
       import s.implicits._
       res.vertices.filter(_._1.typ == 0)
         .map { case (id, f) => (id.id, if (f.nonEmpty) math.round(f(0) * 1e6f) / 1e6 else 0.0) }
@@ -319,7 +319,7 @@ object SparkEntry {
         (ratings.map(_._1) ++ ratings.map(_._2)).distinct.map(id => (id, Array.empty[Float])))
       val e = sc.parallelize(ratings.map { case (u, i, r) => (u, (i, r)) }.toSeq)
       val res = Pregel.run(s, new Cf.Als(dim = 8, iterations = 3, randomSeed = Some(42L)),
-        verts, e, maxIterations = 10)
+        verts, e, numPartitions = 8, maxIterations = 10)
       import s.implicits._
       res.vertices.filter(_._1.typ == 0)
         .map { case (id, f) => (id.id, if (f.nonEmpty) math.round(f(0) * 1e6f) / 1e6 else 0.0) }
@@ -336,7 +336,7 @@ object SparkEntry {
           .map(id => (id, Cf.SvdppValue(0f, Array.empty[Float], Array.empty[Float]))))
       val e = sc.parallelize(ratings.map { case (u, i, r) => (u, (i, r)) }.toSeq)
       val res = Pregel.run(s, new Cf.Svdpp(dim = 8, iterations = 3, randomSeed = Some(42L)),
-        verts, e, maxIterations = 12)
+        verts, e, numPartitions = 8, maxIterations = 12)
       import s.implicits._
       res.vertices.filter(_._1.typ == 0)
         .map { case (id, v) =>
@@ -356,7 +356,7 @@ object SparkEntry {
       val verts = sc.parallelize(edges.map(_._1).distinct.map(id => (id, Set.empty[SemiCluster])))
       val res = Pregel.run(s, new SemiClustering(iterations = 6, maxClusters = 2,
         clusterCapacity = 4, scoreFactor = 0.5),
-        verts, sc.parallelize(edges.toSeq), maxIterations = 10)
+        verts, sc.parallelize(edges.toSeq), numPartitions = 8, maxIterations = 10)
       import s.implicits._
       res.vertices.map { case (id, clusters) =>
         val best = if (clusters.isEmpty) 0.0
@@ -376,7 +376,7 @@ object SparkEntry {
       val res = Pregel.run(s,
         new KMeans(k = 4, maxIterations = 8, initialCenters = Some(init)),
         sc.parallelize(pts), sc.parallelize(Seq.empty[(Long, (Long, Double))]),
-        maxIterations = 10)
+        numPartitions = 8, maxIterations = 10)
       import s.implicits._
       res.vertices.map { case (id, v) => (id, v.clusterId) }.toDF("vec_id", "cluster")
     }),
@@ -393,7 +393,7 @@ object SparkEntry {
       val ids = edges.map(_._1).distinct
       val verts = sc.parallelize(ids.map(id => (id, SybilValue(0.0, isTrusted = id % 100 == 0))))
       val res = Pregel.run(s, new SybilRank(), verts, sc.parallelize(edges.toSeq),
-        maxIterations = 30)
+        numPartitions = 8, maxIterations = 30)
       import s.implicits._
       res.vertices.map { case (id, v) => (id, math.round(v.rank * 1e6) / 1e6) }
         .toDF("id", "rank")
@@ -412,7 +412,7 @@ object SparkEntry {
           (r.getLong(1), (r.getLong(0), MbmEdge(r.getDouble(2), MbmState.Default)))))
       val verts = sc.parallelize(edges.map(_._1).distinct.map(id => (id, 2)))
       val res = Pregel.run(s, new MaxBMatching, verts, sc.parallelize(edges.toSeq),
-        maxIterations = 12)
+        numPartitions = 8, maxIterations = 12)
       import s.implicits._
       res.edges.filter(_._2.value.state == MbmState.Included)
         .map { case (src, e) => (src, e.target, e.value.weight) }

@@ -38,17 +38,43 @@ object Dedup {
   // Shingles + MinHash
   // -------------------------------------------------------------------------
 
-  /** Distinct word n-gram shingles of normalized text, as array<string>.
-    * Documents with fewer than `n` tokens yield an EMPTY array (no truncated
-    * shingle) — keeps Spark and the SQL oracles agreeing on short docs. */
-  def wordShingles(text: Column, n: Int = 3): Column = {
-    val toks = split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
+  /** Normalized whitespace tokens (lowercase, collapsed spaces). */
+  def normTokens(text: Column): Column =
+    split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
+
+  /** Shingles from an ALREADY-TOKENIZED array column. The token expression is
+    * referenced several times below (guard + sequence bound + slice); callers
+    * on a hot path should stage `normTokens` in its own projection so the
+    * regex tokenization runs once per row, not once per reference. */
+  def shinglesFromTokens(toks: Column, n: Int): Column = {
     val full = array_distinct(
       filter(
         transform(sequence(lit(0), size(toks) - n),
           i => concat_ws(" ", slice(toks, i + 1, lit(n)))),
         s => length(s) > 0))
+    // docs with fewer than n tokens yield an EMPTY array (no truncated
+    // shingle) — keeps Spark and the SQL oracles agreeing on short docs
     when(size(toks) >= n, full).otherwise(array().cast("array<string>"))
+  }
+
+  /** Distinct word n-gram shingles of normalized text, as array<string>. */
+  def wordShingles(text: Column, n: Int = 3): Column =
+    shinglesFromTokens(normTokens(text), n)
+
+  /** (id, sh) with tokenization staged in its own projection (run once). */
+  private def shingled(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int): DataFrame =
+    docs.select(col(idCol).as("id"), normTokens(col(textCol)).as("toks"))
+      .select(col("id"), shinglesFromTokens(col("toks"), n).as("sh"))
+
+  /** Spread a degenerate-partitioned input (e.g. a one-row-group parquet
+    * file) across the cluster BEFORE per-row-expensive expression work —
+    * otherwise the whole shingle/hash pipeline runs in a single task. No-op
+    * when the source already has reasonable parallelism (the 100 TB case:
+    * never pay an extra shuffle there). */
+  private def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 >= p) df else df.repartition(p)
   }
 
   /** MinHash signature: k per-slot minima over the shingle set, computed by
@@ -88,8 +114,8 @@ object Dedup {
   def minHashLSH(df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
                  shingleLen: Int = 3, numHashes: Int = 64, bands: Int = 16,
                  threshold: Double = 0.7): DataFrame = {
-    val withSig = df.select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("shingles", wordShingles(col("text"), shingleLen))
+    val withSig = shingled(spread(df), idCol, textCol, shingleLen)
+      .withColumnRenamed("sh", "shingles")
       .filter(size(col("shingles")) > 0)
       .withColumn("sig", minHashSignature(col("shingles"), numHashes))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -132,8 +158,9 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
                         shingleLen: Int = 3, threshold: Double = 0.1,
                         maxDocFreq: Long = 0L): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"), wordShingles(col(textCol), shingleLen).as("sh"))
+    val sh = shingled(spread(docs), idCol, textCol, shingleLen)
       .filter(size(col("sh")) >= 1)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.select(col("id"), size(col("sh")).as("sz"))
     val inv0 = sh.select(col("id"), explode(col("sh")).as("g"))
       .select(col("id"), xxhash64(col("g")).as("g"))
@@ -159,7 +186,7 @@ object Dedup {
     * the scale path; this is the small-data oracle-friendly variant). */
   def ngramJaccard(df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
                    shingleLen: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), wordShingles(col(textCol), shingleLen).as("sh"))
+    val sh = shingled(spread(df), idCol, textCol, shingleLen)
       .filter(size(col("sh")) > 0)
     val pairs = sh.toDF("a", "shA").join(sh.toDF("b", "shB"), col("a") < col("b"))
       .select(col("a"), col("b"),
@@ -174,30 +201,38 @@ object Dedup {
   // SimHash
   // -------------------------------------------------------------------------
 
-  /** 64-bit SimHash over whitespace tokens: bit b is set iff the sum over
-    * tokens of ±1 (sign of bit b of xxhash64(token)) is non-negative.
+  /** Per-token 64-bit hashes for SimHash. Stage this in its own projection:
+    * the bit loop below references it 64 times, and an attribute read is
+    * free where re-tokenizing + re-hashing is not. */
+  def simHashTokenHashes(text: Column): Column =
+    transform(TextAnalysis.wsTokens(lower(text)), t => xxhash64(t))
+
+  /** 64-bit SimHash from pre-hashed tokens: bit b is set iff the sum over
+    * tokens of ±1 (sign of bit b of the token hash) is non-negative.
     * Pure higher-order-function expression — codegen'd, no UDF. */
-  def simHash(text: Column): Column = {
-    val toks = TextAnalysis.wsTokens(lower(text))
+  def simHashFromHashes(hashes: Column): Column =
     // shift amounts are data-dependent → SQL shiftright/shiftleft via
     // call_function (the Scala wrappers only take literal Int amounts)
     aggregate(
       sequence(lit(0), lit(63)),
       lit(0L),
       (acc, b) => acc + when(
-        aggregate(toks, lit(0L),
-          (s, t) => s + when(
-            call_function("shiftright", xxhash64(t), b).bitwiseAND(lit(1L)) === 1L, 1L)
+        aggregate(hashes, lit(0L),
+          (s, h) => s + when(
+            call_function("shiftright", h, b).bitwiseAND(lit(1L)) === 1L, 1L)
             .otherwise(-1L)) >= 0,
         call_function("shiftleft", lit(1L), b)).otherwise(0L))
-  }
+
+  /** 64-bit SimHash over whitespace tokens. */
+  def simHash(text: Column): Column = simHashFromHashes(simHashTokenHashes(text))
 
   /** SimHash near-dup pairs: candidates share one of 4 16-bit chunks
     * (any pair with Hamming distance ≤ 3 must agree on ≥1 chunk), verified by
     * exact Hamming distance ≤ maxHamming. Returns clusters (id, rep). */
   def simHashDedup(df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
                    maxHamming: Int = 3): DataFrame = {
-    val withSh = df.select(col(idCol).as("id"), simHash(col(textCol)).as("sh"))
+    val withSh = spread(df).select(col(idCol).as("id"), simHashTokenHashes(col(textCol)).as("hs"))
+      .select(col("id"), simHashFromHashes(col("hs")).as("sh"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val chunked = withSh.select(col("id"), col("sh"), posexplode(
       transform(sequence(lit(0), lit(3)),

@@ -284,9 +284,20 @@ object Pregel {
       // MATERIALIZE every new RDD before unpersisting its parents: once a
       // localCheckpoint truncates lineage, unpersisted parent blocks are
       // unrecoverable (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND otherwise).
-      val active = newWork.count()
-      newState.foreachPartition(_ => ())
-      if (newAdj ne adj) newAdj.foreachPartition(_ => ())
+      // All three share `part`, so ONE zipPartitions job materializes them
+      // together and returns the active count — not three separate actions
+      // (matters at low superstep cost: scheduling overhead is the floor).
+      val active: Long =
+        (if (newAdj ne adj)
+          newState.zipPartitions(newWork, newAdj) { (sIt, wIt, aIt) =>
+            sIt.foreach(_ => ()); aIt.foreach(_ => ())
+            var n = 0L; wIt.foreach(_ => n += 1); Iterator.single(n)
+          }
+        else
+          newState.zipPartitions(newWork) { (sIt, wIt) =>
+            sIt.foreach(_ => ())
+            var n = 0L; wIt.foreach(_ => n += 1); Iterator.single(n)
+          }).collect().sum
 
       // masterCompute between supersteps (PregelComputation.java:564-607).
       cf.masterCompute(superstep + 1, master)

@@ -119,7 +119,6 @@ object Pregel {
   }
 
   private case class VertexOut[K, VV, EV, M](
-      id: K,
       value: VV,
       halted: Boolean,
       msgs: Seq[(K, M)],
@@ -155,21 +154,38 @@ object Pregel {
     val master = new MasterCallback(slots, Map.empty)
     cf.init(configs, master)
 
-    // state: (value, halted); adjacency: out-edges per vertex. Co-partitioned.
-    var state: RDD[(K, (VV, Boolean))] =
-      vertices.partitionBy(part).mapValues(v => (v, false)).persist()
+    // The loop keeps ONE co-partitioned pair RDD per superstep — the
+    // "carrier" — holding every vertex's (value, halted) plus that
+    // superstep's outputs (messages, edge mutations, aggregator
+    // contributions). The carrier doubles as the next superstep's state:
+    // vertices without an inbox pass through untouched (same O(V) iterator
+    // cost the old state-merge cogroup paid, but without a second job).
+    //
+    // Per superstep exactly ONE job runs: a 4-way narrow-except-messages
+    // cogroup (prev carrier as state ⊕ message shuffle ⊕ self-activation ⊕
+    // adjacency) whose action is the per-partition aggregator/termination
+    // collect. Scheduling overhead, not compute, is the floor for small
+    // supersteps — and at cluster scale fewer barriers per superstep is
+    // strictly better too.
+    var carrier: RDD[(K, VertexOut[K, VV, EV, M])] =
+      vertices.partitionBy(part)
+        .mapValues(v => VertexOut[K, VV, EV, M](v, halted = false, Nil, None, Map.empty))
+        .persist()
     var adj: RDD[(K, Array[OutEdge[K, EV]])] = edges
       .mapValues { case (dst, ev) => OutEdge(dst, ev) }
       .groupByKey(part).mapValues(_.toArray).persist()
 
-    // Superstep-0 inbox: every vertex active, with the initial message if any
-    // (PregelComputation.java:253-273).
     val initMsgs: Seq[M] = initialMessage.toSeq
-    var work: RDD[(K, Seq[M])] = state.mapValues(_ => initMsgs).persist()
 
     var superstep = 0
     var done = false
     var finalState = "CONVERGED"
+    val timing = sys.env.contains("PREGEL_TIMING")
+    def t[T](label: String)(f: => T): T =
+      if (!timing) f else {
+        val t0 = System.nanoTime(); val r = f
+        println(f"[pregel] step=$superstep $label%-12s ${(System.nanoTime() - t0) / 1e9}%7.3f s"); r
+      }
 
     while (!done && superstep < maxIterations) {
       // Snapshot driver-side aggregator state for the executors.
@@ -179,50 +195,86 @@ object Pregel {
       val prevAggs = master.current
       val step = superstep
       val fn = cf
+      val first = superstep == 0
+      val initial = initMsgs
 
-      // 3-way cogroup is narrow: all three RDDs share `part`.
-      val out: RDD[VertexOut[K, VV, EV, M]] = state.cogroup(work, adj, part)
-        .flatMap { case (id, (sIt, wIt, aIt)) =>
-          if (wIt.isEmpty || sIt.isEmpty) Iterator.empty
+      // Messages grouped by destination — the ONE shuffle per superstep
+      // (replaces the reference's workSet topic round-trip through Kafka
+      // brokers, PregelComputation.java:797-801); map-side combined into
+      // per-destination buffers (the reference ships uncombined lists,
+      // PregelComputation.java:751-753).
+      val sent: RDD[(K, mutable.ArrayBuffer[M])] = carrier
+        .flatMap(_._2.msgs)
+        .aggregateByKey(mutable.ArrayBuffer.empty[M], part)(
+          (buf, m) => { buf += m; buf }, (a, b) => { a ++= b; a })
+      // Vertices that did not vote to halt stay active with an empty inbox
+      // (PregelComputation.java:764-770).
+      val selfActive: RDD[(K, Byte)] =
+        carrier.filter(!_._2.halted).mapValues(_ => 1: Byte)
+
+      val prevCarrier = carrier
+      val out: RDD[(K, VertexOut[K, VV, EV, M])] = carrier
+        .cogroup(sent, selfActive, adj, part)
+        .mapPartitions(_.flatMap { case (id, (cIt, mIt, actIt, aIt)) =>
+          if (cIt.isEmpty) Iterator.empty // message to a nonexistent vertex: drop
           else {
-            val (value, _) = sIt.head
-            val inbox = wIt.head
-            // live adjacency map: callback mutations are visible to every
-            // fresh iteration of `edgesView` (reference store semantics)
-            val adjMap = mutable.LinkedHashMap.empty[K, EV]
-            if (aIt.nonEmpty) aIt.head.foreach(e => adjMap(e.target) = e.value)
-            val edgesView: Iterable[OutEdge[K, EV]] = new Iterable[OutEdge[K, EV]] {
-              // snapshot per iterator() call, like the reference's per-call
-              // store read — in-flight iteration is stable under mutation
-              def iterator: Iterator[OutEdge[K, EV]] =
-                adjMap.toSeq.iterator.map { case (t, v) => OutEdge(t, v) }
-            }
-            val cb = new Callback[K, VV, EV, M](adjMap, prevAggs, zeros, merges)
-            fn.compute(step, id, value, inbox, edgesView, cb)
-            Iterator.single(VertexOut(
-              id, cb.newValue.getOrElse(value), cb.halt,
-              cb.msgs.toSeq,
-              if (cb.mutated) Some(adjMap.iterator.map { case (t, v) => OutEdge(t, v) }.toArray)
-              else None,
-              cb.aggContribs.toMap))
+          val prev = cIt.head
+          val inboxOpt: Option[Iterable[M]] =
+            if (first) Some(initial)
+            else if (mIt.nonEmpty) Some(mIt.head)
+            else if (actIt.nonEmpty) Some(Nil)
+            else None
+          Iterator.single(inboxOpt match {
+            case None =>
+              // skipped vertex: carry (value, halted) forward untouched
+              (id, VertexOut[K, VV, EV, M](prev.value, prev.halted, Nil, None, Map.empty))
+            case Some(inbox) =>
+              // live adjacency map: callback mutations are visible to every
+              // fresh iteration of `edgesView` (reference store semantics)
+              val adjMap = mutable.LinkedHashMap.empty[K, EV]
+              if (aIt.nonEmpty) aIt.head.foreach(e => adjMap(e.target) = e.value)
+              val edgesView: Iterable[OutEdge[K, EV]] = new Iterable[OutEdge[K, EV]] {
+                // snapshot per iterator() call, like the reference's per-call
+                // store read — in-flight iteration is stable under mutation
+                def iterator: Iterator[OutEdge[K, EV]] =
+                  adjMap.toSeq.iterator.map { case (t, v) => OutEdge(t, v) }
+              }
+              val cb = new Callback[K, VV, EV, M](adjMap, prevAggs, zeros, merges)
+              fn.compute(step, id, prev.value, inbox, edgesView, cb)
+              (id, VertexOut(
+                cb.newValue.getOrElse(prev.value), cb.halt,
+                cb.msgs.toSeq,
+                if (cb.mutated) Some(adjMap.iterator.map { case (t, v) => OutEdge(t, v) }.toArray)
+                else None,
+                cb.aggContribs.toMap))
+          })
           }
-        }.persist()
+        }, preservesPartitioning = true).persist()
 
-      // ---- aggregators + mutation flag: one partition-local pass, tiny
-      // per-partition results to the driver (replaces the reference's ZK
-      // aggregator persistence, PregelComputation.java:860-905) -------------
-      val perPartition = out.mapPartitions { it =>
+      if (superstep > 0 && superstep % checkpointInterval == 0) out.localCheckpoint()
+
+      // ---- THE superstep job: materializes `out` (and its localCheckpoint
+      // when due) and brings back per-partition aggregator merges plus the
+      // termination counters (replaces the reference's ZK aggregator
+      // persistence + partition-activation tracking,
+      // PregelComputation.java:860-905) ------------------------------------
+      val perPartition = t("superstep")(out.mapPartitions { it =>
         val acc = mutable.HashMap.empty[String, Any]
         var mut = false
-        it.foreach { o =>
+        var nMsgs = 0L
+        var nLive = 0L
+        it.foreach { case (_, o) =>
           if (o.newAdj.isDefined) mut = true
+          if (o.msgs.nonEmpty) nMsgs += o.msgs.size
+          if (!o.halted) nLive += 1
           o.aggContribs.foreach { case (k, v) =>
             acc(k) = acc.get(k).map(merges(k)(_, v)).getOrElse(v)
           }
         }
-        Iterator.single((acc.toMap, mut))
-      }.collect()
+        Iterator.single((acc.toMap, mut, nMsgs, nLive))
+      }.collect())
       val anyMutation = perPartition.exists(_._2)
+      val active = perPartition.map(p => p._3 + p._4).sum
       val mergedAggs: Map[String, Any] =
         perPartition.map(_._1).foldLeft(Map.empty[String, Any]) { (m, pm) =>
           pm.foldLeft(m) { case (acc, (k, v)) =>
@@ -241,70 +293,29 @@ object Pregel {
         name -> v
       }.toMap
 
-      // ---- apply vertex updates (solution-set delta) ----------------------
-      val updates = out.map(o => (o.id, (o.value, o.halted))).partitionBy(part)
-      val newState = state.cogroup(updates, part).mapValues { case (oldIt, updIt) =>
-        if (updIt.nonEmpty) updIt.head else oldIt.head
-      }.persist()
-
       // ---- edge mutations (rebuild adjacency only when present) -----------
-      val newAdj =
-        if (!anyMutation) adj
-        else {
-          // mutated vertices ship their full post-compute adjacency; others keep theirs
-          val muts = out.filter(_.newAdj.isDefined)
-            .map(o => (o.id, o.newAdj.get))
-            .partitionBy(part)
-          adj.fullOuterJoin(muts, part).mapValues {
-            case (_, Some(updated)) => updated
-            case (oldOpt, None)     => oldOpt.getOrElse(Array.empty[OutEdge[K, EV]])
-          }.persist()
-        }
-
-      // ---- next superstep's inbox ----------------------------------------
-      // outgoing messages grouped by destination ∪ empty self-message for
-      // vertices that did not vote to halt (PregelComputation.java:764-770).
-      val sent: RDD[(K, Seq[M])] = out
-        .flatMap(_.msgs)
-        .aggregateByKey(mutable.ArrayBuffer.empty[M], part)(
-          (buf, m) => { buf += m; buf }, (a, b) => { a ++= b; a })
-        .mapValues(_.toSeq)
-      val selfActive: RDD[(K, Seq[M])] =
-        out.filter(!_.halted).map(o => (o.id, Seq.empty[M])).partitionBy(part)
-      val newWork: RDD[(K, Seq[M])] =
-        sent.cogroup(selfActive, part).mapValues { case (ms, _) =>
-          if (ms.isEmpty) Seq.empty[M] else ms.flatten.toSeq
+      // Mutated vertices ship their full post-compute adjacency; others keep
+      // theirs — co-partitioned, narrow. Materialized in its own small job
+      // (mutation supersteps only) so the old adjacency can be released.
+      if (anyMutation) {
+        val muts = out.filter(_._2.newAdj.isDefined).mapValues(_.newAdj.get)
+        val newAdj = adj.fullOuterJoin(muts, part).mapValues {
+          case (_, Some(updated)) => updated
+          case (oldOpt, None)     => oldOpt.getOrElse(Array.empty[OutEdge[K, EV]])
         }.persist()
-
-      if (superstep > 0 && superstep % checkpointInterval == 0) {
-        newState.localCheckpoint(); newWork.localCheckpoint()
-        if (newAdj ne adj) newAdj.localCheckpoint()
+        if (superstep > 0 && superstep % checkpointInterval == 0) newAdj.localCheckpoint()
+        // materialize BEFORE unpersisting the parent (localCheckpoint
+        // truncation safety), then release the old adjacency
+        t("adjMut")(newAdj.foreachPartition(_ => ()))
+        adj.unpersist(false)
+        adj = newAdj
       }
-
-      // MATERIALIZE every new RDD before unpersisting its parents: once a
-      // localCheckpoint truncates lineage, unpersisted parent blocks are
-      // unrecoverable (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND otherwise).
-      // All three share `part`, so ONE zipPartitions job materializes them
-      // together and returns the active count — not three separate actions
-      // (matters at low superstep cost: scheduling overhead is the floor).
-      val active: Long =
-        (if (newAdj ne adj)
-          newState.zipPartitions(newWork, newAdj) { (sIt, wIt, aIt) =>
-            sIt.foreach(_ => ()); aIt.foreach(_ => ())
-            var n = 0L; wIt.foreach(_ => n += 1); Iterator.single(n)
-          }
-        else
-          newState.zipPartitions(newWork) { (sIt, wIt) =>
-            sIt.foreach(_ => ())
-            var n = 0L; wIt.foreach(_ => n += 1); Iterator.single(n)
-          }).collect().sum
 
       // masterCompute between supersteps (PregelComputation.java:564-607).
       cf.masterCompute(superstep + 1, master)
 
-      state.unpersist(false); work.unpersist(false); out.unpersist(false)
-      if (newAdj ne adj) adj.unpersist(false)
-      state = newState; adj = newAdj; work = newWork
+      prevCarrier.unpersist(false)
+      carrier = out
       superstep += 1
 
       if (master.halted) { done = true; finalState = "HALTED" }
@@ -312,7 +323,7 @@ object Pregel {
     }
     if (!done) finalState = "MAX_ITERATIONS"
 
-    Result(state.mapValues(_._1),
+    Result(carrier.mapValues(_.value),
       adj.flatMap { case (src, out) => out.iterator.map(e => (src, e)) },
       superstep, System.currentTimeMillis() - t0,
       master.current, finalState)

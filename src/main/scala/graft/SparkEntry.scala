@@ -258,6 +258,23 @@ object SparkEntry {
       supplierPartGraph(s, dir).reduceOnNeighbors(sum, EdgeDirection.In)
         .toDF("id", "value")),
 
+    "g_group_reduce_edges" -> ((s, dir) =>
+      // groupReduceOnEdges: arbitrary aggregation over the collected
+      // adjacency structs — here max edge value minus the vertex value
+      supplierPartGraph(s, dir).groupReduceOnEdges(EdgeDirection.Out) { df =>
+        df.select(col("id"),
+          (aggregate(col("edges"), lit(Long.MinValue),
+            (acc, e) => greatest(acc, e.getField("value"))) - col("value")).as("value"))
+      }),
+
+    "g_edge_join_src" -> ((s, dir) => {
+      val perSupplier = t(s, dir, "lineitem")
+        .groupBy(col("l_suppkey").as("src")).agg(count(lit(1)).as("cnt"))
+      supplierPartGraph(s, dir)
+        .joinWithEdgesOnSource(perSupplier, (ev, in) => ev + in)
+        .edges
+    }),
+
     // ---- training-data pipeline ops --------------------------------------
 
     "d_exact_dedup" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
@@ -770,6 +787,19 @@ object SparkEntry {
     "g_nbr_sum" ->
       s"""WITH e AS ($sqlSupplierPartEdges)
          |SELECT dst AS id, CAST(sum(src) AS BIGINT) AS value FROM e GROUP BY 1""".stripMargin,
+
+    // vertices with out-edges only (inner join with the grouped adjacency);
+    // vertex value = id, so result = max out-edge value - id
+    "g_group_reduce_edges" ->
+      s"""WITH e AS ($sqlSupplierPartEdges)
+         |SELECT src AS id, CAST(max(value) - src AS BIGINT) AS value FROM e GROUP BY 1""".stripMargin,
+
+    "g_edge_join_src" ->
+      s"""WITH e AS ($sqlSupplierPartEdges),
+         |cnt AS (SELECT l_suppkey AS src, count(*) AS c FROM lineitem GROUP BY 1)
+         |SELECT e.src, e.dst,
+         |       CAST(CASE WHEN cnt.c IS NOT NULL THEN e.value + cnt.c ELSE e.value END AS BIGINT) AS value
+         |FROM e LEFT JOIN cnt ON e.src = cnt.src""".stripMargin,
 
     // closed form on star clusters: rank oscillates root↔leaves each power
     // iteration; 2 + ceil(log10(N)) supersteps → the side holding the rank at

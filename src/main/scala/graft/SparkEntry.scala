@@ -496,6 +496,16 @@ object SparkEntry {
       s.createDataset(spanner.toSeq).toDF("src", "dst")
     }),
 
+    // windowed edge-stream ops (KGraphWindowedStream analog): tumbling
+    // 1-hour slice by source vertex, per-window per-vertex edge-value sum
+    "s_windowed_reduce" -> ((s, dir) => {
+      import graft.streaming.EdgeStreamOps._
+      val e = events(s, dir).select(col("user_id").as("src"),
+        (col("user_id") % 50).as("dst"), cents(col("value")).as("value"), col("ts"))
+      e.slice(col("ts"), "1 hour").reduceOnEdges(sum)
+        .select(col("window.start").as("window_start"), col("id"), col("value"))
+    }),
+
     // ---- events (streaming semantics, batch-checkable) -------------------
 
     "ev_hourly" -> ((s, dir) =>
@@ -937,6 +947,13 @@ object SparkEntry {
     "s_spanner" ->
       """SELECT c_custkey - c_custkey % 100 AS src, c_custkey AS dst
         |FROM customer WHERE c_custkey % 100 <> 0""".stripMargin,
+
+    // epoch-aligned 1-hour tumbling windows == date_trunc('hour', ts)
+    "s_windowed_reduce" ->
+      """SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS window_start,
+        |       user_id AS id,
+        |       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     "ev_hourly" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,

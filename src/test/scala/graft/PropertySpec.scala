@@ -115,4 +115,35 @@ class PropertySpec extends SparkSpec {
     // true shingle jaccard of base vs half ≈ |28 shared 3-grams|/|88 union|
     assert(e13 > 0.1 && e13 < 0.55, s"estimate $e13 out of plausible band")
   }
+
+  test("Pregel WCC equals DataFrame WCC on random graphs (fused-loop invariants)") {
+    import org.apache.spark.sql.functions._
+    import graft.algos.compute.BasicAlgorithms.Wcc
+    import graft.algos.GraphAlgorithms
+    import graft.core.KGraph
+    import graft.pregel.Pregel
+    val rnd = new scala.util.Random(20260812L)
+    for (_ <- 1 to 4) {
+      val n = 12 + rnd.nextInt(20)
+      val edges = (1 to 30).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      val ids = (edges.map(_._1) ++ edges.map(_._2)).distinct
+      // Pregel port: undirected message flow needs symmetric adjacency
+      val sym = (edges ++ edges.map(_.swap)).distinct
+      val verts = spark.sparkContext.parallelize(ids.map(i => (i, i)))
+      val adj = spark.sparkContext.parallelize(sym.map { case (a, b) => (a, (b, 1.0)) })
+      // NB the reference's WCC message rule (send when label < target id)
+      // ping-pongs forever on symmetric adjacency — values stabilize but the
+      // run ends at maxIterations, exactly like the reference would
+      val pregelRes = Pregel.run(spark, new Wcc, verts, adj,
+        numPartitions = 3, maxIterations = 40, checkpointInterval = 4)
+      val got = pregelRes.vertices.collect().toMap
+      import spark.implicits._
+      val g = KGraph.fromEdges(
+        edges.toDF("src", "dst").withColumn("value", lit(1.0)), id => id)
+      val want = GraphAlgorithms.wcc(g).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === want)
+    }
+  }
 }

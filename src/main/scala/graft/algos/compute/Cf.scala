@@ -127,11 +127,14 @@ object Cf {
         val current = value.clone()
         val oldValue = if (tolerance > 0) value.clone() else null
         val edgeValues = edges.iterator.map(e => e.target -> e.value).toMap
-        messages.foreach { m =>
+        // the reference applies updates in Kafka arrival order
+        // (nondeterministic); we fix sender-id order so runs are reproducible
+        val ordered = messages.toSeq.sortBy(_.senderId)
+        ordered.foreach { m =>
           updateValue(current, m.factors, edgeValues(m.senderId))
         }
         var rmsePartial = 0.0
-        messages.foreach { m =>
+        ordered.foreach { m =>
           var predicted = F.dot(current, m.factors)
           predicted = math.min(predicted, maxRating)
           predicted = math.max(predicted, minRating)
@@ -208,7 +211,9 @@ object Cf {
         cb.voteToHalt()
       case _ => // Als.superstepCompute (Als.java:118-162)
         val edgeValues = edges.iterator.map(e => e.target -> e.value).toMap
-        val msgs = messages.toSeq
+        // sender-id order fixes the normal-equation column order → float
+        // solve is reproducible (reference uses arrival order)
+        val msgs = messages.toSeq.sortBy(_.senderId)
         if (msgs.nonEmpty) {
           val ratings = msgs.map(m => edgeValues(m.senderId))
           val u = solveLeastSquares(msgs, ratings)

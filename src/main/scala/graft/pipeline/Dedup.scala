@@ -42,11 +42,16 @@ object Dedup {
   def normTokens(text: Column): Column =
     split(regexp_replace(lower(trim(text)), "\\s+", " "), " ")
 
-  /** Shingles from an ALREADY-TOKENIZED array column. The token expression is
-    * referenced several times below (guard + sequence bound + slice); callers
-    * on a hot path should stage `normTokens` in its own projection so the
-    * regex tokenization runs once per row, not once per reference. */
-  def shinglesFromTokens(toks: Column, n: Int): Column = {
+  /** Shingles from an ALREADY-TOKENIZED array column: one codegen'd pass
+    * (graft.functions.ShingleExpression) — same result as the declarative
+    * HOF formulation below, which `PipelineSpec` keeps as the equivalence
+    * oracle. Docs with fewer than n tokens yield an EMPTY array. */
+  def shinglesFromTokens(toks: Column, n: Int): Column =
+    graft.functions.ShingleExpression.wordShingles(toks, n)
+
+  /** Declarative reference formulation of `shinglesFromTokens` (interpreted
+    * HOFs; kept for the equivalence spec + as documentation of semantics). */
+  private[graft] def shinglesFromTokensHof(toks: Column, n: Int): Column = {
     val full = array_distinct(
       filter(
         transform(sequence(lit(0), size(toks) - n),

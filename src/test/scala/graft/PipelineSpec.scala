@@ -117,4 +117,23 @@ class PipelineSpec extends SparkSpec {
     val r = plan.filter(col("meta.mediaType") === "image").select("target_width", "target_height").collect()
     assert(r.forall(row => row.getInt(0) <= 512 && row.getInt(1) <= 512))
   }
+
+  test("ShingleExpression matches the declarative HOF formulation") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a b", "a", "", "   ", "x x x x x", "one two three",
+      "repeat repeat repeat repeat", "tab\tsep  double  space",
+      "ä ö ü ß unicode tokens here")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      .select(col("id"), Dedup.normTokens(col("text")).as("toks"))
+    for (n <- Seq(1, 2, 3, 5)) {
+      val fast = df.select(col("id"), Dedup.shinglesFromTokens(col("toks"), n).as("sh"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      val ref = df.select(col("id"), Dedup.shinglesFromTokensHof(col("toks"), n).as("sh"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      assert(fast === ref, s"n=$n")
+    }
+  }
 }

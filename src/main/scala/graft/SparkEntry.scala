@@ -341,7 +341,7 @@ object SparkEntry {
       val sc = s.sparkContext
       val ratings = cfRatings(s, dir)
       val verts = sc.parallelize(
-        (ratings.map(_._1) ++ ratings.map(_._2)).distinct.map(id => (id, Array.empty[Float])))
+        (ratings.map(_._1) ++ ratings.map(_._2)).distinct.toSeq.map(id => (id, Array.empty[Float])))
       val e = sc.parallelize(ratings.map { case (u, i, r) => (u, (i, r)) }.toSeq)
       val res = Pregel.run(s, new Cf.Sgd(dim = 8, iterations = 3, randomSeed = Some(42L)),
         verts, e, numPartitions = 8, maxIterations = 10)
@@ -357,7 +357,7 @@ object SparkEntry {
       val ratings = cfRatings(s, dir)
       val sc = s.sparkContext
       val verts = sc.parallelize(
-        (ratings.map(_._1) ++ ratings.map(_._2)).distinct.map(id => (id, Array.empty[Float])))
+        (ratings.map(_._1) ++ ratings.map(_._2)).distinct.toSeq.map(id => (id, Array.empty[Float])))
       val e = sc.parallelize(ratings.map { case (u, i, r) => (u, (i, r)) }.toSeq)
       val res = Pregel.run(s, new Cf.Als(dim = 8, iterations = 3, randomSeed = Some(42L)),
         verts, e, numPartitions = 8, maxIterations = 10)
@@ -374,7 +374,7 @@ object SparkEntry {
       val sc = s.sparkContext
       val verts = sc.parallelize(
         (ratings.map(_._1) ++ ratings.map(_._2)).distinct
-          .map(id => (id, Cf.SvdppValue(0f, Array.empty[Float], Array.empty[Float]))))
+          .toSeq.map(id => (id, Cf.SvdppValue(0f, Array.empty[Float], Array.empty[Float]))))
       val e = sc.parallelize(ratings.map { case (u, i, r) => (u, (i, r)) }.toSeq)
       val res = Pregel.run(s, new Cf.Svdpp(dim = 8, iterations = 3, randomSeed = Some(42L)),
         verts, e, numPartitions = 8, maxIterations = 12)
@@ -394,7 +394,7 @@ object SparkEntry {
         .collect().flatMap(r => Seq(
           (r.getLong(0), (r.getLong(1), r.getDouble(2))),
           (r.getLong(1), (r.getLong(0), r.getDouble(2)))))
-      val verts = sc.parallelize(edges.map(_._1).distinct.map(id => (id, Set.empty[SemiCluster])))
+      val verts = sc.parallelize(edges.map(_._1).distinct.toSeq.map(id => (id, Set.empty[SemiCluster])))
       val res = Pregel.run(s, new SemiClustering(iterations = 6, maxClusters = 2,
         clusterCapacity = 4, scoreFactor = 0.5),
         verts, sc.parallelize(edges.toSeq), numPartitions = 8, maxIterations = 10)
@@ -419,7 +419,7 @@ object SparkEntry {
       val init = pts.sortBy(_._1).take(4).map(_._2.coords).toSeq
       val res = Pregel.run(s,
         new KMeans(k = 4, maxIterations = 8, initialCenters = Some(init)),
-        sc.parallelize(pts), sc.parallelize(Seq.empty[(Long, (Long, Double))]),
+        sc.parallelize(pts.toSeq), sc.parallelize(Seq.empty[(Long, (Long, Double))]),
         numPartitions = 8, maxIterations = 10)
       import s.implicits._
       res.vertices.map { case (id, v) => (id, v.clusterId) }.toDF("vec_id", "cluster")
@@ -435,7 +435,7 @@ object SparkEntry {
           (r.getLong(0), (r.getLong(1), r.getDouble(2))),
           (r.getLong(1), (r.getLong(0), r.getDouble(2)))))
       val ids = edges.map(_._1).distinct
-      val verts = sc.parallelize(ids.map(id => (id, SybilValue(0.0, isTrusted = id % 100 == 0))))
+      val verts = sc.parallelize(ids.toSeq.map(id => (id, SybilValue(0.0, isTrusted = id % 100 == 0))))
       val res = Pregel.run(s, new SybilRank(), verts, sc.parallelize(edges.toSeq),
         numPartitions = 8, maxIterations = 30)
       import s.implicits._
@@ -454,7 +454,7 @@ object SparkEntry {
         .collect().flatMap(r => Seq(
           (r.getLong(0), (r.getLong(1), MbmEdge(r.getDouble(2), MbmState.Default))),
           (r.getLong(1), (r.getLong(0), MbmEdge(r.getDouble(2), MbmState.Default)))))
-      val verts = sc.parallelize(edges.map(_._1).distinct.map(id => (id, 2)))
+      val verts = sc.parallelize(edges.map(_._1).distinct.toSeq.map(id => (id, 2)))
       val res = Pregel.run(s, new MaxBMatching, verts, sc.parallelize(edges.toSeq),
         numPartitions = 8, maxIterations = 12)
       import s.implicits._

@@ -63,8 +63,8 @@ object Demo {
     val treeEdges = spark.read.parquet(s"$sfDir/customer.parquet")
       .select(col("c_custkey")).filter(col("c_custkey") >= 2)
       .collect().map(_.getLong(0))
-    val eRdd = sc.parallelize(treeEdges.map(c => (c, (c / 2, (c % 7 + 1).toDouble))))
-    val vRdd = sc.parallelize((treeEdges :+ 1L).distinct.map(i => (i, Double.PositiveInfinity)))
+    val eRdd = sc.parallelize(treeEdges.toSeq.map(c => (c, (c / 2, (c % 7 + 1).toDouble))))
+    val vRdd = sc.parallelize((treeEdges :+ 1L).distinct.toSeq.map(i => (i, Double.PositiveInfinity)))
     val sssp = Pregel.run(spark, new BasicAlgorithms.Sssp(1L),
       vRdd, eRdd.map { case (s, (d, w)) => (d, (s, w)) }, // parent→child for reachability
       maxIterations = 30)
@@ -76,7 +76,7 @@ object Demo {
         KMeansValue(r.getSeq[Float](1).map(_.toDouble).toVector, 0)))
     val km = Pregel.run(spark,
       new KMeans(k = 4, initialCenters = Some(pts.take(4).map(_._2.coords).toSeq)),
-      sc.parallelize(pts), sc.parallelize(Seq.empty[(Long, (Long, Double))]),
+      sc.parallelize(pts.toSeq), sc.parallelize(Seq.empty[(Long, (Long, Double))]),
       maxIterations = 50)
     val sizes = km.vertices.map(_._2.clusterId).countByValue()
     println(s"pregel kmeans: state=${km.state} clusters=$sizes")

@@ -81,9 +81,9 @@ class PipelineSpec extends SparkSpec {
     val out = TextAnalysis.qualityScore(docs).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n_tokens")).toMap
     assert(out(1L) === 14)
-    val q = TextAnalysis.qualityScore(docs).filter(col("doc_id") === 1).select("quality").head.getDouble(0)
+    val q = TextAnalysis.qualityScore(docs).filter(col("doc_id") === 1).select("quality").head().getDouble(0)
     assert(q > 0.5 && q <= 1.0)
-    val sw = docs.select(TextAnalysis.subwordCount(col("text"))).head.getInt(0)
+    val sw = docs.select(TextAnalysis.subwordCount(col("text"))).head().getInt(0)
     assert(sw === 14) // no punctuation/digits → same as whitespace tokens
   }
 

@@ -23,12 +23,12 @@ class VectorExprSpec extends SparkSpec {
 
   test("float arrays implicitly cast") {
     val f = Seq((1L, Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("id", "a", "b")
-    assert(f.select(dot(col("a"), col("b"))).head.getDouble(0) === 11.0)
+    assert(f.select(dot(col("a"), col("b"))).head().getDouble(0) === 11.0)
   }
 
   test("null inputs produce null") {
     val n = Seq((1L, null.asInstanceOf[Array[Double]], Array(1.0))).toDF("id", "a", "b")
-    assert(n.select(dot(col("a"), col("b"))).head.isNullAt(0))
+    assert(n.select(dot(col("a"), col("b"))).head().isNullAt(0))
   }
 
   test("expressions run inside WholeStageCodegen") {
@@ -40,6 +40,6 @@ class VectorExprSpec extends SparkSpec {
     // "*(n)" prefixes mark operators inside WholeStageCodegen stage n
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("*(1) Project [graft_dot"), s"plan was:\n$plan")
-    assert(df.agg(sum(col("d"))).head.getDouble(0) === (0 until 100).map(i => 3.0 * i).sum)
+    assert(df.agg(sum(col("d"))).head().getDouble(0) === (0 until 100).map(i => 3.0 * i).sum)
   }
 }

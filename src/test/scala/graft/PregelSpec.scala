@@ -99,4 +99,37 @@ class PregelSpec extends SparkSpec {
     val got = res.edges.map { case (s, e) => (s, e.target) }.collect().toSet
     assert(got === Set((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)))
   }
+
+  test("edge mutation every superstep across localCheckpoint boundaries") {
+    import graft.pregel.ComputeFunction
+    // every superstep: increment all edge values; superstep 3 adds an extra
+    // edge, superstep 5 removes it; halt after superstep 7. With
+    // checkpointInterval=2 the adjacency is checkpoint-truncated WHILE being
+    // rebuilt from mutations — exercises materialize-before-unpersist order.
+    class Mutator extends ComputeFunction[Long, Long, Long, Long] {
+      override def masterCompute(superstep: Int, cb: Pregel.MasterCallback): Unit =
+        if (superstep > 7) cb.haltComputation()
+      def compute(superstep: Int, id: Long, value: Long, messages: Iterable[Long],
+                  edges: Iterable[Pregel.OutEdge[Long, Long]],
+                  cb: Pregel.Callback[Long, Long, Long, Long]): Unit = {
+        edges.foreach(e => cb.setNewEdgeValue(e.target, e.value + 1))
+        if (superstep == 3 && id == 0L) cb.addEdge(99L, 1000L)
+        if (superstep == 5 && id == 0L) cb.removeEdge(99L)
+        cb.setNewVertexValue(value + 1)
+      }
+    }
+    val verts = sc.parallelize(Seq((0L, 0L), (1L, 0L), (2L, 0L)))
+    val edges = sc.parallelize(Seq((0L, (1L, 100L)), (1L, (2L, 200L)), (2L, (0L, 300L))))
+    val res = Pregel.run(spark, new Mutator, verts, edges,
+      numPartitions = 3, maxIterations = 20, checkpointInterval = 2)
+    assert(res.state === "HALTED")
+    assert(res.superstep === 8) // supersteps 0..7 executed
+    val got = res.vertices.collect().toMap
+    assert(got === Map(0L -> 8L, 1L -> 8L, 2L -> 8L))
+    val adj = res.edges.collect().map { case (s, e) => (s, e.target) -> e.value }.toMap
+    // 8 increments per edge; the 99L edge added at 3 and removed at 5 is gone.
+    // addEdge(99) happens AFTER the increment pass of superstep 3; the new
+    // edge is incremented at supersteps 4 and 5 before removal.
+    assert(adj === Map((0L, 1L) -> 108L, (1L, 2L) -> 208L, (2L, 0L) -> 308L))
+  }
 }

@@ -110,4 +110,49 @@ class StreamingSpec extends SparkSpec {
     assert(batch.undirected.count() === 8L)
     assert(batch.numberOfEdges.head().getLong(0) === 4L)
   }
+
+  test("watermarked windowed slice drops late data; no-watermark default keeps it") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // reference semantics: processing-time tumbling windows, no late-data
+    // handling (SummaryBulkAggregation.java:81,86). Structured Streaming adds
+    // event-time watermarks — opt-in; the unwatermarked default matches the
+    // reference (every record lands in its window whenever it arrives).
+    val t = (sec: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$sec%02d")
+
+    val lateIn = MemoryStream[(Long, Long, Double, java.sql.Timestamp)]
+    val late = lateIn.toDF().toDF("src", "dst", "value", "ts")
+      .withWatermark("ts", "5 seconds")
+      .slice(col("ts"), "10 seconds", "OUT").reduceOnEdges(sum)
+    val q1 = late.writeStream.outputMode("append").format("memory")
+      .queryName("wm_out").start()
+    lateIn.addData((1L, 2L, 2.0, t(1)))
+    q1.processAllAvailable()
+    lateIn.addData((1L, 3L, 7.0, t(35))) // advances watermark past window [0,10)
+    q1.processAllAvailable()
+    lateIn.addData((1L, 4L, 100.0, t(2))) // LATE: before watermark → dropped
+    q1.processAllAvailable()
+    lateIn.addData((1L, 5L, 1.0, t(55))) // closes the [30,40) window too
+    q1.processAllAvailable()
+    q1.stop()
+    val emitted = spark.table("wm_out")
+      .select(col("id"), col("value")).collect().map(r => r.getLong(0) -> r.getDouble(1)).toSet
+    // window [0,10) finalized with ONLY the on-time 2.0 — late 100.0 dropped
+    assert(emitted.contains(1L -> 2.0))
+    assert(!emitted.exists(_._2 == 102.0))
+
+    val openIn = MemoryStream[(Long, Long, Double, java.sql.Timestamp)]
+    val open = openIn.toDF().toDF("src", "dst", "value", "ts")
+      .slice(col("ts"), "10 seconds", "OUT").reduceOnEdges(sum)
+    val q2 = open.writeStream.outputMode("complete").format("memory")
+      .queryName("nowm_out").start()
+    openIn.addData((1L, 2L, 2.0, t(1)), (1L, 3L, 7.0, t(35)))
+    q2.processAllAvailable()
+    openIn.addData((1L, 4L, 100.0, t(2))) // "late" but no watermark → counted
+    q2.processAllAvailable()
+    q2.stop()
+    val kept = spark.table("nowm_out")
+      .select(col("id"), col("value")).collect().map(r => r.getLong(0) -> r.getDouble(1)).toSet
+    assert(kept === Set(1L -> 102.0, 1L -> 7.0))
+  }
 }

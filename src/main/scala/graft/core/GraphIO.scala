@@ -59,4 +59,24 @@ object GraphIO {
     KGraph(
       g.vertices.repartition(numPartitions, col("id")),
       g.edges.repartition(numPartitions, col("src")))
+
+  /** PERSISTENT co-location — the durable analog of `prepare` and the Spark
+    * equivalent of the reference's identically-partitioned vertex/adjacency
+    * topics: save vertices bucketed by id and edges bucketed by src into the
+    * session catalog. Joins between the two tables on the bucket key then
+    * plan WITHOUT a shuffle on either side (SortMergeJoin over bucket-local
+    * sorts) — at 100 TB this removes the dominant exchange from every
+    * vertex⋈edge operator that runs after load. */
+  def saveBucketed(g: KGraph, name: String, buckets: Int): Unit = {
+    g.vertices.write.mode("overwrite")
+      .bucketBy(buckets, "id").sortBy("id")
+      .saveAsTable(s"${name}_vertices")
+    g.edges.write.mode("overwrite")
+      .bucketBy(buckets, "src").sortBy("src")
+      .saveAsTable(s"${name}_edges")
+  }
+
+  /** Load a graph previously saved with `saveBucketed`. */
+  def loadBucketed(spark: SparkSession, name: String): KGraph =
+    KGraph(spark.table(s"${name}_vertices"), spark.table(s"${name}_edges"))
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.core.{GraphGenerators, KGraph}
+import graft.core.{GraphGenerators, GraphIO, KGraph}
 import graft.core.KGraph.EdgeDirection
 
 /** Golden-value ports of the reference's GraphOperationsITCase
@@ -93,5 +93,33 @@ class CoreSpec extends SparkSpec {
     assert(GraphGenerators.gridGraph(spark, 3, 3).edges.count() === 12)
     assert(GraphGenerators.starGraph(spark, 5).edges.count() === 4)
     assert(GraphGenerators.chain(spark, 10).edges.count() === 9)
+  }
+
+  test("bucketed save/load: vertex-edge join plans without a shuffle") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val g = KGraph.fromEdges(
+      Seq((1L, 2L, 1L), (2L, 3L, 2L), (3L, 1L, 3L), (1L, 3L, 4L))
+        .toDF("src", "dst", "value"), id => id)
+    GraphIO.saveBucketed(g, "bspec", 4)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val loaded = GraphIO.loadBucketed(spark, "bspec")
+      // vertices ⋈ edges on the bucket key: co-located, no Exchange
+      val joined = loaded.edges.join(
+        loaded.vertices.withColumnRenamed("id", "src"), Seq("src"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"expected shuffle-free bucketed join, got:\n$plan")
+      assert(joined.count() === 4)
+      // degrees off the bucketed edge table also skip the groupBy exchange
+      val deg = loaded.edges.groupBy(col("src")).agg(count(lit(1)))
+      assert(!deg.queryExecution.executedPlan.toString.contains("Exchange"))
+      assert(deg.count() === 3)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS bspec_vertices")
+      spark.sql("DROP TABLE IF EXISTS bspec_edges")
+    }
   }
 }

@@ -283,6 +283,10 @@ object SparkEntry {
       t(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))),
 
+    "d_subword_count" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.subwordCount(col("text")).as("n_subwords"))),
+
     "d_quality" -> ((s, dir) =>
       TextAnalysis.qualityScore(t(s, dir, "documents"))
         .select(col("doc_id"),
@@ -855,6 +859,21 @@ object SparkEntry {
       """SELECT doc_id,
         |  CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
         |       ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+        |FROM documents""".stripMargin,
+
+    // RE2 (DuckDB) has no lookarounds, so the BPE-ish token count is
+    // reconstructed by counting token-START positions: a non-ws char at
+    // string start / after whitespace, plus every punctuation char not
+    // already counted there, plus letter↔digit transition targets.
+    "d_subword_count" ->
+      """SELECT doc_id, CAST(
+        |  CASE WHEN text IS NULL THEN 0 ELSE
+        |    len(regexp_extract_all(text, '(^|[\s])[^\s]')) +
+        |    (len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) -
+        |     len(regexp_extract_all(text, '(^|[\s])[^a-zA-Z0-9\s]'))) +
+        |    len(regexp_extract_all(text, '[a-zA-Z][0-9]')) +
+        |    len(regexp_extract_all(text, '[0-9][a-zA-Z]'))
+        |  END AS INTEGER) AS n_subwords
         |FROM documents""".stripMargin,
 
     "d_quality" ->

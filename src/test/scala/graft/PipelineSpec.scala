@@ -136,4 +136,38 @@ class PipelineSpec extends SparkSpec {
       assert(fast === ref, s"n=$n")
     }
   }
+
+  test("subwordCount matches a reference tokenizer on edge cases") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // brute-force reference: split before ws runs, before every punct char,
+    // and at letter<->digit transitions; count non-empty segments
+    def ref(t: String): Int = {
+      if (t == null) return 0
+      val starts = t.zipWithIndex.count { case (c, i) =>
+        if (c.isWhitespace) false
+        else {
+          val isAln = c.isLetter && c <= 'z' && (c.isUpper || c.isLower) && c < 128 || c.isDigit
+          val alpha = (ch: Char) => ch < 128 && ((ch >= 'a' && ch <= 'z') || (ch >= 'A' && ch <= 'Z'))
+          val digit = (ch: Char) => ch >= '0' && ch <= '9'
+          val punct = (ch: Char) => !alpha(ch) && !digit(ch) && !ch.isWhitespace
+          if (i == 0) true
+          else {
+            val p = t(i - 1)
+            p.isWhitespace || punct(c) ||
+              (alpha(p) && digit(c)) || (digit(p) && alpha(c))
+          }
+        }
+      }
+      starts
+    }
+    val cases = Seq("a!!b", "!a", "a 1b2", "ab12cd", "1a2b", "  x  ", "",
+      "a.b,c", "x!@#y", "tab\tmix3d 4u", "è strano, no?", "a1a1a", "...")
+    val df = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val got = df.select(col("id"), TextAnalysis.subwordCount(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    cases.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) === ref(t), s"case '$t'")
+    }
+  }
 }

@@ -303,11 +303,17 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), threshold = 0.1)
         .withColumn("jaccard", round(col("jaccard"), 6))),
 
+    // poly = true: Poly64 Rabin base hashes — the full LSH pipelines
+    // (shingle→minhash→band→bucket-join→verify→WCC, token-hash→simhash→
+    // chunk-join→hamming→WCC) are then reproducible in the DuckDB oracle
+    // via HUGEINT mod-2^64 folds
     "d_minhash_clusters" -> ((s, dir) =>
-      Dedup.minHashLSH(t(s, dir, "documents"), threshold = 0.5).toDF("doc_id", "rep")),
+      Dedup.minHashLSH(t(s, dir, "documents"), threshold = 0.5, poly = true)
+        .toDF("doc_id", "rep")),
 
     "d_simhash_clusters" -> ((s, dir) =>
-      Dedup.simHashDedup(t(s, dir, "documents"), maxHamming = 3).toDF("doc_id", "rep")),
+      Dedup.simHashDedup(t(s, dir, "documents"), maxHamming = 3, poly = true)
+        .toDF("doc_id", "rep")),
 
     "e_knn_top1" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -332,7 +338,8 @@ object SparkEntry {
 
     "e_embedding_dedup_lsh" -> ((s, dir) =>
       // hyperplane-bucketed candidates — the 100 TB scale path (bucket
-      // equi-join instead of all-pairs); approximate by design → rows-only
+      // equi-join instead of all-pairs); Rademacher ±1 hyperplanes are
+      // integer-derived, so the whole pipeline is oracle-checkable
       Dedup.embeddingDedup(t(s, dir, "embeddings"), threshold = 0.9, lshBits = 10)
         .toDF("vec_id", "rep")),
 
@@ -620,7 +627,156 @@ object SparkEntry {
     sb.toString
   }
 
+  // ---- Poly64 / mod-2^64 arithmetic helpers for the LSH-pipeline oracles ---
+  // graft's Poly64 Rabin hash is h := h·mult + codepoint with Long wraparound;
+  // DuckDB reproduces it exactly as a HUGEINT left fold mod 2^64.
+
+  private val U64 = "18446744073709551616" // 2^64
+  private val S63 = "9223372036854775808"  // 2^63
+
+  /** DuckDB left fold of Poly64 over a HUGEINT codepoint list expression. */
+  private def sqlPoly(cps: String, seed: Long, mult: Long): String =
+    s"list_reduce(list_prepend(CAST($seed AS HUGEINT), $cps), (a, x) -> (a * $mult + x) % $U64)"
+
+  /** Unsigned (HUGEINT, mod-2^64) → signed BIGINT reinterpretation. */
+  private def sqlU2S(u: String): String =
+    s"CAST($u - CASE WHEN $u >= $S63 THEN CAST($U64 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END AS BIGINT)"
+
+  /** Signed BIGINT → unsigned HUGEINT reinterpretation. */
+  private def sqlS2U(s: String): String =
+    s"(CAST($s AS HUGEINT) + CASE WHEN $s < 0 THEN CAST($U64 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END)"
+
+  /** MinHash+LSH clusters oracle: mirrors Dedup.minHashLSH(poly = true) with
+    * numHashes=64, bands=16, rowsPerBand=4 — shingle → two Poly64 hashes →
+    * 64 Carter–Wegman slots (min per slot, SIGNED comparison like Spark's
+    * Long) → per-band base-31 Horner bucket seeded band+1 → bucket join →
+    * signature-estimated Jaccard ≥ threshold → WCC by transitive closure. */
+  private def minhashOracleSql(threshold: Double): String = {
+    val cps = "list_transform(range(1, length(s) + 1), j -> CAST(unicode(s[j]) AS HUGEINT))"
+    s"""WITH RECURSIVE
+       |tk AS MATERIALIZED (
+       |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS tk
+       |  FROM documents),
+       |sh AS MATERIALIZED (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(tk) - 1),
+       |    i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]))) AS s
+       |  FROM tk WHERE len(tk) >= 3),
+       |hs AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    ${sqlPoly("cps", 1125899906842597L, 1099511628211L)} AS h1,
+       |    ${sqlPoly("cps", 2065775093L, 6364136223846793005L)} AS h2r
+       |  FROM (SELECT doc_id, $cps AS cps FROM sh)),
+       |vals AS (
+       |  SELECT doc_id, i.i,
+       |    (h1 + CAST(i.i AS HUGEINT) * (h2r - h2r % 2 + 1)) % $U64 AS u
+       |  FROM hs, range(0, 64) i(i)),
+       |slots AS MATERIALIZED (
+       |  SELECT doc_id, i, min(${sqlU2S("u")}) AS slot FROM vals GROUP BY 1, 2),
+       |bnd AS MATERIALIZED (
+       |  SELECT doc_id, i // 4 AS band,
+       |    (sum(${sqlS2U("slot")} *
+       |         CASE i % 4 WHEN 0 THEN 29791 WHEN 1 THEN 961 WHEN 2 THEN 31 ELSE 1 END)
+       |     + (i // 4 + 1) * 923521) % $U64 AS bucket
+       |  FROM slots GROUP BY 1, 2),
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       |  FROM bnd l JOIN bnd r ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+       |ver AS MATERIALIZED (
+       |  SELECT c.a, c.b
+       |  FROM cand c JOIN slots sa ON sa.doc_id = c.a
+       |              JOIN slots sb ON sb.doc_id = c.b AND sb.i = sa.i
+       |  GROUP BY 1, 2
+       |  HAVING CAST(count(*) FILTER (WHERE sa.slot = sb.slot) AS DOUBLE) / 64 >= $threshold),
+       |sym AS (SELECT a, b FROM ver UNION SELECT b, a FROM ver),
+       |reach(a, b) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
+       |SELECT a AS doc_id, min(b) AS rep FROM reach GROUP BY a""".stripMargin
+  }
+
+  /** SimHash clusters oracle: mirrors Dedup.simHashDedup(poly = true) —
+    * Poly64 per-token hashes (duplicates kept), 64 majority-vote sign bits
+    * (sum of ±1 per bit, tie → bit set), 4×16-bit chunk buckets, Hamming ≤
+    * maxHamming via bit_count(xor), WCC by transitive closure. NULL-text docs
+    * have a NULL simhash in Spark (never join) → singletons both sides. */
+  private def simhashOracleSql(maxHamming: Int): String = {
+    val cps = "list_transform(range(1, length(t) + 1), j -> CAST(unicode(t[j]) AS HUGEINT))"
+    s"""WITH RECURSIVE
+       |pw(b, p) AS (SELECT 0, CAST(1 AS HUGEINT) UNION ALL SELECT b + 1, p * 2 FROM pw WHERE b < 63),
+       |tok AS MATERIALIZED (
+       |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+       |  FROM documents WHERE text IS NOT NULL),
+       |th AS MATERIALIZED (
+       |  SELECT doc_id, ${sqlPoly("cps", 1125899906842597L, 1099511628211L)} AS u
+       |  FROM (SELECT doc_id, $cps AS cps FROM tok)),
+       |bits AS MATERIALIZED (
+       |  SELECT doc_id, pw.b, pw.p,
+       |    CASE WHEN sum(CASE WHEN (u // pw.p) % 2 = 1 THEN 1 ELSE -1 END) >= 0
+       |         THEN 1 ELSE 0 END AS bit
+       |  FROM th, pw GROUP BY doc_id, pw.b, pw.p),
+       |shs AS MATERIALIZED (
+       |  SELECT doc_id, ${sqlU2S("su")} AS sh
+       |  FROM (SELECT doc_id, sum(CASE WHEN bit = 1 THEN p ELSE CAST(0 AS HUGEINT) END) AS su
+       |        FROM bits GROUP BY 1)),
+       |ck AS MATERIALIZED (
+       |  SELECT s.doc_id, c.chunk, (${sqlS2U("s.sh")} // c.dv) % 65536 AS ckey, s.sh
+       |  FROM shs s, (VALUES (0, CAST(1 AS HUGEINT)), (1, CAST(65536 AS HUGEINT)),
+       |               (2, CAST(4294967296 AS HUGEINT)), (3, CAST(281474976710656 AS HUGEINT)))
+       |       c(chunk, dv)),
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b, l.sh AS sha, r.sh AS shb
+       |  FROM ck l JOIN ck r ON l.chunk = r.chunk AND l.ckey = r.ckey AND l.doc_id < r.doc_id),
+       |ver AS (SELECT a, b FROM cand WHERE bit_count(xor(sha, shb)) <= $maxHamming),
+       |sym AS (SELECT a, b FROM ver UNION SELECT b, a FROM ver),
+       |reach(a, b) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
+       |SELECT a AS doc_id, min(b) AS rep FROM reach GROUP BY a""".stripMargin
+  }
+
+  /** Embedding LSH-dedup oracle: mirrors Dedup.embeddingDedup(lshBits = n) —
+    * L2-normalize, Rademacher ±1 hyperplane sign bits (component sign = bit
+    * 16 of (b·1000003 + i)·2654435761; projection folded in index order like
+    * Spark's aggregate() so float sums are bit-identical), bucket equi-join,
+    * exact cosine ≥ threshold, WCC by transitive closure. */
+  private def embLshOracleSql(bits: Int, threshold: Double): String =
+    s"""WITH RECURSIVE
+       |v AS MATERIALIZED (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |nv AS MATERIALIZED (SELECT id, CASE WHEN sqrt(list_dot_product(e, e)) > 0
+       |                       THEN list_transform(e, x -> x / sqrt(list_dot_product(e, e)))
+       |                       ELSE e END AS u FROM v),
+       |pr AS MATERIALIZED (
+       |  SELECT id, b.b,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(range(0, len(u)), i -> u[i + 1] *
+       |        (CASE WHEN ((b.b * 1000003 + i) * 2654435761 >> 16) % 2 = 0
+       |              THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END))),
+       |      (a, x) -> a + x) AS proj
+       |  FROM nv, range(0, $bits) b(b)),
+       |bk AS MATERIALIZED (
+       |  SELECT id, sum(CASE WHEN proj >= 0 THEN 1 << b ELSE 0 END) AS bucket
+       |  FROM pr GROUP BY id),
+       |nb AS MATERIALIZED (SELECT nv.id, nv.u, bk.bucket FROM nv JOIN bk USING (id)),
+       |p AS MATERIALIZED (
+       |  SELECT a.id AS a, b.id AS b FROM nb a JOIN nb b
+       |    ON a.bucket = b.bucket AND a.id < b.id
+       |  WHERE list_dot_product(a.u, b.u) >= $threshold),
+       |sym AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+       |reach(a, b) AS (
+       |  SELECT vec_id, vec_id FROM embeddings
+       |  UNION
+       |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
+       |SELECT a AS vec_id, min(b) AS rep FROM reach GROUP BY a""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+
+    "d_minhash_clusters" -> minhashOracleSql(threshold = 0.5),
+
+    "d_simhash_clusters" -> simhashOracleSql(maxHamming = 3),
+
+    "e_embedding_dedup_lsh" -> embLshOracleSql(bits = 10, threshold = 0.9),
 
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

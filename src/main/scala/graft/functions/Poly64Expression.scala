@@ -1,0 +1,88 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * 64-bit polynomial (Rabin-style) string hash: a left fold over Unicode code
+ * points, `h := h·mult + cp` with Long wraparound (i.e. mod 2^64).
+ *
+ * This is the cross-engine-reproducible member of graft's hash families: any
+ * engine with 64-bit modular integer arithmetic can rebuild it exactly (the
+ * DuckDB correctness oracles do, with HUGEINT mod-2^64 `list_reduce` folds),
+ * unlike xxhash64 whose avalanche rounds are impractical to express in SQL.
+ * Rabin fingerprints are the original MinHash hash family (Broder, "On the
+ * resemblance and containment of documents", 1997), so using this for the
+ * dedup pipelines is standard practice, not a concession: mixing comes from
+ * the large odd multiplier — any input of ≥2 code points wraps 2^64 and
+ * spreads over the full range. xxhash64 remains the default family where
+ * cross-engine reproducibility isn't needed.
+ */
+object Poly64 {
+  /** Primary family member: FNV-64 prime multiplier. */
+  val Seed1 = 1125899906842597L
+  val Mult1 = 1099511628211L
+  /** Second, independent member: PCG64 LCG multiplier. */
+  val Seed2 = 2065775093L
+  val Mult2 = 6364136223846793005L
+
+  def hash(s: UTF8String, seed: Long, mult: Long): Long = {
+    val str = s.toString
+    var h = seed
+    var i = 0
+    val n = str.length
+    while (i < n) {
+      val cp = str.codePointAt(i)
+      h = h * mult + cp
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  /** Generated-Java fragment computing the same fold (shared with
+    * MinHashExpression's poly family codegen). `str` must be a String local;
+    * declares and assigns the long local `h`. */
+  private[functions] def polyGenCode(ctx: CodegenContext, str: String, h: String,
+                                 seed: Long, mult: Long): String = {
+    val i = ctx.freshName("i"); val cp = ctx.freshName("cp")
+    s"""
+       |long $h = ${seed}L;
+       |int $i = 0;
+       |while ($i < $str.length()) {
+       |  int $cp = $str.codePointAt($i);
+       |  $h = $h * ${mult}L + $cp;
+       |  $i += java.lang.Character.charCount($cp);
+       |}
+     """.stripMargin
+  }
+
+  case class Poly64Hash(child: Expression, seed: Long, mult: Long)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[Bridge.AbstractType] = Seq(StringType)
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "graft_poly64"
+
+    override protected def nullSafeEval(input: Any): Any =
+      hash(input.asInstanceOf[UTF8String], seed, mult)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, s => {
+        val str = ctx.freshName("str"); val h = ctx.freshName("h")
+        s"""
+           |java.lang.String $str = $s.toString();
+           |${polyGenCode(ctx, str, h, seed, mult)}
+           |${ev.value} = $h;
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def poly64(c: Column, seed: Long = Seed1, mult: Long = Mult1): Column =
+    Bridge.column(Poly64Hash(Bridge.expression(c), seed, mult))
+}

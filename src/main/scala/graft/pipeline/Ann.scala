@@ -31,15 +31,19 @@ object Ann {
     when(na > 0 && nb > 0, vdot(a, b) / (na * nb)).otherwise(lit(0.0))
   }
 
-  /** Deterministic pseudo-random hyperplane bucket: `bits` sign bits, each
-    * from a seeded hash-weighted sum over vector components. No stored model —
-    * the hyperplanes are implied by the hash seeds, identical on every
-    * executor and every run. */
+  /** Deterministic random-hyperplane bucket: `bits` sign bits, one per
+    * Rademacher (±1) hyperplane (Achlioptas 2003: ±1 projections carry the
+    * same JL/angle guarantees as Gaussian ones). Component i of hyperplane b
+    * is ±1 chosen by one bit of an integer mix of (b, i) — no stored model,
+    * identical on every executor and every run, and exactly reproducible in
+    * an external SQL oracle (plain 64-bit integer arithmetic, no float RNG). */
   def hyperplaneBucket(v: Column, bits: Int): Column = {
-    // component i of hyperplane b = centered hash in [-0.5, 0.5)
+    // sign(b, i) = bit 16 of (b·1000003 + i)·2654435761  →  ±1.0
+    def sign(b: Int, i: Column): Column =
+      when(shiftright((lit(b * 1000003L) + i) * lit(2654435761L), 16) % 2 === 0,
+        lit(1.0)).otherwise(lit(-1.0))
     def proj(b: Int): Column = aggregate(
-      zip_with(v, sequence(lit(0), size(v) - 1),
-        (x, i) => x * ((pmod(xxhash64(lit(b), i), lit(1000000L)).cast("double") / 1e6) - 0.5)),
+      zip_with(v, sequence(lit(0), size(v) - 1), (x, i) => x * sign(b, i)),
       lit(0.0d), (acc, x) => acc + x)
     (0 until bits).map(b => when(proj(b) >= 0, lit(1L << b)).otherwise(lit(0L)))
       .reduce(_ + _)

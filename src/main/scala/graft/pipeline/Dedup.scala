@@ -85,18 +85,25 @@ object Dedup {
   /** MinHash signature: k per-slot minima over the shingle set, computed by
     * the one-pass codegen'd expression (graft.functions.MinHashExpression —
     * Carter–Wegman h1 + i·h2 family). array<bigint> of numHashes. */
-  def minHashSignature(shingles: Column, numHashes: Int = 64): Column =
-    graft.functions.MinHashExpression.minHashSignature(shingles, numHashes)
+  def minHashSignature(shingles: Column, numHashes: Int = 64,
+                       poly: Boolean = false): Column =
+    graft.functions.MinHashExpression.minHashSignature(shingles, numHashes, poly)
 
   /** Banded LSH candidate pairs: signature split into `bands` bands of
     * `rowsPerBand` rows; docs sharing any band bucket become a candidate
-    * pair (a < b). One equi-join on (band, bandHash). */
+    * pair (a < b). One equi-join on (band, bandHash).
+    * `poly = true` → the band bucket is a base-31 Horner fold of the band's
+    * slots seeded with band+1 (wraparound Long = mod 2^64): slot values are
+    * already uniform 64-bit so the bucket only needs injectivity-ish mixing,
+    * and the fold is reproducible in the external SQL oracle. */
   def lshCandidates(df: DataFrame, idCol: String, sigCol: String,
-                    bands: Int, rowsPerBand: Int): DataFrame = {
+                    bands: Int, rowsPerBand: Int, poly: Boolean = false): DataFrame = {
+    val buckets: Column =
+      if (poly) graft.functions.MinHashExpression.bandBuckets(col("sig"), bands, rowsPerBand)
+      else transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))
     val banded = df.select(col(idCol).as("id"), col(sigCol).as("sig"))
-      .select(col("id"), posexplode(
-        transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+      .select(col("id"), posexplode(buckets))
       .toDF("id", "band", "bucket")
     val l = banded.toDF("a", "band", "bucket")
     val r = banded.toDF("b", "band", "bucket")
@@ -118,13 +125,13 @@ object Dedup {
    */
   def minHashLSH(df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
                  shingleLen: Int = 3, numHashes: Int = 64, bands: Int = 16,
-                 threshold: Double = 0.7): DataFrame = {
+                 threshold: Double = 0.7, poly: Boolean = false): DataFrame = {
     val withSig = shingled(spread(df), idCol, textCol, shingleLen)
       .withColumnRenamed("sh", "shingles")
       .filter(size(col("shingles")) > 0)
-      .withColumn("sig", minHashSignature(col("shingles"), numHashes))
+      .withColumn("sig", minHashSignature(col("shingles"), numHashes, poly))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val cands = lshCandidates(withSig, "id", "sig", bands, numHashes / bands)
+    val cands = lshCandidates(withSig, "id", "sig", bands, numHashes / bands, poly)
     // verify candidates with the signature-estimated Jaccard
     val sigs = withSig.select(col("id"), col("sig"))
     val verified = cands
@@ -208,9 +215,11 @@ object Dedup {
 
   /** Per-token 64-bit hashes for SimHash. Stage this in its own projection:
     * the bit loop below references it 64 times, and an attribute read is
-    * free where re-tokenizing + re-hashing is not. */
-  def simHashTokenHashes(text: Column): Column =
-    transform(TextAnalysis.wsTokens(lower(text)), t => xxhash64(t))
+    * free where re-tokenizing + re-hashing is not.
+    * `poly = true` → Poly64 Rabin hashes (SQL-oracle-reproducible). */
+  def simHashTokenHashes(text: Column, poly: Boolean = false): Column =
+    transform(TextAnalysis.wsTokens(lower(text)),
+      t => if (poly) graft.functions.Poly64.poly64(t) else xxhash64(t))
 
   /** 64-bit SimHash from pre-hashed tokens: bit b is set iff the sum over
     * tokens of ±1 (sign of bit b of the token hash) is non-negative.
@@ -229,14 +238,16 @@ object Dedup {
         call_function("shiftleft", lit(1L), b)).otherwise(0L))
 
   /** 64-bit SimHash over whitespace tokens. */
-  def simHash(text: Column): Column = simHashFromHashes(simHashTokenHashes(text))
+  def simHash(text: Column, poly: Boolean = false): Column =
+    simHashFromHashes(simHashTokenHashes(text, poly))
 
   /** SimHash near-dup pairs: candidates share one of 4 16-bit chunks
     * (any pair with Hamming distance ≤ 3 must agree on ≥1 chunk), verified by
     * exact Hamming distance ≤ maxHamming. Returns clusters (id, rep). */
   def simHashDedup(df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-                   maxHamming: Int = 3): DataFrame = {
-    val withSh = spread(df).select(col(idCol).as("id"), simHashTokenHashes(col(textCol)).as("hs"))
+                   maxHamming: Int = 3, poly: Boolean = false): DataFrame = {
+    val withSh = spread(df).select(col(idCol).as("id"),
+      simHashTokenHashes(col(textCol), poly).as("hs"))
       .select(col("id"), simHashFromHashes(col("hs")).as("sh"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val chunked = withSh.select(col("id"), col("sh"), posexplode(

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.{MinHashExpression, Poly64}
+import graft.pipeline.Dedup
+
+/** Pins the Poly64 Rabin family (the SQL-oracle-reproducible hash path):
+  * expression vs pure-Scala reference fold, codegen vs interpreted, band
+  * buckets vs slice-fold, and that the poly MinHash/SimHash pipelines
+  * cluster like the xxhash64 ones on the shared fixture. */
+class Poly64Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def refHash(s: String, seed: Long, mult: Long): Long = {
+    var h = seed; var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i); h = h * mult + cp; i += Character.charCount(cp)
+    }
+    h
+  }
+
+  test("Poly64.hash matches the reference fold, incl. non-ASCII and empty") {
+    for (s <- Seq("", "a", "abc", "the quick brown", "für müller", "emoji 😀 tail")) {
+      assert(Poly64.hash(UTF8String.fromString(s), Poly64.Seed1, Poly64.Mult1)
+        === refHash(s, Poly64.Seed1, Poly64.Mult1), s"mismatch for '$s'")
+    }
+    // known value cross-checked against the DuckDB HUGEINT fold
+    assert(refHash("abc", Poly64.Seed1, Poly64.Mult1) === 1303245632640703849L)
+  }
+
+  test("poly64 column expression equals driver-side hash (codegen path)") {
+    val rows = Seq("alpha", "beta gamma", "", "für", "x").toDF("s")
+      .withColumn("h", Poly64.poly64(col("s")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { case (s, h) =>
+      assert(h === refHash(s, Poly64.Seed1, Poly64.Mult1), s"'$s'")
+    }
+  }
+
+  test("poly MinHash signature slots derive from the two Poly64 hashes") {
+    val df = Seq(Tuple1(Seq("aa", "bb", "cc"))).toDF("sh")
+      .withColumn("sig", MinHashExpression.minHashSignature(col("sh"), 8, poly = true))
+    val sig = df.select("sig").head().getSeq[Long](0)
+    val hs = Seq("aa", "bb", "cc").map { s =>
+      (refHash(s, Poly64.Seed1, Poly64.Mult1),
+        refHash(s, Poly64.Seed2, Poly64.Mult2) | 1L)
+    }
+    val expect = (0 until 8).map(i => hs.map { case (h1, h2) => h1 + i * h2 }.min)
+    assert(sig === expect)
+  }
+
+  test("band buckets equal the seeded base-31 fold of each band's slots") {
+    val sig = (1L to 64L).map(i => i * 0x9E3779B97F4A7C15L) // arbitrary slots
+    val out = Seq(Tuple1(sig)).toDF("sig")
+      .withColumn("bk", MinHashExpression.bandBuckets(col("sig"), 16, 4))
+      .select("bk").head().getSeq[Long](0)
+    val expect = (0 until 16).map { b =>
+      sig.slice(b * 4, b * 4 + 4).foldLeft((b + 1).toLong)((acc, x) => acc * 31L + x)
+    }
+    assert(out === expect)
+  }
+
+  def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank yesterday"),
+    (3L, "completely different content about database engines and query planning"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (5L, "der schnelle braune fuchs springt mit der über den faulen hund und")
+  ).toDF("doc_id", "text")
+
+  test("poly MinHash LSH clusters near-dups like the xx family") {
+    val out = Dedup.minHashLSH(docs, threshold = 0.5, poly = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) === 1L); assert(out(2L) === 1L); assert(out(4L) === 1L)
+    assert(out(3L) === 3L); assert(out(5L) === 5L)
+  }
+
+  test("poly SimHash dedup clusters like the xx family") {
+    val out = Dedup.simHashDedup(docs, maxHamming = 3, poly = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) === 1L && out(4L) === 1L)
+    assert(out(3L) === 3L)
+  }
+
+  test("Rademacher hyperplane bucket: deterministic, near vectors co-bucket") {
+    val vecs = Seq(
+      (1L, Array(1.0, 0.0, 0.0, 0.0)),
+      (2L, Array(0.999, 0.001, 0.0, 0.0)), // ~same direction as 1
+      (3L, Array(-1.0, 0.0, 0.0, 0.0))     // antipodal
+    ).toDF("vec_id", "embedding")
+    val b = vecs.select(col("vec_id"),
+      graft.pipeline.Ann.hyperplaneBucket(col("embedding"), 8).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b(1L) === b(2L))
+    assert(b(1L) !== b(3L)) // all 8 sign bits flip for the antipode
+    // re-evaluation is bit-identical (no RNG state)
+    val b2 = vecs.select(col("vec_id"),
+      graft.pipeline.Ann.hyperplaneBucket(col("embedding"), 8).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b === b2)
+  }
+}

@@ -1,0 +1,178 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
+
+/**
+ * Native Catalyst expressions over SORTED-ASCENDING distinct long arrays —
+ * the neighborhood-intersection hot path shared by triangle counting, local
+ * clustering coefficient, Adamic-Adar and Jaccard edge similarity.
+ *
+ * `array_intersect` builds a hash set per call and runs interpreted; on a
+ * co-occurrence graph the intersection executes once per EDGE with
+ * Σ|N(u)∩N(v)| = 3·triangles total work, so a linear merge walk inside
+ * whole-stage codegen is the difference between seconds and milliseconds.
+ * Inputs come from `array_sort(collect_set(...))` — sorted, distinct.
+ */
+object GraphSetExpressions {
+
+  /** |a ∩ b| for two sorted distinct array<long> columns (merge walk). */
+  case class SortedIntersectCount(left: Expression, right: Expression)
+      extends BinaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[Bridge.AbstractType] =
+      Seq(ArrayType(LongType), ArrayType(LongType))
+    override def dataType: DataType = IntegerType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "graft_sorted_intersect_count"
+
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+      var i = 0; var j = 0; var c = 0
+      val n = x.numElements(); val m = y.numElements()
+      while (i < n && j < m) {
+        val xv = x.getLong(i); val yv = y.getLong(j)
+        if (xv == yv) { c += 1; i += 1; j += 1 }
+        else if (xv < yv) i += 1
+        else j += 1
+      }
+      c
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i"); val j = ctx.freshName("j"); val c = ctx.freshName("c")
+        val n = ctx.freshName("n"); val m = ctx.freshName("m")
+        val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+        s"""
+           |int $i = 0, $j = 0, $c = 0;
+           |int $n = $a.numElements(), $m = $b.numElements();
+           |while ($i < $n && $j < $m) {
+           |  long $xv = $a.getLong($i); long $yv = $b.getLong($j);
+           |  if ($xv == $yv) { $c++; $i++; $j++; }
+           |  else if ($xv < $yv) $i++;
+           |  else $j++;
+           |}
+           |${ev.value} = $c;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** a ∩ b as a sorted array<long> (merge walk; both inputs sorted distinct). */
+  case class SortedIntersect(left: Expression, right: Expression)
+      extends BinaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[Bridge.AbstractType] =
+      Seq(ArrayType(LongType), ArrayType(LongType))
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "graft_sorted_intersect"
+
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+      val n = x.numElements(); val m = y.numElements()
+      val out = new Array[Long](math.min(n, m))
+      var i = 0; var j = 0; var c = 0
+      while (i < n && j < m) {
+        val xv = x.getLong(i); val yv = y.getLong(j)
+        if (xv == yv) { out(c) = xv; c += 1; i += 1; j += 1 }
+        else if (xv < yv) i += 1
+        else j += 1
+      }
+      new GenericArrayData(java.util.Arrays.copyOf(out, c))
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i"); val j = ctx.freshName("j"); val c = ctx.freshName("c")
+        val n = ctx.freshName("n"); val m = ctx.freshName("m")
+        val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+        val out = ctx.freshName("out")
+        s"""
+           |int $n = $a.numElements(), $m = $b.numElements();
+           |long[] $out = new long[java.lang.Math.min($n, $m)];
+           |int $i = 0, $j = 0, $c = 0;
+           |while ($i < $n && $j < $m) {
+           |  long $xv = $a.getLong($i); long $yv = $b.getLong($j);
+           |  if ($xv == $yv) { $out[$c++] = $xv; $i++; $j++; }
+           |  else if ($xv < $yv) $i++;
+           |  else $j++;
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+           |  java.util.Arrays.copyOf($out, $c));
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** Σ wsA[i] over positions i where nbrsA[i] ∈ nbrsB — per-edge Adamic-Adar
+    * in one merge walk (nbrsA aligned with wsA, both nbr arrays sorted
+    * distinct). Returns NULL when the intersection is empty, so callers can
+    * drop no-common-neighbor edges without a separate membership pass. */
+  case class SortedIntersectWeightSum(first: Expression, second: Expression,
+                                      third: Expression)
+      extends TernaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[Bridge.AbstractType] =
+      Seq(ArrayType(LongType), ArrayType(DoubleType), ArrayType(LongType))
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "graft_sorted_intersect_wsum"
+
+    override protected def nullSafeEval(a: Any, w: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]; val ws = w.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      var i = 0; var j = 0; var c = 0; var s = 0.0
+      val n = x.numElements(); val m = y.numElements()
+      while (i < n && j < m) {
+        val xv = x.getLong(i); val yv = y.getLong(j)
+        if (xv == yv) { s += ws.getDouble(i); c += 1; i += 1; j += 1 }
+        else if (xv < yv) i += 1
+        else j += 1
+      }
+      if (c == 0) null else s
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, w, b) => {
+        val i = ctx.freshName("i"); val j = ctx.freshName("j"); val c = ctx.freshName("c")
+        val n = ctx.freshName("n"); val m = ctx.freshName("m"); val s = ctx.freshName("s")
+        val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+        s"""
+           |int $i = 0, $j = 0, $c = 0;
+           |double $s = 0.0;
+           |int $n = $a.numElements(), $m = $b.numElements();
+           |while ($i < $n && $j < $m) {
+           |  long $xv = $a.getLong($i); long $yv = $b.getLong($j);
+           |  if ($xv == $yv) { $s += $w.getDouble($i); $c++; $i++; $j++; }
+           |  else if ($xv < $yv) $i++;
+           |  else $j++;
+           |}
+           |if ($c == 0) { ${ev.isNull} = true; } else { ${ev.value} = $s; }
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(f: Expression, s: Expression,
+                                                   t: Expression): Expression =
+      copy(first = f, second = s, third = t)
+  }
+
+  // ---- Column API ---------------------------------------------------------
+
+  private def c(e: Expression): Column = Bridge.column(e)
+  private def e(col: Column): Expression = Bridge.expression(col)
+
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    c(SortedIntersectCount(e(a), e(b)))
+  def sortedIntersect(a: Column, b: Column): Column =
+    c(SortedIntersect(e(a), e(b)))
+  def sortedIntersectWeightSum(nbrsA: Column, wsA: Column, nbrsB: Column): Column =
+    c(SortedIntersectWeightSum(e(nbrsA), e(wsA), e(nbrsB)))
+}

@@ -223,8 +223,16 @@ object Dedup {
 
   /** 64-bit SimHash from pre-hashed tokens: bit b is set iff the sum over
     * tokens of ±1 (sign of bit b of the token hash) is non-negative.
-    * Pure higher-order-function expression — codegen'd, no UDF. */
+    * One-pass codegen'd expression (graft.functions.SimHashExpression);
+    * `simHashFromHashesHof` below is the declarative reference formulation
+    * it is spec-pinned against (HOFs run interpreted — 64×|tokens| closure
+    * dispatches made this the slowest dedup stage). */
   def simHashFromHashes(hashes: Column): Column =
+    graft.functions.SimHashExpression.simHash64(hashes)
+
+  /** Declarative HOF reference formulation of `simHashFromHashes` (kept for
+    * the equivalence spec + as documentation of semantics). */
+  private[graft] def simHashFromHashesHof(hashes: Column): Column =
     // shift amounts are data-dependent → SQL shiftright/shiftleft via
     // call_function (the Scala wrappers only take literal Int amounts)
     aggregate(
@@ -293,11 +301,51 @@ object Dedup {
 
   // -------------------------------------------------------------------------
 
-  /** Duplicate clusters from a near-dup pair graph: connected components, with
-    * singletons mapping to themselves. Returns (id, rep). */
-  def clustersFromPairs(ids: DataFrame, pairs: DataFrame): DataFrame = {
-    val g = KGraph(ids.select(col("id"), col("id").as("value")),
-      pairs.select(col("src"), col("dst"), col("value")))
-    GraphAlgorithms.wcc(g).toDF("id", "rep")
+  /** Duplicate clusters from a near-dup pair graph: connected components with
+    * singletons mapping to themselves; rep = minimum id of the component.
+    * Returns (id, rep).
+    *
+    * Scale design: the VERIFIED pair graph is orders of magnitude smaller
+    * than the corpus by construction (only near-dups survive banding +
+    * verification), so clustering it with iterative WCC pays several
+    * fixed-cost Spark jobs for a graph that usually fits in one task. Up to
+    * `maxLocalPairs` the components come from a single-task union-find
+    * (one job, executor-side mapPartitions — not a driver collect); above
+    * it, distributed WCC runs over the PAIR VERTICES ONLY — never iterate
+    * the full corpus id list, singletons join back in afterwards. */
+  def clustersFromPairs(ids: DataFrame, pairs: DataFrame,
+                        maxLocalPairs: Long = 10000000L): DataFrame = {
+    val p = pairs.select(col("src"), col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
+    val n = p.count()
+    val reps: DataFrame =
+      if (n <= maxLocalPairs) {
+        val sess = ids.sparkSession
+        import sess.implicits._
+        p.as[(Long, Long)].repartition(1).mapPartitions { it =>
+          val parent = scala.collection.mutable.LongMap.empty[Long]
+          def find(x: Long): Long = {
+            var r = x
+            while (parent.getOrElse(r, r) != r) r = parent(r)
+            var c = x // path compression
+            while (parent.getOrElse(c, c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+            r
+          }
+          it.foreach { case (a, b) =>
+            val ra = find(a); val rb = find(b)
+            if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+            parent.getOrElseUpdate(a, find(a)); parent.getOrElseUpdate(b, find(b))
+          }
+          // roots union by min id, so find() already yields the component min
+          parent.keysIterator.map(id => (id, find(id)))
+        }.toDF("id", "rep")
+      } else {
+        val verts = p.select(explode(array(col("src"), col("dst"))).as("id")).distinct()
+        val g = KGraph(verts.select(col("id"), col("id").as("value")),
+          p.select(col("src"), col("dst"), lit(1.0).as("value")))
+        GraphAlgorithms.wcc(g).toDF("id", "rep")
+      }
+    val out = ids.join(reps, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("rep"), col("id")).as("rep"))
+    out
   }
 }

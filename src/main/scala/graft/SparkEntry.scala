@@ -73,14 +73,14 @@ object SparkEntry {
     }
 
   /** parts co-occurring in the same order (canonical a<b). Pair generation is
-    * a per-order sorted-array expansion (one groupBy + explode), not a
-    * lineitem self-join — one scan of lineitem instead of two. */
+    * a per-order sorted-array expansion (one groupBy + a codegen'd pair
+    * expression + explode), not a lineitem self-join — one scan of lineitem
+    * instead of two, and no interpreted nested-HOF slicing per order. */
   private def coPurchaseGraph(s: SparkSession, dir: String): KGraph =
     cachedGraph(s, dir, "coPurchase") {
       val e = t(s, dir, "lineitem")
         .groupBy(col("l_orderkey")).agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
-        .select(explode(expr(
-          "flatten(transform(ps, (x, i) -> transform(slice(ps, i + 2, size(ps)), y -> struct(x AS src, y AS dst))))")).as("p"))
+        .select(explode(graft.functions.GraphSetExpressions.arrayPairs(col("ps"))).as("p"))
         .select(col("p.src").as("src"), col("p.dst").as("dst")).distinct()
         .withColumn("value", lit(1L))
       KGraph.fromEdges(e, id => id)

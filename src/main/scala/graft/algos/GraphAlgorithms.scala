@@ -349,14 +349,26 @@ object GraphAlgorithms {
     bidir(e.select(col("a").as("src"), col("b").as("dst")), withValue = false)
       .groupBy(col("src")).agg(array_sort(collect_set(col("dst"))).as("nbrs"))
 
+  /** Join-side strategy for the array-carrying adjacency relation, decided
+    * by DATA size (so the rule itself scales): broadcast when the adjacency
+    * provably fits a routine broadcast (≈32 bytes per canonical edge, cap
+    * 64 MB), else shuffle-hash. Never let AQE broadcast a fat JOIN
+    * INTERMEDIATE from its row count — on a co-occurrence graph the
+    * (edges ⋈ adjacency) intermediate carries the neighbor arrays and
+    * reaches gigabytes while still "few rows". `e` must be materialized
+    * (localCheckpoint) so the count is a cheap cached-RDD job. */
+  private def adjSide(adj: DataFrame, eCount: Long): DataFrame =
+    if (eCount * 32L <= 64L * 1024 * 1024) broadcast(adj) else adj.hint("shuffle_hash")
+
   /** Per-edge common-neighbor sets: (a, b, common array). One groupBy + two
     * joins; the intersection is a codegen'd merge walk over the sorted
     * adjacency arrays (graft.functions.GraphSetExpressions — array_intersect
     * would rebuild an interpreted hash set per edge). */
   private def commonNeighbors(e: DataFrame): DataFrame = {
     val adj = adjacencyArrays(e)
-    e.join(adj.select(col("src").as("a"), col("nbrs").as("na")), Seq("a"))
-      .join(adj.select(col("src").as("b"), col("nbrs").as("nb")), Seq("b"))
+    val n = e.count()
+    e.join(adjSide(adj.select(col("src").as("a"), col("nbrs").as("na")), n), Seq("a"))
+      .join(adjSide(adj.select(col("src").as("b"), col("nbrs").as("nb")), n), Seq("b"))
       .select(col("a"), col("b"),
         graft.functions.GraphSetExpressions.sortedIntersect(col("na"), col("nb")).as("common"))
   }
@@ -388,9 +400,10 @@ object GraphAlgorithms {
   def globalTriangleCount(g: KGraph): Long = {
     val e = cp(canonicalEdges(g.edges))
     val adj = adjacencyArrays(e)
+    val n = e.count()
     val total = e
-      .join(adj.select(col("src").as("a"), col("nbrs").as("na")), Seq("a"))
-      .join(adj.select(col("src").as("b"), col("nbrs").as("nb")), Seq("b"))
+      .join(adjSide(adj.select(col("src").as("a"), col("nbrs").as("na")), n), Seq("a"))
+      .join(adjSide(adj.select(col("src").as("b"), col("nbrs").as("nb")), n), Seq("b"))
       .agg(sum(graft.functions.GraphSetExpressions
         .sortedIntersectCount(col("na"), col("nb")).cast("long")).as("s")).head()
     if (total.isNullAt(0)) 0L else total.getLong(0) / 3
@@ -429,23 +442,16 @@ object GraphAlgorithms {
     * there), matching the wedge-enumeration semantics. */
   def adamicAdar(g: KGraph, conversionEnabled: Boolean = false): DataFrame = {
     val e = cp(canonicalEdges(g.edges))
-    val sym = bidir(e.select(col("a").as("src"), col("b").as("dst")), withValue = false)
-    val deg = sym.groupBy(col("src").as("w")).agg(count(lit(1)).as("deg"))
-    // aligned arrays per vertex: neighbors sorted asc + their log-weights
-    val adjW = sym
-      .join(deg.select(col("w").as("dst"), log(lit(1.0) / col("deg")).as("lw")), Seq("dst"))
-      .groupBy(col("src"))
-      .agg(array_sort(collect_list(struct(col("dst"), col("lw")))).as("nl"))
-      .select(col("src"),
-        transform(col("nl"), s => s.getField("dst")).as("nbrs"),
-        transform(col("nl"), s => s.getField("lw")).as("ws"))
-    val scored = e
-      .join(adjW.select(col("src").as("a"), col("nbrs").as("na"), col("ws").as("wa")), Seq("a"))
-      .join(adjW.select(col("src").as("b"), col("nbrs").as("nb")), Seq("b"))
-      .select(col("a").as("src"), col("b").as("dst"),
-        graft.functions.GraphSetExpressions
-          .sortedIntersectWeightSum(col("na"), col("wa"), col("nb")).as("value"))
-      .filter(col("value").isNotNull)
+    val deg = bidir(e.select(col("a").as("src"), col("b").as("dst")), withValue = false)
+      .groupBy(col("src").as("w")).agg(count(lit(1)).as("deg"))
+    // per-edge common neighbors from the codegen'd merge walk, then one
+    // explode (3·triangles rows) scored against the BROADCAST degree table —
+    // degrees are |V| small rows, never the array-carrying adjacency side
+    val scored = commonNeighbors(e)
+      .select(col("a"), col("b"), explode(col("common")).as("w"))
+      .join(broadcast(deg), Seq("w"))
+      .groupBy(col("a").as("src"), col("b").as("dst"))
+      .agg(sum(log(lit(1.0) / col("deg"))).as("value"))
     if (conversionEnabled) scored.withColumn("value", -col("value")) else scored
   }
 
@@ -456,9 +462,10 @@ object GraphAlgorithms {
     val e = cp(canonicalEdges(g.edges))
     val adj = adjacencyArrays(e)
     val cnt = graft.functions.GraphSetExpressions.sortedIntersectCount(col("na"), col("nb"))
+    val n = e.count()
     val sim = e
-      .join(adj.select(col("src").as("a"), col("nbrs").as("na")), Seq("a"))
-      .join(adj.select(col("src").as("b"), col("nbrs").as("nb")), Seq("b"))
+      .join(adjSide(adj.select(col("src").as("a"), col("nbrs").as("na")), n), Seq("a"))
+      .join(adjSide(adj.select(col("src").as("b"), col("nbrs").as("nb")), n), Seq("b"))
       .select(col("a").as("src"), col("b").as("dst"),
         (cnt.cast("double") / (size(col("na")) + size(col("nb")) - cnt)).as("value"))
     if (conversionEnabled)

@@ -164,10 +164,68 @@ object GraphSetExpressions {
       copy(first = f, second = s, third = t)
   }
 
+  /** All ordered pairs (a[i], a[j]) with i < j from one array<long> — the
+    * co-occurrence pair expansion (items per order/basket/document →
+    * co-purchase edges). The declarative nested-HOF form
+    * (`flatten(transform(ps, (x,i) -> transform(slice(ps,i+2,n), ...)))`)
+    * allocates a slice + lambda frames per element, interpreted; this is one
+    * codegen'd k·(k-1)/2 loop. Output order: lexicographic by (i, j). */
+  case class ArrayPairs(child: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+      with ImplicitCastInputTypes {
+    override def inputTypes: Seq[Bridge.AbstractType] = Seq(ArrayType(LongType))
+    override def dataType: DataType = ArrayType(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("src", LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("dst", LongType, nullable = false))),
+      containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "graft_array_pairs"
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val a = input.asInstanceOf[ArrayData]
+      val n = a.numElements()
+      val out = new Array[Any]((n.toLong * (n - 1) / 2).toInt)
+      var c = 0; var i = 0
+      while (i < n) {
+        var j = i + 1
+        while (j < n) {
+          out(c) = org.apache.spark.sql.catalyst.InternalRow(a.getLong(i), a.getLong(j))
+          c += 1; j += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val n = ctx.freshName("n"); val out = ctx.freshName("out")
+        val i = ctx.freshName("i"); val j = ctx.freshName("j"); val c = ctx.freshName("c")
+        val row = classOf[org.apache.spark.sql.catalyst.expressions.GenericInternalRow].getName
+        s"""
+           |int $n = $a.numElements();
+           |Object[] $out = new Object[$n * ($n - 1) / 2];
+           |int $c = 0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  for (int $j = $i + 1; $j < $n; $j++) {
+           |    $out[$c++] = new $row(new Object[] {
+           |      (Object) $a.getLong($i), (Object) $a.getLong($j) });
+           |  }
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   // ---- Column API ---------------------------------------------------------
 
   private def c(e: Expression): Column = Bridge.column(e)
   private def e(col: Column): Expression = Bridge.expression(col)
+
+  def arrayPairs(a: Column): Column = c(ArrayPairs(e(a)))
 
   def sortedIntersectCount(a: Column, b: Column): Column =
     c(SortedIntersectCount(e(a), e(b)))

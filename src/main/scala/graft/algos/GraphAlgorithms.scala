@@ -43,6 +43,38 @@ object GraphAlgorithms {
     fwd.unionByName(rev)
   }
 
+  /** Shared frontier-loop driver for the iterative algorithms: applies
+    * `step` per superstep (lazy localCheckpoint, so one driver job both
+    * materializes the state and counts the frontier) and checks convergence
+    * only every `convergenceCheckEvery` supersteps. On an O(diameter)
+    * algorithm this halves the number of driver jobs — a superstep past the
+    * fixpoint is a no-op for every caller (empty frontier ⇒ state
+    * unchanged), so batched checks cannot change results; they only cost at
+    * most checkEvery−1 no-op supersteps at the end. Non-checked states are
+    * unpersisted only AFTER a later check materializes their dependents
+    * (localCheckpoint invariant). */
+  private val convergenceCheckEvery = 2
+  private def frontierLoop(init: DataFrame, maxIterations: Int,
+                           activePred: Column)(step: DataFrame => DataFrame): DataFrame = {
+    var state = cp(init)
+    var pending: List[DataFrame] = Nil
+    var iter = 0
+    var active = 1L
+    while (active > 0 && iter < maxIterations) {
+      val newState = cpLazy(step(state))
+      iter += 1
+      if (iter % convergenceCheckEvery == 0 || iter >= maxIterations) {
+        active = newState.filter(activePred).count()
+        (state :: pending).foreach(_.unpersist(false))
+        pending = Nil
+      } else {
+        pending = state :: pending
+      }
+      state = newState
+    }
+    state
+  }
+
   // =========================================================================
   // Connected components (reference library/ConnectedComponents.java:28-62 —
   // min-label propagation). Undirected propagation of the minimum vertex id.
@@ -52,23 +84,17 @@ object GraphAlgorithms {
     val edges = cp(bidir(g.edges, withValue = false))
     // state carries a `changed` flag so each superstep is ONE materialization
     // (localCheckpoint) + ONE count that reuses it — no separate frontier DF.
-    var state = cp(g.vertices.select(col("id"), col("id").as("comp"), lit(true).as("changed")))
-    var iter = 0
-    var active = 1L
-    while (active > 0 && iter < maxIterations) {
+    val init = g.vertices.select(col("id"), col("id").as("comp"), lit(true).as("changed"))
+    val state = frontierLoop(init, maxIterations, col("changed")) { state =>
       val msgs = edges
         .join(state.filter(col("changed")).select(col("id").as("src"), col("comp")), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(min(col("comp")).as("cand"))
-      val newState = cpLazy(state.select(col("id"), col("comp"))
+      state.select(col("id"), col("comp"))
         .join(msgs, Seq("id"), "left_outer")
         .select(col("id"),
           when(col("cand") < col("comp"), col("cand")).otherwise(col("comp")).as("comp"),
-          (col("cand") < col("comp")).as("changed")))
-      active = newState.filter(col("changed")).count()
-      state.unpersist(false)
-      state = newState
-      iter += 1
+          (col("cand") < col("comp")).as("changed"))
     }
     state.select(col("id"), col("comp").as("value"))
   }
@@ -141,26 +167,20 @@ object GraphAlgorithms {
     val edges = cp(
       if (directed) g.edges.select(col("src"), col("dst"), col("value"))
       else bidir(g.edges, withValue = true))
-    var state = cp(g.vertices.select(col("id"),
+    val init = g.vertices.select(col("id"),
       when(col("id") === srcVertexId, lit(0.0)).otherwise(lit(null).cast("double")).as("dist"),
-      (col("id") === srcVertexId).as("changed")))
-    var iter = 0
-    var active = 1L
-    while (active > 0 && iter < maxIterations) {
+      (col("id") === srcVertexId).as("changed"))
+    val state = frontierLoop(init, maxIterations, col("changed")) { state =>
       val msgs = edges
         .join(state.filter(col("changed")).select(col("id").as("src"), col("dist")), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(min(col("dist") + col("value")).as("cand"))
       val improves = col("cand").isNotNull && (col("dist").isNull || col("cand") < col("dist"))
-      val newState = cpLazy(state.select(col("id"), col("dist"))
+      state.select(col("id"), col("dist"))
         .join(msgs, Seq("id"), "left_outer")
         .select(col("id"),
           when(improves, col("cand")).otherwise(col("dist")).as("dist"),
-          improves.as("changed")))
-      active = newState.filter(col("changed")).count()
-      state.unpersist(false)
-      state = newState
-      iter += 1
+          improves.as("changed"))
     }
     state.select(col("id"), col("dist").as("value"))
   }
@@ -174,26 +194,20 @@ object GraphAlgorithms {
     val edges = cp(
       if (directed) g.edges.select(col("src"), col("dst"))
       else bidir(g.edges, withValue = false))
-    var state = cp(g.vertices.select(col("id"),
+    val init = g.vertices.select(col("id"),
       when(col("id") === srcVertexId, lit(0L)).otherwise(lit(null).cast("long")).as("dist"),
-      (col("id") === srcVertexId).as("changed")))
-    var iter = 0
-    var active = 1L
-    while (active > 0 && iter < maxIterations) {
+      (col("id") === srcVertexId).as("changed"))
+    val state = frontierLoop(init, maxIterations, col("changed")) { state =>
       // BFS visits each vertex once: candidates are unvisited targets only.
       val msgs = edges
         .join(state.filter(col("changed")).select(col("id").as("src"), col("dist")), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(min(col("dist") + 1).as("cand"))
-      val newState = cpLazy(state.select(col("id"), col("dist"))
+      state.select(col("id"), col("dist"))
         .join(msgs, Seq("id"), "left_outer")
         .select(col("id"),
           coalesce(col("dist"), col("cand")).as("dist"),
-          (col("dist").isNull && col("cand").isNotNull).as("changed")))
-      active = newState.filter(col("changed")).count()
-      state.unpersist(false)
-      state = newState
-      iter += 1
+          (col("dist").isNull && col("cand").isNotNull).as("changed"))
     }
     state.select(col("id"), col("dist").as("value"))
   }
@@ -211,29 +225,23 @@ object GraphAlgorithms {
     val edges = cp(
       if (directed) g.edges.select(col("src"), col("dst"), col("value"))
       else bidir(g.edges, withValue = true))
-    var state = cp(g.vertices.select(col("id"))
+    val init = g.vertices.select(col("id"))
       .filter(col("id").isin(landmarks: _*))
-      .select(col("id"), col("id").as("landmark"), lit(0.0).as("dist"), lit(true).as("changed")))
-    var iter = 0
-    var active = 1L
-    while (active > 0 && iter < maxIterations) {
+      .select(col("id"), col("id").as("landmark"), lit(0.0).as("dist"), lit(true).as("changed"))
+    val state = frontierLoop(init, maxIterations, col("changed")) { state =>
       val msgs = edges
         .join(state.filter(col("changed"))
           .select(col("id").as("src"), col("landmark"), col("dist")), Seq("src"))
         .groupBy(col("dst").as("id"), col("landmark"))
         .agg(min(col("dist") + col("value")).as("cand"))
       // full outer: new (id, landmark) states appear as the frontier expands
-      val newState = cpLazy(state.select(col("id"), col("landmark"), col("dist"))
+      state.select(col("id"), col("landmark"), col("dist"))
         .join(msgs, Seq("id", "landmark"), "full_outer")
         .select(col("id"), col("landmark"),
           when(col("dist").isNull || (col("cand").isNotNull && col("cand") < col("dist")),
             col("cand")).otherwise(col("dist")).as("dist"),
           (col("dist").isNull || (col("cand").isNotNull && col("cand") < col("dist")))
-            .as("changed")))
-      active = newState.filter(col("changed")).count()
-      state.unpersist(false)
-      state = newState
-      iter += 1
+            .as("changed"))
     }
     state.select(col("id"), col("landmark"), col("dist").as("value"))
   }
@@ -270,24 +278,17 @@ object GraphAlgorithms {
       case Some(s) => when(col("id") === s, lit(1.0)).otherwise(lit(0.0))
       case None    => lit(resetProb)
     }
-    var state = cp(g.vertices.select(col("id"),
-      seed0.as("rank"), seed0.as("delta")))
-    var iter = 0
-    var active = 1L
-    while (active > 0 && iter < maxIterations) {
+    val init = g.vertices.select(col("id"), seed0.as("rank"), seed0.as("delta"))
+    val state = frontierLoop(init, maxIterations, col("delta") > tolerance) { state =>
       val frontier = state.filter(col("delta") > tolerance)
       val msgs = frontier.withColumnRenamed("id", "src")
         .join(edges, Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(sum(col("delta") * col("w")).as("msg"))
-      val newState = cpLazy(state.join(msgs, Seq("id"), "left_outer")
+      state.join(msgs, Seq("id"), "left_outer")
         .select(col("id"),
           (col("rank") + coalesce(col("msg"), lit(0.0)) * damp).as("rank"),
-          (coalesce(col("msg"), lit(0.0)) * damp).as("delta")))
-      active = newState.filter(col("delta") > tolerance).count()
-      state.unpersist(false)
-      state = newState
-      iter += 1
+          (coalesce(col("msg"), lit(0.0)) * damp).as("delta"))
     }
     state.select(col("id"), col("rank").as("value"))
   }
@@ -300,10 +301,8 @@ object GraphAlgorithms {
   // =========================================================================
   def labelPropagation(g: KGraph, maxIterations: Int = 50): DataFrame = {
     val edges = cp(g.edges.select(col("src"), col("dst")))
-    var state = cp(g.vertices.select(col("id"), col("id").as("label")))
-    var iter = 0
-    var changed = 1L
-    while (changed > 0 && iter < maxIterations) {
+    val init = g.vertices.select(col("id"), col("id").as("label"), lit(true).as("changed"))
+    val state = frontierLoop(init, maxIterations, col("changed")) { state =>
       // every vertex re-broadcasts its label each round (LabelPropagation.java:52-57)
       val msgs = edges.join(state.select(col("id").as("src"), col("label")), Seq("src"))
         .groupBy(col("dst").as("id"), col("label"))
@@ -313,16 +312,12 @@ object GraphAlgorithms {
         .groupBy(col("id"))
         .agg(max(struct(col("freq"), col("label"))).as("best"))
         .select(col("id"), col("best.label").as("cand"))
-      val newState = cpLazy(state.select(col("id"), col("label"))
+      state.select(col("id"), col("label"))
         .join(msgs, Seq("id"), "left_outer")
         .select(col("id"),
           when(col("cand").isNotNull && col("cand") > col("label"), col("cand"))
             .otherwise(col("label")).as("label"),
-          (col("cand").isNotNull && col("cand") > col("label")).as("changed")))
-      changed = newState.filter(col("changed")).count()
-      state.unpersist(false)
-      state = newState
-      iter += 1
+          (col("cand").isNotNull && col("cand") > col("label")).as("changed"))
     }
     state.select(col("id"), col("label").as("value"))
   }

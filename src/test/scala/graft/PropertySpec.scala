@@ -146,4 +146,47 @@ class PropertySpec extends SparkSpec {
       assert(got === want)
     }
   }
+
+  test("frontier-batched BFS/SSSP match a driver-side reference on random graphs") {
+    import org.apache.spark.sql.functions._
+    import graft.algos.GraphAlgorithms
+    import graft.core.KGraph
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260813L)
+    for (_ <- 1 to 4) {
+      val n = 10 + rnd.nextInt(15)
+      val edges = (1 to 40).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong,
+          (1 + rnd.nextInt(9)).toDouble))
+        .filter { case (a, b, _) => a != b }
+        .groupBy(e => (e._1, e._2)).map(_._2.head).toSeq // dedupe (src,dst)
+      val src = edges.head._1
+      // driver-side reference: Bellman-Ford over the directed edge list
+      val ids = (edges.map(_._1) ++ edges.map(_._2)).distinct
+      var dist = Map(src -> 0.0)
+      var changed = true
+      while (changed) {
+        changed = false
+        for ((a, b, w) <- edges; da <- dist.get(a)) {
+          if (dist.get(b).forall(_ > da + w)) { dist += b -> (da + w); changed = true }
+        }
+      }
+      var hops = Map(src -> 0L)
+      var frontier = Set(src)
+      var level = 0L
+      while (frontier.nonEmpty) {
+        level += 1
+        val next = edges.filter(e => frontier(e._1)).map(_._2).toSet -- hops.keySet
+        next.foreach(b => hops += b -> level)
+        frontier = next
+      }
+      val g = KGraph.fromEdges(edges.toDF("src", "dst", "value"), id => id)
+      val gotSssp = GraphAlgorithms.sssp(g, src).collect()
+        .flatMap(r => if (r.isNullAt(1)) None else Some(r.getLong(0) -> r.getDouble(1))).toMap
+      assert(gotSssp === dist, s"sssp mismatch from $src on $edges")
+      val gotBfs = GraphAlgorithms.bfs(g, src).collect()
+        .flatMap(r => if (r.isNullAt(1)) None else Some(r.getLong(0) -> r.getLong(1))).toMap
+      assert(gotBfs === hops, s"bfs mismatch from $src on $edges")
+      assert(ids.nonEmpty)
+    }
+  }
 }

@@ -350,23 +350,41 @@ object GraphAlgorithms {
     * 64 MB), else shuffle-hash. Never let AQE broadcast a fat JOIN
     * INTERMEDIATE from its row count — on a co-occurrence graph the
     * (edges ⋈ adjacency) intermediate carries the neighbor arrays and
-    * reaches gigabytes while still "few rows". `e` must be materialized
-    * (localCheckpoint) so the count is a cheap cached-RDD job. */
+    * reaches gigabytes while still "few rows". */
   private def adjSide(adj: DataFrame, eCount: Long): DataFrame =
     if (eCount * 32L <= 64L * 1024 * 1024) broadcast(adj) else adj.hint("shuffle_hash")
 
-  /** Per-edge common-neighbor sets: (a, b, common array). One groupBy + two
-    * joins; the intersection is a codegen'd merge walk over the sorted
-    * adjacency arrays (graft.functions.GraphSetExpressions — array_intersect
-    * would rebuild an interpreted hash set per edge). */
-  private def commonNeighbors(e: DataFrame): DataFrame = {
-    val adj = adjacencyArrays(e)
-    val n = e.count()
-    e.join(adjSide(adj.select(col("src").as("a"), col("nbrs").as("na")), n), Seq("a"))
-      .join(adjSide(adj.select(col("src").as("b"), col("nbrs").as("nb")), n), Seq("b"))
+  /**
+   * Prepared undirected neighborhood view — the engine-side analog of the
+   * reference's prepare step (GraphUtils.groupEdgesBySourceAndRepartition,
+   * utils/GraphUtils.java:152-253, which materializes the co-partitioned
+   * adjacency before any algorithm runs): canonical simple edge set +
+   * per-vertex sorted adjacency arrays, BOTH materialized once
+   * (localCheckpoint) so the whole intersection family (triangles, LCC,
+   * Adamic-Adar, Jaccard) shares them instead of re-deriving per call.
+   */
+  case class UndirectedNeighborhood private[algos] (
+      e: DataFrame, adj: DataFrame, eCount: Long) {
+    /** Undirected simple-graph degree = adjacency array length. */
+    private[algos] def degrees: DataFrame =
+      adj.select(col("src"), size(col("nbrs")).as("deg"))
+  }
+
+  def prepareNeighborhood(g: KGraph): UndirectedNeighborhood = {
+    val e = cp(canonicalEdges(g.edges))
+    val adj = cp(adjacencyArrays(e))
+    UndirectedNeighborhood(e, adj, e.count())
+  }
+
+  /** Per-edge common-neighbor sets: (a, b, common array). Two joins; the
+    * intersection is a codegen'd merge walk over the sorted adjacency
+    * arrays (graft.functions.GraphSetExpressions — array_intersect would
+    * rebuild an interpreted hash set per edge). */
+  private def commonNeighbors(p: UndirectedNeighborhood): DataFrame =
+    p.e.join(adjSide(p.adj.select(col("src").as("a"), col("nbrs").as("na")), p.eCount), Seq("a"))
+      .join(adjSide(p.adj.select(col("src").as("b"), col("nbrs").as("nb")), p.eCount), Seq("b"))
       .select(col("a"), col("b"),
         graft.functions.GraphSetExpressions.sortedIntersect(col("na"), col("nb")).as("common"))
-  }
 
   /** Per-vertex triangle counts: (id, value=triangles). Each edge (a,b) sees
     * its triangles via common neighbors; every common member c yields one
@@ -376,9 +394,11 @@ object GraphAlgorithms {
     * Shuffle volume: the endpoint corners are pre-summed per edge (a and b
     * each get |common| in ONE row), so the exploded relation is
     * 2·E + 3·T rows instead of 9·T. */
-  def triangleCounts(g: KGraph): DataFrame = {
-    val e = cp(canonicalEdges(g.edges))
-    val perVertex = commonNeighbors(e)
+  def triangleCounts(g: KGraph): DataFrame =
+    triangleCounts(g, prepareNeighborhood(g))
+
+  def triangleCounts(g: KGraph, p: UndirectedNeighborhood): DataFrame = {
+    val perVertex = commonNeighbors(p)
       .filter(size(col("common")) > 0)
       .select(explode(concat(
         array(struct(col("a").as("id"), size(col("common")).cast("long").as("c")),
@@ -392,13 +412,13 @@ object GraphAlgorithms {
   /** Global triangle count (streaming ExactTriangleCount's batch analog,
     * streaming/library/ExactTriangleCount.java:42-127): Σ|N(a)∩N(b)| / 3 —
     * a codegen'd count per edge, no common-member materialization at all. */
-  def globalTriangleCount(g: KGraph): Long = {
-    val e = cp(canonicalEdges(g.edges))
-    val adj = adjacencyArrays(e)
-    val n = e.count()
-    val total = e
-      .join(adjSide(adj.select(col("src").as("a"), col("nbrs").as("na")), n), Seq("a"))
-      .join(adjSide(adj.select(col("src").as("b"), col("nbrs").as("nb")), n), Seq("b"))
+  def globalTriangleCount(g: KGraph): Long =
+    globalTriangleCount(prepareNeighborhood(g))
+
+  def globalTriangleCount(p: UndirectedNeighborhood): Long = {
+    val total = p.e
+      .join(adjSide(p.adj.select(col("src").as("a"), col("nbrs").as("na")), p.eCount), Seq("a"))
+      .join(adjSide(p.adj.select(col("src").as("b"), col("nbrs").as("nb")), p.eCount), Seq("b"))
       .agg(sum(graft.functions.GraphSetExpressions
         .sortedIntersectCount(col("na"), col("nb")).cast("long")).as("s")).head()
     if (total.isNullAt(0)) 0L else total.getLong(0) / 3
@@ -408,43 +428,37 @@ object GraphAlgorithms {
     * degree over the undirected simple graph; vertices with deg<2 → 0.0
     * (reference formula matches/d/(d-1) counts ordered pairs,
     * LocalClusteringCoefficient.java:139-150). Returns (id, value). */
-  def localClusteringCoefficient(g: KGraph): DataFrame = {
-    val e = cp(canonicalEdges(g.edges))
-    val deg = bidir(e.select(col("a").as("src"), col("b").as("dst")), withValue = false)
-      .groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
-    triangleCounts(g).withColumnRenamed("value", "tri")
-      .join(deg, Seq("id"), "left_outer")
+  def localClusteringCoefficient(g: KGraph): DataFrame =
+    localClusteringCoefficient(g, prepareNeighborhood(g))
+
+  def localClusteringCoefficient(g: KGraph, p: UndirectedNeighborhood): DataFrame =
+    triangleCounts(g, p).withColumnRenamed("value", "tri")
+      .join(p.degrees.withColumnRenamed("src", "id"), Seq("id"), "left_outer")
       .select(col("id"),
         when(col("deg") >= 2, col("tri") * 2.0 / (col("deg") * (col("deg") - 1)))
           .otherwise(lit(0.0)).as("value"))
-  }
 
   // =========================================================================
   // Edge similarity scores (library/similarity/AdamicAdar.java:33-231,
-  // Jaccard.java:36-225). Wedge enumeration over the undirected simple graph —
-  // pure joins, no iteration.
+  // Jaccard.java:36-225). Neighborhood intersection over the undirected
+  // simple graph — pure joins, no iteration.
   // =========================================================================
 
   /** Adamic-Adar per canonical edge: (src, dst, value = Σ_{w ∈ N(u)∩N(v)}
     * log(1/deg(w))). `conversionEnabled` negates to a distance like the
     * reference's ScaleToDistance (AdamicAdar.java:183-199).
-    *
-    * Plan: the per-neighbor weight log(1/deg(nbr)) is attached to the
-    * adjacency arrays at build time (one extra join on the small degree
-    * table), so the per-edge score is ONE codegen'd merge walk — no wedge
-    * explode, no per-edge degree join, no second shuffle. Edges with no
-    * common neighbor produce no row (the weight-sum expression is NULL
-    * there), matching the wedge-enumeration semantics. */
-  def adamicAdar(g: KGraph, conversionEnabled: Boolean = false): DataFrame = {
-    val e = cp(canonicalEdges(g.edges))
-    val deg = bidir(e.select(col("a").as("src"), col("b").as("dst")), withValue = false)
-      .groupBy(col("src").as("w")).agg(count(lit(1)).as("deg"))
-    // per-edge common neighbors from the codegen'd merge walk, then one
-    // explode (3·triangles rows) scored against the BROADCAST degree table —
-    // degrees are |V| small rows, never the array-carrying adjacency side
-    val scored = commonNeighbors(e)
+    * Common neighbors from the codegen'd merge walk, then one explode
+    * (3·triangles rows) scored against the BROADCAST degree table —
+    * degrees are |V| small rows, never the array-carrying adjacency side.
+    * Edges with no common neighbor produce no row (explode of empty),
+    * matching the reference's wedge-enumeration output. */
+  def adamicAdar(g: KGraph, conversionEnabled: Boolean = false): DataFrame =
+    adamicAdar(prepareNeighborhood(g), conversionEnabled)
+
+  def adamicAdar(p: UndirectedNeighborhood, conversionEnabled: Boolean): DataFrame = {
+    val scored = commonNeighbors(p)
       .select(col("a"), col("b"), explode(col("common")).as("w"))
-      .join(broadcast(deg), Seq("w"))
+      .join(broadcast(p.degrees.withColumnRenamed("src", "w")), Seq("w"))
       .groupBy(col("a").as("src"), col("b").as("dst"))
       .agg(sum(log(lit(1.0) / col("deg"))).as("value"))
     if (conversionEnabled) scored.withColumn("value", -col("value")) else scored
@@ -453,14 +467,14 @@ object GraphAlgorithms {
   /** Jaccard similarity per canonical edge: |N(u)∩N(v)| / |N(u)∪N(v)| —
     * one codegen'd merge-walk count per edge over the sorted adjacency
     * arrays; no wedge enumeration, no second shuffle. */
-  def jaccard(g: KGraph, conversionEnabled: Boolean = false): DataFrame = {
-    val e = cp(canonicalEdges(g.edges))
-    val adj = adjacencyArrays(e)
+  def jaccard(g: KGraph, conversionEnabled: Boolean = false): DataFrame =
+    jaccard(prepareNeighborhood(g), conversionEnabled)
+
+  def jaccard(p: UndirectedNeighborhood, conversionEnabled: Boolean): DataFrame = {
     val cnt = graft.functions.GraphSetExpressions.sortedIntersectCount(col("na"), col("nb"))
-    val n = e.count()
-    val sim = e
-      .join(adjSide(adj.select(col("src").as("a"), col("nbrs").as("na")), n), Seq("a"))
-      .join(adjSide(adj.select(col("src").as("b"), col("nbrs").as("nb")), n), Seq("b"))
+    val sim = p.e
+      .join(adjSide(p.adj.select(col("src").as("a"), col("nbrs").as("na")), p.eCount), Seq("a"))
+      .join(adjSide(p.adj.select(col("src").as("b"), col("nbrs").as("nb")), p.eCount), Seq("b"))
       .select(col("a").as("src"), col("b").as("dst"),
         (cnt.cast("double") / (size(col("na")) + size(col("nb")) - cnt)).as("value"))
     if (conversionEnabled)

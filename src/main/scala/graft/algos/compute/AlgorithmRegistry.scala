@@ -16,7 +16,7 @@ import graft.pregel.Pregel
 object AlgorithmRegistry {
 
   val algorithms: Set[String] =
-    Set("bfs", "lcc", "lp", "mssp", "pagerank", "sssp", "wcc")
+    Set("bfs", "lcc", "lp", "mssp", "pagerank", "sssp", "svdpp", "wcc")
 
   /** Initial vertex values per algorithm (GraphAlgorithmType.java:95-116). */
   def initialVertexValue(algorithm: String, id: Long): Any = algorithm match {
@@ -27,6 +27,7 @@ object AlgorithmRegistry {
     case "lp"       => id
     case "lcc"      => 1.0
     case "mssp"     => Map.empty[Long, Double]
+    case "svdpp"    => Cf.SvdppValue(0f, Array.empty[Float], Array.empty[Float])
     case other      => throw new IllegalArgumentException(s"Unsupported algorithm type: $other")
   }
 
@@ -85,6 +86,22 @@ object AlgorithmRegistry {
           initialMessage = Some(BasicAlgorithms.PageRank.initialMessage(reset)),
           maxIterations = maxIterations)
           .vertices.mapValues(v => v: Any)
+      case "svdpp" =>
+        // bipartite ratings: input edges are (user, item, rating); CfId keys
+        // collapse to a signed Long in the result (user → id, item → −id−1)
+        // since the registry surface is keyed by Long like the reference's
+        // parsed "(id, type)" wire format (GraphAlgorithmType.java:66-93)
+        val dim = configs.getOrElse("vector.size", 8).asInstanceOf[Number].intValue()
+        val iters = configs.getOrElse("iterations", 3).asInstanceOf[Number].intValue()
+        val seed = configs.get("random.seed").map(_.asInstanceOf[Number].longValue())
+        val ratings = edges.map { case (u, i, r) =>
+          (Cf.CfId.user(u), (Cf.CfId.item(i), r.toFloat)) }
+        val ids = ratings.flatMap(t => Iterator(t._1, t._2._1)).distinct()
+          .map(id => (id, Cf.SvdppValue(0f, Array.empty[Float], Array.empty[Float])))
+        Pregel.run(spark, new Cf.Svdpp(dim = dim, iterations = iters, randomSeed = seed),
+          ids, ratings, maxIterations = maxIterations)
+          .vertices.map { case (id, v) =>
+            (if (id.typ == 0) id.id else -id.id - 1, v: Any) }
       case other =>
         throw new IllegalArgumentException(s"Unsupported algorithm type: $other")
     }

@@ -28,9 +28,21 @@ class RegistrySpec extends SparkSpec {
     assert(lp(0L) === 0L)
     val lcc = AlgorithmRegistry.run(spark, "lcc", edges, maxIterations = 10).collect().toMap
     assert(lcc(5L) === 0.0) // chains have no triangles
+    // svdpp over a small bipartite rating set: users 1-2, items 10-11
+    val ratings = spark.sparkContext.parallelize(Seq(
+      (1L, 10L, 5.0), (1L, 11L, 3.0), (2L, 10L, 4.0)))
+    val svdpp = AlgorithmRegistry.run(spark, "svdpp", ratings,
+      Map("vector.size" -> 4, "iterations" -> 2, "random.seed" -> 42L),
+      maxIterations = 10).collect().toMap
+    assert(svdpp.keySet === Set(1L, 2L, -11L, -12L)) // users as id, items as -id-1
+    svdpp.values.foreach { v =>
+      val sv = v.asInstanceOf[graft.algos.compute.Cf.SvdppValue]
+      assert(sv.factors.length === 4)
+    }
     intercept[IllegalArgumentException] {
       AlgorithmRegistry.run(spark, "nope", edges)
     }
     assert(AlgorithmRegistry.initialVertexValue("bfs", 7L) === Long.MaxValue)
+    assert(AlgorithmRegistry.algorithms.size === 8) // GraphAlgorithmType parity
   }
 }

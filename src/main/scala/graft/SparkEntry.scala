@@ -122,9 +122,13 @@ object SparkEntry {
     }
 
   /** bounded bipartite ratings graph for the CF queries:
-    * customer × part via orders, rating = max quantity % 5 + 1. */
+    * customer × part via orders, rating = max quantity % 5 + 1.
+    * Stays distributed end to end (no driver collect): the Pregel inputs are
+    * derived with RDD transforms so the same path works when the ratings
+    * table is billions of rows. Persisted because verts/edges/partitionBy
+    * each re-evaluate it (tiny here, and at scale you'd persist it too). */
   private def cfRatings(s: SparkSession, dir: String)
-      : Array[(graft.algos.compute.Cf.CfId, graft.algos.compute.Cf.CfId, Float)] = {
+      : org.apache.spark.rdd.RDD[(graft.algos.compute.Cf.CfId, graft.algos.compute.Cf.CfId, Float)] = {
     import graft.algos.compute.Cf
     t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
       .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"), col("l_quantity")),
@@ -132,7 +136,8 @@ object SparkEntry {
       .filter(col("o_custkey") < 500 && col("l_partkey") < 500)
       .groupBy(col("o_custkey"), col("l_partkey"))
       .agg((max(col("l_quantity")) % 5 + 1).cast("float").as("rating"))
-      .collect().map(r => (Cf.CfId.user(r.getLong(0)), Cf.CfId.item(r.getLong(1)), r.getFloat(2)))
+      .rdd.map(r => (Cf.CfId.user(r.getLong(0)), Cf.CfId.item(r.getLong(1)), r.getFloat(2)))
+      .persist()
   }
 
   /** shared SQL fragments for the oracle side */
@@ -365,11 +370,10 @@ object SparkEntry {
     "cf_sgd_factors" -> ((s, dir) => {
       import graft.algos.compute.Cf
       import graft.pregel.Pregel
-      val sc = s.sparkContext
       val ratings = cfRatings(s, dir)
-      val verts = sc.parallelize(
-        (ratings.map(_._1) ++ ratings.map(_._2)).distinct.toSeq.map(id => (id, Array.empty[Float])))
-      val e = sc.parallelize(ratings.map { case (u, i, r) => (u, (i, r)) }.toSeq)
+      val verts = ratings.flatMap(t => Iterator(t._1, t._2)).distinct()
+        .map(id => (id, Array.empty[Float]))
+      val e = ratings.map { case (u, i, r) => (u, (i, r)) }
       val res = Pregel.run(s, new Cf.Sgd(dim = 8, iterations = 3, randomSeed = Some(42L)),
         verts, e, numPartitions = 8, maxIterations = 10)
       import s.implicits._
@@ -382,10 +386,9 @@ object SparkEntry {
       import graft.algos.compute.Cf
       import graft.pregel.Pregel
       val ratings = cfRatings(s, dir)
-      val sc = s.sparkContext
-      val verts = sc.parallelize(
-        (ratings.map(_._1) ++ ratings.map(_._2)).distinct.toSeq.map(id => (id, Array.empty[Float])))
-      val e = sc.parallelize(ratings.map { case (u, i, r) => (u, (i, r)) }.toSeq)
+      val verts = ratings.flatMap(t => Iterator(t._1, t._2)).distinct()
+        .map(id => (id, Array.empty[Float]))
+      val e = ratings.map { case (u, i, r) => (u, (i, r)) }
       val res = Pregel.run(s, new Cf.Als(dim = 8, iterations = 3, randomSeed = Some(42L)),
         verts, e, numPartitions = 8, maxIterations = 10)
       import s.implicits._
@@ -398,11 +401,9 @@ object SparkEntry {
       import graft.algos.compute.Cf
       import graft.pregel.Pregel
       val ratings = cfRatings(s, dir)
-      val sc = s.sparkContext
-      val verts = sc.parallelize(
-        (ratings.map(_._1) ++ ratings.map(_._2)).distinct
-          .toSeq.map(id => (id, Cf.SvdppValue(0f, Array.empty[Float], Array.empty[Float]))))
-      val e = sc.parallelize(ratings.map { case (u, i, r) => (u, (i, r)) }.toSeq)
+      val verts = ratings.flatMap(t => Iterator(t._1, t._2)).distinct()
+        .map(id => (id, Cf.SvdppValue(0f, Array.empty[Float], Array.empty[Float])))
+      val e = ratings.map { case (u, i, r) => (u, (i, r)) }
       val res = Pregel.run(s, new Cf.Svdpp(dim = 8, iterations = 3, randomSeed = Some(42L)),
         verts, e, numPartitions = 8, maxIterations = 12)
       import s.implicits._
@@ -415,16 +416,15 @@ object SparkEntry {
     "g_semicluster" -> ((s, dir) => {
       import graft.algos.compute.AdvancedAlgorithms.{SemiClustering, SemiCluster}
       import graft.pregel.Pregel
-      val sc = s.sparkContext
       val edges = starGraph(s, dir).edges
         .select(col("src"), col("dst"), col("value"))
-        .collect().flatMap(r => Seq(
+        .rdd.flatMap(r => Iterator(
           (r.getLong(0), (r.getLong(1), r.getDouble(2))),
-          (r.getLong(1), (r.getLong(0), r.getDouble(2)))))
-      val verts = sc.parallelize(edges.map(_._1).distinct.toSeq.map(id => (id, Set.empty[SemiCluster])))
+          (r.getLong(1), (r.getLong(0), r.getDouble(2))))).persist()
+      val verts = edges.map(_._1).distinct().map(id => (id, Set.empty[SemiCluster]))
       val res = Pregel.run(s, new SemiClustering(iterations = 6, maxClusters = 2,
         clusterCapacity = 4, scoreFactor = 0.5),
-        verts, sc.parallelize(edges.toSeq), numPartitions = 8, maxIterations = 10)
+        verts, edges, numPartitions = 8, maxIterations = 10)
       import s.implicits._
       res.vertices.map { case (id, clusters) =>
         val best = if (clusters.isEmpty) 0.0
@@ -437,16 +437,18 @@ object SparkEntry {
       import graft.algos.compute.AdvancedAlgorithms.{KMeans, KMeansValue}
       import graft.pregel.Pregel
       val sc = s.sparkContext
-      // collect raw floats and widen driver-side: the Catalyst per-element
-      // cast is interpreted and the tiny file is a single input partition
+      // distributed load; float→double widening runs in the map task (the
+      // Catalyst per-element cast would be interpreted anyway)
       val pts = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"))
-        .collect().map(r => (r.getLong(0),
+        .rdd.map(r => (r.getLong(0),
           KMeansValue(r.getSeq[Float](1).iterator.map(_.toDouble).toVector, 0)))
-      val init = pts.sortBy(_._1).take(4).map(_._2.coords).toSeq
+        .persist()
+      // id-ordered quantizer init: takeOrdered ships only k rows to the driver
+      val init = pts.takeOrdered(4)(Ordering.by(_._1)).map(_._2.coords).toSeq
       val res = Pregel.run(s,
         new KMeans(k = 4, maxIterations = 8, initialCenters = Some(init)),
-        sc.parallelize(pts.toSeq), sc.parallelize(Seq.empty[(Long, (Long, Double))]),
+        pts, sc.parallelize(Seq.empty[(Long, (Long, Double))]),
         numPartitions = 8, maxIterations = 10)
       import s.implicits._
       res.vertices.map { case (id, v) => (id, v.clusterId) }.toDF("vec_id", "cluster")
@@ -455,15 +457,14 @@ object SparkEntry {
     "g_sybilrank" -> ((s, dir) => {
       import graft.algos.compute.AdvancedAlgorithms.{SybilRank, SybilValue}
       import graft.pregel.Pregel
-      val sc = s.sparkContext
       val edges = starGraph(s, dir).edges
         .select(col("src"), col("dst"), col("value"))
-        .collect().flatMap(r => Seq(
+        .rdd.flatMap(r => Iterator(
           (r.getLong(0), (r.getLong(1), r.getDouble(2))),
-          (r.getLong(1), (r.getLong(0), r.getDouble(2)))))
-      val ids = edges.map(_._1).distinct
-      val verts = sc.parallelize(ids.toSeq.map(id => (id, SybilValue(0.0, isTrusted = id % 100 == 0))))
-      val res = Pregel.run(s, new SybilRank(), verts, sc.parallelize(edges.toSeq),
+          (r.getLong(1), (r.getLong(0), r.getDouble(2))))).persist()
+      val verts = edges.map(_._1).distinct()
+        .map(id => (id, SybilValue(0.0, isTrusted = id % 100 == 0)))
+      val res = Pregel.run(s, new SybilRank(), verts, edges,
         numPartitions = 8, maxIterations = 30)
       import s.implicits._
       res.vertices.map { case (id, v) => (id, math.round(v.rank * 1e6) / 1e6) }
@@ -473,16 +474,15 @@ object SparkEntry {
     "g_maxbmatching" -> ((s, dir) => {
       import graft.algos.compute.AdvancedAlgorithms.{MaxBMatching, MbmEdge, MbmState}
       import graft.pregel.Pregel
-      val sc = s.sparkContext
       // undirected star clusters (diameter 2 → fast proposal convergence);
       // weights vary per leaf, capacity 2 per vertex
       val edges = starGraph(s, dir).edges
         .select(col("src"), col("dst"), (col("src") % 7 + 1).cast("double").as("w"))
-        .collect().flatMap(r => Seq(
+        .rdd.flatMap(r => Iterator(
           (r.getLong(0), (r.getLong(1), MbmEdge(r.getDouble(2), MbmState.Default))),
-          (r.getLong(1), (r.getLong(0), MbmEdge(r.getDouble(2), MbmState.Default)))))
-      val verts = sc.parallelize(edges.map(_._1).distinct.toSeq.map(id => (id, 2)))
-      val res = Pregel.run(s, new MaxBMatching, verts, sc.parallelize(edges.toSeq),
+          (r.getLong(1), (r.getLong(0), MbmEdge(r.getDouble(2), MbmState.Default))))).persist()
+      val verts = edges.map(_._1).distinct().map(id => (id, 2))
+      val res = Pregel.run(s, new MaxBMatching, verts, edges,
         numPartitions = 8, maxIterations = 12)
       import s.implicits._
       res.edges.filter(_._2.value.state == MbmState.Included)

@@ -308,6 +308,13 @@ object SparkEntry {
       t(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.subwordCount(col("text")).as("n_subwords"))),
 
+    "d_fingerprints" -> ((s, dir) =>
+      // winnowing: ≤16 smallest distinct Poly64 rolling-window hashes per doc
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextAnalysis.robustFingerprintsPoly(col("text"), k = 8,
+            numFingerprints = 16)).as("fp"))),
+
     "d_quality" -> ((s, dir) =>
       TextAnalysis.qualityScore(t(s, dir, "documents"))
         .select(col("doc_id"),
@@ -1047,6 +1054,23 @@ object SparkEntry {
         |    len(regexp_extract_all(text, '[0-9][a-zA-Z]'))
         |  END AS INTEGER) AS n_subwords
         |FROM documents""".stripMargin,
+
+    "d_fingerprints" -> {
+      // winnowing fingerprints: per window position i (1-based over the
+      // normalized string, min 1 position), Poly64-fold the ≤8-codepoint
+      // window, then keep the 16 smallest distinct signed values. Mirrors
+      // Poly64.rollingFingerprints exactly (the rolling update there is
+      // algebraically the same fold per window).
+      val gramCps =
+        "list_transform(range(i, i + least(8, length(s) - i + 1)), " +
+          "j -> CAST(unicode(s[j]) AS HUGEINT))"
+      s"""SELECT doc_id, unnest(list_slice(list_sort(list_distinct(
+         |    list_transform(range(1, greatest(length(s) - 7, 1) + 1),
+         |      i -> ${sqlU2S(sqlPoly(gramCps, 1125899906842597L, 1099511628211L))}))),
+         |  1, 16)) AS fp
+         |FROM (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS s
+         |      FROM documents)""".stripMargin
+    },
 
     "d_quality" ->
       """SELECT doc_id,

@@ -3,8 +3,9 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graft.Bridge
-import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /**
@@ -85,4 +86,78 @@ object Poly64 {
 
   def poly64(c: Column, seed: Long = Seed1, mult: Long = Mult1): Column =
     Bridge.column(Poly64Hash(Bridge.expression(c), seed, mult))
+
+  /**
+   * Winnowing-style document fingerprints in one pass: the `maxOut` smallest
+   * DISTINCT Poly64 hashes over sliding k-code-point windows, ascending
+   * (signed order — same as `array_sort` / DuckDB BIGINT sort).
+   *
+   * Each window hash equals the plain Poly64 fold of that substring, but the
+   * loop maintains it with the classic Rabin ROLLING update
+   * `h' = (h − seed·mult^k − cp_out·mult^(k−1))·mult + cp_in + seed·mult^k`
+   * (all mod 2^64), so cost is O(len), not O(len·k). Input shorter than k
+   * code points yields the fold of the whole string (the `substr(s, i, k)`
+   * window semantics); empty input yields [seed].
+   */
+  def rollingFingerprints(s: UTF8String, k: Int, maxOut: Int,
+                          seed: Long, mult: Long): GenericArrayData = {
+    val str = s.toString
+    val len = str.length
+    var cnt = 0
+    var ci = 0
+    while (ci < len) { ci += Character.charCount(str.codePointAt(ci)); cnt += 1 }
+    val cps = new Array[Int](cnt)
+    ci = 0; var i = 0
+    while (ci < len) {
+      val cp = str.codePointAt(ci); cps(i) = cp; i += 1; ci += Character.charCount(cp)
+    }
+    val ts = new java.util.TreeSet[java.lang.Long]()
+    def add(h: Long): Unit = { ts.add(h); if (ts.size > maxOut) ts.pollLast() }
+    if (cnt <= k) {
+      var h = seed; var j = 0
+      while (j < cnt) { h = h * mult + cps(j); j += 1 }
+      add(h)
+    } else {
+      var b = 1L; var t = 0
+      while (t < k - 1) { b *= mult; t += 1 } // mult^(k-1), wrapped
+      val a = b * mult * seed                 // seed·mult^k, wrapped
+      var h = seed; var j = 0
+      while (j < k) { h = h * mult + cps(j); j += 1 }
+      add(h)
+      var w = 0
+      while (w + k < cnt) {
+        h = (h - a - cps(w) * b) * mult + cps(w + k) + a
+        add(h); w += 1
+      }
+    }
+    val out = new Array[Long](ts.size)
+    val it = ts.iterator; var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    new GenericArrayData(out)
+  }
+
+  case class RollingFingerprintsExpr(child: Expression, k: Int, maxOut: Int,
+                                     seed: Long, mult: Long)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    require(k >= 1, "window length must be >= 1")
+    require(maxOut >= 1, "fingerprint count must be >= 1")
+    override def inputTypes: Seq[Bridge.AbstractType] = Seq(StringType)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "graft_rolling_fps"
+
+    override protected def nullSafeEval(input: Any): Any =
+      rollingFingerprints(input.asInstanceOf[UTF8String], k, maxOut, seed, mult)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, s =>
+        s"graft.functions.Poly64.rollingFingerprints($s, $k, $maxOut, ${seed}L, ${mult}L)")
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Column form of [[rollingFingerprints]] (array<bigint>, ≤ maxOut ascending). */
+  def rollingFps(c: Column, k: Int = 8, maxOut: Int = 16,
+                 seed: Long = Seed1, mult: Long = Mult1): Column =
+    Bridge.column(RollingFingerprintsExpr(Bridge.expression(c), k, maxOut, seed, mult))
 }

@@ -100,6 +100,13 @@ object TextAnalysis {
       i => xxhash64(norm.substr(i, lit(k))))
     slice(array_sort(array_distinct(grams)), 1, numFingerprints)
   }
+
+  /** Same minima-of-k-gram-hashes construction with the cross-engine Poly64
+    * family and a true Rabin rolling update in one codegen'd pass (O(len)
+    * instead of a per-window rehash) — the oracle-gated variant. */
+  def robustFingerprintsPoly(text: Column, k: Int = 8, numFingerprints: Int = 16): Column =
+    graft.functions.Poly64.rollingFps(
+      regexp_replace(lower(trim(text)), "\\s+", " "), k, numFingerprints)
 }
 
 /** Minimal per-language stopword profiles (public common-word lists). */

@@ -101,4 +101,48 @@ class Poly64Spec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(b === b2)
   }
+
+  /** Driver-side reference: per-window Poly64 fold (no rolling update),
+    * distinct, signed sort, first `maxOut`. */
+  private def refFingerprints(s: String, k: Int, maxOut: Int): Seq[Long] = {
+    val cps = s.codePoints().toArray
+    val windows =
+      if (cps.length <= k) Seq(cps.toSeq)
+      else (0 to cps.length - k).map(i => cps.slice(i, i + k).toSeq)
+    windows.map(_.foldLeft(Poly64.Seed1)((h, cp) => h * Poly64.Mult1 + cp))
+      .distinct.sorted.take(maxOut)
+  }
+
+  test("rolling fingerprints match the per-window fold reference") {
+    val rnd = new scala.util.Random(7)
+    val samples = Seq("", "a", "short", "exactly8", "just over eight",
+      "für müller und die straße", "emoji 😀 in the 𝄞 middle") ++
+      (1 to 40).map(_ => rnd.alphanumeric.take(rnd.nextInt(60)).mkString(" ").trim)
+    for (s <- samples; k <- Seq(3, 8); n <- Seq(4, 16)) {
+      val got = Poly64.rollingFingerprints(UTF8String.fromString(s), k, n,
+        Poly64.Seed1, Poly64.Mult1).toLongArray().toSeq
+      assert(got === refFingerprints(s, k, n), s"'$s' k=$k n=$n")
+    }
+  }
+
+  test("rolling fingerprints column path: stable under local edits, explode-gated shape") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"), // local edit
+      (3L, "completely unrelated content here"),
+      (4L, ""), (5L, "hi")
+    ).toDF("doc_id", "text")
+    val fps = df.select(col("doc_id"),
+      graft.pipeline.TextAnalysis.robustFingerprintsPoly(col("text"), 8, 16).as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // winnowing robustness: one-word edit keeps most minima in common
+    val common = fps(1L).toSet.intersect(fps(2L).toSet).size
+    assert(common >= 8, s"expected >=8 shared fingerprints, got $common")
+    assert(fps(1L).toSet.intersect(fps(3L).toSet).size <= 2)
+    // empty doc → [seed]; short doc → single whole-string fold
+    assert(fps(4L) === Seq(Poly64.Seed1))
+    assert(fps(5L).length === 1)
+    // ascending signed order
+    fps.values.foreach(v => assert(v === v.sorted))
+  }
 }

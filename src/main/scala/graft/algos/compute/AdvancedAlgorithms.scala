@@ -252,6 +252,14 @@ object AdvancedAlgorithms {
       }
     }
 
+    // per-task center cache: resolved once per superstep per partition
+    // instead of per vertex (the hook state is task-local)
+    @transient private var taskCenters: Array[Vector[Double]] = _
+    override def preSuperstep(superstep: Int, aggregates: String => Any): Unit =
+      taskCenters =
+        if (superstep == 0) null
+        else Array.tabulate(k)(i => aggregates(center(i)).asInstanceOf[Vector[Double]])
+
     def compute(superstep: Int, id: Long, value: KMeansValue, messages: Iterable[Long],
                 edges: Iterable[OutEdge[Long, Double]],
                 cb: Callback[Long, KMeansValue, Double, Long]): Unit = {
@@ -259,9 +267,15 @@ object AdvancedAlgorithms {
         if (initialCenters.isEmpty)
           cb.aggregate(InitialCenters, Vector((id, value.coords)))
       } else {
-        val centers = (0 until k).map(i => cb.getAggregatedValue[Vector[Double]](center(i)))
-        val closest = centers.zipWithIndex
-          .minBy { case (c, i) => (euclidean(c, value.coords), i) }._2
+        val centers: IndexedSeq[Vector[Double]] =
+          if (taskCenters != null) scala.collection.immutable.ArraySeq.unsafeWrapArray(taskCenters)
+          else (0 until k).map(i => cb.getAggregatedValue[Vector[Double]](center(i)))
+        var closest = 0; var best = Double.MaxValue; var i = 0
+        while (i < k) {
+          val d = euclidean(centers(i), value.coords)
+          if (d < best) { best = d; closest = i }
+          i += 1
+        }
         cb.aggregate(center(closest), value.coords)
         cb.aggregate(count(closest), 1L)
         cb.setNewVertexValue(KMeansValue(value.coords, closest))
@@ -272,8 +286,12 @@ object AdvancedAlgorithms {
     val InitialCenters = "kmeans.initial.centers"
     def center(i: Int) = s"center.aggr.prefixC_$i"
     def count(i: Int) = s"assigned.points.prefixC_$i"
-    def euclidean(a: Vector[Double], b: Vector[Double]): Double =
-      math.sqrt(a.zip(b).map { case (x, y) => math.pow(x - y, 2) }.sum)
+    def euclidean(a: Vector[Double], b: Vector[Double]): Double = {
+      val ia = a.iterator; val ib = b.iterator
+      var s = 0.0
+      while (ia.hasNext && ib.hasNext) { val d = ia.next() - ib.next(); s += d * d }
+      math.sqrt(s)
+    }
   }
 
   // =========================================================================

@@ -35,7 +35,16 @@ object Aggregators {
     val zero: Vector[Double] = Vector.empty
     def merge(a: Vector[Double], b: Vector[Double]): Vector[Double] =
       if (a.isEmpty) b else if (b.isEmpty) a
-      else a.zip(b).map { case (x, y) => x + y }
+      else {
+        // iterator loop instead of zip/map: no per-element tuples and no
+        // intermediate collection (hot in the per-vertex K-means fold)
+        val n = math.min(a.length, b.length)
+        val out = new Array[Double](n)
+        val ia = a.iterator; val ib = b.iterator
+        var i = 0
+        while (i < n) { out(i) = ia.next() + ib.next(); i += 1 }
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(out).toVector
+      }
   }
 
   /** Concatenating list aggregator (K-means initial-centers collection,

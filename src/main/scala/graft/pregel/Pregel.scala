@@ -215,7 +215,14 @@ object Pregel {
       val prevCarrier = carrier
       val out: RDD[(K, VertexOut[K, VV, EV, M])] = carrier
         .cogroup(sent, selfActive, adj, part)
-        .mapPartitions(_.flatMap { case (id, (cIt, mIt, actIt, aIt)) =>
+        .mapPartitions({ partIt =>
+          // per-task hooks around the partition's compute calls
+          // (ComputeFunction.java preSuperstep/postSuperstep; the reference
+          // runs them once per stream task per superstep). The function
+          // instance is task-local (closure deserialization), so hook state
+          // mutated here is visible to this task's compute() calls only.
+          fn.preSuperstep(step, name => prevAggs.getOrElse(name, zeros(name)))
+          val mapped = partIt.flatMap { case (id, (cIt, mIt, actIt, aIt)) =>
           if (cIt.isEmpty) Iterator.empty // message to a nonexistent vertex: drop
           else {
           val prev = cIt.head
@@ -248,6 +255,14 @@ object Pregel {
                 else None,
                 cb.aggContribs.toMap))
           })
+          }
+          }
+          // fire postSuperstep after the last row is consumed, without
+          // materializing the partition
+          mapped ++ new Iterator[(K, VertexOut[K, VV, EV, M])] {
+            private var fired = false
+            def hasNext: Boolean = { if (!fired) { fired = true; fn.postSuperstep(step) }; false }
+            def next(): (K, VertexOut[K, VV, EV, M]) = throw new NoSuchElementException
           }
         }, preservesPartitioning = true).persist()
 
@@ -340,6 +355,14 @@ trait ComputeFunction[K, VV, EV, M] extends Serializable {
   def init(configs: Map[String, Any], cb: Pregel.MasterCallback): Unit = {}
   /** Driver hook between supersteps; may halt (ComputeFunction.java:66-75). */
   def masterCompute(superstep: Int, cb: Pregel.MasterCallback): Unit = {}
+  /** Executor-side hook before a task's first compute() of the superstep
+    * (ComputeFunction.java preSuperstep); `aggregates` reads the previous
+    * superstep's merged aggregator values. Instance state set here is
+    * task-local — use it to hoist per-superstep work out of compute(). */
+  def preSuperstep(superstep: Int, aggregates: String => Any): Unit = {}
+  /** Executor-side hook after a task's last compute() of the superstep
+    * (ComputeFunction.java postSuperstep). */
+  def postSuperstep(superstep: Int): Unit = {}
   /** The vertex program (ComputeFunction.java:85-98). */
   def compute(
       superstep: Int,

@@ -88,17 +88,25 @@ object SparkEntry {
       KGraph.fromEdges(e, id => id)
     }
 
+  /** Baskets above this size take the salted pair-expansion path: their
+    * sorted item array is split into `ceil(k / SaltChunk)` chunks, the chunk
+    * PAIRS are spread across the cluster by a hash repartition, and each
+    * chunk-pair row expands its pairs there. A 10⁵-item mega-order is
+    * O(k²)=5·10⁹ pairs; unsalted, one task materializes all of them. */
+  private val SaltChunk = 512
+
   /** parts co-occurring in the same order (canonical a<b). Pair generation is
     * a per-order sorted-array expansion (one groupBy + a codegen'd pair
     * expression + explode), not a lineitem self-join — one scan of lineitem
-    * instead of two, and no interpreted nested-HOF slicing per order. */
+    * instead of two, and no interpreted nested-HOF slicing per order. Orders
+    * bigger than SaltChunk go through the salted chunk-pair path so one
+    * mega-order cannot produce a straggler task. */
   private def coPurchaseGraph(s: SparkSession, dir: String): KGraph =
     cachedGraph(s, dir, "coPurchase") {
-      val e = t(s, dir, "lineitem")
+      val byOrder = t(s, dir, "lineitem")
         .groupBy(col("l_orderkey")).agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
-        .select(explode(graft.functions.GraphSetExpressions.arrayPairs(col("ps"))).as("p"))
-        .select(col("p.src").as("src"), col("p.dst").as("dst")).distinct()
-        .withColumn("value", lit(1L))
+      val e = graft.core.SkewUtils.saltedPairs(byOrder, "ps", SaltChunk)
+        .distinct().withColumn("value", lit(1L))
       KGraph.fromEdges(e, id => id)
     }
 
@@ -112,6 +120,22 @@ object SparkEntry {
       KGraph.fromEdges(e, id => id)
     }
 
+  /** skewed hub-star + ring over customers: (1, c) for every c ≥ 2 (the hub)
+    * plus (c, c+1) ring edges — every ring edge closes a triangle through
+    * the hub, and vertex 1's degree is |customer|−1 (≈10⁴ at sf0.1). */
+  private def skewHubGraph(s: SparkSession, dir: String): KGraph =
+    cachedGraph(s, dir, "skewHub") {
+      val cust = t(s, dir, "customer").select(col("c_custkey").as("c"))
+      val star = cust.filter(col("c") >= 2)
+        .select(lit(1L).as("src"), col("c").as("dst"))
+      val ring = cust.filter(col("c") >= 2)
+        .select(col("c").as("src"), (col("c") + 1).as("dst"))
+        .join(cust.select(col("c").as("dst")), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst"))
+      KGraph.fromEdges(
+        star.unionByName(ring).withColumn("value", lit(1.0)), id => id)
+    }
+
   /** customer star clusters: c → c - c%100 for c%100 ≠ 0; weight 1. */
   private def starGraph(s: SparkSession, dir: String): KGraph =
     cachedGraph(s, dir, "star") {
@@ -121,24 +145,74 @@ object SparkEntry {
       KGraph.fromEdges(e, id => id)
     }
 
-  /** bounded bipartite ratings graph for the CF queries:
-    * customer × part via orders, rating = max quantity % 5 + 1.
-    * Stays distributed end to end (no driver collect): the Pregel inputs are
-    * derived with RDD transforms so the same path works when the ratings
-    * table is billions of rows. Persisted because verts/edges/partitionBy
-    * each re-evaluate it (tiny here, and at scale you'd persist it too). */
-  private def cfRatings(s: SparkSession, dir: String)
+  /** Rank-1 probe fixture for the ORACLE-GATED cf queries: item = partkey
+    * mod 5, rating = item + 1 — every user's rated items carry DISTINCT
+    * ratings 1..5, so a correctly-training factorizer's per-user top
+    * predicted item is max(item): a closed-form external oracle. */
+  private def cfProbeRatings(s: SparkSession, dir: String)
       : org.apache.spark.rdd.RDD[(graft.algos.compute.Cf.CfId, graft.algos.compute.Cf.CfId, Float)] = {
     import graft.algos.compute.Cf
     t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-      .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"), col("l_quantity")),
+      .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")),
         col("o_orderkey") === col("l_orderkey"))
-      .filter(col("o_custkey") < 500 && col("l_partkey") < 500)
-      .groupBy(col("o_custkey"), col("l_partkey"))
-      .agg((max(col("l_quantity")) % 5 + 1).cast("float").as("rating"))
-      .rdd.map(r => (Cf.CfId.user(r.getLong(0)), Cf.CfId.item(r.getLong(1)), r.getFloat(2)))
+      .filter(col("o_custkey") < 500)
+      .select(col("o_custkey"), (col("l_partkey") % 5).as("item")).distinct()
+      .rdd.map(r => (Cf.CfId.user(r.getLong(0)), Cf.CfId.item(r.getLong(1)),
+        (r.getLong(1) + 1).toFloat))
       .persist()
   }
+
+  /** Per-user argmax-predicted item from trained CF vertex state
+    * (baseline, factors, weight). Plain factorizers score dot(p_u, q_i);
+    * SVD++ scores b_i + q_iᵀ(p_u + Σ y_j/√N) (the μ + b_u terms are
+    * per-user constants — order-irrelevant). Grouping is per user over ≤5
+    * probe items, so the argmax is a tiny distributed reduce. */
+  private def topPredicted(
+      s: SparkSession,
+      ratings: org.apache.spark.rdd.RDD[(graft.algos.compute.Cf.CfId, graft.algos.compute.Cf.CfId, Float)],
+      verts: org.apache.spark.rdd.RDD[(graft.algos.compute.Cf.CfId, (Float, Array[Float], Array[Float]))],
+      svdpp: Boolean = false): org.apache.spark.rdd.RDD[(Long, Long)] = {
+    def dot(a: Array[Float], b: Array[Float]): Float = {
+      var acc = 0f; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { acc += a(i) * b(i); i += 1 }; acc
+    }
+    val users = verts.filter(_._1.typ == 0).map { case (id, v) => (id.id, v) }
+    val items = verts.filter(_._1.typ == 1).map { case (id, v) => (id.id, v) }
+    ratings.map { case (u, i, _) => (i.id, u.id) }
+      .join(items).map { case (i, (u, iv)) => (u, (i, iv)) }
+      .join(users)
+      .map { case (u, ((i, iv), uv)) => (u, (i, iv, uv)) }
+      .groupByKey()
+      .map { case (u, rows0) =>
+        val rows = rows0.toArray
+        val scored: Array[(Long, Double)] =
+          if (!svdpp)
+            rows.map { case (i, (_, fi, _), (_, fu, _)) => (i, dot(fu, fi).toDouble) }
+          else {
+            val dim = rows.head._2._2.length
+            val sumY = new Array[Float](dim)
+            rows.foreach { case (_, (_, _, y), _) =>
+              var k = 0; while (k < dim && k < y.length) { sumY(k) += y(k); k += 1 } }
+            val scale = (1.0 / math.sqrt(rows.length.toDouble)).toFloat
+            val (_, fu, _) = rows.head._3
+            val pu = fu.clone()
+            var k = 0; while (k < dim && k < pu.length) { pu(k) += sumY(k) * scale; k += 1 }
+            rows.map { case (i, (bi, qi, _), _) => (i, bi + dot(qi, pu).toDouble) }
+          }
+        (u, scored.minBy { case (i, p) => (-p, i) }._1)
+      }
+  }
+
+  /** oracle for the cf_*_top queries over the rank-1 probe fixture;
+    * agg is "max" (descent-trained models rank the top-rated item first) or
+    * "min" (SVD++'s reference-faithful flipped bias update, see below). */
+  private def sqlCfTop(agg: String) =
+    s"""WITH r AS (
+      |  SELECT DISTINCT o_custkey AS u, l_partkey % 5 AS item
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |  WHERE o_custkey < 500)
+      |SELECT u AS user_id, $agg(item) AS top_item FROM r GROUP BY u""".stripMargin
 
   /** shared SQL fragments for the oracle side */
   private val sqlSupplierPartEdges =
@@ -267,6 +341,20 @@ object SparkEntry {
       GraphAlgorithms.localClusteringCoefficient(coPurchaseGraph(s, dir), coPurchaseNbr(s, dir))
         .withColumn("value", round(col("value"), 6))),
 
+    // LCC over a DELIBERATELY skewed graph — hub-star (customer 1 linked to
+    // every other customer: one 10⁴-degree vertex at sf0.1) plus a ring so
+    // every ring edge closes a triangle through the hub. Run with a low hub
+    // cap so the bucket-split machinery (adjacencyArrays hub split + aligned
+    // bucket-partial intersection) is exercised end to end against the
+    // DuckDB oracle; SkewSpec asserts the hub's intersections spread over
+    // many shuffle keys instead of one straggler task.
+    "g_lcc_skewhub" -> ((s, dir) => {
+      val g = skewHubGraph(s, dir)
+      val p = GraphAlgorithms.prepareNeighborhood(g, hubDegreeCap = 256)
+      GraphAlgorithms.localClusteringCoefficient(g, p)
+        .withColumn("value", round(col("value"), 6))
+    }),
+
     "g_join_vertices" -> ((s, dir) => {
       val perSupplier = t(s, dir, "lineitem")
         .groupBy(col("l_suppkey").as("id")).agg(count(lit(1)).as("cnt"))
@@ -371,53 +459,66 @@ object SparkEntry {
       Dedup.embeddingDedup(t(s, dir, "embeddings"), threshold = 0.9, lshBits = 10)
         .toDF("vec_id", "rep")),
 
-    // ---- Pregel-only algorithms (rows-only: results are seeded-random or
-    // edge-state shaped — not ANSI-SQL-expressible; spec-tested instead) ----
+    // ---- Pregel CF algorithms, ORACLE-GATED via derived prediction order --
+    // The float factor values themselves are seeded-deterministic but not
+    // ANSI-SQL-derivable (DuckDB can't run the trainer); they stay pinned by
+    // AlgoSpec goldens. The driver queries emit a derived output an external
+    // oracle CAN check: per-user argmax-predicted item over the rank-1 probe
+    // fixture (rating = item+1, items = partkey mod 5, so each user's rated
+    // items carry DISTINCT ratings). Any correctly-training factorizer ranks
+    // the rating-5 item first after its first alternation; the oracle is
+    // `max(item) per user`.
 
-    "cf_sgd_factors" -> ((s, dir) => {
+    "cf_sgd_top" -> ((s, dir) => {
       import graft.algos.compute.Cf
       import graft.pregel.Pregel
-      val ratings = cfRatings(s, dir)
+      val ratings = cfProbeRatings(s, dir)
       val verts = ratings.flatMap(t => Iterator(t._1, t._2)).distinct()
         .map(id => (id, Array.empty[Float]))
       val e = ratings.map { case (u, i, r) => (u, (i, r)) }
-      val res = Pregel.run(s, new Cf.Sgd(dim = 8, iterations = 3, randomSeed = Some(42L)),
+      val res = Pregel.run(s, new Cf.Sgd(dim = 8, iterations = 4, randomSeed = Some(42L)),
         verts, e, numPartitions = 8, maxIterations = 10)
       import s.implicits._
-      res.vertices.filter(_._1.typ == 0)
-        .map { case (id, f) => (id.id, if (f.nonEmpty) math.round(f(0) * 1e6f) / 1e6 else 0.0) }
-        .toDF("user_id", "factor0")
+      val out = topPredicted(s, ratings,
+        res.vertices.map { case (id, f) => (id, (0f, f, Array.empty[Float])) })
+        .toDF("user_id", "top_item").localCheckpoint(true)
+      res.unpersistState(); ratings.unpersist(false)
+      out
     }),
 
-    "cf_als_factors" -> ((s, dir) => {
+    "cf_als_top" -> ((s, dir) => {
       import graft.algos.compute.Cf
       import graft.pregel.Pregel
-      val ratings = cfRatings(s, dir)
+      val ratings = cfProbeRatings(s, dir)
       val verts = ratings.flatMap(t => Iterator(t._1, t._2)).distinct()
         .map(id => (id, Array.empty[Float]))
       val e = ratings.map { case (u, i, r) => (u, (i, r)) }
-      val res = Pregel.run(s, new Cf.Als(dim = 8, iterations = 3, randomSeed = Some(42L)),
+      val res = Pregel.run(s, new Cf.Als(dim = 8, iterations = 4, randomSeed = Some(42L)),
         verts, e, numPartitions = 8, maxIterations = 10)
       import s.implicits._
-      res.vertices.filter(_._1.typ == 0)
-        .map { case (id, f) => (id.id, if (f.nonEmpty) math.round(f(0) * 1e6f) / 1e6 else 0.0) }
-        .toDF("user_id", "factor0")
+      val out = topPredicted(s, ratings,
+        res.vertices.map { case (id, f) => (id, (0f, f, Array.empty[Float])) })
+        .toDF("user_id", "top_item").localCheckpoint(true)
+      res.unpersistState(); ratings.unpersist(false)
+      out
     }),
 
-    "cf_svdpp_factors" -> ((s, dir) => {
+    "cf_svdpp_top" -> ((s, dir) => {
       import graft.algos.compute.Cf
       import graft.pregel.Pregel
-      val ratings = cfRatings(s, dir)
+      val ratings = cfProbeRatings(s, dir)
       val verts = ratings.flatMap(t => Iterator(t._1, t._2)).distinct()
         .map(id => (id, Cf.SvdppValue(0f, Array.empty[Float], Array.empty[Float])))
       val e = ratings.map { case (u, i, r) => (u, (i, r)) }
-      val res = Pregel.run(s, new Cf.Svdpp(dim = 8, iterations = 3, randomSeed = Some(42L)),
+      val res = Pregel.run(s, new Cf.Svdpp(dim = 8, iterations = 4, randomSeed = Some(42L)),
         verts, e, numPartitions = 8, maxIterations = 12)
       import s.implicits._
-      res.vertices.filter(_._1.typ == 0)
-        .map { case (id, v) =>
-          (id.id, if (v.factors.nonEmpty) math.round(v.factors(0) * 1e6f) / 1e6 else 0.0) }
-        .toDF("user_id", "factor0")
+      val out = topPredicted(s, ratings,
+        res.vertices.map { case (id, v) => (id, (v.baseline, v.factors, v.weight)) },
+        svdpp = true)
+        .toDF("user_id", "top_item").localCheckpoint(true)
+      res.unpersistState(); ratings.unpersist(false)
+      out
     }),
 
     "g_semicluster" -> ((s, dir) => {
@@ -433,11 +534,13 @@ object SparkEntry {
         clusterCapacity = 4, scoreFactor = 0.5),
         verts, edges, numPartitions = 8, maxIterations = 10)
       import s.implicits._
-      res.vertices.map { case (id, clusters) =>
+      val out = res.vertices.map { case (id, clusters) =>
         val best = if (clusters.isEmpty) 0.0
           else math.round(clusters.map(_.score).max * 1e6) / 1e6
         (id, clusters.size, best)
-      }.toDF("id", "n_clusters", "best_score")
+      }.toDF("id", "n_clusters", "best_score").localCheckpoint(true)
+      res.unpersistState(); edges.unpersist(false)
+      out
     }),
 
     "g_kmeans_clusters" -> ((s, dir) => {
@@ -458,7 +561,10 @@ object SparkEntry {
         pts, sc.parallelize(Seq.empty[(Long, (Long, Double))]),
         numPartitions = 8, maxIterations = 10)
       import s.implicits._
-      res.vertices.map { case (id, v) => (id, v.clusterId) }.toDF("vec_id", "cluster")
+      val out = res.vertices.map { case (id, v) => (id, v.clusterId) }
+        .toDF("vec_id", "cluster").localCheckpoint(true)
+      res.unpersistState(); pts.unpersist(false)
+      out
     }),
 
     "g_sybilrank" -> ((s, dir) => {
@@ -474,8 +580,10 @@ object SparkEntry {
       val res = Pregel.run(s, new SybilRank(), verts, edges,
         numPartitions = 8, maxIterations = 30)
       import s.implicits._
-      res.vertices.map { case (id, v) => (id, math.round(v.rank * 1e6) / 1e6) }
-        .toDF("id", "rank")
+      val out = res.vertices.map { case (id, v) => (id, math.round(v.rank * 1e6) / 1e6) }
+        .toDF("id", "rank").localCheckpoint(true)
+      res.unpersistState(); edges.unpersist(false)
+      out
     }),
 
     "g_maxbmatching" -> ((s, dir) => {
@@ -492,9 +600,11 @@ object SparkEntry {
       val res = Pregel.run(s, new MaxBMatching, verts, edges,
         numPartitions = 8, maxIterations = 12)
       import s.implicits._
-      res.edges.filter(_._2.value.state == MbmState.Included)
+      val out = res.edges.filter(_._2.value.state == MbmState.Included)
         .map { case (src, e) => (src, e.target, e.value.weight) }
-        .toDF("src", "dst", "weight")
+        .toDF("src", "dst", "weight").localCheckpoint(true)
+      res.unpersistState(); edges.unpersist(false)
+      out
     }),
 
     // ---- streaming module (summary aggregation, batch-checkable) ---------
@@ -969,6 +1079,59 @@ object SparkEntry {
          |                  THEN 2.0 * coalesce(tri.c, 0) / (deg.d * (deg.d - 1))
          |                  ELSE 0.0 END, 6) AS value
          |FROM deg LEFT JOIN tri ON tri.vv = deg.id""".stripMargin,
+
+    "g_lcc_skewhub" ->
+      s"""WITH e AS (
+         |  SELECT 1 AS a, c_custkey AS b FROM customer WHERE c_custkey >= 2
+         |  UNION ALL
+         |  SELECT c.c_custkey AS a, c.c_custkey + 1 AS b
+         |  FROM customer c JOIN customer d ON d.c_custkey = c.c_custkey + 1
+         |  WHERE c.c_custkey >= 2),
+         |adj AS (SELECT a AS w, b AS n FROM e UNION ALL SELECT b, a FROM e),
+         |deg AS (SELECT w AS id, count(*) AS d FROM adj GROUP BY 1),
+         |t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |      FROM e e1 JOIN e e2 ON e1.b = e2.a
+         |      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |tri AS (SELECT vv, count(*) AS c FROM (
+         |  SELECT x AS vv FROM t UNION ALL SELECT y FROM t UNION ALL SELECT z FROM t)
+         |  GROUP BY 1)
+         |SELECT deg.id,
+         |       round(CASE WHEN deg.d >= 2
+         |                  THEN 2.0 * coalesce(tri.c, 0) / (deg.d * (deg.d - 1))
+         |                  ELSE 0.0 END, 6) AS value
+         |FROM deg LEFT JOIN tri ON tri.vv = deg.id""".stripMargin,
+
+    // rank-1 probe fixture: per-user rated items carry distinct ratings
+    // item+1, so the trained model's argmax-predicted item is max(item)
+    "cf_sgd_top" -> sqlCfTop("max"),
+    "cf_als_top" -> sqlCfTop("max"),
+    // SVD++ ports the reference's bias update VERBATIM: baseline +=
+    // γ((predicted − observed) − λ·baseline) (Svdpp.java:186-190) — the sign
+    // RAISES over-predicted items, so after the first alternation the top
+    // predicted item is the user's MINIMUM-rated one. Deterministic,
+    // training-derived, and exactly what the reference computes.
+    "cf_svdpp_top" -> sqlCfTop("min"),
+
+    // closed-form SemiClustering fixpoint on uniform k-leaf stars
+    // (iterations=6, maxClusters=2, capacity=4, f=0.5; SemiClustering.java:
+    // 51-221 semantics): singleton clusters (score 0) win every topK
+    // broadcast, so the stable send sets are {a},{b} (the two leaves with
+    // the largest DECIMAL-STRING ids — the comparator's tie-break) toward
+    // the root and {r},{r,a,b} toward the leaves. Final (superstep-5)
+    // values: root holds {a,r}/{b,r} → score (1−f(k−1))/1; leaves a,b keep
+    // {r,a,b} → (2−f(k−2))/3; every other leaf extends it → (3−f(k−3))/6.
+    "g_semicluster" ->
+      """WITH m AS (SELECT c_custkey AS c, c_custkey - c_custkey % 100 AS r
+        |           FROM customer WHERE c_custkey % 100 <> 0),
+        |k AS (SELECT r, count(*) AS k FROM m GROUP BY r),
+        |ranked AS (SELECT c, r, row_number() OVER (
+        |  PARTITION BY r ORDER BY CAST(c AS VARCHAR) DESC) AS rn FROM m)
+        |SELECT id, 2 AS n_clusters, round(score, 6) AS best_score FROM (
+        |  SELECT k.r AS id, (1 - 0.5 * (k.k - 1)) AS score FROM k
+        |  UNION ALL
+        |  SELECT x.c, CASE WHEN x.rn <= 2 THEN (2 - 0.5 * (kk.k - 2)) / 3
+        |                   ELSE (3 - 0.5 * (kk.k - 3)) / 6 END
+        |  FROM ranked x JOIN k kk ON kk.r = x.r) v""".stripMargin,
 
     "g_join_vertices" ->
       s"""WITH e AS ($sqlSupplierPartEdges),

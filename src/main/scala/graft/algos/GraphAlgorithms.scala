@@ -335,14 +335,48 @@ object GraphAlgorithms {
       .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
       .distinct()
 
-  /** Undirected adjacency as a per-vertex ARRAY — the building block for
-    * intersection-based triangle/similarity computation. Downstream work is
-    * proportional to |N(u) ∩ N(v)| per edge instead of enumerating all wedges
-    * (Σ deg² rows through a shuffle) — orders of magnitude less on skewed
-    * co-occurrence graphs. */
-  private def adjacencyArrays(e: DataFrame): DataFrame =
-    bidir(e.select(col("a").as("src"), col("b").as("dst")), withValue = false)
+  /** Degree above which a vertex's adjacency is hash-bucketed into
+    * `HubBuckets` partial arrays (hub split). Power-law co-occurrence graphs
+    * put 10⁶⁺ neighbors on one vertex; without the split that is a single
+    * giant collect_set row at build time and a single straggler task doing
+    * ALL of the hub's intersections at query time. With it, both the build
+    * (groupBy key = (vertex, bucket)) and every intersection touching the hub
+    * (join key = (vertex, bucket)) spread over HubBuckets shuffle keys. */
+  private[graft] val HubDegreeCap: Int = 8192
+  private[graft] val HubBuckets: Int = 32
+
+  /** Undirected adjacency as per-vertex sorted ARRAYs — the building block
+    * for intersection-based triangle/similarity computation. Downstream work
+    * is proportional to |N(u) ∩ N(v)| per edge instead of enumerating all
+    * wedges (Σ deg² rows through a shuffle).
+    *
+    * Hub vertices (degree > HubDegreeCap, from `hubs`) are emitted as
+    * HubBuckets rows (src, bucket, nbrs-with-xxhash64(nbr)%B==bucket) — ALL B
+    * buckets present (empty ones as empty arrays) so bucket-aligned joins
+    * never drop an edge; everyone else is one row with bucket = -1. Buckets
+    * partition N(v) by a pure function of the NEIGHBOR id, so for any two
+    * vertices the same-bucket partials intersect independently:
+    * N(a)∩N(b) = ⊎_j N_j(a)∩N_j(b). */
+  private def adjacencyArrays(bd: DataFrame, hubs: DataFrame): DataFrame = {
+    val marked = bd
+      .join(broadcast(hubs.withColumn("_hub", lit(true))), Seq("src"), "left_outer")
+    val nonHub = marked.filter(col("_hub").isNull)
       .groupBy(col("src")).agg(array_sort(collect_set(col("dst"))).as("nbrs"))
+      .select(col("src"), lit(-1).as("bucket"), col("nbrs"))
+    val hubFilled = hubs
+      .select(col("src"), explode(sequence(lit(0), lit(HubBuckets - 1))).as("bucket"))
+      .join(
+        marked.filter(col("_hub").isNotNull)
+          .select(col("src"),
+            pmod(xxhash64(col("dst")), lit(HubBuckets.toLong)).cast("int").as("bucket"),
+            col("dst"))
+          .groupBy(col("src"), col("bucket"))
+          .agg(array_sort(collect_set(col("dst"))).as("nbrs")),
+        Seq("src", "bucket"), "left_outer")
+      .select(col("src"), col("bucket"),
+        coalesce(col("nbrs"), array().cast("array<long>")).as("nbrs"))
+    nonHub.unionByName(hubFilled)
+  }
 
   /** Join-side strategy for the array-carrying adjacency relation, decided
     * by DATA size (so the rule itself scales): broadcast when the adjacency
@@ -359,30 +393,78 @@ object GraphAlgorithms {
    * reference's prepare step (GraphUtils.groupEdgesBySourceAndRepartition,
    * utils/GraphUtils.java:152-253, which materializes the co-partitioned
    * adjacency before any algorithm runs): canonical simple edge set +
-   * per-vertex sorted adjacency arrays, BOTH materialized once
-   * (localCheckpoint) so the whole intersection family (triangles, LCC,
-   * Adamic-Adar, Jaccard) shares them instead of re-deriving per call.
+   * per-vertex sorted adjacency arrays (hub-split, see `adjacencyArrays`) +
+   * hub set, ALL materialized once (localCheckpoint) so the whole
+   * intersection family (triangles, LCC, Adamic-Adar, Jaccard) shares them
+   * instead of re-deriving per call.
    */
   case class UndirectedNeighborhood private[algos] (
-      e: DataFrame, adj: DataFrame, eCount: Long) {
-    /** Undirected simple-graph degree = adjacency array length. */
+      e: DataFrame, adj: DataFrame, hubs: DataFrame, eCount: Long, hubCount: Long) {
+    /** Undirected simple-graph degree = Σ adjacency bucket lengths (one row
+      * per non-hub vertex, so the no-hub case needs no aggregation). */
     private[algos] def degrees: DataFrame =
-      adj.select(col("src"), size(col("nbrs")).as("deg"))
+      if (hubCount == 0) adj.select(col("src"), size(col("nbrs")).as("deg"))
+      else adj.groupBy(col("src")).agg(sum(size(col("nbrs"))).cast("int").as("deg"))
   }
 
-  def prepareNeighborhood(g: KGraph): UndirectedNeighborhood = {
+  /** `hubDegreeCap` is exposed for tests/known-skew callers; the default is
+    * the production cap. */
+  def prepareNeighborhood(g: KGraph,
+                          hubDegreeCap: Int = HubDegreeCap): UndirectedNeighborhood = {
     val e = cp(canonicalEdges(g.edges))
-    val adj = cp(adjacencyArrays(e))
-    UndirectedNeighborhood(e, adj, e.count())
+    val bd = bidir(e.select(col("a").as("src"), col("b").as("dst")), withValue = false)
+    // canonical edges are distinct, so bidir rows are too: count = degree
+    val hubs = cp(bd.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") > hubDegreeCap).select(col("src")))
+    val adj = cp(adjacencyArrays(bd, hubs))
+    UndirectedNeighborhood(e, adj, hubs, e.count(), hubs.count())
   }
 
-  /** Per-edge common-neighbor sets: (a, b, common array). Two joins; the
-    * intersection is a codegen'd merge walk over the sorted adjacency
+  /** Edge rows joined with both endpoints' (possibly hub-split) adjacency:
+    * (a, b, na, nb), one row per edge per ALIGNED bucket. For an edge with no
+    * hub endpoint this is exactly one row (the whole adjacency on both
+    * sides); with hub endpoints it is HubBuckets rows whose partials
+    * partition the intersection: Σ_j |N_j(a)∩N_j(b)| = |N(a)∩N(b)|. The
+    * non-hub side of a mixed edge repeats its (small) full array in every
+    * bucket row — sound, since bucketing filters the HUB side and the merge
+    * walk intersects. Join keys carry the bucket, so one hub's edges spread
+    * over HubBuckets shuffle keys instead of one straggler task. */
+  private def edgeAdjacency(p: UndirectedNeighborhood): DataFrame = {
+    val expanded = expandEdgesByBucket(p)
+    expanded
+      .join(adjSide(p.adj.select(col("src").as("a"), col("bucket").as("ja"),
+        col("nbrs").as("na")), p.eCount), Seq("a", "ja"))
+      .join(adjSide(p.adj.select(col("src").as("b"), col("bucket").as("jb"),
+        col("nbrs").as("nb")), p.eCount), Seq("b", "jb"))
+      .select(col("a"), col("b"), col("na"), col("nb"))
+  }
+
+  /** (a, b, ja, jb): per-edge bucket expansion. Non-hub endpoints get bucket
+    * -1 (their single adjacency row); any edge touching a hub expands to
+    * HubBuckets rows with the hub side(s) keyed by bucket j. Visible to the
+    * skew spec, which asserts hub work spreads across shuffle partitions. */
+  private[graft] def expandEdgesByBucket(p: UndirectedNeighborhood): DataFrame = {
+    val ha = broadcast(p.hubs.select(col("src").as("a"), lit(true).as("_ha")))
+    val hb = broadcast(p.hubs.select(col("src").as("b"), lit(true).as("_hb")))
+    p.e
+      .join(ha, Seq("a"), "left_outer")
+      .join(hb, Seq("b"), "left_outer")
+      .select(col("a"), col("b"), col("_ha"), col("_hb"),
+        explode(when(col("_ha").isNotNull || col("_hb").isNotNull,
+          sequence(lit(0), lit(HubBuckets - 1))).otherwise(array(lit(-1)))).as("j"))
+      .select(col("a"), col("b"),
+        when(col("_ha").isNotNull, col("j")).otherwise(lit(-1)).as("ja"),
+        when(col("_hb").isNotNull, col("j")).otherwise(lit(-1)).as("jb"))
+  }
+
+  /** Per-edge common-neighbor PARTIALS: (a, b, common array) — possibly
+    * several rows per edge (one per aligned hub bucket) that partition the
+    * true common set; consumers sum/explode, so multiplicity is transparent.
+    * The intersection is a codegen'd merge walk over the sorted adjacency
     * arrays (graft.functions.GraphSetExpressions — array_intersect would
     * rebuild an interpreted hash set per edge). */
   private def commonNeighbors(p: UndirectedNeighborhood): DataFrame =
-    p.e.join(adjSide(p.adj.select(col("src").as("a"), col("nbrs").as("na")), p.eCount), Seq("a"))
-      .join(adjSide(p.adj.select(col("src").as("b"), col("nbrs").as("nb")), p.eCount), Seq("b"))
+    edgeAdjacency(p)
       .select(col("a"), col("b"),
         graft.functions.GraphSetExpressions.sortedIntersect(col("na"), col("nb")).as("common"))
 
@@ -416,9 +498,7 @@ object GraphAlgorithms {
     globalTriangleCount(prepareNeighborhood(g))
 
   def globalTriangleCount(p: UndirectedNeighborhood): Long = {
-    val total = p.e
-      .join(adjSide(p.adj.select(col("src").as("a"), col("nbrs").as("na")), p.eCount), Seq("a"))
-      .join(adjSide(p.adj.select(col("src").as("b"), col("nbrs").as("nb")), p.eCount), Seq("b"))
+    val total = edgeAdjacency(p)
       .agg(sum(graft.functions.GraphSetExpressions
         .sortedIntersectCount(col("na"), col("nb")).cast("long")).as("s")).head()
     if (total.isNullAt(0)) 0L else total.getLong(0) / 3
@@ -455,10 +535,16 @@ object GraphAlgorithms {
   def adamicAdar(g: KGraph, conversionEnabled: Boolean = false): DataFrame =
     adamicAdar(prepareNeighborhood(g), conversionEnabled)
 
+  /** Join-side strategy for the per-vertex DEGREE relation (12-byte rows,
+    * |V| of them — far lighter than the adjacency): broadcast while it
+    * provably fits, else shuffle-hash. */
+  private def degSide(deg: DataFrame, eCount: Long): DataFrame =
+    if (eCount * 16L <= 64L * 1024 * 1024) broadcast(deg) else deg.hint("shuffle_hash")
+
   def adamicAdar(p: UndirectedNeighborhood, conversionEnabled: Boolean): DataFrame = {
     val scored = commonNeighbors(p)
       .select(col("a"), col("b"), explode(col("common")).as("w"))
-      .join(broadcast(p.degrees.withColumnRenamed("src", "w")), Seq("w"))
+      .join(degSide(p.degrees.withColumnRenamed("src", "w"), p.eCount), Seq("w"))
       .groupBy(col("a").as("src"), col("b").as("dst"))
       .agg(sum(log(lit(1.0) / col("deg"))).as("value"))
     if (conversionEnabled) scored.withColumn("value", -col("value")) else scored
@@ -472,11 +558,25 @@ object GraphAlgorithms {
 
   def jaccard(p: UndirectedNeighborhood, conversionEnabled: Boolean): DataFrame = {
     val cnt = graft.functions.GraphSetExpressions.sortedIntersectCount(col("na"), col("nb"))
-    val sim = p.e
-      .join(adjSide(p.adj.select(col("src").as("a"), col("nbrs").as("na")), p.eCount), Seq("a"))
-      .join(adjSide(p.adj.select(col("src").as("b"), col("nbrs").as("nb")), p.eCount), Seq("b"))
-      .select(col("a").as("src"), col("b").as("dst"),
-        (cnt.cast("double") / (size(col("na")) + size(col("nb")) - cnt)).as("value"))
+    val sim =
+      if (p.hubCount == 0)
+        // no hubs → adjacency rows are whole: one pass, sizes inline, no agg
+        edgeAdjacency(p)
+          .select(col("a").as("src"), col("b").as("dst"),
+            (cnt.cast("double") / (size(col("na")) + size(col("nb")) - cnt)).as("value"))
+      else {
+        // hub-split partials: sum aligned-bucket counts per edge, then take
+        // |N(a)|,|N(b)| from the degree relation (partial sizes don't compose
+        // into the union size inline)
+        val common = edgeAdjacency(p)
+          .groupBy(col("a"), col("b")).agg(sum(cnt.cast("long")).as("common"))
+        common
+          .join(degSide(p.degrees.select(col("src").as("a"), col("deg").as("degA")), p.eCount), Seq("a"))
+          .join(degSide(p.degrees.select(col("src").as("b"), col("deg").as("degB")), p.eCount), Seq("b"))
+          .select(col("a").as("src"), col("b").as("dst"),
+            (col("common").cast("double") /
+              (col("degA") + col("degB") - col("common"))).as("value"))
+      }
     if (conversionEnabled)
       sim.withColumn("value",
         when(col("value") > 0, -log2(col("value"))).otherwise(lit(Double.MaxValue)))

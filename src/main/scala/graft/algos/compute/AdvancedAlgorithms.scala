@@ -255,7 +255,7 @@ object AdvancedAlgorithms {
     // per-task center cache: resolved once per superstep per partition
     // instead of per vertex (the hook state is task-local)
     @transient private var taskCenters: Array[Vector[Double]] = _
-    override def preSuperstep(superstep: Int, aggregates: String => Any): Unit =
+    override def preSuperstep(superstep: Int, aggregates: Pregel.HookContext): Unit =
       taskCenters =
         if (superstep == 0) null
         else Array.tabulate(k)(i => aggregates(center(i)).asInstanceOf[Vector[Double]])

@@ -50,6 +50,39 @@ object GraphIO {
   def writeVertices(df: DataFrame, path: String): Unit =
     df.select(concat_ws(" ", col("id"), col("value")).as("value")).write.mode("overwrite").text(path)
 
+  /** Source-agnostic STREAMING edge reader — the seam where the reference's
+    * Kafka IO surface plugs in (GraphUtils.verticesToTopic/edgesToTopic,
+    * utils/GraphUtils.java:62-143, and EdgeStream's topic-backed ctor,
+    * streaming/EdgeStream.java:54-68): `format` is a config choice —
+    * "kafka" (with kafka.bootstrap.servers + subscribe options, when the
+    * spark-sql-kafka connector is on the classpath), "text", "socket", … .
+    * Every EdgeStreamOps operator runs unchanged on the result. */
+  def edgesFromStream(spark: SparkSession, format: String,
+                      options: Map[String, String] = Map.empty): DataFrame =
+    edgesFromRaw(spark.readStream.format(format).options(options).load())
+
+  /** Parse any raw source frame into the (src, dst, value, ts) edge-stream
+    * schema: records are "src dst value" text lines in a `value` column
+    * (exactly the reference's edgesToTopic wire format). Kafka-shaped frames
+    * (binary value + `timestamp`) keep the broker record time as event time;
+    * plain text/socket frames get processing time — the reference's
+    * processing-time-window semantics. */
+  def edgesFromRaw(raw: DataFrame): DataFrame = {
+    val base =
+      if (raw.columns.contains("timestamp"))
+        raw.select(col("value").cast("string").as("line"),
+          col("timestamp").cast("timestamp").as("ts"))
+      else raw.select(col("value").cast("string").as("line"),
+        current_timestamp().as("ts"))
+    val toks = split(trim(col("line")), "\\s+")
+    base.filter(length(trim(col("line"))) > 0)
+      .select(
+        toks.getItem(0).cast("long").as("src"),
+        toks.getItem(1).cast("long").as("dst"),
+        toks.getItem(2).cast("double").as("value"),
+        col("ts"))
+  }
+
   /** The reference "prepare" step (GraphUtils.groupEdgesBySourceAndRepartition,
     * utils/GraphUtils.java:152-253): materialize co-partitioned vertices and
     * per-source adjacency. In Spark: hash-repartition both on the vertex key so

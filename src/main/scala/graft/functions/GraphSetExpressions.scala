@@ -220,12 +220,72 @@ object GraphSetExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** All cross pairs (x, y) with x ∈ left, y ∈ right — the BIG-order arm of
+    * the salted co-occurrence expansion: a mega-basket's sorted item array is
+    * chunked, chunk pairs are spread over the cluster by a hash repartition,
+    * and each cross-chunk row expands |xs|·|ys| pairs here (contiguous slices
+    * of a sorted array, so every x < y holds by construction — callers must
+    * pass slices in ascending chunk order). One codegen'd loop, same contract
+    * as ArrayPairs. */
+  case class ArrayCrossPairs(left: Expression, right: Expression)
+      extends BinaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[Bridge.AbstractType] =
+      Seq(ArrayType(LongType), ArrayType(LongType))
+    override def dataType: DataType = ArrayType(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("src", LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("dst", LongType, nullable = false))),
+      containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "graft_array_cross_pairs"
+
+    override protected def nullSafeEval(l: Any, r: Any): Any = {
+      val xs = l.asInstanceOf[ArrayData]; val ys = r.asInstanceOf[ArrayData]
+      val n = xs.numElements(); val m = ys.numElements()
+      val out = new Array[Any](n * m)
+      var c = 0; var i = 0
+      while (i < n) {
+        var j = 0
+        while (j < m) {
+          out(c) = org.apache.spark.sql.catalyst.InternalRow(xs.getLong(i), ys.getLong(j))
+          c += 1; j += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (l, r) => {
+        val n = ctx.freshName("n"); val m = ctx.freshName("m")
+        val out = ctx.freshName("out"); val c = ctx.freshName("c")
+        val i = ctx.freshName("i"); val j = ctx.freshName("j")
+        val row = classOf[org.apache.spark.sql.catalyst.expressions.GenericInternalRow].getName
+        s"""
+           |int $n = $l.numElements(), $m = $r.numElements();
+           |Object[] $out = new Object[$n * $m];
+           |int $c = 0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  for (int $j = 0; $j < $m; $j++) {
+           |    $out[$c++] = new $row(new Object[] {
+           |      (Object) $l.getLong($i), (Object) $r.getLong($j) });
+           |  }
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   // ---- Column API ---------------------------------------------------------
 
   private def c(e: Expression): Column = Bridge.column(e)
   private def e(col: Column): Expression = Bridge.expression(col)
 
   def arrayPairs(a: Column): Column = c(ArrayPairs(e(a)))
+  def arrayCrossPairs(xs: Column, ys: Column): Column = c(ArrayCrossPairs(e(xs), e(ys)))
 
   def sortedIntersectCount(a: Column, b: Column): Column =
     c(SortedIntersectCount(e(a), e(b)))

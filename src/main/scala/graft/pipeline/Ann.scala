@@ -36,8 +36,18 @@ object Ann {
     * same JL/angle guarantees as Gaussian ones). Component i of hyperplane b
     * is ±1 chosen by one bit of an integer mix of (b, i) — no stored model,
     * identical on every executor and every run, and exactly reproducible in
-    * an external SQL oracle (plain 64-bit integer arithmetic, no float RNG). */
-  def hyperplaneBucket(v: Column, bits: Int): Column = {
+    * an external SQL oracle (plain 64-bit integer arithmetic, no float RNG).
+    *
+    * Codegen'd native expression (VectorExpressions.HyperplaneBucket): this
+    * runs per corpus row AND per multi-probe query row in lshKnn /
+    * embeddingDedup, and the interpreted HOF stack (`hyperplaneBucketHof`,
+    * kept as the spec-pinned reference formulation) was the #2 bench query. */
+  def hyperplaneBucket(v: Column, bits: Int): Column =
+    graft.functions.VectorExpressions.hyperplaneBucket(v, bits)
+
+  /** Declarative HOF reference formulation of `hyperplaneBucket` (kept for
+    * the equivalence spec + as documentation of semantics). */
+  private[graft] def hyperplaneBucketHof(v: Column, bits: Int): Column = {
     // sign(b, i) = bit 16 of (b·1000003 + i)·2654435761  →  ±1.0
     def sign(b: Int, i: Column): Column =
       when(shiftright((lit(b * 1000003L) + i) * lit(2654435761L), 16) % 2 === 0,

@@ -28,7 +28,7 @@ object Dedup {
     * per fingerprint. Hash-groupBy — one shuffle on a 64-bit key. */
   def exact(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val fp = TextAnalysis.fingerprint(col(textCol))
-    df.withColumn("_fp", fp)
+    spread(df).withColumn("_fp", fp)
       .groupBy(col("_fp"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
       .drop("_fp")
@@ -282,7 +282,7 @@ object Dedup {
   def embeddingDedup(df: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",
                      threshold: Double = 0.95, lshBits: Int = 0): DataFrame = {
     // normalize ONCE per vector; the O(n²) inner loop is a bare dot product
-    val v = df.select(col(idCol).as("id"),
+    val v = spread(df).select(col(idCol).as("id"),
       Ann.l2normalize(col(vecCol).cast("array<double>")).as("v"))
     val pairsAll =
       if (lshBits <= 0) v.toDF("a", "vA").join(v.toDF("b", "vB"), col("a") < col("b"))

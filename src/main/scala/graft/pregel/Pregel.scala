@@ -58,7 +58,32 @@ object Pregel {
       superstep: Int,
       runningTimeMs: Long,
       aggregates: Map[String, Any],
-      state: String)
+      state: String)(
+      private val release: () => Unit) {
+    /** Unpersist the runtime's cached state (final carrier + adjacency).
+      * Call after materializing everything derived from vertices/edges —
+      * long sessions running many algorithms otherwise accumulate cached
+      * blocks until LRU pressure. */
+    def unpersistState(): Unit = release()
+  }
+
+  /** Executor-side aggregator handle for the pre/postSuperstep hooks:
+    * `apply(name)` reads the PREVIOUS superstep's merged value and
+    * `aggregate(name, value)` CONTRIBUTES to this superstep's merge —
+    * reference parity with the Aggregators handle the hooks receive
+    * (ComputeFunction.java preSuperstep/postSuperstep). Contributions buffer
+    * in the task and ride the partition's last vertex row into the
+    * superstep's aggregator fold, so they merge exactly once per task
+    * attempt that fully drains (an empty partition's hook contributions are
+    * dropped, like a reference stream task with no assigned partitions). */
+  final class HookContext private[pregel] (
+      prev: String => Any,
+      merges: Map[String, (Any, Any) => Any]) extends (String => Any) with Serializable {
+    private[pregel] val contribs = mutable.HashMap.empty[String, Any]
+    def apply(name: String): Any = prev(name)
+    def aggregate(name: String, value: Any): Unit =
+      contribs(name) = contribs.get(name).map(merges(name)(_, value)).getOrElse(value)
+  }
 
   /** Registered aggregator slot (PregelComputation.java:921-939). */
   private[pregel] case class AggSlot(agg: Aggregator[Any], persistent: Boolean)
@@ -221,7 +246,11 @@ object Pregel {
           // runs them once per stream task per superstep). The function
           // instance is task-local (closure deserialization), so hook state
           // mutated here is visible to this task's compute() calls only.
-          fn.preSuperstep(step, name => prevAggs.getOrElse(name, zeros(name)))
+          // Hooks re-fire if a persisted carrier partition is recomputed
+          // (cache eviction, task retry) — they must be idempotent, exactly
+          // like reference hooks under Kafka Streams task restoration.
+          val hookCtx = new HookContext(name => prevAggs.getOrElse(name, zeros(name)), merges)
+          fn.preSuperstep(step, hookCtx)
           val mapped = partIt.flatMap { case (id, (cIt, mIt, actIt, aIt)) =>
           if (cIt.isEmpty) Iterator.empty // message to a nonexistent vertex: drop
           else {
@@ -257,12 +286,38 @@ object Pregel {
           })
           }
           }
-          // fire postSuperstep after the last row is consumed, without
-          // materializing the partition
-          mapped ++ new Iterator[(K, VertexOut[K, VV, EV, M])] {
-            private var fired = false
-            def hasNext: Boolean = { if (!fired) { fired = true; fn.postSuperstep(step) }; false }
-            def next(): (K, VertexOut[K, VV, EV, M]) = throw new NoSuchElementException
+          // One-element lookahead so postSuperstep fires after the LAST
+          // compute() and its hook contributions ride the final row's
+          // aggContribs into the superstep's aggregator fold. A task
+          // completion listener guarantees postSuperstep even if a consumer
+          // short-circuits the iterator (contributions are only folded on
+          // the normal full-drain path).
+          new Iterator[(K, VertexOut[K, VV, EV, M])] {
+            private var postFired = false
+            private def firePost(): Unit =
+              if (!postFired) { postFired = true; fn.postSuperstep(step, hookCtx) }
+            Option(org.apache.spark.TaskContext.get())
+              .foreach(_.addTaskCompletionListener[Unit](_ => firePost()))
+            private var pending: (K, VertexOut[K, VV, EV, M]) =
+              if (mapped.hasNext) mapped.next() else { firePost(); null }
+            def hasNext: Boolean = pending != null
+            def next(): (K, VertexOut[K, VV, EV, M]) = {
+              if (pending == null) throw new NoSuchElementException
+              val cur = pending
+              if (mapped.hasNext) { pending = mapped.next(); cur }
+              else {
+                pending = null
+                firePost()
+                if (hookCtx.contribs.isEmpty) cur
+                else {
+                  val folded = hookCtx.contribs.foldLeft(cur._2.aggContribs) {
+                    case (acc, (k, v)) =>
+                      acc.updated(k, acc.get(k).map(merges(k)(_, v)).getOrElse(v))
+                  }
+                  (cur._1, cur._2.copy(aggContribs = folded))
+                }
+              }
+            }
           }
         }, preservesPartitioning = true).persist()
 
@@ -338,10 +393,13 @@ object Pregel {
     }
     if (!done) finalState = "MAX_ITERATIONS"
 
+    val finalCarrier = carrier
+    val finalAdj = adj
     Result(carrier.mapValues(_.value),
       adj.flatMap { case (src, out) => out.iterator.map(e => (src, e)) },
       superstep, System.currentTimeMillis() - t0,
-      master.current, finalState)
+      master.current, finalState)(
+      () => { finalCarrier.unpersist(false); finalAdj.unpersist(false) })
   }
 }
 
@@ -356,13 +414,20 @@ trait ComputeFunction[K, VV, EV, M] extends Serializable {
   /** Driver hook between supersteps; may halt (ComputeFunction.java:66-75). */
   def masterCompute(superstep: Int, cb: Pregel.MasterCallback): Unit = {}
   /** Executor-side hook before a task's first compute() of the superstep
-    * (ComputeFunction.java preSuperstep); `aggregates` reads the previous
-    * superstep's merged aggregator values. Instance state set here is
-    * task-local — use it to hoist per-superstep work out of compute(). */
-  def preSuperstep(superstep: Int, aggregates: String => Any): Unit = {}
+    * (ComputeFunction.java preSuperstep); `aggregates(name)` reads the
+    * previous superstep's merged values and `aggregates.aggregate(name, v)`
+    * contributes to this superstep's merge (reference Aggregators-handle
+    * parity). Instance state set here is task-local — use it to hoist
+    * per-superstep work out of compute(). MUST be idempotent: the hook
+    * re-fires when a persisted partition is recomputed (retry/eviction). */
+  def preSuperstep(superstep: Int, aggregates: Pregel.HookContext): Unit = {}
   /** Executor-side hook after a task's last compute() of the superstep
-    * (ComputeFunction.java postSuperstep). */
-  def postSuperstep(superstep: Int): Unit = {}
+    * (ComputeFunction.java postSuperstep); may also contribute via
+    * `aggregates.aggregate`. Guaranteed to fire (task completion listener)
+    * even if the partition iterator is short-circuited, though
+    * contributions only fold in on the normal full-drain path. MUST be
+    * idempotent, like preSuperstep. */
+  def postSuperstep(superstep: Int, aggregates: Pregel.HookContext): Unit = {}
   /** The vertex program (ComputeFunction.java:85-98). */
   def compute(
       superstep: Int,

@@ -98,6 +98,34 @@ object EdgeStreamOps {
     def foldNeighbors: DataFrame =
       edges.groupBy(window(ts, windowDuration), col("src").as("id"))
         .agg(collect_list(struct(col("dst"), col("value"))).as("neighbors"))
+
+    /** User-function windowed fold — the reference's arbitrary
+      * EdgeFoldFunction (KGraphWindowedStream.foldNeighbors,
+      * streaming/KGraphWindowedStream.java:57-75; fold contract
+      * fold(acc, vertexId, neighborId, edgeValue), EdgeFoldFunction.java:
+      * 30-44). The fold is sequential per (window, vertex) like the
+      * reference's aggregate(); where the reference folds in Kafka ARRIVAL
+      * order (nondeterministic), we fold in (neighborId, edgeValue) order so
+      * results are reproducible. Batch frames run directly; on a streaming
+      * frame wrap with mapGroupsWithState instead (mapGroups is a batch op). */
+    def foldNeighborsWith[B](init: B)(fold: (B, Long, Long, Double) => B)
+                            (implicit benc: Encoder[B]): DataFrame = {
+      val sess = edges.sparkSession
+      import sess.implicits._
+      implicit val outEnc: Encoder[(java.sql.Timestamp, Long, B)] =
+        Encoders.tuple(Encoders.TIMESTAMP, Encoders.scalaLong, benc)
+      edges
+        .select(window(ts, windowDuration).getField("start").as("wstart"),
+          col("src"), col("dst"), col("value").cast("double"))
+        .as[(java.sql.Timestamp, Long, Long, Double)]
+        .groupByKey(r => (r._1.getTime, r._2))
+        .mapGroups { (key: (Long, Long), it: Iterator[(java.sql.Timestamp, Long, Long, Double)]) =>
+          val acc = it.toSeq.sortBy(r => (r._3, r._4))
+            .foldLeft(init) { case (a, (_, _, nbr, v)) => fold(a, key._2, nbr, v) }
+          (new java.sql.Timestamp(key._1), key._2, acc)
+        }
+        .toDF("window_start", "id", "value")
+    }
   }
 
   // =========================================================================
@@ -147,13 +175,33 @@ object EdgeStreamOps {
     def outputEncoder: Encoder[Set[(Long, Long)]] = kryo
   }
 
-  /** Run a summary aggregation over an edge Dataset (batch or streaming
-    * micro-batch): the two-level fold of SummaryBulkAggregation — Spark does
-    * partial aggregation per partition then merges, which IS level one + two. */
-  def aggregateSummary[OUT](edges: Dataset[(Long, Long)],
-                            agg: Aggregator[(Long, Long), _, OUT]): Dataset[OUT] = {
-    import edges.sparkSession.implicits._
-    edges.groupByKey(_ => 0).agg(agg.toColumn.name("summary")).map(_._2)(agg.outputEncoder)
+  /** Run a summary aggregation over an edge Dataset — the two-level windowed
+    * fold of SummaryBulkAggregation (SummaryBulkAggregation.java:73-97:
+    * per-key partial fold, then a global merge), HIERARCHICALLY: level one
+    * folds each partition into one summary buffer; the partials then merge
+    * through a log-depth tree with bounded fan-in (treeReduce), so no single
+    * task ever receives ALL partials — with 10⁵ input partitions at 100 TB,
+    * the old single-reducer `groupByKey(_ => 0)` merge made one task fold
+    * 10⁵ O(V) buffers; the tree does ≤16 per task per level.
+    *
+    * Merge is in-place into the LARGER side (each class's mergeInPlace/merge
+    * contract), so tree-merge results are identical to sequential-merge
+    * results for the order-insensitive summaries (DisjointSet components,
+    * Candidates verdict); AdjacencyListGraph's kept-edge set is
+    * merge-order-dependent in exactly the way the reference's windowed
+    * reduce already is. */
+  def aggregateSummary[B: scala.reflect.ClassTag, OUT](
+      edges: Dataset[(Long, Long)],
+      agg: Aggregator[(Long, Long), B, OUT]): Dataset[OUT] = {
+    val partials = edges.rdd
+      .mapPartitions(it => Iterator.single(it.foldLeft(agg.zero)(agg.reduce)))
+    val parts = math.max(partials.getNumPartitions, 1)
+    val fanIn = 16
+    val depth = math.max(2, math.ceil(math.log(parts.toDouble) / math.log(fanIn.toDouble)).toInt)
+    val buf =
+      if (partials.isEmpty()) agg.zero
+      else partials.treeReduce((a, b) => agg.merge(a, b), depth)
+    edges.sparkSession.createDataset(Seq(agg.finish(buf)))(agg.outputEncoder)
   }
 
   /** Exact global triangle count over a windowed edge batch — batch analog of

@@ -48,6 +48,42 @@ class FileStreamSpec extends SparkSpec {
     assert(streamed.values.sum === 1000L)
   }
 
+  test("edgesFromStream is source-agnostic: text file and kafka-shaped frames " +
+       "feed the same EdgeStreamOps pipeline") {
+    import graft.core.GraphIO
+    import graft.streaming.EdgeStreamOps._
+    import spark.implicits._
+    val lines = Seq("1 2 12.0", "1 3 13.0", "2 3 23.0", "", "3 1 31.0")
+    val expectedOut = Map(1L -> 2L, 2L -> 1L, 3L -> 1L)
+
+    // text file source through the public seam (format is a config choice)
+    val dir = Files.createTempDirectory("graft-edges").toString
+    Files.write(Paths.get(s"$dir/edges.txt"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    val q = GraphIO.edgesFromStream(spark, "text", Map("path" -> dir))
+      .outDegrees
+      .writeStream.outputMode("complete").format("memory").queryName("eds").start()
+    q.processAllAvailable()
+    val streamed = spark.table("eds").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    q.stop()
+    assert(streamed === expectedOut)
+
+    // kafka-shaped frame (binary value + broker timestamp) through the same
+    // parser: identical edges, record time becomes the event-time column
+    val t0 = new java.sql.Timestamp(1700000000000L)
+    val kafkaShaped = lines.zipWithIndex.map { case (l, i) =>
+      (l.getBytes("UTF-8"), new java.sql.Timestamp(t0.getTime + i * 1000L)) }
+      .toDF("value", "timestamp")
+    val parsed = GraphIO.edgesFromRaw(kafkaShaped)
+    assert(parsed.columns.toSeq === Seq("src", "dst", "value", "ts"))
+    val got = parsed.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === Set((1L, 2L, 12.0), (1L, 3L, 13.0), (2L, 3L, 23.0), (3L, 1L, 31.0)))
+    assert(parsed.select(min(col("ts"))).head().getTimestamp(0) === t0)
+    assert(parsed.outDegrees.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      === expectedOut)
+  }
+
   test("salted join equals plain join and spreads hot keys") {
     import spark.implicits._
     // heavily skewed left: 10k rows of key 1, few others

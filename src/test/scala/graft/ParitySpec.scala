@@ -50,6 +50,36 @@ class ParitySpec extends SparkSpec {
     assert(got2(1L) === 2L && got2(3L) === 4L && got2(5L) === 1L)
   }
 
+  test("foldNeighborsWith: arbitrary user fold per window-vertex " +
+       "(EdgeFoldFunction.java:30-44 contract)") {
+    import graft.streaming.EdgeStreamOps._
+    import spark.implicits._
+    val t0 = 1700000000000L
+    // two tumbling 1-minute windows for vertex 1; one for vertex 2
+    val edges = Seq(
+      (1L, 2L, 12.0, new java.sql.Timestamp(t0)),
+      (1L, 3L, 13.0, new java.sql.Timestamp(t0 + 1000)),
+      (1L, 4L, 14.0, new java.sql.Timestamp(t0 + 61000)),
+      (2L, 3L, 23.0, new java.sql.Timestamp(t0 + 2000))
+    ).toDF("src", "dst", "value", "ts")
+    // non-commutative fold proves sequential aggregate() semantics: the
+    // accumulator records (vertex, neighbor, value) visit order
+    val folded = edges.slice(col("ts"), "1 minute")
+      .foldNeighborsWith("")((acc, v, nbr, ev) => s"$acc|$v->$nbr:$ev")
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getLong(1)) -> r.getString(2)).toMap
+    val w0 = t0 - t0 % 60000 // window aligned to the epoch minute
+    assert(folded((w0, 1L)) === "|1->2:12.0|1->3:13.0")
+    assert(folded((w0 + 60000, 1L)) === "|1->4:14.0")
+    assert(folded((w0, 2L)) === "|2->3:23.0")
+    // numeric fold parity with reduceOnEdges(sum)
+    val sums = edges.slice(col("ts"), "1 minute")
+      .foldNeighborsWith(0.0)((acc, _, _, ev) => acc + ev)
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getLong(1)) -> r.getDouble(2)).toMap
+    val viaReduce = edges.slice(col("ts"), "1 minute").reduceOnEdges(sum)
+      .collect().map(r => (r.getStruct(0).getTimestamp(0).getTime, r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(sums === viaReduce)
+  }
+
   test("msspAsMap reassembles the reference map-valued vertex shape") {
     val g = KGraph.fromEdges(twoChainsEdges, id => id)
     val got = GraphAlgorithms.msspAsMap(g, Seq(0L, 10L)).collect()

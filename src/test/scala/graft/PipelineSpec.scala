@@ -105,17 +105,40 @@ class PipelineSpec extends SparkSpec {
     assert(overlap >= 8, s"robust fingerprints should mostly survive a one-word edit, got $overlap")
   }
 
-  test("multimodal: image features + audio frame sampling over binary payloads") {
+  test("multimodal: REAL JDK decode — PNG image features + WAV frame RMS") {
     val media = Multimodal.synthesize(spark, 30)
+    // image: ImageIO decode of real PNGs — dims must match the encoded ones
     val img = Multimodal.imageFeatures(media).collect()
     assert(img.length === 10)
-    assert(img.forall(f => f.meanLuma >= 0.0 && f.meanLuma <= 1.0 && f.width >= 640))
+    assert(img.forall { f =>
+      f.width === 64 + (f.id % 64).toInt && f.height === 48 + (f.id % 16).toInt })
+    assert(img.forall(f => f.meanLuma > 0.0 && f.meanLuma < 1.0))
+    // the test pattern varies per id → per-image average hashes differ
+    assert(img.map(_.phash).distinct.length > 1)
+    // decode is deterministic: same bytes → same features
+    val img2 = Multimodal.imageFeatures(media).collect()
+    assert(img.sortBy(_.id).toSeq === img2.sortBy(_.id).toSeq)
+    // audio: real WAV decode — frame count = ceil(duration / hop), RMS of a
+    // full-scale/2 sine ≈ 1/(2√2) ≈ 0.354
     val frames = Multimodal.audioFrames(media, hopMs = 500L).collect()
     assert(frames.nonEmpty)
-    assert(frames.groupBy(_.id).forall { case (_, fs) => fs.map(_.frameIdx).distinct.length === fs.length })
+    val byId = frames.groupBy(_.id)
+    assert(byId.forall { case (id, fs) =>
+      val dur = 300L + (id % 5) * 200L
+      fs.length === math.ceil(dur / 500.0).toInt })
+    assert(frames.forall(f => math.abs(f.rms - 0.3535) < 0.05))
+    // corrupt payloads are dropped, not failed
+    import spark.implicits._
+    val junk = Seq(Multimodal.MediaRecord(99L, Array[Byte](1, 2, 3),
+      Multimodal.MediaMeta("image", "png", 8, 8, 0, 0L))).toDS()
+    assert(Multimodal.imageFeatures(junk).collect().isEmpty)
+    // resize plan (pure Catalyst) and video frame-sample plan (metadata only)
     val plan = Multimodal.resizePlan(media.toDF(), maxSide = 512)
     val r = plan.filter(col("meta.mediaType") === "image").select("target_width", "target_height").collect()
     assert(r.forall(row => row.getInt(0) <= 512 && row.getInt(1) <= 512))
+    val fsp = Multimodal.frameSamplePlan(media.toDF(), hopMs = 1000L).collect()
+    assert(fsp.nonEmpty)
+    assert(fsp.forall(row => row.getLong(2) % 1000L === 0L))
   }
 
   test("ShingleExpression matches the declarative HOF formulation") {

@@ -74,29 +74,37 @@ object EdgeStreamOps {
     def neighborhood: DataFrame =
       edges.groupBy(col("src").as("id")).agg(collect_set(col("dst")).as("neighbors"))
 
-    /** Tumbling-window per-vertex grouping (EdgeStream.slice :453-494 →
-      * KGraphWindowedStream). Direction picks the grouping endpoint. */
-    def slice(ts: Column, windowDuration: String, direction: String = "OUT"): WindowedEdges = {
+    /** Windowed per-vertex grouping (EdgeStream.slice :453-494 →
+      * KGraphWindowedStream). Direction picks the grouping endpoint. The
+      * reference API accepts any Kafka `Windows` though all its shipped
+      * code is tumbling; `slideDuration` < `windowDuration` gives the
+      * sliding (hopping) case, omitted = tumbling (reference default). */
+    def slice(ts: Column, windowDuration: String, direction: String = "OUT",
+              slideDuration: Option[String] = None): WindowedEdges = {
       val keyed = direction.toUpperCase match {
         case "OUT"  => edges
         case "IN"   => reverse
         case "BOTH" => undirected
       }
-      WindowedEdges(keyed, ts, windowDuration)
+      WindowedEdges(keyed, ts, windowDuration, slideDuration)
     }
   }
 
   /** KGraphWindowedStream analog (streaming/KGraphWindowedStream.java:40-106). */
-  case class WindowedEdges(edges: DataFrame, ts: Column, windowDuration: String) {
+  case class WindowedEdges(edges: DataFrame, ts: Column, windowDuration: String,
+                           slideDuration: Option[String] = None) {
+    private def win: Column =
+      window(ts, windowDuration, slideDuration.getOrElse(windowDuration))
+
     /** foldNeighbors / reduceOnEdges: windowed per-vertex aggregate of the
       * edge values with any Spark aggregate expression. */
     def reduceOnEdges(agg: Column => Column): DataFrame =
-      edges.groupBy(window(ts, windowDuration), col("src").as("id"))
+      edges.groupBy(win, col("src").as("id"))
         .agg(agg(col("value")).as("value"))
 
     /** Windowed adjacency fold (foldNeighbors with collect semantics). */
     def foldNeighbors: DataFrame =
-      edges.groupBy(window(ts, windowDuration), col("src").as("id"))
+      edges.groupBy(win, col("src").as("id"))
         .agg(collect_list(struct(col("dst"), col("value"))).as("neighbors"))
 
     /** User-function windowed fold — the reference's arbitrary
@@ -115,7 +123,7 @@ object EdgeStreamOps {
       implicit val outEnc: Encoder[(java.sql.Timestamp, Long, B)] =
         Encoders.tuple(Encoders.TIMESTAMP, Encoders.scalaLong, benc)
       edges
-        .select(window(ts, windowDuration).getField("start").as("wstart"),
+        .select(win.getField("start").as("wstart"),
           col("src"), col("dst"), col("value").cast("double"))
         .as[(java.sql.Timestamp, Long, Long, Double)]
         .groupByKey(r => (r._1.getTime, r._2))

@@ -80,6 +80,23 @@ class ParitySpec extends SparkSpec {
     assert(sums === viaReduce)
   }
 
+  test("slice supports sliding (hopping) windows, not just tumbling") {
+    import graft.streaming.EdgeStreamOps._
+    import spark.implicits._
+    val t0 = 1699999980000L // epoch-minute aligned (t0 % 60000 == 0)
+    val edges = Seq((1L, 2L, 10.0, new java.sql.Timestamp(t0 + 35000)))
+      .toDF("src", "dst", "value", "ts")
+    // 1-minute window sliding every 30s: the edge at +35s lands in the
+    // [t0, t0+60s) and [t0+30s, t0+90s) windows → two rows
+    val slid = edges.slice(col("ts"), "1 minute", "OUT", Some("30 seconds"))
+      .reduceOnEdges(sum)
+      .collect().map(r => r.getStruct(0).getTimestamp(0).getTime -> r.getDouble(2)).toMap
+    assert(slid === Map(t0 -> 10.0, t0 + 30000 -> 10.0))
+    // tumbling default unchanged: one row
+    val tum = edges.slice(col("ts"), "1 minute").reduceOnEdges(sum).collect()
+    assert(tum.length === 1)
+  }
+
   test("msspAsMap reassembles the reference map-valued vertex shape") {
     val g = KGraph.fromEdges(twoChainsEdges, id => id)
     val got = GraphAlgorithms.msspAsMap(g, Seq(0L, 10L)).collect()

@@ -31,6 +31,12 @@ object AlgorithmRegistry {
     case other      => throw new IllegalArgumentException(s"Unsupported algorithm type: $other")
   }
 
+  /** Run outcome with the reference's GraphAlgorithmState fields
+    * (GraphAlgorithmState.java:28-99): result + superstep count + running
+    * time + terminal state — the REST layer's state/result verbs read it. */
+  case class Outcome(vertices: RDD[(Long, Any)], superstep: Int,
+                     runningTimeMs: Long, state: String)
+
   /**
    * Run a named algorithm on a weighted edge RDD (src, dst, weight),
    * vertex set derived from edge endpoints (KGraph.fromEdges semantics).
@@ -41,51 +47,53 @@ object AlgorithmRegistry {
   def run(spark: SparkSession, algorithm: String,
           edges: RDD[(Long, Long, Double)],
           configs: Map[String, Any] = Map.empty,
-          maxIterations: Int = 30): RDD[(Long, Any)] = {
+          maxIterations: Int = 30): RDD[(Long, Any)] =
+    runDetailed(spark, algorithm, edges, configs, maxIterations).vertices
+
+  def runDetailed(spark: SparkSession, algorithm: String,
+                  edges: RDD[(Long, Long, Double)],
+                  configs: Map[String, Any] = Map.empty,
+                  maxIterations: Int = 30): Outcome = {
     val e = edges.map { case (s, d, w) => (s, (d, w)) }.cache()
     val vertexIds = edges.flatMap(t => Iterator(t._1, t._2)).distinct()
 
     def verts[V](init: Long => V): RDD[(Long, V)] = vertexIds.map(id => (id, init(id)))
     def srcId: Long = configs("srcVertexId").asInstanceOf[Number].longValue()
+    def outcome[VV, EV](r: Pregel.Result[Long, VV, EV]): Outcome =
+      Outcome(r.vertices.map { case (k, v) => (k, v: Any) },
+        r.superstep, r.runningTimeMs, r.state)
 
-    val result: RDD[(Long, Any)] = algorithm match {
+    algorithm match {
       case "bfs" =>
-        Pregel.run(spark, new BasicAlgorithms.Bfs(srcId),
-          verts(_ => Long.MaxValue), e, maxIterations = maxIterations)
-          .vertices.mapValues(v => v: Any)
+        outcome(Pregel.run(spark, new BasicAlgorithms.Bfs(srcId),
+          verts(_ => Long.MaxValue), e, maxIterations = maxIterations))
       case "sssp" =>
-        Pregel.run(spark, new BasicAlgorithms.Sssp(srcId),
-          verts(_ => Double.PositiveInfinity), e, maxIterations = maxIterations)
-          .vertices.mapValues(v => v: Any)
+        outcome(Pregel.run(spark, new BasicAlgorithms.Sssp(srcId),
+          verts(_ => Double.PositiveInfinity), e, maxIterations = maxIterations))
       case "wcc" =>
-        Pregel.run(spark, new BasicAlgorithms.Wcc,
-          verts(id => id), e, maxIterations = maxIterations)
-          .vertices.mapValues(v => v: Any)
+        outcome(Pregel.run(spark, new BasicAlgorithms.Wcc,
+          verts(id => id), e, maxIterations = maxIterations))
       case "lp" =>
-        Pregel.run(spark, new BasicAlgorithms.Lp,
-          verts(id => id), e, maxIterations = maxIterations)
-          .vertices.mapValues(v => v: Any)
+        outcome(Pregel.run(spark, new BasicAlgorithms.Lp,
+          verts(id => id), e, maxIterations = maxIterations))
       case "lcc" =>
-        Pregel.run(spark, new AdvancedAlgorithms.Lcc,
-          verts(_ => 1.0), e, maxIterations = maxIterations)
-          .vertices.mapValues(v => v: Any)
+        outcome(Pregel.run(spark, new AdvancedAlgorithms.Lcc,
+          verts(_ => 1.0), e, maxIterations = maxIterations))
       case "mssp" =>
         val landmarks = configs("landmarkVertexIds") match {
           case s: Set[_] => s.map(_.asInstanceOf[Number].longValue())
           case s: Seq[_] => s.map(_.asInstanceOf[Number].longValue()).toSet
         }
-        Pregel.run(spark, new BasicAlgorithms.Mssp(landmarks),
-          verts(_ => Map.empty[Long, Double]), e, maxIterations = maxIterations)
-          .vertices.mapValues(v => v: Any)
+        outcome(Pregel.run(spark, new BasicAlgorithms.Mssp(landmarks),
+          verts(_ => Map.empty[Long, Double]), e, maxIterations = maxIterations))
       case "pagerank" =>
         val tol = configs.getOrElse("tolerance", 0.0001).asInstanceOf[Number].doubleValue()
         val reset = configs.getOrElse("resetProbability", 0.15).asInstanceOf[Number].doubleValue()
         val src = configs.get("srcVertexId").map(_.asInstanceOf[Number].longValue())
-        Pregel.run(spark, new BasicAlgorithms.PageRank(tol, reset, src),
+        outcome(Pregel.run(spark, new BasicAlgorithms.PageRank(tol, reset, src),
           verts(_ => (0.0, 0.0)), e,
           initialMessage = Some(BasicAlgorithms.PageRank.initialMessage(reset)),
-          maxIterations = maxIterations)
-          .vertices.mapValues(v => v: Any)
+          maxIterations = maxIterations))
       case "svdpp" =>
         // bipartite ratings: input edges are (user, item, rating); CfId keys
         // collapse to a signed Long in the result (user → id, item → −id−1)
@@ -98,13 +106,13 @@ object AlgorithmRegistry {
           (Cf.CfId.user(u), (Cf.CfId.item(i), r.toFloat)) }
         val ids = ratings.flatMap(t => Iterator(t._1, t._2._1)).distinct()
           .map(id => (id, Cf.SvdppValue(0f, Array.empty[Float], Array.empty[Float])))
-        Pregel.run(spark, new Cf.Svdpp(dim = dim, iterations = iters, randomSeed = seed),
+        val r = Pregel.run(spark, new Cf.Svdpp(dim = dim, iterations = iters, randomSeed = seed),
           ids, ratings, maxIterations = maxIterations)
-          .vertices.map { case (id, v) =>
-            (if (id.typ == 0) id.id else -id.id - 1, v: Any) }
+        Outcome(r.vertices.map { case (id, v) =>
+            (if (id.typ == 0) id.id else -id.id - 1, v: Any) },
+          r.superstep, r.runningTimeMs, r.state)
       case other =>
         throw new IllegalArgumentException(s"Unsupported algorithm type: $other")
     }
-    result
   }
 }

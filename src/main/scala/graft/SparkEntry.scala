@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.algos.GraphAlgorithms
 import graft.core.KGraph
 import graft.core.KGraph.EdgeDirection
-import graft.pipeline.{Ann, Dedup, TextAnalysis}
+import graft.pipeline.{Ann, Curation, Dedup, TextAnalysis}
 
 /**
  * Driver contract: every implemented operator from SURVEY.md §2 is exposed as
@@ -414,6 +414,38 @@ object SparkEntry {
     "d_lang_id" -> ((s, dir) =>
       TextAnalysis.langId(t(s, dir, "documents"))
         .select(col("doc_id"), col("lang_pred"))),
+
+    // benchmark-decontamination: shingle overlap of the corpus (doc_id%41≠0)
+    // against the probe/eval set (doc_id%41=0); probe side broadcasts
+    "d_contamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Curation.contamination(
+        docs.filter(col("doc_id") % 41 =!= 0),
+        docs.filter(col("doc_id") % 41 === 0))
+    }),
+
+    // deterministic per-language data mix: content-hash gate, dyadic rates
+    "d_sample_mix" -> ((s, dir) =>
+      Curation.stratifiedSample(t(s, dir, "documents"), "lang",
+        Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.125, "es" -> 0.75, "zh" -> 1.0),
+        keyCol = "doc_id", salt = "mix:", defaultRate = 0.0625)
+        .select(col("doc_id"), col("lang"))),
+
+    // PII scrub: the gate injects synthetic email/IP/phone spans derived
+    // from doc_id so the redaction path is actually exercised on this corpus
+    "d_pii_redact" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        Curation.redactPii(concat(
+          lit("user"), col("doc_id"), lit("@example.org ip 10.0."),
+          col("doc_id") % 256, lit(".17 call +1 555 "),
+          lit(1000) + col("doc_id") % 9000, lit(" "), col("text"))).as("redacted"))),
+
+    // corpus curation: keep the 3 best-quality docs per source domain
+    "d_quality_topk" -> ((s, dir) =>
+      Curation.topKPerGroup(
+        TextAnalysis.qualityScore(t(s, dir, "documents"))
+          .select(col("source"), col("doc_id"), col("quality")),
+        "source", "quality", "doc_id", k = 3)),
 
     "d_ngram_pairs" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), threshold = 0.1)
@@ -1262,6 +1294,88 @@ object SparkEntry {
         |    8 * len(list_filter(toks, t -> list_contains(['il','lo','la','gli','di','e','è','un','una','in','che','per','non','con','su','del'], t))) + 4
         |  ) AS code
         |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents))""".stripMargin,
+
+    "d_contamination" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, CASE WHEN len(toks) >= 3 THEN list_distinct(list_transform(
+        |      range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        |    ELSE CAST([] AS VARCHAR[]) END AS s
+        |  FROM tk),
+        |probe AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 41 = 0),
+        |corp AS (SELECT doc_id, s FROM sh WHERE doc_id % 41 <> 0),
+        |shared AS (
+        |  SELECT i.doc_id, count(*) AS n_shared
+        |  FROM (SELECT doc_id, unnest(s) AS g FROM corp) i JOIN probe USING (g)
+        |  GROUP BY 1)
+        |SELECT c.doc_id, coalesce(sh2.n_shared, 0) AS n_shared,
+        |       len(c.s) AS n_shingles,
+        |       round(CASE WHEN len(c.s) > 0
+        |                  THEN CAST(coalesce(sh2.n_shared, 0) AS DOUBLE) / len(c.s)
+        |                  ELSE 0.0 END, 6) AS contamination
+        |FROM corp c LEFT JOIN shared sh2 USING (doc_id)""".stripMargin,
+
+    "d_sample_mix" -> {
+      val cps = "list_transform(range(1, length(k) + 1), j -> CAST(unicode(k[j]) AS HUGEINT))"
+      // gate multiplier is salt-derived (Curation.saltMult("mix:")) — a plain
+      // positive constant, so the oracle rebuilds the exact hash family
+      s"""SELECT doc_id, lang FROM (
+         |  SELECT doc_id, lang,
+         |    ${sqlPoly("cps", 1125899906842597L, Curation.saltMult("mix:"))} % 1048576 AS gate
+         |  FROM (SELECT doc_id, lang, $cps AS cps
+         |        FROM (SELECT doc_id, lang, CAST(doc_id AS VARCHAR) || 'mix:' AS k
+         |              FROM documents)))
+         |WHERE gate < CASE lang WHEN 'en' THEN 524288 WHEN 'de' THEN 262144
+         |                       WHEN 'fr' THEN 131072 WHEN 'es' THEN 786432
+         |                       WHEN 'zh' THEN 1048576 ELSE 65536 END""".stripMargin
+    },
+
+    "d_pii_redact" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(
+        |    'user' || CAST(doc_id AS VARCHAR) || '@example.org ip 10.0.' ||
+        |      CAST(doc_id % 256 AS VARCHAR) || '.17 call +1 555 ' ||
+        |      CAST(1000 + doc_id % 9000 AS VARCHAR) || ' ' || text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\+?\d[\d .()-]{6,}\d', '<PHONE>', 'g') AS redacted
+        |FROM documents""".stripMargin,
+
+    "d_quality_topk" ->
+      """WITH comp AS (
+        |  SELECT source, doc_id, toks,
+        |    CASE WHEN len(toks) > 0
+        |         THEN (length(text) - (len(toks) - 1)) / CAST(len(toks) AS DOUBLE)
+        |         ELSE 0.0 END AS mtl,
+        |    CASE WHEN len(toks) > 0
+        |         THEN CAST(len(list_filter(toks, t -> list_contains(
+        |    ['the','a','an','of','to','in','and','is','it','that','for','on','was','with','as','at','by','this'],
+        |           lower(t)))) AS DOUBLE) / len(toks)
+        |         ELSE 0.0 END AS swr,
+        |    CASE WHEN length(text) > 0
+        |         THEN (length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')))
+        |              / CAST(length(text) AS DOUBLE)
+        |         ELSE 0.0 END AS pr,
+        |    CASE WHEN length(text) > 0
+        |         THEN (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+        |              / CAST(length(text) AS DOUBLE)
+        |         ELSE 0.0 END AS dr
+        |  FROM (SELECT source, doc_id, text,
+        |          string_split_regex(trim(text), '\s+') AS toks FROM documents)),
+        |q AS (
+        |  SELECT source, doc_id,
+        |    round(greatest(0.0, least(1.0,
+        |      0.25 * least(len(toks) / 64.0, 1.0)
+        |      + 0.25 * (CASE WHEN mtl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END)
+        |      + 0.25 * least(swr * 4.0, 1.0)
+        |      + 0.25 * (1.0 - least(pr + dr, 1.0)))), 6) AS quality
+        |  FROM comp)
+        |SELECT source, doc_id, quality FROM (
+        |  SELECT source, doc_id, quality,
+        |         row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rn
+        |  FROM q) WHERE rn <= 3""".stripMargin,
 
     "d_ngram_pairs" ->
       """WITH sh AS (

@@ -1,0 +1,205 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.Poly64
+
+/**
+ * Corpus-curation operators for large-scale training-data pipelines:
+ * benchmark-contamination checking, deterministic stratified sampling /
+ * data mixing, PII redaction, and bounded per-group top-k selection.
+ *
+ * Everything is codegen-friendly (`org.apache.spark.sql.functions` +
+ * graft's native expressions — no Scala UDFs in any per-row path) and
+ * designed for the 100 TB shape: the corpus side is touched in ONE scan,
+ * joins against reference sets broadcast when provably small, and the only
+ * aggregations are map-side-combinable (bounded top-k state, counts).
+ */
+object Curation {
+
+  // ---- benchmark contamination --------------------------------------------
+
+  /**
+   * Benchmark-contamination check: for each corpus document, how many of its
+   * distinct word `shingleLen`-gram shingles also occur anywhere in `probes`
+   * (the benchmark / eval corpus), plus the contaminated fraction.
+   *
+   * Plan shape: the probe set collapses to DISTINCT shingles (tiny — eval
+   * suites are MBs, not TBs) and joins the corpus's exploded shingle index.
+   * With `broadcastProbes` (default) that join is a broadcast semi-join, so
+   * the 100 TB corpus is scanned exactly once with no shuffle; set it false
+   * only when the probe corpus itself is cluster-scale, which falls back to
+   * a shuffle equi-join on the shingle — the same inverted-index plan as
+   * [[Dedup.ngramJaccardPairs]].
+   *
+   * Output: (idCol, n_shared, n_shingles, contamination ∈ [0,1] rounded 6).
+   * Documents with no shingle overlap appear with n_shared = 0.
+   */
+  def contamination(corpus: DataFrame, probes: DataFrame,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    shingleLen: Int = 3,
+                    broadcastProbes: Boolean = true): DataFrame = {
+    val corpusSh = corpus
+      .select(col(idCol).as("id"), Dedup.wordShingles(col(textCol), shingleLen).as("sh"))
+    val probeSh0 = probes
+      .select(explode(Dedup.wordShingles(col(textCol), shingleLen)).as("g"))
+      .distinct()
+    val probeSh = if (broadcastProbes) broadcast(probeSh0) else probeSh0
+    // shingles are distinct per document, so count(*) after the semi-shaped
+    // inner join IS the distinct shared-shingle count
+    val shared = corpusSh.select(col("id"), explode(col("sh")).as("g"))
+      .join(probeSh, Seq("g"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_shared"))
+    corpusSh.select(col("id"), size(col("sh")).as("n_shingles"))
+      .join(shared, Seq("id"), "left_outer")
+      .select(
+        col("id").as(idCol),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        col("n_shingles").cast("long").as("n_shingles"),
+        round(when(col("n_shingles") > 0,
+          coalesce(col("n_shared"), lit(0L)).cast("double") / col("n_shingles"))
+          .otherwise(lit(0.0)), 6).as("contamination"))
+  }
+
+  // ---- deterministic sampling / data mixing -------------------------------
+
+  /** Sampling gate granularity: 2^20. A power of two so the gate value is a
+    * BIT SLICE of the hash — `pmod(h, 2^20)` on the signed Long equals the
+    * low 20 bits of the unsigned value, which keeps the gate reproducible in
+    * engines that model the hash as unsigned (the DuckDB oracle's HUGEINT
+    * fold): for non-power-of-two moduli the signed/unsigned residues differ. */
+  val SampleGranularity: Long = 1L << 20
+
+  /** The salt parameterizes the gate hash's fold MULTIPLIER (odd-forced
+    * second-family Poly64 of the salt itself, computed once driver-side).
+    * A polynomial fold is linear in its inputs, so salting by prefix/suffix
+    * concatenation alone only shifts every key's hash by the same constant —
+    * two "independent" salts would keep almost the same sample. Changing the
+    * multiplier changes the hash family, which is the nonlinearity needed
+    * for genuinely independent gates — and it stays a plain Long constant,
+    * so external SQL oracles rebuild the gate exactly. Masked to 62 bits
+    * (positive, odd) so a 128-bit-integer oracle can fold `acc·mult` without
+    * overflowing (2^64·2^62 < 2^127). */
+  def saltMult(salt: String): Long =
+    (Poly64.hash(UTF8String.fromString(salt), Poly64.Seed2, Poly64.Mult2) | 1L) &
+      0x3FFFFFFFFFFFFFFFL
+
+  /** Deterministic keep/drop gate: true iff the low 20 bits of
+    * Poly64(key ++ salt; mult = saltMult(salt)) fall below rate·2^20.
+    * Row-stable (keyed on content, not partition/seed state), so samples are
+    * reproducible across runs, engines, and repartitionings — unlike
+    * `df.sample`, whose output depends on partition layout. Different
+    * `salt`s give independent gates (see [[saltMult]]).
+    *
+    * The salt is also folded in as a SUFFIX: the trailing salt chars
+    * multiply inter-key hash deltas by mult^len(salt), so consecutive keys
+    * ("…41" vs "…42", which differ by 1 in the final code point) land
+    * 2^20-equidistributed like a multiplicative hash instead of adjacent in
+    * the low bits. */
+  def sampleGate(key: Column, rate: Double, salt: String): Column = {
+    val threshold = math.round(rate * SampleGranularity)
+    pmod(
+      Poly64.poly64(concat(key.cast("string"), lit(salt)), Poly64.Seed1, saltMult(salt)),
+      lit(SampleGranularity)) < lit(threshold)
+  }
+
+  /**
+   * Stratified deterministic sample — the data-mixing primitive: each
+   * stratum (language, source domain, quality bucket, …) keeps its own
+   * fraction of rows, gated by the content hash of `keyCol`. One scan, no
+   * shuffle, no state; the mix is exactly reproducible given (rates, salt).
+   * Strata absent from `rates` keep `defaultRate`.
+   */
+  def stratifiedSample(df: DataFrame, stratumCol: String, rates: Map[String, Double],
+                       keyCol: String, salt: String = "mix:",
+                       defaultRate: Double = 0.0): DataFrame = {
+    val thresholdCol = rates.foldLeft(lit(math.round(defaultRate * SampleGranularity))) {
+      case (acc, (stratum, rate)) =>
+        when(col(stratumCol) === stratum, lit(math.round(rate * SampleGranularity)))
+          .otherwise(acc)
+    }
+    df.filter(
+      pmod(
+        Poly64.poly64(concat(col(keyCol).cast("string"), lit(salt)),
+          Poly64.Seed1, saltMult(salt)),
+        lit(SampleGranularity)) < thresholdCol)
+  }
+
+  // ---- PII redaction ------------------------------------------------------
+
+  /** Conservative ASCII patterns chosen to behave identically under Java's
+    * regex engine and RE2-family engines (no backreferences, no lookaround):
+    * order matters — emails first (they contain dots/digits), then IPv4
+    * (dotted digits), then free-form phone runs (what's left). */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhonePattern = "\\+?\\d[\\d .()-]{6,}\\d"
+
+  /** Redact PII-looking spans: emails → `<EMAIL>`, IPv4 addresses → `<IP>`,
+    * phone-number-like digit runs → `<PHONE>`. Pure codegen'd
+    * `regexp_replace` chain — one pass per pattern, no UDF, safe to run over
+    * a 100 TB corpus inside the same projection as the rest of the
+    * text-analysis pipeline. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "<EMAIL>"),
+        Ipv4Pattern, "<IP>"),
+      PhonePattern, "<PHONE>")
+
+  // ---- bounded per-group top-k --------------------------------------------
+
+  /** One (score, id) candidate. */
+  case class Scored(score: Double, id: Long)
+
+  /** Aggregation state: the current k best, sorted best-first. */
+  case class TopKState(top: Seq[Scored])
+
+  /** Bounded top-k accumulator: keeps the k best (score DESC, id ASC) pairs
+    * in a small sorted list. State is O(k) per group and merge is O(k), so
+    * the aggregation is map-side combinable — at 100 TB each executor ships
+    * k rows per group instead of its whole partition, and no per-group sort
+    * of the full data ever happens (the scale trap of the window-function
+    * row_number() formulation). */
+  private final class TopK(k: Int)
+      extends Aggregator[(Double, Long), TopKState, TopKState] {
+    private def better(a: Scored, b: Scored): Boolean =
+      a.score > b.score || (a.score == b.score && a.id < b.id)
+    private def insert(buf: Seq[Scored], x: Scored): Seq[Scored] = {
+      val (before, after) = buf.span(better(_, x))
+      (before ++ (x +: after)).take(k)
+    }
+    def zero: TopKState = TopKState(Nil)
+    def reduce(buf: TopKState, x: (Double, Long)): TopKState = {
+      val cand = Scored(x._1, x._2)
+      if (buf.top.sizeIs >= k && better(buf.top.last, cand)) buf
+      else TopKState(insert(buf.top, cand))
+    }
+    def merge(a: TopKState, b: TopKState): TopKState =
+      TopKState(b.top.foldLeft(a.top)(insert))
+    def finish(buf: TopKState): TopKState = buf
+    def bufferEncoder = org.apache.spark.sql.Encoders.product[TopKState]
+    def outputEncoder = org.apache.spark.sql.Encoders.product[TopKState]
+  }
+
+  /**
+   * Per-group top-k selection (score DESC, id ASC tiebreak) — corpus
+   * curation's "keep the k best documents per domain". Returns one row per
+   * kept document: (groupCol, idCol, scoreCol).
+   *
+   * Implemented as a typed bounded-heap [[Aggregator]] (partial aggregation,
+   * O(k) state) rather than a `row_number()` window, which would shuffle AND
+   * sort every row of the largest group into one task.
+   */
+  def topKPerGroup(df: DataFrame, groupCol: String, scoreCol: String,
+                   idCol: String, k: Int): DataFrame = {
+    val topk = udaf(new TopK(k))
+    df.groupBy(col(groupCol))
+      .agg(topk(col(scoreCol).cast("double"), col(idCol).cast("long")).as("t"))
+      .select(col(groupCol), explode(col("t.top")).as("p"))
+      .select(col(groupCol), col("p.id").as(idCol), col("p.score").as(scoreCol))
+  }
+}

@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.Curation
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- PII redaction ------------------------------------------------------
+
+  private def redact(s: String): String =
+    Seq(s).toDF("t").select(Curation.redactPii(col("t"))).as[String].head()
+
+  test("redactPii: emails, IPs, phone runs") {
+    assert(redact("contact alice.b+spam@sub.example.co.uk now") ===
+      "contact <EMAIL> now")
+    assert(redact("host 192.168.0.1 and 10.0.255.17 up") ===
+      "host <IP> and <IP> up")
+    assert(redact("call +1 (415) 555-0199 today") === "call <PHONE> today")
+    assert(redact("call 555 867 5309 today") === "call <PHONE> today")
+  }
+
+  test("redactPii: mixed spans, order email > ip > phone") {
+    assert(redact("a@b.org from 10.1.2.3 tel +44 20 7946 0958.") ===
+      "<EMAIL> from <IP> tel <PHONE>.")
+  }
+
+  test("redactPii: clean text is unchanged") {
+    val s = "no personal data here, just words and punctuation!"
+    assert(redact(s) === s)
+  }
+
+  test("redactPii: short digit runs are not phones") {
+    assert(redact("room 4021 floor 12") === "room 4021 floor 12")
+  }
+
+  // ---- deterministic sampling --------------------------------------------
+
+  private def keysDF = (0L until 2000L).toDF("k")
+
+  test("sampleGate is deterministic and repartition-stable") {
+    val a = keysDF.filter(Curation.sampleGate(col("k"), 0.5, "s1:"))
+      .as[Long].collect().sorted
+    val b = keysDF.repartition(13).filter(Curation.sampleGate(col("k"), 0.5, "s1:"))
+      .as[Long].collect().sorted
+    assert(a.sameElements(b))
+    assert(math.abs(a.length / 2000.0 - 0.5) < 0.05)
+  }
+
+  test("sampleGate: lower rate selects a subset of higher rate (same salt)") {
+    val lo = keysDF.filter(Curation.sampleGate(col("k"), 0.125, "s1:"))
+      .as[Long].collect().toSet
+    val hi = keysDF.filter(Curation.sampleGate(col("k"), 0.5, "s1:"))
+      .as[Long].collect().toSet
+    assert(lo.subsetOf(hi))
+    assert(math.abs(lo.size / 2000.0 - 0.125) < 0.05)
+  }
+
+  test("sampleGate: different salts give independent-looking gates") {
+    val a = keysDF.filter(Curation.sampleGate(col("k"), 0.5, "s1:"))
+      .as[Long].collect().toSet
+    val b = keysDF.filter(Curation.sampleGate(col("k"), 0.5, "s2:"))
+      .as[Long].collect().toSet
+    val overlap = (a & b).size.toDouble / 2000.0
+    assert(overlap > 0.15 && overlap < 0.35) // ≈ 0.25 if independent
+  }
+
+  test("stratifiedSample applies per-stratum rates with defaultRate fallback") {
+    val rows = (0L until 3000L).map(i =>
+      (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "xx"))
+    val df = rows.toDF("id", "lang")
+    val kept = Curation.stratifiedSample(df, "lang",
+        Map("en" -> 1.0, "de" -> 0.25), keyCol = "id", defaultRate = 0.0)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(kept("en") === 1000L)                       // rate 1.0 keeps all
+    assert(!kept.contains("xx"))                       // defaultRate 0 drops all
+    assert(math.abs(kept("de") / 1000.0 - 0.25) < 0.06)
+  }
+
+  // ---- contamination ------------------------------------------------------
+
+  test("contamination counts shared shingles against the probe set") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"), // shingles: ab g, b g d, g d e
+      (2L, "zeta eta theta iota"),
+      (3L, "one two")                         // < 3 tokens → no shingles
+    ).toDF("doc_id", "text")
+    val probes = Seq(
+      (100L, "alpha beta gamma delta"),       // shares "alpha beta gamma", "beta gamma delta"
+      (101L, "totally unrelated probe text")
+    ).toDF("doc_id", "text")
+    val out = Curation.contamination(corpus, probes)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) === ((2L, 3L, 0.666667)))
+    assert(out(2L) === ((0L, 2L, 0.0)))
+    assert(out(3L) === ((0L, 0L, 0.0)))
+  }
+
+  test("contamination: shuffle-join fallback matches broadcast plan") {
+    val corpus = (0L until 50L)
+      .map(i => (i, s"w$i x${i % 7} y${i % 5} z${i % 3} common tail here"))
+      .toDF("doc_id", "text")
+    val probes = Seq((999L, "z1 common tail here and more")).toDF("doc_id", "text")
+    val a = Curation.contamination(corpus, probes, broadcastProbes = true)
+      .orderBy("doc_id").collect().toSeq
+    val b = Curation.contamination(corpus, probes, broadcastProbes = false)
+      .orderBy("doc_id").collect().toSeq
+    assert(a === b)
+  }
+
+  // ---- bounded top-k ------------------------------------------------------
+
+  test("topKPerGroup matches the sort-based reference (ties broken by id)") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 500).map { i =>
+      (s"g${i % 7}", rnd.nextInt(20) / 10.0, i.toLong) // few distinct scores → ties
+    }
+    val df = rows.toDF("grp", "score", "id").repartition(16)
+    val got = Curation.topKPerGroup(df, "grp", "score", "id", k = 5)
+      .as[(String, Long, Double)].collect()
+      .map(r => (r._1, r._2)).toSet
+    val want = rows.groupBy(_._1).toSeq.flatMap { case (g, rs) =>
+      rs.sortBy(r => (-r._2, r._3)).take(5).map(r => (g, r._3))
+    }.toSet
+    assert(got === want)
+  }
+
+  test("topKPerGroup: groups smaller than k return all rows") {
+    val df = Seq(("a", 1.0, 1L), ("a", 2.0, 2L), ("b", 3.0, 3L))
+      .toDF("grp", "score", "id")
+    val out = Curation.topKPerGroup(df, "grp", "score", "id", k = 10)
+      .as[(String, Long, Double)].collect().toSet
+    assert(out === Set(("a", 2L, 2.0), ("a", 1L, 1.0), ("b", 3L, 3.0)))
+  }
+}

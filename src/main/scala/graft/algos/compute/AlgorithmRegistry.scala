@@ -33,9 +33,12 @@ object AlgorithmRegistry {
 
   /** Run outcome with the reference's GraphAlgorithmState fields
     * (GraphAlgorithmState.java:28-99): result + superstep count + running
-    * time + terminal state — the REST layer's state/result verbs read it. */
+    * time + terminal state + final aggregates (status.getAggregates — the
+    * svdpp-predict tool reads the overall-rating/edge-count aggregators from
+    * it) — the REST layer's state/result/predict verbs read it. */
   case class Outcome(vertices: RDD[(Long, Any)], superstep: Int,
-                     runningTimeMs: Long, state: String)
+                     runningTimeMs: Long, state: String,
+                     aggregates: Map[String, Any] = Map.empty)
 
   /**
    * Run a named algorithm on a weighted edge RDD (src, dst, weight),
@@ -61,7 +64,7 @@ object AlgorithmRegistry {
     def srcId: Long = configs("srcVertexId").asInstanceOf[Number].longValue()
     def outcome[VV, EV](r: Pregel.Result[Long, VV, EV]): Outcome =
       Outcome(r.vertices.map { case (k, v) => (k, v: Any) },
-        r.superstep, r.runningTimeMs, r.state)
+        r.superstep, r.runningTimeMs, r.state, r.aggregates)
 
     algorithm match {
       case "bfs" =>
@@ -110,7 +113,7 @@ object AlgorithmRegistry {
           ids, ratings, maxIterations = maxIterations)
         Outcome(r.vertices.map { case (id, v) =>
             (if (id.typ == 0) id.id else -id.id - 1, v: Any) },
-          r.superstep, r.runningTimeMs, r.state)
+          r.superstep, r.runningTimeMs, r.state, r.aggregates)
       case other =>
         throw new IllegalArgumentException(s"Unsupported algorithm type: $other")
     }

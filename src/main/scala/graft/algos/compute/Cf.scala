@@ -383,4 +383,55 @@ object Cf {
       cb.setNewVertexValue(SvdppValue(itemBaseline, itemFactors, itemWeights))
     }
   }
+
+  /** Offline rating prediction over a TRAINED SVD++ result — port of the
+    * reference's `svdpp-predict` tool (kafka-graphs-rest-app
+    * tools/library/SvdppPredictor.java:107-137):
+    *
+    *   predicted = clamp(meanRating + b_u + b_i + q_i · p_u, min, max)
+    *   meanRating = overallRating / (2 · numEdges)    (from the aggregators)
+    *
+    * The tool uses the raw user·item factor dot product WITHOUT the
+    * implicit-feedback weight term of the training-time predictor
+    * (Svdpp.java:150-164) — that asymmetry is preserved, as is the clamp
+    * order (min(·, max) then max(·, min)) and float accumulation.
+    *
+    * Distributed: two hash joins over the factor tables (user side first) —
+    * the reference tool fetches one pair per HTTP round-trip; here any
+    * number of (user, item) pairs batch through the same two joins. */
+  def svdppPredict(res: Pregel.Result[CfId, SvdppValue, Float],
+                   pairs: org.apache.spark.rdd.RDD[(Long, Long)],
+                   minRating: Float = 0.0f,
+                   maxRating: Float = 5.0f): org.apache.spark.rdd.RDD[(Long, Long, Float)] = {
+    val meanRating = svdppMeanRating(res.aggregates)
+    val users = res.vertices.flatMap { case (id, v) =>
+      if (id.typ == 0) Iterator((id.id, (v.baseline, v.factors))) else Iterator.empty
+    }
+    val items = res.vertices.flatMap { case (id, v) =>
+      if (id.typ == 1) Iterator((id.id, (v.baseline, v.factors))) else Iterator.empty
+    }
+    pairs.join(users)
+      .map { case (u, (i, uv)) => (i, (u, uv)) }
+      .join(items)
+      .map { case (i, ((u, (ub, uf)), (ib, ifa))) =>
+        (u, i, svdppPredictOne(meanRating, ub, uf, ib, ifa, minRating, maxRating))
+      }
+  }
+
+  /** Global mean rating from a finished run's aggregates
+    * (SvdppPredictor.java:107-110): overallRating / (2 · numEdges). */
+  def svdppMeanRating(aggregates: Map[String, Any]): Float = {
+    val overall = aggregates.getOrElse(OverallRatingAggregator, 0.0).asInstanceOf[Double]
+    val numEdges = math.max(1L, aggregates.getOrElse(EdgeCountAggregator, 0L).asInstanceOf[Long])
+    (overall / (numEdges * 2)).toFloat
+  }
+
+  /** Single-pair predictor core (SvdppPredictor.java:122-128), float
+    * arithmetic and clamp order preserved. */
+  def svdppPredictOne(meanRating: Float, userBaseline: Float, userFactors: Array[Float],
+                      itemBaseline: Float, itemFactors: Array[Float],
+                      minRating: Float, maxRating: Float): Float = {
+    val raw = meanRating + userBaseline + itemBaseline + F.dot(itemFactors, userFactors)
+    math.max(math.min(raw, maxRating), minRating)
+  }
 }

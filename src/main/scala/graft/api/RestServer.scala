@@ -9,7 +9,7 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.SparkSession
 
-import graft.algos.compute.AlgorithmRegistry
+import graft.algos.compute.{AlgorithmRegistry, Cf}
 
 /**
  * Thin HTTP execution-lifecycle layer over the algorithm registry — the
@@ -23,8 +23,10 @@ import graft.algos.compute.AlgorithmRegistry
  *                                        "configs":{...}} → {"id": appId}
  *                                       (configure, :253-393)
  *   POST   /pregel/{id}                 {"numIterations":N} → async run (:406-444)
- *   GET    /pregel/{id}                 state JSON (:395-404)
+ *   GET    /pregel/{id}                 state JSON incl. aggregates (:395-404)
  *   GET    /pregel/{id}/result          SSE stream of "data: id value" (:457-489)
+ *   GET    /pregel/{id}/predict?user=U&item=I   svdpp rating prediction
+ *                                       (tools/library/SvdppPredictor.java:76-138)
  *   DELETE /pregel/{id}                 drop the submission
  *
  * The reference proxies configure/run/result across ZK-discovered group
@@ -119,6 +121,7 @@ final class RestServer(spark: SparkSession, port: Int = 0) {
       case ("POST", "") => configure(ex)
       case ("POST", id) => runAsync(ex, id)
       case ("GET", p) if p.endsWith("/result") => result(p.stripSuffix("/result"))
+      case ("GET", p) if p.endsWith("/predict") => predict(ex, p.stripSuffix("/predict"))
       case ("GET", id) => state(id)
       case ("DELETE", id) =>
         subs.remove(id); (200, "application/json", MiniJson.obj("deleted" -> id))
@@ -176,7 +179,13 @@ final class RestServer(spark: SparkSession, port: Int = 0) {
       "algorithm" -> sub.algorithm,
       "superstep" -> Option(sub.outcome).map(_.superstep).getOrElse(0),
       "runningTime" -> Option(sub.outcome).map(_.runningTimeMs).getOrElse(0L))
-    val all = sub.error.map(e => base :+ ("error" -> (e: Any))).getOrElse(base)
+    // final aggregates, stringified — GraphAlgorithmStatus.getAggregates
+    // (the svdpp-predict tool reads overall-rating/edge-count from here)
+    val aggs = Option(sub.outcome).map(_.aggregates).getOrElse(Map.empty)
+    val withAggs = base :+ ("aggregates" ->
+      (MiniJson.Raw(MiniJson.obj(aggs.toSeq.sortBy(_._1)
+        .map { case (k, v) => k -> (String.valueOf(v): Any) }: _*)): Any))
+    val all = sub.error.map(e => withAggs :+ ("error" -> (e: Any))).getOrElse(withAggs)
     (200, "application/json", MiniJson.obj(all: _*))
   }
 
@@ -197,16 +206,51 @@ final class RestServer(spark: SparkSession, port: Int = 0) {
     }
     (200, "text/event-stream", sb.toString)
   }
+
+  /** svdpp-predict verb — in-server port of the reference predictor CLI
+    * (tools/library/SvdppPredictor.java:76-138): look up the trained user
+    * and item rows (registry key collapse: user → id, item → −id−1), read
+    * the mean rating from the run's aggregates, apply the clamped predictor
+    * formula. `GET /pregel/{id}/predict?user=U&item=I`. */
+  private def predict(ex: HttpExchange, id: String): (Int, String, String) = {
+    val sub = subs.get(id)
+    require(sub != null, s"no submission $id")
+    require(sub.state == "COMPLETED" || sub.state == "HALTED",
+      s"predict in state ${sub.state}")
+    require(sub.algorithm == "svdpp", s"predict requires svdpp, got ${sub.algorithm}")
+    val q = query(ex)
+    val user = q("user").toLong
+    val item = q("item").toLong
+    val itemKey = -item - 1
+    val rows = sub.outcome.vertices
+      .filter(kv => kv._1 == user || kv._1 == itemKey).collect().toMap
+    require(rows.contains(user), s"no user $user")
+    require(rows.contains(itemKey), s"no item $item")
+    val uv = rows(user).asInstanceOf[Cf.SvdppValue]
+    val iv = rows(itemKey).asInstanceOf[Cf.SvdppValue]
+    def rating(key: String, dflt: Float): Float = sub.configs.get(key)
+      .map(_.asInstanceOf[Number].floatValue()).getOrElse(dflt)
+    val p = Cf.svdppPredictOne(
+      Cf.svdppMeanRating(sub.outcome.aggregates),
+      uv.baseline, uv.factors, iv.baseline, iv.factors,
+      rating("min.rating", 0.0f), rating("max.rating", 5.0f))
+    (200, "application/json",
+      MiniJson.obj("user" -> user, "item" -> item, "predicted" -> p))
+  }
 }
 
 /** Minimal JSON used by the REST surface — parse (objects/arrays/strings/
   * numbers/bools/null) and format. No external dependency. */
 private[api] object MiniJson {
 
+  /** Pre-rendered JSON passed through `fmt` verbatim (nested objects). */
+  case class Raw(json: String)
+
   def obj(fields: (String, Any)*): String =
     fields.map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString("{", ",", "}")
 
   private def fmt(v: Any): String = v match {
+    case Raw(j) => j
     case s: String => "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString

@@ -156,4 +156,39 @@ class AdvancedSpec extends SparkSpec {
     assert(n === 6L)
     assert(rmse < 1.6, s"svd++ rmse=$rmse")
   }
+
+  test("svdppPredict applies the reference predictor formula with clamping") {
+    // hand-built trained state: mean = 12 / (2·2) = 3.0
+    val verts = sc.parallelize(Seq(
+      (CfId.user(1), SvdppValue(0.5f, Array(0.1f, 0.2f), Array.empty[Float])),
+      (CfId.user(2), SvdppValue(3.0f, Array(1.0f, 1.0f), Array.empty[Float])),
+      (CfId.item(7), SvdppValue(0.25f, Array(0.4f, 0.3f), Array(0f, 0f)))))
+    val res = Pregel.Result[CfId, SvdppValue, Float](
+      verts, sc.emptyRDD, superstep = 0, runningTimeMs = 0L,
+      aggregates = Map(Cf.OverallRatingAggregator -> 12.0,
+        Cf.EdgeCountAggregator -> 2L),
+      state = "COMPLETED")(() => ())
+    val out = Cf.svdppPredict(res, sc.parallelize(Seq((1L, 7L), (2L, 7L))))
+      .collect().map(t => (t._1, t._2) -> t._3).toMap
+    // u1: 3.0 + 0.5 + 0.25 + (0.4·0.1 + 0.3·0.2) = 3.85
+    assert(math.abs(out((1L, 7L)) - 3.85f) < 1e-6)
+    // u2: 3.0 + 3.0 + 0.25 + 0.7 = 6.95 → clamped to maxRating 5.0
+    assert(out((2L, 7L)) === 5.0f)
+  }
+
+  test("svdppPredict on a trained run is deterministic and in range") {
+    val verts = sc.parallelize(
+      (ratings.map(_._1) ++ ratings.map(_._2)).distinct
+        .map(id => (id, SvdppValue(0f, Array.empty[Float], Array.empty[Float]))))
+    val e = sc.parallelize(ratings.map { case (u, i, r) => (u, (i, r)) })
+    val cf = new Cf.Svdpp(dim = 5, iterations = 8, randomSeed = Some(42L))
+    val res = Pregel.run(spark, cf, verts, e, maxIterations = 40)
+    val pairs = sc.parallelize(for (u <- 1L to 3L; i <- 1L to 2L) yield (u, i))
+    val p1 = Cf.svdppPredict(res, pairs).collect().sortBy(t => (t._1, t._2))
+    assert(p1.length === 6)
+    assert(p1.forall(t => t._3 >= 0.0f && t._3 <= 5.0f))
+    val p2 = Cf.svdppPredict(res, pairs).collect().sortBy(t => (t._1, t._2))
+    assert(p1.toSeq === p2.toSeq)
+    res.unpersistState()
+  }
 }

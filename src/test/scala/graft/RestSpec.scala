@@ -100,4 +100,40 @@ class RestSpec extends SparkSpec {
       assert(rows === (0 to 5).map(i => i.toLong -> i * 2.0).toMap)
     } finally srv.stop()
   }
+
+  test("svdpp train + predict verb over HTTP (SvdppPredictor parity)") {
+    val srv = new RestServer(spark).start()
+    try {
+      val base = s"http://127.0.0.1:${srv.boundPort}"
+      // bipartite ratings: "user item rating" lines (items get −id−1 keys)
+      post(s"$base/import?name=r&type=edges",
+        Seq("1 1 1.0", "1 2 2.0", "2 1 2.0", "2 2 4.0", "3 1 3.0", "3 2 5.0")
+          .mkString("\n"))
+      val id = field(post(s"$base/pregel",
+        """{"algorithm":"svdpp","graph":"r",
+          |"configs":{"iterations":4,"random.seed":42}}""".stripMargin), "id")
+      post(s"$base/pregel/$id", """{"numIterations":12}""")
+      var st = ""
+      val deadline = System.currentTimeMillis() + 120000
+      while (st != "COMPLETED" && st != "HALTED" && st != "ERROR" &&
+             System.currentTimeMillis() < deadline) {
+        Thread.sleep(200)
+        st = field(get(s"$base/pregel/$id"), "state")
+      }
+      assert(st === "COMPLETED" || st === "HALTED", get(s"$base/pregel/$id"))
+      // state carries the final aggregates the reference tool reads
+      val stateJson = get(s"$base/pregel/$id")
+      assert(stateJson.contains("edge.count.aggregator"))
+      assert(stateJson.contains("svd.overall.rating.aggregator"))
+
+      val p = get(s"$base/pregel/$id/predict?user=1&item=2")
+      val predicted = field(p, "predicted").toFloat
+      assert(predicted >= 0.0f && predicted <= 5.0f, p)
+      // deterministic: same factors → same prediction
+      assert(field(get(s"$base/pregel/$id/predict?user=1&item=2"), "predicted")
+        .toFloat === predicted)
+      // unknown user/item rejected
+      assert(get(s"$base/pregel/$id/predict?user=99&item=2").contains("error"))
+    } finally srv.stop()
+  }
 }

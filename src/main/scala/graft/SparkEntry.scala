@@ -478,6 +478,15 @@ object SparkEntry {
         .select(col("query_id"), col("nbr_id"), col("rank"))
     }),
 
+    // product quantization: 2×32-dim subspaces, 8 codes each, ADC scoring —
+    // id-ordered init so the whole train/encode/score pipeline is
+    // DuckDB-oracle-checkable like e_knn_ivf
+    "e_knn_pq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      Ann.pqKnn(emb, emb, 2, m = 2, ncodes = 8, iters = 2, hashInit = false)
+    }),
+
     "e_embedding_dedup" -> ((s, dir) =>
       // exact all-pairs verification path (oracle-checkable end to end,
       // including the connected-components clustering)
@@ -742,6 +751,56 @@ object SparkEntry {
       }
     }
     sb ++= s"\nSELECT id AS vec_id, CAST(cl AS INTEGER) AS cluster FROM a$steps"
+    sb.toString
+  }
+
+  /** DuckDB SQL mirroring Ann.pqKnn(hashInit=false): per-subspace id-ordered
+    * k-means (`iters` Lloyd rounds, empty codes drop), final-codebook encode
+    * (argmin, ties → lowest code), per-query LUT distances, ADC = sum of the
+    * m per-subspace lookups, top-k by (adc, nbr_id). The per-subspace CTE
+    * chain is generated in a loop — same unrolled-Lloyd pattern as
+    * kmeansOracleSql/ivfOracleSql. */
+  private def pqOracleSql(m: Int, ncodes: Int, iters: Int, k: Int,
+                          dim: Int = 64): String = {
+    val subDim = dim / m
+    val sb = new StringBuilder
+    sb ++= "WITH v AS MATERIALIZED (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)"
+    for (s <- 0 until m) {
+      val off = s * subDim
+      sb ++= s""",
+                |p$s AS MATERIALIZED (SELECT id, r.i AS i, e[$off + r.i] AS x FROM v, range(1, ${subDim + 1}) r(i)),
+                |init$s AS MATERIALIZED (SELECT row_number() OVER (ORDER BY id) - 1 AS cl, id
+                |        FROM (SELECT id FROM v ORDER BY id LIMIT $ncodes)),
+                |c${s}_0 AS MATERIALIZED (SELECT init$s.cl, p.i, p.x AS v FROM init$s JOIN p$s p USING (id))""".stripMargin
+      for (t <- 1 to iters) {
+        sb ++= s""",
+                  |d${s}_$t AS MATERIALIZED (SELECT p.id, c.cl, sum((p.x - c.v) * (p.x - c.v)) AS dd
+                  |        FROM p$s p JOIN c${s}_${t - 1} c USING (i) GROUP BY 1, 2),
+                  |a${s}_$t AS MATERIALIZED (SELECT id, cl FROM (
+                  |  SELECT id, cl, row_number() OVER (PARTITION BY id ORDER BY dd, cl) AS rn
+                  |  FROM d${s}_$t) WHERE rn = 1),
+                  |c${s}_$t AS MATERIALIZED (SELECT a.cl, p.i, avg(p.x) AS v
+                  |        FROM a${s}_$t a JOIN p$s p USING (id) GROUP BY 1, 2)""".stripMargin
+      }
+      // lut = every vector's subvector distance to every FINAL codeword;
+      // encode = its argmin (the same distances, so one CTE serves both)
+      sb ++= s""",
+                |lut$s AS MATERIALIZED (SELECT p.id AS query_id, c.cl AS code,
+                |        sum((p.x - c.v) * (p.x - c.v)) AS pd2
+                |        FROM p$s p JOIN c${s}_$iters c USING (i) GROUP BY 1, 2),
+                |enc$s AS MATERIALIZED (SELECT query_id AS id, code AS cl FROM (
+                |  SELECT query_id, code, row_number() OVER (PARTITION BY query_id ORDER BY pd2, code) AS rn
+                |  FROM lut$s) WHERE rn = 1),
+                |cand$s AS (SELECT l.query_id, e.id AS nbr_id, l.pd2
+                |           FROM lut$s l JOIN enc$s e ON l.code = e.cl)""".stripMargin
+    }
+    val unioned = (0 until m).map(s => s"SELECT * FROM cand$s").mkString(" UNION ALL ")
+    sb ++= s""",
+              |adc AS (SELECT query_id, nbr_id, sum(pd2) AS adc
+              |        FROM ($unioned) u WHERE query_id <> nbr_id GROUP BY 1, 2)
+              |SELECT query_id, nbr_id, CAST(rn AS INTEGER) AS rank FROM (
+              |  SELECT query_id, nbr_id, row_number() OVER (PARTITION BY query_id ORDER BY adc, nbr_id) AS rn
+              |  FROM adc) WHERE rn <= $k""".stripMargin
     sb.toString
   }
 
@@ -1408,6 +1467,8 @@ object SparkEntry {
     "g_kmeans_clusters" -> kmeansOracleSql(k = 4, steps = 8),
 
     "e_knn_ivf" -> ivfOracleSql(nlist = 16, nprobe = 4, iters = 2, k = 3),
+
+    "e_knn_pq" -> pqOracleSql(m = 2, ncodes = 8, iters = 2, k = 2),
 
     // exact cosine≥0.9 pair graph + transitive closure (small components, so
     // the recursive closure is cheap); rep = min reachable id, singletons self

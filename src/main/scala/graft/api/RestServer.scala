@@ -27,6 +27,7 @@ import graft.algos.compute.{AlgorithmRegistry, Cf}
  *   GET    /pregel/{id}/result          SSE stream of "data: id value" (:457-489)
  *   GET    /pregel/{id}/predict?user=U&item=I   svdpp rating prediction
  *                                       (tools/library/SvdppPredictor.java:76-138)
+ *   GET    /pregel/{id}/configs         submission configs (:96-115 client side)
  *   DELETE /pregel/{id}                 drop the submission
  *
  * The reference proxies configure/run/result across ZK-discovered group
@@ -122,6 +123,7 @@ final class RestServer(spark: SparkSession, port: Int = 0) {
       case ("POST", id) => runAsync(ex, id)
       case ("GET", p) if p.endsWith("/result") => result(p.stripSuffix("/result"))
       case ("GET", p) if p.endsWith("/predict") => predict(ex, p.stripSuffix("/predict"))
+      case ("GET", p) if p.endsWith("/configs") => configsOf(p.stripSuffix("/configs"))
       case ("GET", id) => state(id)
       case ("DELETE", id) =>
         subs.remove(id); (200, "application/json", MiniJson.obj("deleted" -> id))
@@ -205,6 +207,14 @@ final class RestServer(spark: SparkSession, port: Int = 0) {
         .append("\n\n")
     }
     (200, "text/event-stream", sb.toString)
+  }
+
+  /** Submission configs (GET /pregel/{id}/configs — the reference predictor
+    * CLI reads min/max.rating from here, SvdppPredictor.java:96-115). */
+  private def configsOf(id: String): (Int, String, String) = {
+    val sub = subs.get(id)
+    require(sub != null, s"no submission $id")
+    (200, "application/json", MiniJson.obj(sub.configs.toSeq.sortBy(_._1): _*))
   }
 
   /** svdpp-predict verb — in-server port of the reference predictor CLI

@@ -170,6 +170,145 @@ object Ann {
       .select(col("query_id"), col("nbr_id"), col("sim"), col("rank"))
   }
 
+  // ---- product quantization (PQ) ------------------------------------------
+
+  /** Slice subspace `s` (0-based) of an m-way split `dim`-vector. */
+  private def subVec(v: Column, s: Int, subDim: Int): Column =
+    slice(v, s * subDim + 1, subDim)
+
+  /**
+   * Train a product-quantization codebook: the vector is split into `m`
+   * equal subspaces and each subspace gets its own `ncodes`-centroid k-means
+   * (Jégou et al., "Product quantization for nearest neighbor search",
+   * TPAMI 2011). Returns (subspace, code, codeword array<double>).
+   *
+   * The per-subspace k-means reuses [[trainCentroids]] (deterministic init,
+   * Lloyd with empty-cell drop), so `hashInit = false` keeps the whole
+   * codebook reproducible in an external SQL oracle.
+   */
+  def pqTrainCodebook(corpus: DataFrame, m: Int, ncodes: Int, iters: Int = 3,
+                      idCol: String = "vec_id", vecCol: String = "embedding",
+                      hashInit: Boolean = true): DataFrame = {
+    val v = corpus.select(col(idCol).as(idCol), col(vecCol).cast("array<double>").as("v"))
+    val dim = v.select(size(col("v"))).first().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val subDim = dim / m
+    (0 until m).map { s =>
+      trainCentroids(v.select(col(idCol), subVec(col("v"), s, subDim).as("sv")),
+        ncodes, iters, idCol, "sv", hashInit)
+        .select(lit(s).as("subspace"), col("centroid_id").as("code"),
+          col("centroid").as("codeword"))
+    }.reduce(_ union _)
+  }
+
+  /** Encode vectors against a PQ codebook: nearest codeword per subspace
+    * (ties → lowest code). Returns (id, subspace, code) — m rows per vector,
+    * 1 byte of information each at ncodes ≤ 256: the 100 TB corpus shrinks
+    * to m bytes/vector for the scoring scan. Codebook is broadcast. */
+  def pqEncode(vectors: DataFrame, codebook: DataFrame, m: Int,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val v = vectors.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    val subDim = v.select(size(col("v"))).first().getInt(0) / m
+    val subs = v.select(col("id"), posexplode(
+      array((0 until m).map(s => subVec(col("v"), s, subDim)): _*)).as(Seq("subspace", "sv")))
+    subs.join(broadcast(codebook), Seq("subspace"))
+      .withColumn("d2", squaredDistance(col("sv"), col("codeword")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("id"), col("subspace")).orderBy(asc("d2"), asc("code"))))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("subspace"), col("code"))
+  }
+
+  /**
+   * PQ approximate top-k by asymmetric distance computation (ADC): each query
+   * precomputes an m×ncodes lookup table of squared L2 distances to every
+   * codeword, and a candidate's distance is the sum of m table lookups over
+   * its codes — the corpus is scanned as codes (m bytes/vector), never as
+   * floats. Distances are L2 (the PQ-native metric). Returns
+   * (query_id, nbr_id, rank), rank by (adc asc, nbr_id asc).
+   *
+   * Plan shape: corpus→codes once (argmin vs broadcast codebook);
+   * query LUT = queries × codebook (Q·m·ncodes rows, broadcast); scoring =
+   * codes ⋈ LUT on (subspace, code) + a map-side-combinable sum. Pure PQ
+   * scans every candidate (ADC cuts per-candidate cost, not candidate
+   * count) — [[ivfPqKnn]] adds the IVF cell prefilter for the 100 TB shape.
+   */
+  def pqKnn(corpus: DataFrame, queries: DataFrame, k: Int,
+            m: Int = 8, ncodes: Int = 256, iters: Int = 3,
+            idCol: String = "vec_id", vecCol: String = "embedding",
+            excludeSelf: Boolean = true, hashInit: Boolean = true): DataFrame = {
+    val codebook = pqTrainCodebook(corpus, m, ncodes, iters, idCol, vecCol, hashInit)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val corpusCodes = pqEncode(corpus, codebook, m, idCol, vecCol)
+      .toDF("nbr_id", "subspace", "code")
+    val lut = pqLut(queries, codebook, m, idCol, vecCol)
+    scoreAdc(corpusCodes, lut, k, excludeSelf)
+  }
+
+  /** Per-query distance lookup table: (query_id, subspace, code, pd2). */
+  private def pqLut(queries: DataFrame, codebook: DataFrame, m: Int,
+                    idCol: String, vecCol: String): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+    val subDim = q.select(size(col("qv"))).first().getInt(0) / m
+    q.select(col("query_id"), posexplode(
+        array((0 until m).map(s => subVec(col("qv"), s, subDim)): _*)).as(Seq("subspace", "sv")))
+      .join(broadcast(codebook), Seq("subspace"))
+      .select(col("query_id"), col("subspace"), col("code"),
+        squaredDistance(col("sv"), col("codeword")).as("pd2"))
+  }
+
+  /** ADC scoring: m lookup-joins summed per (query, candidate), top-k. */
+  private def scoreAdc(corpusCodes: DataFrame, lut: DataFrame, k: Int,
+                       excludeSelf: Boolean): DataFrame = {
+    corpusCodes.join(broadcast(lut), Seq("subspace", "code"))
+      .filter(if (excludeSelf) col("query_id") =!= col("nbr_id") else lit(true))
+      .groupBy(col("query_id"), col("nbr_id")).agg(sum(col("pd2")).as("adc"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(asc("adc"), asc("nbr_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("nbr_id"), col("rank"))
+  }
+
+  /** IVF-PQ: the FAISS-style composition — IVF coarse cells bound WHICH
+    * candidates are scored (nprobe/nlist of the corpus), PQ-ADC bounds the
+    * COST per candidate (m byte-codes instead of dim floats). This is the
+    * 100 TB configuration: the float corpus is read once at index build;
+    * every search after that touches codes only. */
+  def ivfPqKnn(corpus: DataFrame, queries: DataFrame, k: Int,
+               nlist: Int = 64, nprobe: Int = 8,
+               m: Int = 8, ncodes: Int = 256, iters: Int = 3,
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               excludeSelf: Boolean = true, hashInit: Boolean = true): DataFrame = {
+    val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).cast("array<double>").as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+    val centroids = trainCentroids(corpus, nlist, iters, idCol, vecCol, hashInit)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val corpusCells = assignCells(c.withColumnRenamed("nbr_id", "id"), centroids, "cv")
+      .toDF("nbr_id", "cell")
+    val qCells = q.crossJoin(broadcast(centroids))
+      .withColumn("d2", squaredDistance(col("qv"), col("centroid")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(asc("d2"), asc("centroid_id"))))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("centroid_id").as("cell"))
+    val codebook = pqTrainCodebook(corpus, m, ncodes, iters, idCol, vecCol, hashInit)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val corpusCodes = pqEncode(corpus, codebook, m, idCol, vecCol)
+      .toDF("nbr_id", "subspace", "code")
+    val lut = pqLut(queries, codebook, m, idCol, vecCol)
+    // candidate pairs from cell match, then ADC over the m code rows
+    val cand = qCells.join(corpusCells, Seq("cell"))
+      .select(col("query_id"), col("nbr_id")).distinct()
+    corpusCodes.join(cand, Seq("nbr_id"))
+      .join(broadcast(lut), Seq("query_id", "subspace", "code"))
+      .filter(if (excludeSelf) col("query_id") =!= col("nbr_id") else lit(true))
+      .groupBy(col("query_id"), col("nbr_id")).agg(sum(col("pd2")).as("adc"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(asc("adc"), asc("nbr_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("nbr_id"), col("rank"))
+  }
+
   /** LSH-bucketed approximate top-k (no training pass): candidates share the
     * hyperplane sign bucket; `probes` extra buckets within Hamming distance 1
     * improve recall. */

@@ -77,6 +77,46 @@ class PipelineSpec extends SparkSpec {
     assert(ivf.keySet === bf.keySet)
   }
 
+  test("pq knn: ADC finds same-cluster neighbors on separated clusters") {
+    val rnd = new scala.util.Random(3)
+    val base = Seq(
+      Array.fill(8)(0.0), Array.fill(8)(10.0),
+      Array.tabulate(8)(i => if (i % 2 == 0) 10.0 else -10.0))
+    val vecs = (0 until 60).map { i =>
+      (i.toLong, base(i % 3).map(_ + rnd.nextGaussian() * 0.3).toSeq)
+    }.toDF("vec_id", "embedding")
+    val pq = Ann.pqKnn(vecs, vecs, 1, m = 2, ncodes = 4, iters = 3).collect()
+    assert(pq.length === 60)
+    pq.foreach { r =>
+      assert(r.getLong(0) % 3 === r.getLong(1) % 3,
+        s"query ${r.getLong(0)} got cross-cluster ${r.getLong(1)}")
+    }
+  }
+
+  test("pqEncode: m codes per vector, codes within range, deterministic") {
+    val vecs = (0 until 30).map(i => (i.toLong, Seq.tabulate(8)(d => (i % 5) + d * 0.1)))
+      .toDF("vec_id", "embedding")
+    val cb = Ann.pqTrainCodebook(vecs, m = 4, ncodes = 3, iters = 2)
+    val codes = Ann.pqEncode(vecs, cb, m = 4).collect()
+    assert(codes.length === 30 * 4)
+    assert(codes.forall(r => r.getInt(2) >= 0 && r.getInt(2) < 3))
+    val again = Ann.pqEncode(vecs, cb, m = 4).collect()
+    assert(codes.map(_.toSeq).toSet === again.map(_.toSeq).toSet)
+  }
+
+  test("ivfPq with nprobe = nlist reproduces pure PQ ranks") {
+    val vecs = (0 until 40).map { i =>
+      val b = if (i < 20) 0.0 else 10.0
+      (i.toLong, Seq.tabulate(8)(d => b + (i % 7) * 0.05 + d * 0.01))
+    }.toDF("vec_id", "embedding")
+    val pq = Ann.pqKnn(vecs, vecs, 2, m = 2, ncodes = 4, iters = 2, hashInit = false)
+      .collect().map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    val ivfpq = Ann.ivfPqKnn(vecs, vecs, 2, nlist = 4, nprobe = 4,
+        m = 2, ncodes = 4, iters = 2, hashInit = false)
+      .collect().map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    assert(ivfpq === pq)
+  }
+
   test("token counts and quality features") {
     val out = TextAnalysis.qualityScore(docs).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n_tokens")).toMap

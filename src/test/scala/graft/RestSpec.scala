@@ -134,6 +134,11 @@ class RestSpec extends SparkSpec {
         .toFloat === predicted)
       // unknown user/item rejected
       assert(get(s"$base/pregel/$id/predict?user=99&item=2").contains("error"))
+      // configs verb serves the submission's configs (predictor reads
+      // min/max.rating from here)
+      val cfg = get(s"$base/pregel/$id/configs")
+      assert(field(cfg, "iterations").toInt === 4)
+      assert(field(cfg, "random.seed").toLong === 42L)
     } finally srv.stop()
   }
 }

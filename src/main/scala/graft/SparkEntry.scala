@@ -451,6 +451,20 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), threshold = 0.1)
         .withColumn("jaccard", round(col("jaccard"), 6))),
 
+    // keyword extraction: top TF-IDF term per doc (rounded-score ranking)
+    "d_tfidf_top" -> ((s, dir) =>
+      TextAnalysis.tfIdfTop(t(s, dir, "documents"))),
+
+    // Gopher-style repetition filter features (rowwise, shuffle-free)
+    "d_repetition" -> ((s, dir) =>
+      TextAnalysis.repetition(t(s, dir, "documents"))
+        .select(col("doc_id"), col("n_tokens"), col("dup_token_ratio"),
+          col("dup_2gram_ratio"), col("dup_3gram_ratio"))),
+
+    // retention-policy dedup: keep the largest doc per content group
+    "d_dedup_retain" -> ((s, dir) =>
+      Dedup.exactKeepBest(t(s, dir, "documents"))),
+
     // poly = true: Poly64 Rabin base hashes — the full LSH pipelines
     // (shingle→minhash→band→bucket-join→verify→WCC, token-hash→simhash→
     // chunk-join→hamming→WCC) are then reproducible in the DuckDB oracle
@@ -1293,6 +1307,51 @@ object SparkEntry {
         |  CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
         |       ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
         |FROM documents""".stripMargin,
+
+    "d_tfidf_top" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, term, tf, df,
+        |         round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+        |  FROM tf JOIN dfq USING (term) CROSS JOIN n)
+        |SELECT doc_id, term, tf, df, tfidf FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rk
+        |  FROM scored) WHERE rk = 1""".stripMargin,
+
+    "d_repetition" ->
+      """SELECT doc_id, len(toks) AS n_tokens,
+        |  CASE WHEN len(toks) > 0 THEN
+        |    round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6)
+        |  ELSE 0.0 END AS dup_token_ratio,
+        |  CASE WHEN len(toks) >= 2 THEN
+        |    round(1.0 - CAST(len(list_distinct(list_transform(range(1, len(toks)),
+        |      i -> toks[i] || ' ' || toks[i+1]))) AS DOUBLE) / (len(toks) - 1), 6)
+        |  ELSE 0.0 END AS dup_2gram_ratio,
+        |  CASE WHEN len(toks) >= 3 THEN
+        |    round(1.0 - CAST(len(list_distinct(list_transform(range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS DOUBLE)
+        |      / (len(toks) - 2), 6)
+        |  ELSE 0.0 END AS dup_3gram_ratio
+        |FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |      FROM documents)""".stripMargin,
+
+    "d_dedup_retain" ->
+      """WITH g AS (
+        |  SELECT doc_id, n_chars,
+        |         regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS k
+        |  FROM documents),
+        |r AS (SELECT k, max(n_chars) AS kept_chars, count(*) AS n_dups
+        |      FROM g GROUP BY 1)
+        |SELECT min(g.doc_id) AS doc_id, CAST(r.kept_chars AS BIGINT) AS kept_chars,
+        |       r.n_dups
+        |FROM g JOIN r ON g.k = r.k AND g.n_chars = r.kept_chars
+        |GROUP BY r.k, r.kept_chars, r.n_dups""".stripMargin,
 
     // RE2 (DuckDB) has no lookarounds, so the BPE-ish token count is
     // reconstructed by counting token-START positions: a non-ws char at

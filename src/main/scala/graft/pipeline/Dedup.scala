@@ -34,6 +34,22 @@ object Dedup {
       .drop("_fp")
   }
 
+  /** Retention-policy exact dedup: per normalized-content group keep the
+    * LARGEST document (max `sizeCol`, ties → smallest `idCol`) — the common
+    * curation policy of retaining the best representative rather than the
+    * first-seen one. Same one-shuffle hash-groupBy shape as [[exact]]; the
+    * argmax rides a struct-max aggregate so map-side combine applies. */
+  def exactKeepBest(df: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text", sizeCol: String = "n_chars"): DataFrame = {
+    val fp = TextAnalysis.fingerprint(col(textCol))
+    spread(df).withColumn("_fp", fp)
+      .groupBy(col("_fp"))
+      .agg(
+        max(struct(col(sizeCol).cast("long").as("c"), (-col(idCol)).as("ni"))).as("_m"),
+        count(lit(1)).as("n_dups"))
+      .select((-col("_m.ni")).as(idCol), col("_m.c").as("kept_chars"), col("n_dups"))
+  }
+
   // -------------------------------------------------------------------------
   // Shingles + MinHash
   // -------------------------------------------------------------------------

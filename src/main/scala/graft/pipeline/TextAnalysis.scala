@@ -85,6 +85,53 @@ object TextAnalysis {
       .drop(langs.map(l => s"_s_$l") :+ "_best": _*)
   }
 
+  /** Per-document TF-IDF keyword extraction: the top term per document ranked
+    * by `round(tf · ln(N/df), 6)` (ties broken by term, ascending). The score
+    * is rounded BEFORE ranking so the ordering is reproducible across engines.
+    *
+    * Scale shape: tf is a (doc, term) hash-groupBy with map-side combine; df
+    * is a term groupBy over the (already reduced) tf frame, so stopword-skewed
+    * terms are absorbed by partial aggregation before the shuffle; the corpus
+    * size joins in as a broadcast scalar; top-1 per doc is a single window
+    * shuffle on the high-cardinality doc key. No driver-side actions — one
+    * Catalyst plan end to end. */
+  def tfIdfTop(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = df.select(col(idCol).as("doc_id"),
+      explode(wsTokens(lower(trim(col(textCol))))).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val total = df.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "term").crossJoin(broadcast(total))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("_rk", row_number().over(w)).filter(col("_rk") === 1)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"))
+  }
+
+  /** Gopher-style repetition features: the fraction of token / 2-gram /
+    * 3-gram occurrences that are repeats of an earlier occurrence in the same
+    * document (`1 − distinct/total`, 0 for docs too short to have any).
+    * Entirely rowwise over the token array (codegen'd shingle expression) —
+    * a 100 TB corpus scan with NO shuffle. */
+  def repetition(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = wsTokens(lower(trim(col(textCol))))
+    val m = size(toks)
+    def dupRatio(n: Int): Column = {
+      val total = (m - (n - 1)).cast("double")
+      val distinctN =
+        if (n == 1) size(array_distinct(toks))
+        else size(Dedup.shinglesFromTokens(toks, n))
+      when(total > 0, round(lit(1.0) - distinctN.cast("double") / total, 6))
+        .otherwise(lit(0.0))
+    }
+    df.withColumn("n_tokens", m)
+      .withColumn("dup_token_ratio", dupRatio(1))
+      .withColumn("dup_2gram_ratio", dupRatio(2))
+      .withColumn("dup_3gram_ratio", dupRatio(3))
+  }
+
   /** 64-bit content fingerprint of normalized text (case-folded, whitespace
     * collapsed) — exact-dup detection key. */
   def fingerprint(text: Column): Column =

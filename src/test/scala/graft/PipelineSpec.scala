@@ -233,4 +233,52 @@ class PipelineSpec extends SparkSpec {
       assert(got(i.toLong) === ref(t), s"case '$t'")
     }
   }
+
+  test("tfIdfTop picks the most distinctive term per doc") {
+    // 3 docs; "apple" only in doc 1, "the" in all → "apple" must win doc 1
+    val d = Seq(
+      (1L, "the apple the the"),
+      (2L, "the pear banana"),
+      (3L, "the pear pear")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tfIdfTop(d).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) === (("apple", 1L, 1L)))
+    assert(out(2L) === (("banana", 1L, 1L)))       // banana df=1 beats pear df=2
+    assert(out(3L) === (("pear", 2L, 2L)))         // tf=2 · ln(3/2) > 1 · ln(3/2)
+    // rounded-score tie broken by term asc: doc 2 "banana" < any same-score term
+    val scores = TextAnalysis.tfIdfTop(d).collect().map(_.getDouble(4))
+    assert(scores.forall(s => s > 0.0 && s == math.rint(s * 1e6) / 1e6))
+  }
+
+  test("repetition ratios: distinct text scores 0, repeated text scores high") {
+    val d = Seq(
+      (1L, "a b c d e f"),                    // all distinct
+      (2L, "x y x y x y x y"),                // heavy 1/2-gram repetition
+      (3L, "w")                               // too short for any n-gram
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetition(d)
+      .select("doc_id", "dup_token_ratio", "dup_2gram_ratio", "dup_3gram_ratio")
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out(1L) === ((0.0, 0.0, 0.0)))
+    // doc 2: 8 tokens 2 distinct → 0.75; 7 bigrams 2 distinct → 5/7; 6 trigrams 2 distinct → 4/6
+    assert(out(2L)._1 === 0.75)
+    assert(math.abs(out(2L)._2 - 5.0 / 7.0) < 1e-6)
+    assert(math.abs(out(2L)._3 - 4.0 / 6.0) < 1e-6)
+    assert(out(3L) === ((0.0, 0.0, 0.0)))
+  }
+
+  test("exactKeepBest keeps the largest doc per content group, ties → min id") {
+    val d = Seq(
+      (1L, "same text", 9),
+      (4L, "same  TEXT ", 11),   // same normalized group, more chars → kept
+      (7L, "same text", 11),     // ties doc 4 on chars → min id 4 kept
+      (3L, "other", 5)
+    ).toDF("doc_id", "text", "n_chars")
+    val out = Dedup.exactKeepBest(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out === Map(4L -> ((11L, 3L)), 3L -> ((5L, 1L))))
+  }
 }

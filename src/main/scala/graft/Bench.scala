@@ -13,7 +13,7 @@ object Bench {
     // warmup: touch every table + run one tiny query so JIT/classloading/
     // parquet-footer reads don't land on whichever query happens to go first
     for (t <- Seq("region", "nation", "customer", "supplier", "part",
-                  "orders", "lineitem", "documents", "embeddings"))
+                  "orders", "lineitem", "events", "documents", "embeddings"))
       try spark.read.parquet(s"$sfDir/$t.parquet").count()
       catch { case _: Throwable => () }
     try SparkEntry.queries("q3_top_customers")(spark, sfDir).count()

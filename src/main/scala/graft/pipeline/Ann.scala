@@ -87,9 +87,11 @@ object Ann {
         .select(col("query_id"), (-col("best.negId")).cast("long").as("nbr_id"),
           col("best.sim").as("sim"), lit(1).as("rank"))
     } else {
-      val w = Window.partitionBy(col("query_id")).orderBy(desc("sim"), asc("nbr_id"))
-      joined.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= k)
+      // bounded top-k aggregate (O(k) state, map-side combinable) — same
+      // (sim desc, nbr_id asc) order a row_number window gives, without
+      // sorting all |Q|·|N| scored rows
+      Curation.topKRanked(joined.select(col("query_id"), col("nbr_id"),
+          col("sim").cast("double").as("sim")), "query_id", "sim", "nbr_id", k)
         .select(col("query_id"), col("nbr_id"), col("sim"), col("rank"))
     }
   }
@@ -132,14 +134,17 @@ object Ann {
     centroids
   }
 
-  /** Assign each vector to its nearest centroid (L2). Centroids are broadcast. */
-  def assignCells(vectors: DataFrame, centroids: DataFrame, vecCol: String): DataFrame = {
-    val joined = vectors.crossJoin(broadcast(centroids))
+  /** Assign each vector to its nearest centroid (L2). Centroids are broadcast.
+    * Argmin = `min(struct(d2, centroid_id))` — ties to the lowest id, same
+    * ordering a `row_number` window would give, but as a hash aggregate with
+    * map-side combine instead of a per-vector sort (at 100 TB the sort is a
+    * full extra pass; the aggregate folds during the broadcast-join scan). */
+  def assignCells(vectors: DataFrame, centroids: DataFrame, vecCol: String): DataFrame =
+    vectors.crossJoin(broadcast(centroids))
       .withColumn("d2", squaredDistance(col(vecCol), col("centroid")))
-    val w = Window.partitionBy(col("id")).orderBy(asc("d2"), asc("centroid_id"))
-    joined.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("id"), col("centroid_id").as("cell"))
-  }
+      .groupBy(col("id"))
+      .agg(min(struct(col("d2"), col("centroid_id"))).as("_m"))
+      .select(col("id"), col("_m.centroid_id").as("cell"))
 
   /** IVF approximate top-k: index = assign corpus to cells; query probes its
     * `nprobe` nearest cells only. */
@@ -164,9 +169,8 @@ object Ann {
     val joined = qCells.join(indexed, Seq("cell"))
       .filter(if (excludeSelf) col("query_id") =!= col("nbr_id") else lit(true))
       .withColumn("sim", cosine(col("qv"), col("cv")))
-    joined.withColumn("rank", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(desc("sim"), asc("nbr_id"))))
-      .filter(col("rank") <= k)
+    Curation.topKRanked(joined.select(col("query_id"), col("nbr_id"),
+        col("sim").cast("double").as("sim")), "query_id", "sim", "nbr_id", k)
       .select(col("query_id"), col("nbr_id"), col("sim"), col("rank"))
   }
 
@@ -213,10 +217,9 @@ object Ann {
       array((0 until m).map(s => subVec(col("v"), s, subDim)): _*)).as(Seq("subspace", "sv")))
     subs.join(broadcast(codebook), Seq("subspace"))
       .withColumn("d2", squaredDistance(col("sv"), col("codeword")))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("id"), col("subspace")).orderBy(asc("d2"), asc("code"))))
-      .filter(col("rn") === 1)
-      .select(col("id"), col("subspace"), col("code"))
+      .groupBy(col("id"), col("subspace"))
+      .agg(min(struct(col("d2"), col("code"))).as("_m"))
+      .select(col("id"), col("subspace"), col("_m.code").as("code"))
   }
 
   /**
@@ -242,7 +245,7 @@ object Ann {
     val corpusCodes = pqEncode(corpus, codebook, m, idCol, vecCol)
       .toDF("nbr_id", "subspace", "code")
     val lut = pqLut(queries, codebook, m, idCol, vecCol)
-    scoreAdc(corpusCodes, lut, k, excludeSelf)
+    scoreAdc(corpusCodes, lut, m, k, excludeSelf, candidates = None)
   }
 
   /** Per-query distance lookup table: (query_id, subspace, code, pd2). */
@@ -257,15 +260,39 @@ object Ann {
         squaredDistance(col("sv"), col("codeword")).as("pd2"))
   }
 
-  /** ADC scoring: m lookup-joins summed per (query, candidate), top-k. */
-  private def scoreAdc(corpusCodes: DataFrame, lut: DataFrame, k: Int,
-                       excludeSelf: Boolean): DataFrame = {
-    corpusCodes.join(broadcast(lut), Seq("subspace", "code"))
+  /** ADC scoring. Candidates are pivoted to ONE row with m code columns, and
+    * the per-subspace distances arrive as m chained broadcast-hash-join LUT
+    * lookups — all pipelined inside a single codegen stage, so the
+    * |Q|·|candidates| scoring frame is never shuffled or group-aggregated
+    * (the old shape hash-aggregated m rows per pair). The final top-k is a
+    * bounded aggregate on negated distance ((adc asc, id asc) ≡ (−adc desc,
+    * id asc)) — never a sort of the scored frame. With `candidates` set
+    * (IVF-PQ), only those (query, nbr) pairs are scored. */
+  private def scoreAdc(corpusCodes: DataFrame, lut: DataFrame, m: Int, k: Int,
+                       excludeSelf: Boolean,
+                       candidates: Option[DataFrame]): DataFrame = {
+    val codeCols = (0 until m).map(s =>
+      max(when(col("subspace") === s, col("code"))).as(s"_c$s"))
+    val wide = corpusCodes.groupBy(col("nbr_id"))
+      .agg(codeCols.head, codeCols.tail: _*)
+    val seeded = candidates match {
+      case Some(cand) => wide.join(cand, Seq("nbr_id"))  // carries query_id in
+      case None       => wide
+    }
+    val scored = (0 until m).foldLeft(seeded) { (df, s) =>
+      val l = lut.filter(col("subspace") === s).select(col("query_id"),
+        col("code").as(s"_c$s"), col("pd2").as(s"_p$s"))
+      // first join fans each candidate out to every query (pure PQ scans all
+      // candidates per query by definition); later joins are per-query lookups
+      val keys = if (candidates.isEmpty && s == 0) Seq(s"_c$s")
+                 else Seq("query_id", s"_c$s")
+      df.join(broadcast(l), keys)
+    }
+    val adc = (0 until m).map(s => col(s"_p$s")).reduce(_ + _)
+    val ranked = scored.withColumn("adc", adc)
       .filter(if (excludeSelf) col("query_id") =!= col("nbr_id") else lit(true))
-      .groupBy(col("query_id"), col("nbr_id")).agg(sum(col("pd2")).as("adc"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(asc("adc"), asc("nbr_id"))))
-      .filter(col("rank") <= k)
+    Curation.topKRanked(ranked.withColumn("nadc", -col("adc")),
+        "query_id", "nadc", "nbr_id", k)
       .select(col("query_id"), col("nbr_id"), col("rank"))
   }
 
@@ -299,14 +326,7 @@ object Ann {
     // candidate pairs from cell match, then ADC over the m code rows
     val cand = qCells.join(corpusCells, Seq("cell"))
       .select(col("query_id"), col("nbr_id")).distinct()
-    corpusCodes.join(cand, Seq("nbr_id"))
-      .join(broadcast(lut), Seq("query_id", "subspace", "code"))
-      .filter(if (excludeSelf) col("query_id") =!= col("nbr_id") else lit(true))
-      .groupBy(col("query_id"), col("nbr_id")).agg(sum(col("pd2")).as("adc"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(asc("adc"), asc("nbr_id"))))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("nbr_id"), col("rank"))
+    scoreAdc(corpusCodes, lut, m, k, excludeSelf, candidates = Some(cand))
   }
 
   /** LSH-bucketed approximate top-k (no training pass): candidates share the
@@ -331,8 +351,8 @@ object Ann {
       .filter(if (excludeSelf) col("query_id") =!= col("nbr_id") else lit(true))
       .withColumn("sim", cosine(col("qv"), col("cv")))
       .select(col("query_id"), col("nbr_id"), col("sim")).distinct()
-    joined.withColumn("rank", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(desc("sim"), asc("nbr_id"))))
-      .filter(col("rank") <= k)
+    Curation.topKRanked(joined.select(col("query_id"), col("nbr_id"),
+        col("sim").cast("double").as("sim")), "query_id", "sim", "nbr_id", k)
+      .select(col("query_id"), col("nbr_id"), col("sim"), col("rank"))
   }
 }

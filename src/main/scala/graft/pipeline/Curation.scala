@@ -202,4 +202,17 @@ object Curation {
       .select(col(groupCol), explode(col("t.top")).as("p"))
       .select(col(groupCol), col("p.id").as(idCol), col("p.score").as(scoreCol))
   }
+
+  /** [[topKPerGroup]] plus the 1-based rank of each kept row (position in the
+    * bounded buffer: score DESC, id ASC) — the drop-in replacement for a
+    * `row_number() ≤ k` window without the full per-group sort. */
+  def topKRanked(df: DataFrame, groupCol: String, scoreCol: String,
+                 idCol: String, k: Int): DataFrame = {
+    val topk = udaf(new TopK(k))
+    df.groupBy(col(groupCol))
+      .agg(topk(col(scoreCol).cast("double"), col(idCol).cast("long")).as("t"))
+      .select(col(groupCol), posexplode(col("t.top")).as(Seq("_i", "_p")))
+      .select(col(groupCol), col("_p.id").as(idCol), col("_p.score").as(scoreCol),
+        (col("_i") + 1).cast("int").as("rank"))
+  }
 }

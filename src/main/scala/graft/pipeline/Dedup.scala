@@ -34,6 +34,40 @@ object Dedup {
       .drop("_fp")
   }
 
+  /** Incremental exact dedup over a STREAMING corpus: the first-seen document
+    * per normalized-content fingerprint survives; later duplicates are dropped
+    * by Structured Streaming's stateful dropDuplicates. The seen-fingerprint
+    * set lives in the state store, hash-partitioned across executors — never
+    * driver memory — so a continuously-ingested 100 TB corpus dedups with the
+    * same shuffle shape as the batch path.
+    *
+    * With `eventTime = Some((col, delay))` the stream is watermarked and
+    * dropDuplicatesWithinWatermark bounds state: a fingerprint older than the
+    * watermark is GC'd, trading unbounded-history dedup for bounded state —
+    * the standard contract for unbounded streams. */
+  def streamingExact(stream: DataFrame, textCol: String = "text",
+                     eventTime: Option[(String, String)] = None): DataFrame =
+    streamingDedupBy(stream, TextAnalysis.fingerprint(col(textCol)), eventTime)
+
+  /** Incremental NEAR-dup dedup over a streaming corpus: drops later documents
+    * whose 64-bit SimHash exactly equals an earlier one's (catches
+    * whitespace/case rewrites and token reorderings that hash identically).
+    * Same state-store mechanics as [[streamingExact]]. */
+  def streamingSimHash(stream: DataFrame, textCol: String = "text",
+                       eventTime: Option[(String, String)] = None): DataFrame =
+    streamingDedupBy(stream, simHash(col(textCol), poly = true), eventTime)
+
+  private def streamingDedupBy(stream: DataFrame, key: Column,
+                               eventTime: Option[(String, String)]): DataFrame = {
+    val keyed = stream.withColumn("_dk", key)
+    val out = eventTime match {
+      case Some((tsCol, delay)) =>
+        keyed.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark("_dk")
+      case None => keyed.dropDuplicates("_dk")
+    }
+    out.drop("_dk")
+  }
+
   /** Retention-policy exact dedup: per normalized-content group keep the
     * LARGEST document (max `sizeCol`, ties → smallest `idCol`) — the common
     * curation policy of retaining the best representative rather than the

@@ -270,6 +270,41 @@ class PipelineSpec extends SparkSpec {
     assert(out(3L) === ((0.0, 0.0, 0.0)))
   }
 
+  test("streaming dedup drops cross-batch duplicates, first seen wins") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF.toDF("doc_id", "text")
+    val q = Dedup.streamingExact(stream).writeStream
+      .outputMode("append").format("memory").queryName("sdedup").start()
+    input.addData((1L, "alpha beta gamma"), (2L, "delta epsilon"))
+    q.processAllAvailable()
+    // batch 2: doc 3 duplicates doc 1 modulo whitespace/case; doc 4 is new
+    input.addData((3L, "  Alpha   BETA gamma "), (4L, "zeta eta"))
+    q.processAllAvailable()
+    val got = spark.table("sdedup").collect().map(_.getLong(0)).toSet
+    q.stop()
+    assert(got === Set(1L, 2L, 4L))
+  }
+
+  test("streaming simhash dedup drops near-identical rewrites") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF.toDF("doc_id", "text")
+    val q = Dedup.streamingSimHash(stream).writeStream
+      .outputMode("append").format("memory").queryName("shdedup").start()
+    input.addData((1L, "the quick brown fox jumps"))
+    q.processAllAvailable()
+    // same token multiset → identical SimHash → dropped; distinct doc kept
+    input.addData((2L, "THE  QUICK brown fox JUMPS"),
+      (3L, "completely different content here"))
+    q.processAllAvailable()
+    val got = spark.table("shdedup").collect().map(_.getLong(0)).toSet
+    q.stop()
+    assert(got === Set(1L, 3L))
+  }
+
   test("exactKeepBest keeps the largest doc per content group, ties → min id") {
     val d = Seq(
       (1L, "same text", 9),

@@ -501,6 +501,16 @@ object SparkEntry {
       Ann.pqKnn(emb, emb, 2, m = 2, ncodes = 8, iters = 2, hashInit = false)
     }),
 
+    // IVF-PQ: the 100 TB ANN configuration — IVF cells bound WHICH candidates
+    // are scored, PQ codes bound the cost per candidate; id-ordered init
+    // keeps the whole composition DuckDB-checkable
+    "e_knn_ivfpq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      Ann.ivfPqKnn(emb, emb, 2, nlist = 16, nprobe = 4, m = 2, ncodes = 8,
+        iters = 2, hashInit = false)
+    }),
+
     "e_embedding_dedup" -> ((s, dir) =>
       // exact all-pairs verification path (oracle-checkable end to end,
       // including the connected-components clustering)
@@ -816,6 +826,40 @@ object SparkEntry {
               |  SELECT query_id, nbr_id, row_number() OVER (PARTITION BY query_id ORDER BY adc, nbr_id) AS rn
               |  FROM adc) WHERE rn <= $k""".stripMargin
     sb.toString
+  }
+
+  /** DuckDB SQL mirroring Ann.ivfPqKnn(hashInit=false): the IVF coarse
+    * quantizer bounds WHICH (query, nbr) pairs are scored (cell-candidate
+    * pairs, self excluded) and PQ-ADC provides the score — the composition of
+    * [[ivfOracleSql]]'s candidate stage with [[pqOracleSql]]'s ADC stage.
+    * CTE namespaces are disjoint (ivf: pts/init/cen·/fd/ca/qp/cand; pq:
+    * p·/init·/c·_·/lut·/enc·/cand·), so the two builders' bodies compose
+    * verbatim over the shared `v`. */
+  private def ivfPqOracleSql(nlist: Int, nprobe: Int, iters: Int,
+                             m: Int, ncodes: Int, k: Int,
+                             dim: Int = 64): String = {
+    val ivf = ivfOracleSql(nlist, nprobe, iters, k, dim)
+    // ivf body: everything between the shared v CTE and its `sims` scoring
+    // stage (cand is the last CTE we keep)
+    val ivfBody = ivf.substring(
+      ivf.indexOf("pts AS MATERIALIZED"),
+      ivf.indexOf(",\nsims AS MATERIALIZED"))
+    val pq = pqOracleSql(m, ncodes, iters, k, dim)
+    // pq body: everything after the shared v CTE up to (excluding) its
+    // final all-pairs adc stage
+    val pqBody = pq.substring(
+      pq.indexOf(",\np0 AS MATERIALIZED") + 2,
+      pq.indexOf(",\nadc AS"))
+    val unioned = (0 until m).map(s => s"SELECT * FROM cand$s").mkString(" UNION ALL ")
+    s"""WITH v AS MATERIALIZED (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |$ivfBody,
+       |$pqBody,
+       |adc AS (SELECT u.query_id, u.nbr_id, sum(u.pd2) AS adc
+       |        FROM ($unioned) u JOIN cand USING (query_id, nbr_id)
+       |        GROUP BY 1, 2)
+       |SELECT query_id, nbr_id, CAST(rn AS INTEGER) AS rank FROM (
+       |  SELECT query_id, nbr_id, row_number() OVER (PARTITION BY query_id ORDER BY adc, nbr_id) AS rn
+       |  FROM adc) WHERE rn <= $k""".stripMargin
   }
 
   /** DuckDB SQL mirroring Ann.ivfKnn(hashInit=false): id-ordered centroid
@@ -1528,6 +1572,9 @@ object SparkEntry {
     "e_knn_ivf" -> ivfOracleSql(nlist = 16, nprobe = 4, iters = 2, k = 3),
 
     "e_knn_pq" -> pqOracleSql(m = 2, ncodes = 8, iters = 2, k = 2),
+
+    "e_knn_ivfpq" -> ivfPqOracleSql(nlist = 16, nprobe = 4, iters = 2,
+      m = 2, ncodes = 8, k = 2),
 
     // exact cosine≥0.9 pair graph + transitive closure (small components, so
     // the recursive closure is cheap); rep = min reachable id, singletons self

@@ -465,6 +465,12 @@ object SparkEntry {
     "d_dedup_retain" -> ((s, dir) =>
       Dedup.exactKeepBest(t(s, dir, "documents"))),
 
+    // end-to-end near-dup curation: MinHash+LSH clusters → keep the largest
+    // member per cluster (Poly64-gated like d_minhash_clusters)
+    "d_minhash_retain" -> ((s, dir) =>
+      Dedup.minHashKeepBest(t(s, dir, "documents"), threshold = 0.5,
+        poly = true)),
+
     // poly = true: Poly64 Rabin base hashes — the full LSH pipelines
     // (shingle→minhash→band→bucket-join→verify→WCC, token-hash→simhash→
     // chunk-join→hamming→WCC) are then reproducible in the DuckDB oracle
@@ -909,6 +915,26 @@ object SparkEntry {
     sb.toString
   }
 
+  /** [[minhashOracleSql]]'s clusters composed with the keep-largest retention
+    * policy (max n_chars per cluster, ties → min doc_id) — the oracle for
+    * Dedup.minHashKeepBest. Swaps the cluster query's final SELECT for the
+    * retention tail. */
+  private def minhashRetainOracleSql(threshold: Double): String = {
+    val base = minhashOracleSql(threshold)
+    val finalSelect = "SELECT a AS doc_id, min(b) AS rep FROM reach GROUP BY a"
+    require(base.endsWith(finalSelect), "minhash oracle tail changed")
+    base.dropRight(finalSelect.length).stripSuffix("\n") + ",\n" +
+      s"""cl AS ($finalSelect),
+         |j AS (SELECT cl.rep, d.doc_id, d.n_chars
+         |      FROM cl JOIN documents d USING (doc_id)),
+         |r AS (SELECT rep, max(n_chars) AS kept_chars, count(*) AS n_members
+         |      FROM j GROUP BY 1)
+         |SELECT min(j.doc_id) AS doc_id, CAST(r.kept_chars AS BIGINT) AS kept_chars,
+         |       r.n_members
+         |FROM j JOIN r ON j.rep = r.rep AND j.n_chars = r.kept_chars
+         |GROUP BY r.rep, r.kept_chars, r.n_members""".stripMargin
+  }
+
   // ---- Poly64 / mod-2^64 arithmetic helpers for the LSH-pipeline oracles ---
   // graft's Poly64 Rabin hash is h := h·mult + codepoint with Long wraparound;
   // DuckDB reproduces it exactly as a HUGEINT left fold mod 2^64.
@@ -1055,6 +1081,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
 
     "d_minhash_clusters" -> minhashOracleSql(threshold = 0.5),
+
+    "d_minhash_retain" -> minhashRetainOracleSql(threshold = 0.5),
 
     "d_simhash_clusters" -> simhashOracleSql(maxHamming = 3),
 

@@ -195,6 +195,27 @@ object Dedup {
 
   /** Exact n-gram Jaccard similarity for given candidate pairs (a, b):
     * |S(a)∩S(b)| / |S(a)∪S(b)| over word shingles. */
+  /** End-to-end near-dup curation: MinHash+LSH clusters, then the retention
+    * policy of [[exactKeepBest]] applied per CLUSTER — keep the largest
+    * member (ties → smallest id). Returns (idCol, kept_chars, n_members),
+    * one row per near-dup cluster (singletons included). Cluster formation
+    * is [[minHashLSH]]'s banded equi-join; retention adds one groupBy on the
+    * cluster rep — no new scale surface. */
+  def minHashKeepBest(df: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text", sizeCol: String = "n_chars",
+                      shingleLen: Int = 3, numHashes: Int = 64, bands: Int = 16,
+                      threshold: Double = 0.7, poly: Boolean = false): DataFrame = {
+    val clusters = minHashLSH(df, idCol, textCol, shingleLen, numHashes,
+      bands, threshold, poly).toDF(idCol, "rep")
+    clusters.join(df.select(col(idCol), col(sizeCol)), Seq(idCol))
+      .groupBy(col("rep"))
+      .agg(
+        max(struct(col(sizeCol).cast("long").as("c"), (-col(idCol)).as("ni"))).as("_m"),
+        count(lit(1)).as("n_members"))
+      .select((-col("_m.ni")).as(idCol), col("_m.c").as("kept_chars"),
+        col("n_members"))
+  }
+
   def ngramJaccardVerify(docs: DataFrame, pairs: DataFrame,
                          idCol: String = "doc_id", textCol: String = "text",
                          shingleLen: Int = 3): DataFrame = {

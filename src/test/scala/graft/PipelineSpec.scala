@@ -305,6 +305,19 @@ class PipelineSpec extends SparkSpec {
     assert(got === Set(1L, 3L))
   }
 
+  test("minHashKeepBest keeps the largest member per near-dup cluster") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today", 70),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank yesterday", 74),
+      (3L, "completely different content about database engines and query planning", 71),
+      (4L, "the quick brown fox jumps over the lazy dog near the river bank today", 70)
+    ).toDF("doc_id", "text", "n_chars")
+    // cluster {1,2,4}: doc 2 is largest (74 chars) → kept, 3 members
+    val out = Dedup.minHashKeepBest(d, threshold = 0.5).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out === Map(2L -> ((74L, 3L)), 3L -> ((71L, 1L))))
+  }
+
   test("exactKeepBest keeps the largest doc per content group, ties → min id") {
     val d = Seq(
       (1L, "same text", 9),

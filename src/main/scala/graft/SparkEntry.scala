@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.algos.GraphAlgorithms
 import graft.core.KGraph
 import graft.core.KGraph.EdgeDirection
-import graft.pipeline.{Ann, Curation, Dedup, TextAnalysis}
+import graft.pipeline.{Ann, Curation, Dedup, Events, TextAnalysis}
 
 /**
  * Driver contract: every implemented operator from SURVEY.md §2 is exposed as
@@ -727,6 +727,14 @@ object SparkEntry {
       events(s, dir)
         .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
         .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_cents"))),
+
+    // ordered conversion funnel over the behavioral event log
+    "ev_funnel" -> ((s, dir) =>
+      Events.funnel(events(s, dir), Seq("view", "click", "purchase"))),
+
+    // day-grain cohort retention (first-event cohort × activity offset)
+    "ev_retention" -> ((s, dir) =>
+      Events.cohortRetention(events(s, dir))),
 
     "ev_sessions" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(asc("ts"), asc("event_id"))
@@ -1647,6 +1655,27 @@ object SparkEntry {
         |  count(*) AS n,
         |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "ev_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |s1 AS (SELECT user_id, min(ts) AS t FROM ev WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM ev e JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM ev e JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1)
+        |SELECT 'view' AS stage, 1 AS stage_idx, count(*) AS n_users FROM s1
+        |UNION ALL SELECT 'click', 2, count(*) FROM s2
+        |UNION ALL SELECT 'purchase', 3, count(*) FROM s3""".stripMargin,
+
+    "ev_retention" ->
+      """WITH ev AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events),
+        |c AS (SELECT user_id, min(d) AS cohort_day FROM ev GROUP BY 1),
+        |x AS (SELECT DISTINCT ev.user_id, c.cohort_day,
+        |             date_diff('day', c.cohort_day, ev.d) AS day_offset
+        |      FROM ev JOIN c ON ev.user_id = c.user_id)
+        |SELECT cohort_day, CAST(day_offset AS INTEGER) AS day_offset,
+        |       count(*) AS n_users
+        |FROM x GROUP BY 1, 2""".stripMargin,
 
     "ev_sessions" ->
       """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events),

@@ -318,6 +318,38 @@ class PipelineSpec extends SparkSpec {
     assert(out === Map(2L -> ((74L, 3L)), 3L -> ((71L, 1L))))
   }
 
+  test("funnel counts only in-order stage progressions") {
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val ev = Seq(
+      // user 1: full ordered funnel
+      (1L, "view", ts(1)), (1L, "click", ts(2)), (1L, "purchase", ts(3)),
+      // user 2: purchase BEFORE click → converts only to click
+      (2L, "view", ts(1)), (2L, "purchase", ts(2)), (2L, "click", ts(5)),
+      // user 3: click only, never viewed → not in funnel at all
+      (3L, "click", ts(1)),
+      // user 4: view only
+      (4L, "view", ts(9))
+    ).toDF("user_id", "event_type", "ts")
+    val out = graft.pipeline.Events.funnel(ev, Seq("view", "click", "purchase"))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(out === Map("view" -> 3L, "click" -> 2L, "purchase" -> 1L))
+  }
+
+  test("cohortRetention cohorts by first-event day") {
+    import java.sql.Timestamp
+    def ts(d: Int, h: Int) = Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")
+    val ev = Seq(
+      (1L, ts(1, 8)), (1L, ts(1, 20)), (1L, ts(3, 9)),   // cohort d1, offsets 0,0,2
+      (2L, ts(2, 8)), (2L, ts(3, 8))                     // cohort d2, offsets 0,1
+    ).toDF("user_id", "ts")
+    val out = graft.pipeline.Events.cohortRetention(ev).collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1)) -> r.getLong(2)).toMap
+    assert(out === Map(
+      ("2024-01-01", 0) -> 1L, ("2024-01-01", 2) -> 1L,
+      ("2024-01-02", 0) -> 1L, ("2024-01-02", 1) -> 1L))
+  }
+
   test("exactKeepBest keeps the largest doc per content group, ties → min id") {
     val d = Seq(
       (1L, "same text", 9),

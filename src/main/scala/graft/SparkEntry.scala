@@ -455,6 +455,17 @@ object SparkEntry {
     "d_tfidf_top" -> ((s, dir) =>
       TextAnalysis.tfIdfTop(t(s, dir, "documents"))),
 
+    // corpus stats: per-language vocabulary size + token volume (exact
+    // distinct — the oracle-checkable baseline; approx_count_distinct is the
+    // sketch path at 100 TB)
+    "d_vocab" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("lang"),
+          explode(TextAnalysis.wsTokens(lower(trim(col("text"))))).as("tok"))
+        .groupBy(col("lang"))
+        .agg(countDistinct(col("tok")).as("vocab"),
+          count(lit(1)).as("n_tokens"))),
+
     // Gopher-style repetition filter features (rowwise, shuffle-free)
     "d_repetition" -> ((s, dir) =>
       TextAnalysis.repetition(t(s, dir, "documents"))
@@ -727,6 +738,16 @@ object SparkEntry {
       events(s, dir)
         .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
         .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_cents"))),
+
+    // semi-structured props column: JSON path extraction feeding an aggregate
+    // (get_json_object is codegen'd; the JSON never leaves the scan stage)
+    "ev_props_agg" -> ((s, dir) =>
+      events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(col("k")).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))),
 
     // ordered conversion funnel over the behavioral event log
     "ev_funnel" -> ((s, dir) =>
@@ -1655,6 +1676,20 @@ object SparkEntry {
         |  count(*) AS n,
         |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "ev_props_agg" ->
+      """SELECT event_type, count(k) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+        |       min(k) AS min_k, max(k) AS max_k
+        |FROM (SELECT event_type,
+        |             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |      FROM events)
+        |GROUP BY 1""".stripMargin,
+
+    "d_vocab" ->
+      """SELECT lang, count(DISTINCT tok) AS vocab, count(*) AS n_tokens
+        |FROM (SELECT lang, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |      FROM documents)
+        |GROUP BY 1""".stripMargin,
 
     "ev_funnel" ->
       """WITH ev AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),

@@ -189,4 +189,71 @@ class PropertySpec extends SparkSpec {
       assert(ids.nonEmpty)
     }
   }
+
+  val wordPool = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta")
+  val docGen: Gen[List[String]] =
+    Gen.listOfN(12, Gen.choose(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(wordPool)).map(_.mkString(" "))))
+
+  test("tfIdfTop matches a driver-side TF-IDF reference on random corpora") {
+    import spark.implicits._
+    forAll(docGen) { texts =>
+      whenever(texts.nonEmpty) {
+        val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        // reference: same tokenization, same rounded-score ranking
+        val tf = docs.flatMap { case (id, t) =>
+          t.split("\\s+").map(w => (id, w)) }.groupBy(identity)
+          .map { case ((id, w), xs) => (id, w, xs.size.toLong) }
+        val dfreq = tf.groupBy(_._2).map { case (w, xs) => w -> xs.size.toLong }
+        val n = docs.size.toDouble
+        val expected = tf.groupBy(_._1).map { case (id, terms) =>
+          val scored = terms.map { case (_, w, c) =>
+            val s = math.rint(c * math.log(n / dfreq(w)) * 1e6) / 1e6
+            (w, c, dfreq(w), s)
+          }
+          id -> scored.toSeq.sortBy { case (w, _, _, s) => (-s, w) }.head
+        }
+        val got = graft.pipeline.TextAnalysis.tfIdfTop(docs.toDF("doc_id", "text"))
+          .collect().map(r => r.getLong(0) ->
+            ((r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+        assert(got === expected, s"tfidf mismatch on $texts")
+      }
+    }
+  }
+
+  val eventsGen: Gen[List[(Long, String, Int)]] =
+    Gen.listOfN(30, for {
+      u <- Gen.choose(0L, 5L)
+      ty <- Gen.oneOf("view", "click", "purchase", "error")
+      t <- Gen.choose(0, 1000)
+    } yield (u, ty, t))
+
+  test("funnel matches a driver-side reference on random event logs") {
+    import spark.implicits._
+    val stages = Seq("view", "click", "purchase")
+    forAll(eventsGen) { evs =>
+      // distinct timestamps per user so strict-ordering semantics are unambiguous
+      val dedup = evs.zipWithIndex
+        .map { case ((u, ty, t), i) => (u, ty, t * 100 + i) }
+      def reach(user: Long): Int = {
+        val mine = dedup.filter(_._1 == user)
+        var t = mine.filter(_._2 == stages.head).map(_._3).minOption
+        var depth = if (t.isDefined) 1 else 0
+        for (s <- stages.tail if t.isDefined) {
+          t = mine.filter(e => e._2 == s && e._3 > t.get).map(_._3).minOption
+          if (t.isDefined) depth += 1
+        }
+        depth
+      }
+      val users = dedup.map(_._1).distinct
+      val expected = stages.zipWithIndex.map { case (s, i) =>
+        s -> users.count(u => reach(u) > i).toLong }.toMap
+      val df = dedup.map { case (u, ty, t) =>
+        (u, ty, new java.sql.Timestamp(t.toLong * 1000)) }
+        .toDF("user_id", "event_type", "ts")
+      val got = graft.pipeline.Events.funnel(df, stages).collect()
+        .map(r => r.getString(0) -> r.getLong(2)).toMap
+      assert(got === expected, s"funnel mismatch on $dedup")
+    }
+  }
 }

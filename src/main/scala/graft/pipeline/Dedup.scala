@@ -127,7 +127,7 @@ object Dedup {
     * otherwise the whole shingle/hash pipeline runs in a single task. No-op
     * when the source already has reasonable parallelism (the 100 TB case:
     * never pay an extra shuffle there). */
-  private def spread(df: DataFrame): DataFrame = {
+  private[pipeline] def spread(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions * 2 >= p) df else df.repartition(p)
   }

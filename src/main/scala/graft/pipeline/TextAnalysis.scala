@@ -97,7 +97,7 @@ object TextAnalysis {
     * Catalyst plan end to end. */
   def tfIdfTop(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val terms = df.select(col(idCol).as("doc_id"),
+    val terms = Dedup.spread(df).select(col(idCol).as("doc_id"),
       explode(wsTokens(lower(trim(col(textCol))))).as("term"))
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))

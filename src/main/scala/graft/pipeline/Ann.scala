@@ -119,8 +119,11 @@ object Ann {
           .select((row_number().over(Window.orderBy("id")) - 1).as("centroid_id"), col("v").as("centroid"))
     for (_ <- 0 until iters) {
       // materialize centroids per Lloyd round: they are joined twice and the
-      // plan would otherwise re-run every previous round on each action
-      centroids = centroids.localCheckpoint(true)
+      // plan would otherwise re-run every previous round on each action.
+      // coalesce(1) first — the frame is nlist rows and always broadcast
+      // downstream, so its partitioning is irrelevant, and the eager
+      // checkpoint job schedules 1 task instead of shuffle.partitions tasks
+      centroids = centroids.coalesce(1).localCheckpoint(true)
       val assigned = assignCells(v, centroids, "v")
       // element-wise mean per cell: posexplode → avg per (cell, pos) →
       // reassemble in position order. Two shuffles on small keys.

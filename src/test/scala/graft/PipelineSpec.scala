@@ -318,6 +318,22 @@ class PipelineSpec extends SparkSpec {
     assert(out === Map(2L -> ((74L, 3L)), 3L -> ((71L, 1L))))
   }
 
+  test("approx_count_distinct tracks exact vocabulary within published error") {
+    // the documented 100 TB path for d_vocab-style stats: HLL++ sketch vs
+    // the exact distinct the oracle checks
+    val words = (0 until 4000).map(i => (i.toLong % 7, s"w${i % 523}"))
+      .toDF("lang", "tok")
+    val exact = words.groupBy("lang").agg(countDistinct(col("tok")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val approx = words.groupBy("lang")
+      .agg(approx_count_distinct(col("tok"), rsd = 0.02).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    exact.foreach { case (lang, v) =>
+      assert(math.abs(approx(lang) - v).toDouble / v <= 0.06,
+        s"lang $lang: approx ${approx(lang)} vs exact $v")
+    }
+  }
+
   test("funnel counts only in-order stage progressions") {
     import java.sql.Timestamp
     def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")

@@ -29,8 +29,12 @@ import org.apache.spark.sql.SparkSession
  *  - message lists per destination are combined map-side (reduceByKey-style
  *    append) — the reference ships full lists with no combiner
  *    (PregelComputation.java:751-753).
- *  - lineage is cut with localCheckpoint every `checkpointInterval` supersteps
- *    (the RocksDB solution-set store analog).
+ *  - lineage is cut every `checkpointInterval` supersteps (the RocksDB
+ *    solution-set store analog): localCheckpoint by default (fast, executor
+ *    -local), or a RELIABLE `checkpoint()` to the configured
+ *    `sc.setCheckpointDir` when one is set — at cluster scale an executor
+ *    loss under localCheckpoint kills the job, so long-running production
+ *    runs should set a checkpoint dir (HDFS/S3) and take the write cost.
  *
  * This layer keeps the reference's exact user contract — ComputeFunction with
  * voteToHalt, registered (persistent) aggregators, masterCompute, and in-flight
@@ -321,7 +325,12 @@ object Pregel {
           }
         }, preservesPartitioning = true).persist()
 
-      if (superstep > 0 && superstep % checkpointInterval == 0) out.localCheckpoint()
+      if (superstep > 0 && superstep % checkpointInterval == 0) {
+        // reliable when a checkpoint dir is configured (survives executor
+        // loss); executor-local truncation otherwise
+        if (spark.sparkContext.getCheckpointDir.isDefined) out.checkpoint()
+        else out.localCheckpoint()
+      }
 
       // ---- THE superstep job: materializes `out` (and its localCheckpoint
       // when due) and brings back per-partition aggregator merges plus the
@@ -373,7 +382,10 @@ object Pregel {
           case (_, Some(updated)) => updated
           case (oldOpt, None)     => oldOpt.getOrElse(Array.empty[OutEdge[K, EV]])
         }.persist()
-        if (superstep > 0 && superstep % checkpointInterval == 0) newAdj.localCheckpoint()
+        if (superstep > 0 && superstep % checkpointInterval == 0) {
+          if (spark.sparkContext.getCheckpointDir.isDefined) newAdj.checkpoint()
+          else newAdj.localCheckpoint()
+        }
         // materialize BEFORE unpersisting the parent (localCheckpoint
         // truncation safety), then release the old adjacency
         t("adjMut")(newAdj.foreachPartition(_ => ()))

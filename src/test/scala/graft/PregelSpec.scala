@@ -132,4 +132,25 @@ class PregelSpec extends SparkSpec {
     // edge is incremented at supersteps 4 and 5 before removal.
     assert(adj === Map((0L, 1L) -> 108L, (1L, 2L) -> 208L, (2L, 0L) -> 308L))
   }
+
+  test("reliable checkpointing (sc.setCheckpointDir) produces identical results") {
+    val dir = java.nio.file.Files.createTempDirectory("pregel-ckpt").toString
+    val prev = sc.getCheckpointDir
+    sc.setCheckpointDir(dir)
+    try {
+      val verts = sc.parallelize((0L to 9L).map(i => (i, Double.PositiveInfinity)))
+      val edges = sc.parallelize((0L until 9L).map(i => (i, (i + 1, 1.0))))
+      // checkpointInterval=2 → several reliable checkpoints over the 10-deep chain
+      val res = Pregel.run(spark, new Sssp(0L), verts, edges,
+        maxIterations = 30, checkpointInterval = 2)
+      val got = res.vertices.collect().toMap
+      (0L to 9L).foreach(i => assert(got(i) === i.toDouble))
+      assert(res.state === "CONVERGED")
+      // reliable checkpoint files actually landed in the configured dir
+      val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(files > 0, s"no checkpoint files under $dir")
+      res.unpersistState()
+    } finally prev.foreach(sc.setCheckpointDir)
+  }
 }

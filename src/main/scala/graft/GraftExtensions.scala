@@ -66,7 +66,10 @@ object GraftExtensions {
       builder: Seq[Expression] => Expression):
       (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     (FunctionIdentifier(name),
-      new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, ""),
+      // 11-arg constructor (the 5-arg one is deprecated): usage plus the
+      // catalog metadata DESCRIBE FUNCTION surfaces
+      new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+        "", "", "", "misc_funcs", "1.0.0", "", "built-in"),
       builder)
 
   /** One description per registered function (name, info, builder). */

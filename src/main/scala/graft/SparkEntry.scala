@@ -757,6 +757,20 @@ object SparkEntry {
     "ev_retention" -> ((s, dir) =>
       Events.cohortRetention(events(s, dir))),
 
+    // as-of join: each purchase ↔ the user's most recent prior-or-equal
+    // click value (temporal feature attachment; DuckDB ASOF JOIN oracle)
+    "ev_asof" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(cents(col("value"))).as("click_cents"))
+      Events.asofJoin(purchases, clicks, "user_id", "ts", "click_cents")
+        .select(col("event_id"), col("user_id"),
+          col("asof_value").as("click_cents"))
+    }),
+
     "ev_sessions" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(asc("ts"), asc("event_id"))
       events(s, dir)
@@ -1701,6 +1715,15 @@ object SparkEntry {
         |SELECT 'view' AS stage, 1 AS stage_idx, count(*) AS n_users FROM s1
         |UNION ALL SELECT 'click', 2, count(*) FROM s2
         |UNION ALL SELECT 'purchase', 3, count(*) FROM s3""".stripMargin,
+
+    "ev_asof" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |p AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts,
+        |             max(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS click_cents
+        |      FROM ev WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT p.event_id, p.user_id, c.click_cents
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
 
     "ev_retention" ->
       """WITH ev AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events),

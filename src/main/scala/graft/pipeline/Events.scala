@@ -43,6 +43,45 @@ object Events {
     }.reduce(_ unionAll _)
   }
 
+  /** As-of join: attach to each left row the `valueCol` of the most recent
+    * right row (per `keyCol`) whose `tsCol` is AT OR BEFORE the left row's —
+    * the temporal join training-data assembly needs (label ↔ latest feature
+    * snapshot) that plain equi-joins can't express.
+    *
+    * Formulated as a composition of existing operators (the brief's preferred
+    * order): union-tag both sides, then `last(value, ignoreNulls)` over a
+    * (key, ts)-ordered running window — one shuffle on the key, one
+    * partition-local sort, no range-explode. Right rows sort BEFORE left rows
+    * at equal timestamps, so a same-instant right row is visible (inclusive
+    * semantics, matching SQL ASOF JOIN `l.ts >= r.ts`).
+    *
+    * Rows with equal (key, ts) on the RIGHT side make the match
+    * nondeterministic — pre-reduce the right side to unique (key, ts) first. */
+  def asofJoin(left: DataFrame, right: DataFrame,
+               keyCol: String, tsCol: String, valueCol: String,
+               asofCol: String = "asof_value"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lCols = left.columns.toSeq
+    val vType = right.schema(valueCol).dataType
+    val l = left
+      .withColumn("_rv", lit(null).cast(vType))
+      .withColumn("_side", lit(1))
+    val r = lCols.foldLeft(
+        right.select(col(keyCol), col(tsCol), col(valueCol).as("_rv"))) {
+      (df, c) =>
+        if (c == keyCol || c == tsCol) df
+        else df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }.withColumn("_side", lit(0))
+    val u = l.select((lCols :+ "_rv" :+ "_side").map(col): _*)
+      .unionByName(r.select((lCols :+ "_rv" :+ "_side").map(col): _*))
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    u.withColumn(asofCol, last(col("_rv"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .drop("_rv", "_side")
+  }
+
   /** Cohort retention: users are cohorted by the DAY of their first event;
     * a (cohort_day, day_offset) cell counts the cohort's users active
     * day_offset days later (distinct users, offset ≥ 0). Returns

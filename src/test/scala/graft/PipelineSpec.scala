@@ -352,6 +352,23 @@ class PipelineSpec extends SparkSpec {
     assert(out === Map("view" -> 3L, "click" -> 2L, "purchase" -> 1L))
   }
 
+  test("asofJoin attaches the latest at-or-before value per key") {
+    val left = Seq((1L, 10L, 5), (1L, 4L, 5), (2L, 7L, 5), (3L, 1L, 5))
+      .toDF("key", "t", "payload")
+    val right = Seq((1L, 4L, 40L), (1L, 9L, 90L), (2L, 8L, 80L))
+      .toDF("key", "t", "v")
+    val out = graft.pipeline.Events.asofJoin(left, right, "key", "t", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(out((1L, 10L)) === Some(90L))  // latest before 10
+    assert(out((1L, 4L)) === Some(40L))   // same-instant right row visible
+    assert(out((2L, 7L)) === None)        // right row is later → no match
+    assert(out((3L, 1L)) === None)        // key has no right rows
+    // left payload columns survive
+    val cols = graft.pipeline.Events.asofJoin(left, right, "key", "t", "v").columns
+    assert(cols.toSeq === Seq("key", "t", "payload", "asof_value"))
+  }
+
   test("cohortRetention cohorts by first-event day") {
     import java.sql.Timestamp
     def ts(d: Int, h: Int) = Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")

@@ -757,6 +757,28 @@ object SparkEntry {
     "ev_retention" -> ((s, dir) =>
       Events.cohortRetention(events(s, dir))),
 
+    // range join: errors within 30 min after each purchase of the same user
+    // — bucketized interval join (bins ≈ interval length), never a
+    // nested-loop inequality join
+    "ev_range" -> ((s, dir) => {
+      val ev = events(s, dir).withColumn("us", unix_micros(col("ts")))
+      val win = 30L * 60 * 1000000
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("us").as("win_start"), (col("us") + win).as("win_end"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), col("user_id"),
+          col("us").as("err_us"))
+      val pairs = Events.rangeJoin(errors, purchases,
+        "err_us", "win_start", "win_end", binWidth = win,
+        keyCols = Seq("user_id"))
+      purchases.join(
+          pairs.groupBy(col("purchase_id")).agg(count(lit(1)).as("n")),
+          Seq("purchase_id"), "left")
+        .select(col("purchase_id"), col("user_id"),
+          coalesce(col("n"), lit(0L)).as("n_errors"))
+    }),
+
     // as-of join: each purchase ↔ the user's most recent prior-or-equal
     // click value (temporal feature attachment; DuckDB ASOF JOIN oracle)
     "ev_asof" -> ((s, dir) => {
@@ -1715,6 +1737,17 @@ object SparkEntry {
         |SELECT 'view' AS stage, 1 AS stage_idx, count(*) AS n_users FROM s1
         |UNION ALL SELECT 'click', 2, count(*) FROM s2
         |UNION ALL SELECT 'purchase', 3, count(*) FROM s3""".stripMargin,
+
+    "ev_range" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type,
+        |              epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |p AS (SELECT event_id AS purchase_id, user_id, us FROM ev
+        |      WHERE event_type = 'purchase'),
+        |e AS (SELECT event_id, user_id, us FROM ev WHERE event_type = 'error')
+        |SELECT p.purchase_id, p.user_id, count(e.event_id) AS n_errors
+        |FROM p LEFT JOIN e ON p.user_id = e.user_id
+        |  AND e.us >= p.us AND e.us <= p.us + 1800000000
+        |GROUP BY 1, 2""".stripMargin,
 
     "ev_asof" ->
       """WITH ev AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value FROM events),

@@ -82,6 +82,34 @@ object Events {
       .drop("_rv", "_side")
   }
 
+  /** Range join: points ⋈ intervals where `startCol ≤ ptCol ≤ endCol`
+    * (optionally also equi-joined on `keyCols`). Spark plans a raw
+    * inequality join as a nested-loop product; this formulation BUCKETIZES —
+    * intervals explode to the fixed-width bins they span, points map to one
+    * bin, and the join is an equi-join on (keys, bin) followed by the exact
+    * range filter. Each (point, interval) match arises in exactly the
+    * point's bin, so no dedup pass is needed.
+    *
+    * `binWidth` trades explode factor for join selectivity: pick it near
+    * the typical interval length (an interval spans ~len/binWidth bins).
+    * Intervals with `end < start` are dropped. Column names of the two
+    * inputs must be disjoint apart from `keyCols`. */
+  def rangeJoin(points: DataFrame, intervals: DataFrame,
+                ptCol: String, startCol: String, endCol: String,
+                binWidth: Long, keyCols: Seq[String] = Nil): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val pts = points.withColumn("_bin",
+      floor(col(ptCol) / binWidth).cast("long"))
+    val ivs = intervals
+      .filter(col(endCol) >= col(startCol))
+      .withColumn("_bin", explode(sequence(
+        floor(col(startCol) / binWidth).cast("long"),
+        floor(col(endCol) / binWidth).cast("long"))))
+    pts.join(ivs, (keyCols :+ "_bin").toSeq)
+      .filter(col(ptCol) >= col(startCol) && col(ptCol) <= col(endCol))
+      .drop("_bin")
+  }
+
   /** Cohort retention: users are cohorted by the DAY of their first event;
     * a (cohort_day, day_offset) cell counts the cohort's users active
     * day_offset days later (distinct users, offset ≥ 0). Returns

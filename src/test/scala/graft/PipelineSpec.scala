@@ -369,6 +369,23 @@ class PipelineSpec extends SparkSpec {
     assert(cols.toSeq === Seq("key", "t", "payload", "asof_value"))
   }
 
+  test("rangeJoin matches points to containing intervals across bin boundaries") {
+    val pts = Seq((1L, 5L), (2L, 10L), (3L, 99L), (4L, 250L))
+      .toDF("pid", "p")
+    val ivs = Seq((10L, 3L, 11L), (20L, 95L, 260L), (30L, 300L, 200L))
+      .toDF("iid", "s", "e")   // iid 30 is invalid (end < start) → dropped
+    val out = graft.pipeline.Events.rangeJoin(pts, ivs, "p", "s", "e",
+      binWidth = 10).collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    // interval 20 spans many bins (95..260); points 99 and 250 both match
+    assert(out === Set((1L, 10L), (2L, 10L), (3L, 20L), (4L, 20L)))
+    // with a key column, only same-key pairs match
+    val kp = Seq((1L, "a", 5L), (2L, "b", 5L)).toDF("pid", "k", "p")
+    val ki = Seq((10L, "a", 0L, 9L)).toDF("iid", "k", "s", "e")
+    val kout = graft.pipeline.Events.rangeJoin(kp, ki, "p", "s", "e",
+      binWidth = 10, keyCols = Seq("k")).collect().map(_.getLong(1)).toSet
+    assert(kout === Set(1L))
+  }
+
   test("cohortRetention cohorts by first-event day") {
     import java.sql.Timestamp
     def ts(d: Int, h: Int) = Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")

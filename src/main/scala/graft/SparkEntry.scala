@@ -455,6 +455,13 @@ object SparkEntry {
     "d_tfidf_top" -> ((s, dir) =>
       TextAnalysis.tfIdfTop(t(s, dir, "documents"))),
 
+    // document chunking: fixed 64-token windows, 8-token overlap (rowwise);
+    // chunk content fingerprinted with the oracle-reproducible Poly64 family
+    "d_chunk" -> ((s, dir) =>
+      TextAnalysis.chunk(t(s, dir, "documents"), chunkTokens = 64, overlap = 8)
+        .select(col("doc_id"), col("chunk_idx"), col("chunk_tokens"),
+          graft.functions.Poly64.poly64(col("chunk_text")).as("chunk_fp"))),
+
     // corpus stats: per-language vocabulary size + token volume (exact
     // distinct — the oracle-checkable baseline; approx_count_distinct is the
     // sketch path at 100 TB)
@@ -1720,6 +1727,23 @@ object SparkEntry {
         |             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |      FROM events)
         |GROUP BY 1""".stripMargin,
+
+    "d_chunk" -> {
+      val cps = "list_transform(range(1, length(s) + 1), j -> CAST(unicode(s[j]) AS HUGEINT))"
+      s"""WITH tk AS (
+         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+         |  FROM documents),
+         |n AS (SELECT doc_id, toks,
+         |        1 + CAST(ceil(greatest(len(toks) - 64, 0) / 56.0) AS INT) AS nc
+         |      FROM tk),
+         |c AS (SELECT doc_id, i.i AS chunk_idx,
+         |        array_to_string(list_slice(toks, i.i * 56 + 1, i.i * 56 + 64), ' ') AS s
+         |      FROM n, range(0, 256) i(i) WHERE i.i < nc)
+         |SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+         |       len(string_split(s, ' ')) AS chunk_tokens,
+         |       ${sqlU2S(sqlPoly(cps, 1125899906842597L, 1099511628211L))} AS chunk_fp
+         |FROM c""".stripMargin
+    },
 
     "d_vocab" ->
       """SELECT lang, count(DISTINCT tok) AS vocab, count(*) AS n_tokens

@@ -132,6 +132,34 @@ object TextAnalysis {
       .withColumn("dup_3gram_ratio", dupRatio(3))
   }
 
+  /** Split documents into fixed-size token chunks with overlap — the
+    * training/RAG preparation step. Chunk i covers tokens
+    * [i·stride, i·stride + chunkTokens) over the whitespace tokens of the
+    * lowercased text (stride = chunkTokens − overlap); the last chunk may be
+    * shorter, and every document yields at least one chunk. Returns one row
+    * per chunk: (all input columns, chunk_idx, chunk_tokens, chunk_text).
+    * Entirely rowwise (sequence + transform + slice HOFs) — a corpus scan
+    * with NO shuffle, so it composes into the same single pass as the rest
+    * of TextAnalysis. */
+  def chunk(df: DataFrame, textCol: String = "text",
+            chunkTokens: Int = 64, overlap: Int = 8): DataFrame = {
+    require(chunkTokens > overlap && overlap >= 0,
+      "need chunkTokens > overlap >= 0")
+    val stride = chunkTokens - overlap
+    val toks = wsTokens(lower(trim(col(textCol))))
+    val m = size(toks)
+    // number of chunks: 1 + ceil(max(m - chunkTokens, 0) / stride)
+    val extra = greatest(m - chunkTokens, lit(0))
+    val nChunks = lit(1) + ceil(extra.cast("double") / stride).cast("int")
+    df.withColumn("_toks", toks)
+      .withColumn("chunk_idx", explode(sequence(lit(0), nChunks - 1)))
+      .withColumn("_chunk",
+        slice(col("_toks"), col("chunk_idx") * stride + 1, lit(chunkTokens)))
+      .withColumn("chunk_tokens", size(col("_chunk")))
+      .withColumn("chunk_text", concat_ws(" ", col("_chunk")))
+      .drop("_toks", "_chunk")
+  }
+
   /** 64-bit content fingerprint of normalized text (case-folded, whitespace
     * collapsed) — exact-dup detection key. */
   def fingerprint(text: Column): Column =

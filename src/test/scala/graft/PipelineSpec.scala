@@ -334,6 +334,28 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("chunk splits into overlapping token windows, short docs yield one chunk") {
+    val d = Seq(
+      (1L, (1 to 20).map(i => s"t$i").mkString(" ")),  // 20 tokens
+      (2L, "one two")                                  // shorter than a chunk
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.chunk(d, chunkTokens = 8, overlap = 2)
+      .select("doc_id", "chunk_idx", "chunk_tokens", "chunk_text").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getInt(2), r.getString(3))).toMap
+    // doc 1: stride 6 → chunks at 0,6,12,18 → 1 + ceil(12/6) = 3? 20-8=12 → 3 extra → 4? ceil(12/6)=2 → 3 chunks
+    val doc1 = out.keys.filter(_._1 == 1L).map(_._2).toSeq.sorted
+    assert(doc1 === Seq(0, 1, 2))
+    assert(out((1L, 0))._2.startsWith("t1 t2"))
+    // overlap: chunk 1 starts at token 7 (stride 6) → begins with t7, and
+    // chunk 0 ends with t8 — tokens t7,t8 appear in both
+    assert(out((1L, 0))._2.endsWith("t7 t8"))
+    assert(out((1L, 1))._2.startsWith("t7 t8"))
+    // last chunk is the tail (tokens 13..20), 8 tokens
+    assert(out((1L, 2))._2 === (13 to 20).map(i => s"t$i").mkString(" "))
+    assert(out((2L, 0)) === ((2, "one two")))
+    assert(out.keys.count(_._1 == 2L) === 1)
+  }
+
   test("funnel counts only in-order stage progressions") {
     import java.sql.Timestamp
     def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")

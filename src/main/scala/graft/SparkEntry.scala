@@ -462,6 +462,14 @@ object SparkEntry {
         .select(col("doc_id"), col("chunk_idx"), col("chunk_tokens"),
           graft.functions.Poly64.poly64(col("chunk_text")).as("chunk_fp"))),
 
+    // sequence packing: contiguous-fill bins of 2048 tokens (summary:
+    // per-bin doc count + token total — compact, order-free output)
+    "d_pack" -> ((s, dir) =>
+      TextAnalysis.packBins(t(s, dir, "documents"), budget = 2048)
+        .groupBy(col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("pack_tokens"))),
+
     // corpus stats: per-language vocabulary size + token volume (exact
     // distinct — the oracle-checkable baseline; approx_count_distinct is the
     // sketch path at 100 TB)
@@ -1744,6 +1752,21 @@ object SparkEntry {
          |       ${sqlU2S(sqlPoly(cps, 1125899906842597L, 1099511628211L))} AS chunk_fp
          |FROM c""".stripMargin
     },
+
+    "d_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, n,
+        |    CAST(floor(coalesce(sum(n) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048)
+        |      AS BIGINT) AS pack_id
+        |  FROM t)
+        |SELECT pack_id, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS pack_tokens
+        |FROM b GROUP BY 1""".stripMargin,
 
     "d_vocab" ->
       """SELECT lang, count(DISTINCT tok) AS vocab, count(*) AS n_tokens

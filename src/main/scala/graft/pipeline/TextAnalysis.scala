@@ -160,6 +160,29 @@ object TextAnalysis {
       .drop("_toks", "_chunk")
   }
 
+  /** Sequence packing: assign documents to fixed-token-budget bins by
+    * contiguous fill over a deterministic order (orderCol asc) — doc d goes
+    * to bin `floor(tokens_before_d / budget)`, so bins are dense, the
+    * assignment is a pure function of the corpus (reproducible across
+    * engines and retries), and a bin overflows its budget by less than one
+    * document (the standard best-effort packing trade-off; exact first-fit
+    * is inherently sequential). Returns the input plus (n_tokens, pack_id).
+    *
+    * Scale: one global sort (range-partitioned by Spark's sort exchange) +
+    * a running-sum window over that order. For 100 TB, pack per shard
+    * instead: partition by a corpus shard key and use this per shard. */
+  def packBins(df: DataFrame, budget: Int, textCol: String = "text",
+               orderCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget > 0, "budget must be positive")
+    val w = Window.orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("n_tokens", tokenCount(col(textCol)))
+      .withColumn("pack_id",
+        floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / budget)
+          .cast("long"))
+  }
+
   /** 64-bit content fingerprint of normalized text (case-folded, whitespace
     * collapsed) — exact-dup detection key. */
   def fingerprint(text: Column): Column =

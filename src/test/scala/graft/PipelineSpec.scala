@@ -274,7 +274,7 @@ class PipelineSpec extends SparkSpec {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
-    val stream = input.toDF.toDF("doc_id", "text")
+    val stream = input.toDF().toDF("doc_id", "text")
     val q = Dedup.streamingExact(stream).writeStream
       .outputMode("append").format("memory").queryName("sdedup").start()
     input.addData((1L, "alpha beta gamma"), (2L, "delta epsilon"))
@@ -291,7 +291,7 @@ class PipelineSpec extends SparkSpec {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
-    val stream = input.toDF.toDF("doc_id", "text")
+    val stream = input.toDF().toDF("doc_id", "text")
     val q = Dedup.streamingSimHash(stream).writeStream
       .outputMode("append").format("memory").queryName("shdedup").start()
     input.addData((1L, "the quick brown fox jumps"))
@@ -354,6 +354,28 @@ class PipelineSpec extends SparkSpec {
     assert(out((1L, 2))._2 === (13 to 20).map(i => s"t$i").mkString(" "))
     assert(out((2L, 0)) === ((2, "one two")))
     assert(out.keys.count(_._1 == 2L) === 1)
+  }
+
+  test("packBins: dense bins, deterministic, overflow bounded by one doc") {
+    val d = (1L to 30L).map(i => (i, ("w " * (i % 7 + 1).toInt).trim)).toDF("doc_id", "text")
+    val out = TextAnalysis.packBins(d, budget = 10)
+      .select("doc_id", "n_tokens", "pack_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // deterministic: re-run identical
+    val again = TextAnalysis.packBins(d, budget = 10)
+      .select("doc_id", "n_tokens", "pack_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.toSeq.sorted === again.toSeq.sorted)
+    val byBin = out.groupBy(_._3).view.mapValues(_.map(_._2).sum).toMap
+    // bins are dense 0..max
+    assert(byBin.keySet === (0L to byBin.keys.max).toSet)
+    // every bin except possibly the last holds ≥ budget − (maxdoc−1) and
+    // overflows by < one max doc (7 tokens)
+    val maxDoc = 7
+    byBin.view.filterKeys(_ < byBin.keys.max).foreach { case (b, tot) =>
+      assert(tot < 10 + maxDoc, s"bin $b overflowed: $tot")
+      assert(tot >= 10 - (maxDoc - 1), s"bin $b underfilled: $tot")
+    }
   }
 
   test("funnel counts only in-order stage progressions") {

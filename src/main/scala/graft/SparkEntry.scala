@@ -497,6 +497,11 @@ object SparkEntry {
       Dedup.minHashKeepBest(t(s, dir, "documents"), threshold = 0.5,
         poly = true)),
 
+    // same retention over SimHash Hamming clusters
+    "d_simhash_retain" -> ((s, dir) =>
+      Dedup.simHashKeepBest(t(s, dir, "documents"), maxHamming = 3,
+        poly = true)),
+
     // poly = true: Poly64 Rabin base hashes — the full LSH pipelines
     // (shingle→minhash→band→bucket-join→verify→WCC, token-hash→simhash→
     // chunk-join→hamming→WCC) are then reproducible in the DuckDB oracle
@@ -995,14 +1000,14 @@ object SparkEntry {
     sb.toString
   }
 
-  /** [[minhashOracleSql]]'s clusters composed with the keep-largest retention
-    * policy (max n_chars per cluster, ties → min doc_id) — the oracle for
-    * Dedup.minHashKeepBest. Swaps the cluster query's final SELECT for the
-    * retention tail. */
-  private def minhashRetainOracleSql(threshold: Double): String = {
-    val base = minhashOracleSql(threshold)
+  /** A cluster oracle ([[minhashOracleSql]]/[[simhashOracleSql]] — both end
+    * with the same reach-closure SELECT) composed with the keep-largest
+    * retention policy (max n_chars per cluster, ties → min doc_id) — the
+    * oracle for Dedup.minHashKeepBest / simHashKeepBest. Swaps the cluster
+    * query's final SELECT for the retention tail. */
+  private def retainOracleSql(base: String): String = {
     val finalSelect = "SELECT a AS doc_id, min(b) AS rep FROM reach GROUP BY a"
-    require(base.endsWith(finalSelect), "minhash oracle tail changed")
+    require(base.endsWith(finalSelect), "cluster oracle tail changed")
     base.dropRight(finalSelect.length).stripSuffix("\n") + ",\n" +
       s"""cl AS ($finalSelect),
          |j AS (SELECT cl.rep, d.doc_id, d.n_chars
@@ -1162,7 +1167,9 @@ object SparkEntry {
 
     "d_minhash_clusters" -> minhashOracleSql(threshold = 0.5),
 
-    "d_minhash_retain" -> minhashRetainOracleSql(threshold = 0.5),
+    "d_minhash_retain" -> retainOracleSql(minhashOracleSql(threshold = 0.5)),
+
+    "d_simhash_retain" -> retainOracleSql(simhashOracleSql(maxHamming = 3)),
 
     "d_simhash_clusters" -> simhashOracleSql(maxHamming = 3),
 

@@ -204,17 +204,34 @@ object Dedup {
   def minHashKeepBest(df: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text", sizeCol: String = "n_chars",
                       shingleLen: Int = 3, numHashes: Int = 64, bands: Int = 16,
-                      threshold: Double = 0.7, poly: Boolean = false): DataFrame = {
-    val clusters = minHashLSH(df, idCol, textCol, shingleLen, numHashes,
-      bands, threshold, poly).toDF(idCol, "rep")
-    clusters.join(df.select(col(idCol), col(sizeCol)), Seq(idCol))
+                      threshold: Double = 0.7, poly: Boolean = false): DataFrame =
+    keepBestPerCluster(
+      minHashLSH(df, idCol, textCol, shingleLen, numHashes, bands, threshold,
+        poly).toDF(idCol, "rep"), df, idCol, sizeCol)
+
+  /** [[minHashKeepBest]] with SimHash cluster formation — same retention
+    * policy over the Hamming-distance near-dup clusters. */
+  def simHashKeepBest(df: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text", sizeCol: String = "n_chars",
+                      maxHamming: Int = 3, poly: Boolean = false): DataFrame =
+    keepBestPerCluster(
+      simHashDedup(df, idCol, textCol, maxHamming, poly).toDF(idCol, "rep"),
+      df, idCol, sizeCol)
+
+  /** Keep-largest retention over ANY (id, rep) cluster frame: per cluster,
+    * the member with max `sizeCol` (ties → smallest id) survives, with the
+    * member count. One groupBy on the cluster rep; argmax rides a struct-max
+    * aggregate (map-side combine). */
+  def keepBestPerCluster(clusters: DataFrame, docs: DataFrame,
+                         idCol: String = "doc_id",
+                         sizeCol: String = "n_chars"): DataFrame =
+    clusters.join(docs.select(col(idCol), col(sizeCol)), Seq(idCol))
       .groupBy(col("rep"))
       .agg(
         max(struct(col(sizeCol).cast("long").as("c"), (-col(idCol)).as("ni"))).as("_m"),
         count(lit(1)).as("n_members"))
       .select((-col("_m.ni")).as(idCol), col("_m.c").as("kept_chars"),
         col("n_members"))
-  }
 
   def ngramJaccardVerify(docs: DataFrame, pairs: DataFrame,
                          idCol: String = "doc_id", textCol: String = "text",

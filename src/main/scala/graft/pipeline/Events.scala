@@ -62,6 +62,9 @@ object Events {
                asofCol: String = "asof_value"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val lCols = left.columns.toSeq
+    require(!lCols.contains("_rv") && !lCols.contains("_side"),
+      "asofJoin reserves columns _rv and _side")
+    require(!lCols.contains(asofCol), s"left already has a '$asofCol' column")
     val vType = right.schema(valueCol).dataType
     val l = left
       .withColumn("_rv", lit(null).cast(vType))

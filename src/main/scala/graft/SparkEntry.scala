@@ -470,6 +470,10 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("pack_tokens"))),
 
+    // unigram-LM quality score (perplexity-proxy filter, CCNet-style)
+    "d_lm_score" -> ((s, dir) =>
+      TextAnalysis.lmScore(t(s, dir, "documents"))),
+
     // corpus stats: per-language vocabulary size + token volume (exact
     // distinct — the oracle-checkable baseline; approx_count_distinct is the
     // sketch path at 100 TB)
@@ -1774,6 +1778,23 @@ object SparkEntry {
         |  FROM t)
         |SELECT pack_id, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS pack_tokens
         |FROM b GROUP BY 1""".stripMargin,
+
+    "d_lm_score" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
+        |model AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total,
+        |               count(*) AS n_vocab FROM model),
+        |lp AS (
+        |  SELECT tf.doc_id, tf.tf,
+        |    CAST(round(tf.tf * ln(CAST(cnt + 1 AS DOUBLE) / (n_total + n_vocab))
+        |      * 1000000) AS BIGINT) AS lpm
+        |  FROM tf JOIN model USING (term) CROSS JOIN tot)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |       round((CAST(sum(lpm) AS DOUBLE) / 1000000) / sum(tf), 6) AS lm_score
+        |FROM lp GROUP BY 1""".stripMargin,
 
     "d_vocab" ->
       """SELECT lang, count(DISTINCT tok) AS vocab, count(*) AS n_tokens

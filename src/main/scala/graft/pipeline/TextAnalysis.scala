@@ -160,6 +160,39 @@ object TextAnalysis {
       .drop("_toks", "_chunk")
   }
 
+  /** Unigram-LM quality score (the CCNet/RedPajama perplexity-proxy
+    * filter): each document's mean token log-probability under the corpus's
+    * own add-one-smoothed unigram distribution — low scores flag documents
+    * whose vocabulary is atypical for the corpus (boilerplate, noise,
+    * wrong-language). Returns (idCol, n_tokens, lm_score) with the score
+    * rounded to 6 dp (ln parity discipline: rounding BEFORE any downstream
+    * ranking keeps cross-engine argmaxes stable).
+    *
+    * Scale shape: the model "training" is the (term → count) aggregate with
+    * map-side combine; scoring joins each doc's tf frame against it (the
+    * model is corpus-vocabulary-sized — shuffle join; AQE broadcasts it
+    * when small) and averages weighted log-probs per doc. Two scans, three
+    * shuffles, no driver-side state. */
+  def lmScore(df: DataFrame, idCol: String = "doc_id",
+              textCol: String = "text"): DataFrame = {
+    val terms = Dedup.spread(df).select(col(idCol).as("doc_id"),
+      explode(wsTokens(lower(trim(col(textCol))))).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val model = tf.groupBy("term").agg(sum(col("tf")).as("cnt"))
+    val totals = model.agg(sum(col("cnt")).as("n_total"),
+      count(lit(1)).as("n_vocab"))
+    // per-term contributions quantize to integer micro-nats BEFORE the sum:
+    // long addition is order-independent, so the aggregate is hash-stable
+    // across engines and shuffle orders (a raw double sum is not)
+    tf.join(model, "term").crossJoin(broadcast(totals))
+      .withColumn("_lpm", round(col("tf") * log(
+        (col("cnt") + 1).cast("double") / (col("n_total") + col("n_vocab")))
+        * 1e6).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        round((sum(col("_lpm")) / 1e6) / sum(col("tf")), 6).as("lm_score"))
+  }
+
   /** Sequence packing: assign documents to fixed-token-budget bins by
     * contiguous fill over a deterministic order (orderCol asc) — doc d goes
     * to bin `floor(tokens_before_d / budget)`, so bins are dense, the

@@ -356,6 +356,24 @@ class PipelineSpec extends SparkSpec {
     assert(out.keys.count(_._1 == 2L) === 1)
   }
 
+  test("lmScore ranks corpus-typical docs above atypical ones") {
+    val d = Seq(
+      (1L, "the the the cat cat"),    // all high-frequency tokens
+      (2L, "the cat zyx qwv"),        // half rare singletons
+      (3L, "the the cat the cat")     // same multiset shape as doc 1
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.lmScore(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L)._1 === 5L && out(2L)._1 === 4L)
+    // common-token docs beat the rare-token doc
+    assert(out(1L)._2 > out(2L)._2)
+    assert(out(3L)._2 > out(2L)._2)
+    // identical token multisets score identically
+    assert(out(1L)._2 === out(3L)._2)
+    // mean log prob is negative (probabilities < 1)
+    assert(out.values.forall(_._2 < 0.0))
+  }
+
   test("packBins: dense bins, deterministic, overflow bounded by one doc") {
     val d = (1L to 30L).map(i => (i, ("w " * (i % 7 + 1).toInt).trim)).toDF("doc_id", "text")
     val out = TextAnalysis.packBins(d, budget = 10)

@@ -470,9 +470,12 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("pack_tokens"))),
 
-    // unigram-LM quality score (perplexity-proxy filter, CCNet-style)
+    // unigram-LM quality score (perplexity-proxy filter, CCNet-style);
+    // gated on the EXACT integer micro-nat total — round(double, 6) of the
+    // quotient can straddle a half boundary between engines
     "d_lm_score" -> ((s, dir) =>
-      TextAnalysis.lmScore(t(s, dir, "documents"))),
+      TextAnalysis.lmScore(t(s, dir, "documents"))
+        .select(col("doc_id"), col("n_tokens"), col("lm_micro_total"))),
 
     // corpus stats: per-language vocabulary size + token volume (exact
     // distinct — the oracle-checkable baseline; approx_count_distinct is the
@@ -1793,7 +1796,7 @@ object SparkEntry {
         |      * 1000000) AS BIGINT) AS lpm
         |  FROM tf JOIN model USING (term) CROSS JOIN tot)
         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
-        |       round((CAST(sum(lpm) AS DOUBLE) / 1000000) / sum(tf), 6) AS lm_score
+        |       CAST(sum(lpm) AS BIGINT) AS lm_micro_total
         |FROM lp GROUP BY 1""".stripMargin,
 
     "d_vocab" ->

@@ -183,13 +183,17 @@ object TextAnalysis {
       count(lit(1)).as("n_vocab"))
     // per-term contributions quantize to integer micro-nats BEFORE the sum:
     // long addition is order-independent, so the aggregate is hash-stable
-    // across engines and shuffle orders (a raw double sum is not)
+    // across engines and shuffle orders (a raw double sum is not). The
+    // EXACT integer total rides along (`lm_micro_total`) — cross-engine
+    // comparisons should use it, since round(double, 6) of the quotient can
+    // land on opposite sides of a half boundary between engines.
     tf.join(model, "term").crossJoin(broadcast(totals))
       .withColumn("_lpm", round(col("tf") * log(
         (col("cnt") + 1).cast("double") / (col("n_total") + col("n_vocab")))
         * 1e6).cast("long"))
       .groupBy(col("doc_id"))
       .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("_lpm")).as("lm_micro_total"),
         round((sum(col("_lpm")) / 1e6) / sum(col("tf")), 6).as("lm_score"))
   }
 

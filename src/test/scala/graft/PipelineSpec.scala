@@ -362,7 +362,8 @@ class PipelineSpec extends SparkSpec {
       (2L, "the cat zyx qwv"),        // half rare singletons
       (3L, "the the cat the cat")     // same multiset shape as doc 1
     ).toDF("doc_id", "text")
-    val out = TextAnalysis.lmScore(d).collect()
+    val out = TextAnalysis.lmScore(d)
+      .select("doc_id", "n_tokens", "lm_score").collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
     assert(out(1L)._1 === 5L && out(2L)._1 === 4L)
     // common-token docs beat the rare-token doc

@@ -242,13 +242,14 @@ object Ann {
   def pqKnn(corpus: DataFrame, queries: DataFrame, k: Int,
             m: Int = 8, ncodes: Int = 256, iters: Int = 3,
             idCol: String = "vec_id", vecCol: String = "embedding",
-            excludeSelf: Boolean = true, hashInit: Boolean = true): DataFrame = {
+            excludeSelf: Boolean = true, hashInit: Boolean = true,
+            broadcastLut: Boolean = true): DataFrame = {
     val codebook = pqTrainCodebook(corpus, m, ncodes, iters, idCol, vecCol, hashInit)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val corpusCodes = pqEncode(corpus, codebook, m, idCol, vecCol)
       .toDF("nbr_id", "subspace", "code")
     val lut = pqLut(queries, codebook, m, idCol, vecCol)
-    scoreAdc(corpusCodes, lut, m, k, excludeSelf, candidates = None)
+    scoreAdc(corpusCodes, lut, m, k, excludeSelf, candidates = None, broadcastLut)
   }
 
   /** Per-query distance lookup table: (query_id, subspace, code, pd2). */
@@ -264,16 +265,24 @@ object Ann {
   }
 
   /** ADC scoring. Candidates are pivoted to ONE row with m code columns, and
-    * the per-subspace distances arrive as m chained broadcast-hash-join LUT
-    * lookups — all pipelined inside a single codegen stage, so the
-    * |Q|·|candidates| scoring frame is never shuffled or group-aggregated
+    * the per-subspace distances arrive as m chained LUT-lookup joins — with
+    * `broadcastLut` (default) all pipelined inside a single codegen stage, so
+    * the |Q|·|candidates| scoring frame is never shuffled or group-aggregated
     * (the old shape hash-aggregated m rows per pair). The final top-k is a
     * bounded aggregate on negated distance ((adc asc, id asc) ≡ (−adc desc,
     * id asc)) — never a sort of the scored frame. With `candidates` set
-    * (IVF-PQ), only those (query, nbr) pairs are scored. */
+    * (IVF-PQ), only those (query, nbr) pairs are scored.
+    *
+    * The LUT is |Q|·ncodes rows PER SUBSPACE — broadcasting it assumes a
+    * BOUNDED query set (the search-serving shape). When |Q| scales with the
+    * corpus (all-pairs self-join shapes), pass `broadcastLut = false`: the
+    * lookups become ordinary equi-joins on (query_id, code) that AQE plans
+    * from observed sizes, instead of a broadcast that grows past the 8 GB
+    * limit / driver memory with the corpus. */
   private def scoreAdc(corpusCodes: DataFrame, lut: DataFrame, m: Int, k: Int,
                        excludeSelf: Boolean,
-                       candidates: Option[DataFrame]): DataFrame = {
+                       candidates: Option[DataFrame],
+                       broadcastLut: Boolean): DataFrame = {
     val codeCols = (0 until m).map(s =>
       max(when(col("subspace") === s, col("code"))).as(s"_c$s"))
     val wide = corpusCodes.groupBy(col("nbr_id"))
@@ -289,7 +298,7 @@ object Ann {
       // candidates per query by definition); later joins are per-query lookups
       val keys = if (candidates.isEmpty && s == 0) Seq(s"_c$s")
                  else Seq("query_id", s"_c$s")
-      df.join(broadcast(l), keys)
+      df.join(if (broadcastLut) broadcast(l) else l, keys)
     }
     val adc = (0 until m).map(s => col(s"_p$s")).reduce(_ + _)
     val ranked = scored.withColumn("adc", adc)
@@ -308,7 +317,8 @@ object Ann {
                nlist: Int = 64, nprobe: Int = 8,
                m: Int = 8, ncodes: Int = 256, iters: Int = 3,
                idCol: String = "vec_id", vecCol: String = "embedding",
-               excludeSelf: Boolean = true, hashInit: Boolean = true): DataFrame = {
+               excludeSelf: Boolean = true, hashInit: Boolean = true,
+               broadcastLut: Boolean = true): DataFrame = {
     val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).cast("array<double>").as("cv"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
     val centroids = trainCentroids(corpus, nlist, iters, idCol, vecCol, hashInit)
@@ -329,7 +339,8 @@ object Ann {
     // candidate pairs from cell match, then ADC over the m code rows
     val cand = qCells.join(corpusCells, Seq("cell"))
       .select(col("query_id"), col("nbr_id")).distinct()
-    scoreAdc(corpusCodes, lut, m, k, excludeSelf, candidates = Some(cand))
+    scoreAdc(corpusCodes, lut, m, k, excludeSelf, candidates = Some(cand),
+      broadcastLut)
   }
 
   /** LSH-bucketed approximate top-k (no training pass): candidates share the

@@ -166,8 +166,17 @@ object Curation {
     * row_number() formulation). */
   private final class TopK(k: Int)
       extends Aggregator[(Double, Long), TopKState, TopKState] {
-    private def better(a: Scored, b: Scored): Boolean =
-      a.score > b.score || (a.score == b.score && a.id < b.id)
+    // Total order on the score: primitive >/== are both false for NaN, which
+    // would corrupt the sorted-buffer invariant in an insertion-order-
+    // dependent (shuffle-nondeterministic) way. NaN sorts WORST (a NaN score
+    // — e.g. cosine of a zero-norm embedding — never outranks a real one)
+    // and -0.0 canonicalizes to 0.0 so the order matches SQL comparison.
+    private def key(s: Double): Double =
+      if (java.lang.Double.isNaN(s)) Double.NegativeInfinity else s + 0.0
+    private def better(a: Scored, b: Scored): Boolean = {
+      val c = java.lang.Double.compare(key(a.score), key(b.score))
+      c > 0 || (c == 0 && a.id < b.id)
+    }
     private def insert(buf: Seq[Scored], x: Scored): Seq[Scored] = {
       val (before, after) = buf.span(better(_, x))
       (before ++ (x +: after)).take(k)

@@ -49,11 +49,14 @@ object Events {
     * snapshot) that plain equi-joins can't express.
     *
     * Formulated as a composition of existing operators (the brief's preferred
-    * order): union-tag both sides, then `last(value, ignoreNulls)` over a
-    * (key, ts)-ordered running window — one shuffle on the key, one
-    * partition-local sort, no range-explode. Right rows sort BEFORE left rows
-    * at equal timestamps, so a same-instant right row is visible (inclusive
-    * semantics, matching SQL ASOF JOIN `l.ts >= r.ts`).
+    * order): union-tag both sides, wrap the right value in a single-field
+    * struct (so a genuine NULL in `valueCol` is still a non-null match marker
+    * — the matched row's NULL is attached, not skipped, exactly SQL ASOF JOIN
+    * semantics), then `last(marker, ignoreNulls)` over a (key, ts)-ordered
+    * running window — one shuffle on the key, one partition-local sort, no
+    * range-explode. Right rows sort BEFORE left rows at equal timestamps, so
+    * a same-instant right row is visible (inclusive semantics, matching SQL
+    * ASOF JOIN `l.ts >= r.ts`).
     *
     * Rows with equal (key, ts) on the RIGHT side make the match
     * nondeterministic — pre-reduce the right side to unique (key, ts) first. */
@@ -61,16 +64,19 @@ object Events {
                keyCol: String, tsCol: String, valueCol: String,
                asofCol: String = "asof_value"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{StructField, StructType}
     val lCols = left.columns.toSeq
     require(!lCols.contains("_rv") && !lCols.contains("_side"),
       "asofJoin reserves columns _rv and _side")
     require(!lCols.contains(asofCol), s"left already has a '$asofCol' column")
     val vType = right.schema(valueCol).dataType
+    val mType = StructType(Seq(StructField("v", vType)))
     val l = left
-      .withColumn("_rv", lit(null).cast(vType))
+      .withColumn("_rv", lit(null).cast(mType))
       .withColumn("_side", lit(1))
     val r = lCols.foldLeft(
-        right.select(col(keyCol), col(tsCol), col(valueCol).as("_rv"))) {
+        right.select(col(keyCol), col(tsCol),
+          struct(col(valueCol).as("v")).as("_rv"))) {
       (df, c) =>
         if (c == keyCol || c == tsCol) df
         else df.withColumn(c, lit(null).cast(left.schema(c).dataType))
@@ -80,7 +86,8 @@ object Events {
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol).asc, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
-    u.withColumn(asofCol, last(col("_rv"), ignoreNulls = true).over(w))
+    u.withColumn(asofCol,
+        last(col("_rv"), ignoreNulls = true).over(w).getField("v"))
       .filter(col("_side") === 1)
       .drop("_rv", "_side")
   }

@@ -1,8 +1,9 @@
 package graft.tools
 
-import java.net.URI
+import java.net.{URI, URLEncoder}
 import java.net.http.{HttpClient, HttpRequest, HttpResponse}
-import java.nio.file.{Files, Paths}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Paths
 
 import org.apache.spark.sql.SparkSession
 
@@ -48,19 +49,24 @@ object GraphImporterCli {
     a
   }
 
-  /** REST mode: ship the edge lines to /import, then co-partition. */
+  /** REST mode: ship the edge lines to /import, then co-partition. The file
+    * streams from disk (the reference importer streams records too — a
+    * multi-GB edge file must not be materialized as one String) and the
+    * graph name is URL-encoded (spaces/&/# would otherwise split the query
+    * string). */
   def importViaRest(a: Args): String = {
     val client = HttpClient.newHttpClient()
-    val body = Files.readString(Paths.get(a.edgesFile))
+    val name = URLEncoder.encode(a.name, UTF_8)
     val imp = client.send(
       HttpRequest.newBuilder(URI.create(
-          s"${a.rest.get}/import?name=${a.name}&type=edges"))
-        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+          s"${a.rest.get}/import?name=$name&type=edges"))
+        .POST(HttpRequest.BodyPublishers.ofFile(Paths.get(a.edgesFile)))
+        .build(),
       HttpResponse.BodyHandlers.ofString())
     require(imp.statusCode() == 200, s"import failed: ${imp.body()}")
     val prep = client.send(
       HttpRequest.newBuilder(URI.create(
-          s"${a.rest.get}/prepare?name=${a.name}&partitions=${a.partitions}"))
+          s"${a.rest.get}/prepare?name=$name&partitions=${a.partitions}"))
         .POST(HttpRequest.BodyPublishers.noBody()).build(),
       HttpResponse.BodyHandlers.ofString())
     require(prep.statusCode() == 200, s"prepare failed: ${prep.body()}")

@@ -470,6 +470,16 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("pack_tokens"))),
 
+    // sequence packing, SHARDED: the 100 TB shape — the running-sum window
+    // partitions by the shard key (hash shuffle + parallel per-shard sorts,
+    // no global single-reducer sort); pack identity = (source, pack_id)
+    "d_pack_sharded" -> ((s, dir) =>
+      TextAnalysis.packBins(t(s, dir, "documents"), budget = 2048,
+          shardCol = Some("source"))
+        .groupBy(col("source"), col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("pack_tokens"))),
+
     // unigram-LM quality score (perplexity-proxy filter, CCNet-style);
     // gated on the EXACT integer micro-nat total — round(double, 6) of the
     // quotient can straddle a half boundary between engines
@@ -497,6 +507,13 @@ object SparkEntry {
     // retention-policy dedup: keep the largest doc per content group
     "d_dedup_retain" -> ((s, dir) =>
       Dedup.exactKeepBest(t(s, dir, "documents"))),
+
+    // streaming first-seen dedup, batch analog: the exact frame
+    // streamingExact emits when arrival order = doc_id order (the
+    // MemoryStream spec pins stream ≡ this; the oracle gates the semantics)
+    "d_streaming_dedup" -> ((s, dir) =>
+      Dedup.firstSeen(t(s, dir, "documents"))
+        .select(col("doc_id"), col("source"), col("n_chars"))),
 
     // end-to-end near-dup curation: MinHash+LSH clusters → keep the largest
     // member per cluster (Poly64-gated like d_minhash_clusters)
@@ -1468,6 +1485,13 @@ object SparkEntry {
         |FROM documents
         |GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')""".stripMargin,
 
+    "d_streaming_dedup" ->
+      """SELECT doc_id, source, n_chars FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    min(doc_id) OVER (PARTITION BY
+        |      regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS m
+        |  FROM documents) WHERE doc_id = m""".stripMargin,
+
     "d_token_count" ->
       """SELECT doc_id,
         |  CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
@@ -1758,9 +1782,10 @@ object SparkEntry {
          |n AS (SELECT doc_id, toks,
          |        1 + CAST(ceil(greatest(len(toks) - 64, 0) / 56.0) AS INT) AS nc
          |      FROM tk),
-         |c AS (SELECT doc_id, i.i AS chunk_idx,
-         |        array_to_string(list_slice(toks, i.i * 56 + 1, i.i * 56 + 64), ' ') AS s
-         |      FROM n, range(0, 256) i(i) WHERE i.i < nc)
+         |c0 AS (SELECT doc_id, toks, unnest(range(nc)) AS chunk_idx FROM n),
+         |c AS (SELECT doc_id, chunk_idx,
+         |        array_to_string(list_slice(toks, chunk_idx * 56 + 1, chunk_idx * 56 + 64), ' ') AS s
+         |      FROM c0)
          |SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
          |       len(string_split(s, ' ')) AS chunk_tokens,
          |       ${sqlU2S(sqlPoly(cps, 1125899906842597L, 1099511628211L))} AS chunk_fp
@@ -1781,6 +1806,22 @@ object SparkEntry {
         |  FROM t)
         |SELECT pack_id, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS pack_tokens
         |FROM b GROUP BY 1""".stripMargin,
+
+    "d_pack_sharded" ->
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n
+        |  FROM documents),
+        |b AS (
+        |  SELECT source, doc_id, n,
+        |    CAST(floor(coalesce(sum(n) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048)
+        |      AS BIGINT) AS pack_id
+        |  FROM t)
+        |SELECT source, pack_id, count(*) AS n_docs,
+        |       CAST(sum(n) AS BIGINT) AS pack_tokens
+        |FROM b GROUP BY 1, 2""".stripMargin,
 
     "d_lm_score" ->
       """WITH tk AS (

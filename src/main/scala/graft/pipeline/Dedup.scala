@@ -57,6 +57,21 @@ object Dedup {
                        eventTime: Option[(String, String)] = None): DataFrame =
     streamingDedupBy(stream, simHash(col(textCol), poly = true), eventTime)
 
+  /** Batch analog of [[streamingExact]]: the rows that SURVIVE streaming
+    * first-seen dedup when arrival order = ascending `idCol` — the
+    * minimum-id row per content fingerprint, all columns intact. This is
+    * the oracle gate for the streaming operator (PipelineSpec asserts the
+    * MemoryStream output of streamingExact, fed in id order, equals exactly
+    * this frame). Shape: one hash-groupBy on the 64-bit fingerprint + a
+    * left-semi join back, co-partitioned on the same key — no window. */
+  def firstSeen(df: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    val keyed = spread(df)
+      .withColumn("_fp", TextAnalysis.fingerprint(col(textCol)))
+    val firsts = keyed.groupBy(col("_fp")).agg(min(col(idCol)).as(idCol))
+    keyed.join(firsts, Seq("_fp", idCol), "left_semi").drop("_fp")
+  }
+
   private def streamingDedupBy(stream: DataFrame, key: Column,
                                eventTime: Option[(String, String)]): DataFrame = {
     val keyed = stream.withColumn("_dk", key)

@@ -92,11 +92,11 @@ object TextAnalysis {
     * Scale shape: tf is a (doc, term) hash-groupBy with map-side combine; df
     * is a term groupBy over the (already reduced) tf frame, so stopword-skewed
     * terms are absorbed by partial aggregation before the shuffle; the corpus
-    * size joins in as a broadcast scalar; top-1 per doc is a single window
-    * shuffle on the high-cardinality doc key. No driver-side actions — one
-    * Catalyst plan end to end. */
+    * size joins in as a broadcast scalar; top-1 per doc is an argmin
+    * aggregate — `min(struct(-tfidf, term, ...))` ≡ (tfidf DESC, term ASC) —
+    * with map-side combine, never a partition-local sort. No driver-side
+    * actions — one Catalyst plan end to end. */
   def tfIdfTop(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val terms = Dedup.spread(df).select(col(idCol).as("doc_id"),
       explode(wsTokens(lower(trim(col(textCol))))).as("term"))
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
@@ -105,9 +105,11 @@ object TextAnalysis {
     val scored = tf.join(dfreq, "term").crossJoin(broadcast(total))
       .withColumn("tfidf",
         round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
-    val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term").asc)
-    scored.withColumn("_rk", row_number().over(w)).filter(col("_rk") === 1)
-      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"))
+    scored.groupBy(col("doc_id"))
+      .agg(min(struct((-col("tfidf")).as("_nt"), col("term").as("term"),
+        col("tf").as("tf"), col("df").as("df"), col("tfidf").as("tfidf"))).as("_b"))
+      .select(col("doc_id"), col("_b.term"), col("_b.tf"), col("_b.df"),
+        col("_b.tfidf"))
   }
 
   /** Gopher-style repetition features: the fraction of token / 2-gram /
@@ -205,15 +207,22 @@ object TextAnalysis {
     * document (the standard best-effort packing trade-off; exact first-fit
     * is inherently sequential). Returns the input plus (n_tokens, pack_id).
     *
-    * Scale: one global sort (range-partitioned by Spark's sort exchange) +
-    * a running-sum window over that order. For 100 TB, pack per shard
-    * instead: partition by a corpus shard key and use this per shard. */
+    * Scale: pass `shardCol` for any real corpus. With it, the running-sum
+    * window partitions by the shard key — a hash shuffle plus
+    * partition-local sorts, each shard packed independently and in
+    * parallel; pack identity is the composite (shard, pack_id), with
+    * `pack_id` dense within its shard. Without it, the window is global:
+    * one range sort whose running sum funnels the whole corpus through a
+    * single reducer task — correct, but only for small corpora. */
   def packBins(df: DataFrame, budget: Int, textCol: String = "text",
-               orderCol: String = "doc_id"): DataFrame = {
+               orderCol: String = "doc_id",
+               shardCol: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(budget > 0, "budget must be positive")
-    val w = Window.orderBy(col(orderCol))
-      .rowsBetween(Window.unboundedPreceding, -1)
+    val w = (shardCol match {
+      case Some(s) => Window.partitionBy(col(s)).orderBy(col(orderCol))
+      case None    => Window.orderBy(col(orderCol))
+    }).rowsBetween(Window.unboundedPreceding, -1)
     df.withColumn("n_tokens", tokenCount(col(textCol)))
       .withColumn("pack_id",
         floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / budget)

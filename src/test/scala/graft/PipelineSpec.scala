@@ -287,6 +287,30 @@ class PipelineSpec extends SparkSpec {
     assert(got === Set(1L, 2L, 4L))
   }
 
+  test("streamingExact ≡ firstSeen batch analog under id arrival order") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "alpha beta gamma", "s0"), (2L, "delta epsilon", "s1"),
+      (3L, "  Alpha   BETA gamma ", "s0"), (4L, "zeta eta", "s2"),
+      (5L, "delta epsilon", "s1"), (6L, "theta iota kappa", "s0"),
+      (7L, "ZETA   eta", "s2"))
+    val input = MemoryStream[(Long, String, String)]
+    val stream = input.toDF().toDF("doc_id", "text", "source")
+    val q = Dedup.streamingExact(stream).writeStream
+      .outputMode("append").format("memory").queryName("sfseen").start()
+    // one micro-batch per doc: arrival order IS id order, so the streaming
+    // survivor per fingerprint is exactly the min-id row
+    docs.foreach { d => input.addData(d); q.processAllAvailable() }
+    val got = spark.table("sfseen").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    q.stop()
+    val batch = Dedup.firstSeen(docs.toDF("doc_id", "text", "source"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got === batch)
+    assert(got.map(_._1) === Set(1L, 2L, 4L, 6L))
+  }
+
   test("streaming simhash dedup drops near-identical rewrites") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
@@ -395,6 +419,56 @@ class PipelineSpec extends SparkSpec {
       assert(tot < 10 + maxDoc, s"bin $b overflowed: $tot")
       assert(tot >= 10 - (maxDoc - 1), s"bin $b underfilled: $tot")
     }
+  }
+
+  test("packBins sharded: packs each shard independently, no global window") {
+    val d = (1L to 30L).map(i =>
+      (i, s"s${i % 3}", ("w " * (i % 7 + 1).toInt).trim))
+      .toDF("doc_id", "shard", "text")
+    val sharded = TextAnalysis.packBins(d, budget = 10, shardCol = Some("shard"))
+    val out = sharded.select("shard", "doc_id", "n_tokens", "pack_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    // per shard: identical to packing that shard alone with the global path
+    out.groupBy(_._1).foreach { case (s, rows) =>
+      val alone = TextAnalysis.packBins(d.filter(col("shard") === s), budget = 10)
+        .select("doc_id", "pack_id").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      rows.foreach { case (_, id, _, bin) => assert(alone(id) === bin) }
+    }
+    // plan: the window exchange hash-partitions by the shard key — no
+    // global range sort (the single-reducer scale trap this param removes)
+    val plan = sharded.queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(shard"), plan)
+    assert(!plan.toLowerCase.contains("rangepartitioning"), plan)
+  }
+
+  test("topKRanked: NaN scores rank last and never corrupt the buffer") {
+    // NaN inserted FIRST per group — under the old primitive-comparison
+    // better() this landed at the buffer head and broke later insertions
+    val d = Seq(
+      ("g", Double.NaN, 9L), ("g", 1.0, 1L), ("g", 3.0, 3L), ("g", 2.0, 2L),
+      ("h", Double.NaN, 8L), ("h", Double.NaN, 7L), ("h", 5.0, 5L)
+    ).toDF("grp", "score", "id").repartition(1) // deterministic insert order
+    val out = graft.pipeline.Curation.topKRanked(d, "grp", "score", "id", k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(3)))
+    val g = out.filter(_._1 == "g").sortBy(_._3).map(_._2)
+    assert(g.toSeq === Seq(3L, 2L, 1L))   // real scores outrank NaN
+    val h = out.filter(_._1 == "h").sortBy(_._3).map(_._2)
+    assert(h.head === 5L)                 // real score first
+    assert(h.toSeq === Seq(5L, 7L, 8L))   // NaNs tie-break by id asc
+  }
+
+  test("asofJoin preserves a genuine NULL in the matched right value") {
+    val left = Seq((1L, 10L, "a"), (1L, 20L, "b")).toDF("k", "ts", "tag")
+    val right = Seq((1L, 5L, Some(100L)), (1L, 15L, None))
+      .toDF("k", "ts", "v")
+    val out = graft.pipeline.Events.asofJoin(left, right, "k", "ts", "v")
+      .select("ts", "asof_value").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(out(10L) === Some(100L))
+    // matched row (ts=15) carries NULL — must attach NULL, not fall back to 100
+    assert(out(20L) === None)
   }
 
   test("funnel counts only in-order stage progressions") {

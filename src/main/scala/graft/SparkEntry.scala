@@ -534,6 +534,19 @@ object SparkEntry {
       Dedup.minHashLSH(t(s, dir, "documents"), threshold = 0.5, poly = true)
         .toDF("doc_id", "rep")),
 
+    // incremental LSH maintenance: index 80% of the corpus, fold the other
+    // 20% in as a delta — must equal the FULL recompute (the oracle is the
+    // same SQL as d_minhash_clusters), with the delta joins reading the
+    // base side from the persisted bucketed index only
+    "d_minhash_incr" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.saveLshIndex(docs.filter(col("doc_id") % 5 =!= 0), "incr_idx",
+        threshold = 0.5, poly = true)
+      Dedup.incrementalMinHashLSH(s, "incr_idx",
+          docs.filter(col("doc_id") % 5 === 0), threshold = 0.5, poly = true)
+        .toDF("doc_id", "rep")
+    }),
+
     "d_simhash_clusters" -> ((s, dir) =>
       Dedup.simHashDedup(t(s, dir, "documents"), maxHamming = 3, poly = true)
         .toDF("doc_id", "rep")),
@@ -1190,6 +1203,9 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
 
     "d_minhash_clusters" -> minhashOracleSql(threshold = 0.5),
+
+    // incremental index + delta ≡ full recompute — same oracle by design
+    "d_minhash_incr" -> minhashOracleSql(threshold = 0.5),
 
     "d_minhash_retain" -> retainOracleSql(minhashOracleSql(threshold = 0.5)),
 

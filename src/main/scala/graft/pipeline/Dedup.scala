@@ -154,22 +154,31 @@ object Dedup {
                        poly: Boolean = false): Column =
     graft.functions.MinHashExpression.minHashSignature(shingles, numHashes, poly)
 
-  /** Banded LSH candidate pairs: signature split into `bands` bands of
-    * `rowsPerBand` rows; docs sharing any band bucket become a candidate
-    * pair (a < b). One equi-join on (band, bandHash).
+  /** (id, band, bucket) LSH band-bucket rows of a signature frame — the
+    * candidate-generation key material, shared by the in-flight join
+    * ([[lshCandidates]]) and the persisted index ([[saveLshIndex]]).
     * `poly = true` → the band bucket is a base-31 Horner fold of the band's
     * slots seeded with band+1 (wraparound Long = mod 2^64): slot values are
     * already uniform 64-bit so the bucket only needs injectivity-ish mixing,
     * and the fold is reproducible in the external SQL oracle. */
-  def lshCandidates(df: DataFrame, idCol: String, sigCol: String,
-                    bands: Int, rowsPerBand: Int, poly: Boolean = false): DataFrame = {
+  private[pipeline] def bandedBuckets(df: DataFrame, idCol: String, sigCol: String,
+                                      bands: Int, rowsPerBand: Int,
+                                      poly: Boolean): DataFrame = {
     val buckets: Column =
       if (poly) graft.functions.MinHashExpression.bandBuckets(col("sig"), bands, rowsPerBand)
       else transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))
-    val banded = df.select(col(idCol).as("id"), col(sigCol).as("sig"))
+    df.select(col(idCol).as("id"), col(sigCol).as("sig"))
       .select(col("id"), posexplode(buckets))
       .toDF("id", "band", "bucket")
+  }
+
+  /** Banded LSH candidate pairs: signature split into `bands` bands of
+    * `rowsPerBand` rows; docs sharing any band bucket become a candidate
+    * pair (a < b). One equi-join on (band, bandHash). */
+  def lshCandidates(df: DataFrame, idCol: String, sigCol: String,
+                    bands: Int, rowsPerBand: Int, poly: Boolean = false): DataFrame = {
+    val banded = bandedBuckets(df, idCol, sigCol, bands, rowsPerBand, poly)
     val l = banded.toDF("a", "band", "bucket")
     val r = banded.toDF("b", "band", "bucket")
     l.join(r, Seq("band", "bucket")).filter(col("a") < col("b"))
@@ -191,21 +200,108 @@ object Dedup {
   def minHashLSH(df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
                  shingleLen: Int = 3, numHashes: Int = 64, bands: Int = 16,
                  threshold: Double = 0.7, poly: Boolean = false): DataFrame = {
-    val withSig = shingled(spread(df), idCol, textCol, shingleLen)
-      .withColumnRenamed("sh", "shingles")
-      .filter(size(col("shingles")) > 0)
-      .withColumn("sig", minHashSignature(col("shingles"), numHashes, poly))
+    val sigs = signatures(df, idCol, textCol, shingleLen, numHashes, poly)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val cands = lshCandidates(withSig, "id", "sig", bands, numHashes / bands, poly)
-    // verify candidates with the signature-estimated Jaccard
-    val sigs = withSig.select(col("id"), col("sig"))
-    val verified = cands
+    val cands = lshCandidates(sigs, "id", "sig", bands, numHashes / bands, poly)
+    val verified = verifiedPairs(cands, sigs, threshold)
+    clustersFromPairs(df.select(col(idCol).as("id")), verified)
+  }
+
+  /** (id, sig) MinHash signature frame of docs with ≥1 shingle. */
+  private def signatures(df: DataFrame, idCol: String, textCol: String,
+                         shingleLen: Int, numHashes: Int,
+                         poly: Boolean): DataFrame =
+    shingled(spread(df), idCol, textCol, shingleLen)
+      .filter(size(col("sh")) > 0)
+      .select(col("id"), minHashSignature(col("sh"), numHashes, poly).as("sig"))
+
+  /** Candidate (a, b) pairs verified by signature-estimated Jaccard ≥
+    * threshold → (src, dst, value) near-dup edges. Pure pairwise filter:
+    * composition over corpus splits is lossless (the incremental-index
+    * correctness argument). */
+  private def verifiedPairs(cands: DataFrame, sigs: DataFrame,
+                            threshold: Double): DataFrame =
+    cands
       .join(sigs.toDF("a", "sigA"), Seq("a"))
       .join(sigs.toDF("b", "sigB"), Seq("b"))
       .withColumn("jac", estimatedJaccard(col("sigA"), col("sigB")))
       .filter(col("jac") >= threshold)
       .select(col("a").as("src"), col("b").as("dst"), col("jac").as("value"))
-    clustersFromPairs(df.select(col(idCol).as("id")), verified)
+
+  // -------------------------------------------------------------------------
+  // Incremental LSH maintenance (production ingest loop)
+  // -------------------------------------------------------------------------
+
+  /** Build and PERSIST the MinHash-LSH maintenance index of a corpus
+    * snapshot into the session catalog (the saveBucketed pattern,
+    * core/GraphIO.scala:103-110, applied to the dedup index):
+    * `<name>_bands` (id, band, bucket) bucketed AND sorted by the candidate
+    * join key (band, bucket); `<name>_sigs` (id, sig) and
+    * `<name>_clusters` (id, rep) bucketed by id.
+    * [[incrementalMinHashLSH]] then folds deltas in without rescanning
+    * base text or reshuffling the base side of any join — at 100 TB the
+    * index streams from disk pre-partitioned while only the delta hashes
+    * and shuffles. */
+  def saveLshIndex(df: DataFrame, name: String,
+                   idCol: String = "doc_id", textCol: String = "text",
+                   shingleLen: Int = 3, numHashes: Int = 64, bands: Int = 16,
+                   threshold: Double = 0.7, poly: Boolean = false,
+                   buckets: Int = 32): Unit = {
+    val sigs = signatures(df, idCol, textCol, shingleLen, numHashes, poly)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    bandedBuckets(sigs, "id", "sig", bands, numHashes / bands, poly)
+      .write.mode("overwrite").bucketBy(buckets, "band", "bucket")
+      .sortBy("band", "bucket").saveAsTable(s"${name}_bands")
+    sigs.write.mode("overwrite").bucketBy(buckets, "id").sortBy("id")
+      .saveAsTable(s"${name}_sigs")
+    val cands = lshCandidates(sigs, "id", "sig", bands, numHashes / bands, poly)
+    clustersFromPairs(df.select(col(idCol).as("id")),
+        verifiedPairs(cands, sigs, threshold))
+      .write.mode("overwrite").bucketBy(buckets, "id").sortBy("id")
+      .saveAsTable(s"${name}_clusters")
+    sigs.unpersist()
+  }
+
+  /** Incremental MinHash-LSH maintenance — the ingest loop: fold a DELTA of
+    * new documents (ids disjoint from the base snapshot) into a persisted
+    * index ([[saveLshIndex]], same parameters) and return merged clusters
+    * (id, rep) over base ∪ delta, EXACTLY equal to a full recompute over
+    * the union: band bucketing and signature verification are pairwise, so
+    * the union's pair set splits losslessly into base×base (already in the
+    * index), delta×delta, and delta×base — and base connectivity folds in
+    * as (id → rep) star edges, which have the same connected components as
+    * the original base pair graph.
+    *
+    * Scale shape: only the delta is shingled/hashed/shuffled. Delta×delta
+    * candidates come from the in-flight banded self-join; delta×base
+    * candidates equi-join the delta's band rows against `<name>_bands` ON
+    * ITS BUCKET KEY — the base side streams from disk pre-partitioned (no
+    * exchange, no text rescan). Cluster merge is one WCC over (new verified
+    * pairs + collapsed stars), never a corpus-wide rebuild. */
+  def incrementalMinHashLSH(spark: org.apache.spark.sql.SparkSession,
+                            name: String, delta: DataFrame,
+                            idCol: String = "doc_id", textCol: String = "text",
+                            shingleLen: Int = 3, numHashes: Int = 64,
+                            bands: Int = 16, threshold: Double = 0.7,
+                            poly: Boolean = false): DataFrame = {
+    val baseBands = spark.table(s"${name}_bands")
+    val baseSigs = spark.table(s"${name}_sigs")
+    val baseClusters = spark.table(s"${name}_clusters")
+    val rowsPerBand = numHashes / bands
+    val dSigs = signatures(delta, idCol, textCol, shingleLen, numHashes, poly)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dd = lshCandidates(dSigs, "id", "sig", bands, rowsPerBand, poly)
+    val db = bandedBuckets(dSigs, "id", "sig", bands, rowsPerBand, poly)
+      .toDF("a", "band", "bucket")
+      .join(baseBands.toDF("b", "band", "bucket"), Seq("band", "bucket"))
+      .select(col("a"), col("b")).distinct()
+    val verified =
+      verifiedPairs(dd.unionByName(db), dSigs.unionByName(baseSigs), threshold)
+    val stars = baseClusters.filter(col("id") =!= col("rep"))
+      .select(col("id").as("src"), col("rep").as("dst"), lit(1.0).as("value"))
+    val allIds = baseClusters.select(col("id"))
+      .unionByName(delta.select(col(idCol).as("id")))
+    clustersFromPairs(allIds, verified.unionByName(stars))
   }
 
   /** Exact n-gram Jaccard similarity for given candidate pairs (a, b):

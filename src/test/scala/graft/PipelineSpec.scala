@@ -329,6 +329,51 @@ class PipelineSpec extends SparkSpec {
     assert(got === Set(1L, 3L))
   }
 
+  test("incremental LSH: persisted index + delta ≡ full recompute") {
+    // near-dup pairs CROSSING the base/delta split, inside base, inside
+    // delta, plus singletons on both sides — every merge case at once
+    val base = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank yesterday"),
+      (3L, "completely different content about database engines and query planning"),
+      (4L, "short doc"),
+      (5L, "another unique text on spark catalyst optimizer internals and codegen")
+    ).toDF("doc_id", "text")
+    val delta = Seq(
+      (11L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (12L, "completely different content about database engines and query optimization"),
+      (13L, "delta only near dup one of a matching pair inside the delta batch"),
+      (14L, "delta only near dup one of a matching pair inside the delta batch too"),
+      (15L, "fully singleton delta document with nothing in common")
+    ).toDF("doc_id", "text")
+    Dedup.saveLshIndex(base, "ilsh", threshold = 0.4, buckets = 4)
+    val inc = Dedup.incrementalMinHashLSH(spark, "ilsh", delta, threshold = 0.4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val full = Dedup.minHashLSH(base.unionByName(delta), threshold = 0.4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(inc === full)
+    // the cross-split near-dup actually merged (11 joined base cluster {1,2})
+    assert(inc.contains(11L -> 1L))
+  }
+
+  test("incremental LSH index join: base side pre-partitioned, no exchange") {
+    // delta bands ⋈ <name>_bands on the bucket key: the persisted side is
+    // bucketed+sorted by (band, bucket), so the ONLY exchange in the join
+    // is the delta side — the 100 TB index never reshuffles
+    val deltaBands = Seq((100L, 0, 42L), (101L, 1, 7L))
+      .toDF("a", "band", "bucket")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = deltaBands.join(
+        spark.table("ilsh_bands").toDF("b", "band", "bucket"),
+        Seq("band", "bucket"))
+      val plan = j.queryExecution.executedPlan.toString
+      val exchanges = "Exchange".r.findAllIn(plan).length
+      assert(exchanges === 1, s"expected delta-side-only exchange, got:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("minHashKeepBest keeps the largest member per near-dup cluster") {
     val d = Seq(
       (1L, "the quick brown fox jumps over the lazy dog near the river bank today", 70),

@@ -136,6 +136,26 @@ object SparkEntry {
         star.unionByName(ring).withColumn("value", lit(1.0)), id => id)
     }
 
+  /** 10⁵-degree-hub star+path — the skew DRILL fixture, one order beyond
+    * [[skewHubGraph]]'s natural sf0.1 hub: vertex 1 adjacent to ALL of
+    * 2..100001 (degree 100 000) plus path edges (c, c+1), every one of which
+    * closes a triangle through the hub. Pure derivation (spark.range), with
+    * closed-form LCC / Jaccard / Adamic-Adar / triangle-count oracles — so
+    * the whole intersection family (hub split at the PRODUCTION cap 8192 +
+    * galloping intersections, GraphSetOps) is gated at 10⁵ degree. */
+  private val SkewHubN = 100001L
+  private def skewHub1e5(s: SparkSession, dir: String): KGraph =
+    cachedGraph(s, dir, "skewHub1e5") {
+      val star = s.range(2L, SkewHubN + 1)
+        .select(lit(1L).as("src"), col("id").as("dst"))
+      val path = s.range(2L, SkewHubN)
+        .select(col("id").as("src"), (col("id") + 1).as("dst"))
+      KGraph.fromEdges(
+        star.unionByName(path).withColumn("value", lit(1.0)), id => id)
+    }
+  private def skewHub1e5Nbr(s: SparkSession, dir: String) =
+    cachedNeighborhood(s, dir, "skewHub1e5")(skewHub1e5(s, dir))
+
   /** customer star clusters: c → c - c%100 for c%100 ≠ 0; weight 1. */
   private def starGraph(s: SparkSession, dir: String): KGraph =
     cachedGraph(s, dir, "star") {
@@ -353,6 +373,29 @@ object SparkEntry {
       val p = GraphAlgorithms.prepareNeighborhood(g, hubDegreeCap = 256)
       GraphAlgorithms.localClusteringCoefficient(g, p)
         .withColumn("value", round(col("value"), 6))
+    }),
+
+    // ---- 10⁵-degree-hub skew drill: the full intersection family on a
+    // synthetic hub one order beyond sf0.1's natural skew. The hub splits
+    // at the PRODUCTION cap (8192 → 32 bucket partials) and every mixed
+    // hub/non-hub intersection takes the galloping O(small·log big) path
+    // (GraphSetOps), so no task's work scales with the hub degree.
+    "g_skew_lcc" -> ((s, dir) =>
+      GraphAlgorithms.localClusteringCoefficient(
+          skewHub1e5(s, dir), skewHub1e5Nbr(s, dir))
+        .withColumn("value", round(col("value"), 6))),
+
+    "g_skew_jaccard" -> ((s, dir) =>
+      GraphAlgorithms.jaccard(skewHub1e5Nbr(s, dir), conversionEnabled = false)
+        .withColumn("value", round(col("value"), 6))),
+
+    "g_skew_adamic" -> ((s, dir) =>
+      GraphAlgorithms.adamicAdar(skewHub1e5Nbr(s, dir), conversionEnabled = false)
+        .withColumn("value", round(col("value"), 6))),
+
+    "g_skew_triangles" -> ((s, dir) => {
+      val n = GraphAlgorithms.globalTriangleCount(skewHub1e5Nbr(s, dir))
+      s.range(1).select(lit(n).as("n_triangles"))
     }),
 
     "g_join_vertices" -> ((s, dir) => {
@@ -1339,6 +1382,56 @@ object SparkEntry {
          |SELECT count(*) AS n_triangles
          |FROM e e1 JOIN e e2 ON e1.b = e2.a
          |JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin,
+
+    // ---- 10⁵-hub skew drill oracles: closed forms of the star+path graph
+    // (hub 1 ↔ 2..100001, path (c, c+1)). Derivation: N(1) = {2..100001};
+    // N(2) = {1,3}; N(100001) = {1,100000}; N(c) = {1, c−1, c+1} otherwise.
+    // Same arithmetic shape as the engine (2·tri/(deg·(deg−1)),
+    // common/(degΣ−common), Σ ln(1/deg(w))) so IEEE rounding agrees.
+    "g_skew_lcc" ->
+      """WITH v AS (SELECT i AS id,
+        |  CASE WHEN i = 1 THEN 100000 WHEN i = 2 OR i = 100001 THEN 2 ELSE 3 END AS deg,
+        |  CASE WHEN i = 1 THEN 99999 WHEN i = 2 OR i = 100001 THEN 1 ELSE 2 END AS tri
+        |  FROM range(1, 100002) t(i))
+        |SELECT id, round(2.0 * tri / (CAST(deg AS BIGINT) * (deg - 1)), 6) AS value
+        |FROM v""".stripMargin,
+
+    "g_skew_jaccard" ->
+      """WITH e AS (
+        |  SELECT CAST(1 AS BIGINT) AS src, i AS dst,
+        |    CASE WHEN i = 2 OR i = 100001 THEN 1 ELSE 2 END AS common,
+        |    100000 + CASE WHEN i = 2 OR i = 100001 THEN 2 ELSE 3 END AS degsum
+        |  FROM range(2, 100002) t(i)
+        |  UNION ALL
+        |  SELECT i, i + 1, 1,
+        |    (CASE WHEN i = 2 THEN 2 ELSE 3 END) +
+        |    (CASE WHEN i = 100000 THEN 2 ELSE 3 END)
+        |  FROM range(2, 100001) t(i))
+        |SELECT src, dst,
+        |       round(CAST(common AS DOUBLE) / (degsum - common), 6) AS value
+        |FROM e""".stripMargin,
+
+    "g_skew_adamic" ->
+      """WITH e AS (
+        |  SELECT CAST(1 AS BIGINT) AS src, i AS dst,
+        |    CASE WHEN i = 2 OR i = 100001 THEN ln(1.0/3)
+        |         WHEN i = 3 OR i = 100000 THEN ln(1.0/2) + ln(1.0/3)
+        |         ELSE ln(1.0/3) + ln(1.0/3) END AS value
+        |  FROM range(2, 100002) t(i)
+        |  UNION ALL
+        |  SELECT i, i + 1, ln(1.0/100000) FROM range(2, 100001) t(i))
+        |SELECT src, dst, round(value, 6) AS value FROM e""".stripMargin,
+
+    // honest recompute (not the n−2 closed form): canonical-chain triangle
+    // enumeration over the same synthetic edge set
+    "g_skew_triangles" ->
+      """WITH e AS (
+        |  SELECT CAST(1 AS BIGINT) AS a, i AS b FROM range(2, 100002) t(i)
+        |  UNION ALL
+        |  SELECT i, i + 1 FROM range(2, 100001) t(i))
+        |SELECT count(*) AS n_triangles
+        |FROM e e1 JOIN e e2 ON e1.b = e2.a
+        |JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin,
 
     "g_adamic_adar" ->
       s"""WITH e AS ($sqlCoPurchaseEdges),

@@ -515,7 +515,9 @@ object GraphAlgorithms {
     triangleCounts(g, p).withColumnRenamed("value", "tri")
       .join(p.degrees.withColumnRenamed("src", "id"), Seq("id"), "left_outer")
       .select(col("id"),
-        when(col("deg") >= 2, col("tri") * 2.0 / (col("deg") * (col("deg") - 1)))
+        // deg·(deg−1) as LONG — a 10⁵-degree hub overflows int
+        when(col("deg") >= 2,
+          col("tri") * 2.0 / (col("deg").cast("long") * (col("deg") - 1)))
           .otherwise(lit(0.0)).as("value"))
 
   // =========================================================================

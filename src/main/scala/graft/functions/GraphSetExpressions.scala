@@ -13,9 +13,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType,
  * clustering coefficient, Adamic-Adar and Jaccard edge similarity.
  *
  * `array_intersect` builds a hash set per call and runs interpreted; on a
- * co-occurrence graph the intersection executes once per EDGE with
- * Σ|N(u)∩N(v)| = 3·triangles total work, so a linear merge walk inside
- * whole-stage codegen is the difference between seconds and milliseconds.
+ * co-occurrence graph the intersection executes once per EDGE, so a tight
+ * loop inside whole-stage codegen is the difference between seconds and
+ * milliseconds. The loops live in [[GraphSetOps]] (one static call from the
+ * generated code): linear merge walk for comparable sizes, galloping binary
+ * search when one side is ≥8× larger — a mixed hub/non-hub edge costs
+ * O(small · log big), which is what keeps 10⁵-degree hubs tractable.
  * Inputs come from `array_sort(collect_set(...))` — sorted, distinct.
  */
 object GraphSetExpressions {
@@ -29,36 +32,12 @@ object GraphSetExpressions {
     override def nullIntolerant: Boolean = true
     override def prettyName: String = "graft_sorted_intersect_count"
 
-    override protected def nullSafeEval(a: Any, b: Any): Any = {
-      val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
-      var i = 0; var j = 0; var c = 0
-      val n = x.numElements(); val m = y.numElements()
-      while (i < n && j < m) {
-        val xv = x.getLong(i); val yv = y.getLong(j)
-        if (xv == yv) { c += 1; i += 1; j += 1 }
-        else if (xv < yv) i += 1
-        else j += 1
-      }
-      c
-    }
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      GraphSetOps.intersectCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      nullSafeCodeGen(ctx, ev, (a, b) => {
-        val i = ctx.freshName("i"); val j = ctx.freshName("j"); val c = ctx.freshName("c")
-        val n = ctx.freshName("n"); val m = ctx.freshName("m")
-        val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
-        s"""
-           |int $i = 0, $j = 0, $c = 0;
-           |int $n = $a.numElements(), $m = $b.numElements();
-           |while ($i < $n && $j < $m) {
-           |  long $xv = $a.getLong($i); long $yv = $b.getLong($j);
-           |  if ($xv == $yv) { $c++; $i++; $j++; }
-           |  else if ($xv < $yv) $i++;
-           |  else $j++;
-           |}
-           |${ev.value} = $c;
-         """.stripMargin
-      })
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.functions.GraphSetOps.intersectCount($a, $b);")
 
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
       copy(left = l, right = r)
@@ -73,40 +52,12 @@ object GraphSetExpressions {
     override def nullIntolerant: Boolean = true
     override def prettyName: String = "graft_sorted_intersect"
 
-    override protected def nullSafeEval(a: Any, b: Any): Any = {
-      val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
-      val n = x.numElements(); val m = y.numElements()
-      val out = new Array[Long](math.min(n, m))
-      var i = 0; var j = 0; var c = 0
-      while (i < n && j < m) {
-        val xv = x.getLong(i); val yv = y.getLong(j)
-        if (xv == yv) { out(c) = xv; c += 1; i += 1; j += 1 }
-        else if (xv < yv) i += 1
-        else j += 1
-      }
-      new GenericArrayData(java.util.Arrays.copyOf(out, c))
-    }
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      GraphSetOps.intersect(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      nullSafeCodeGen(ctx, ev, (a, b) => {
-        val i = ctx.freshName("i"); val j = ctx.freshName("j"); val c = ctx.freshName("c")
-        val n = ctx.freshName("n"); val m = ctx.freshName("m")
-        val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
-        val out = ctx.freshName("out")
-        s"""
-           |int $n = $a.numElements(), $m = $b.numElements();
-           |long[] $out = new long[java.lang.Math.min($n, $m)];
-           |int $i = 0, $j = 0, $c = 0;
-           |while ($i < $n && $j < $m) {
-           |  long $xv = $a.getLong($i); long $yv = $b.getLong($j);
-           |  if ($xv == $yv) { $out[$c++] = $xv; $i++; $j++; }
-           |  else if ($xv < $yv) $i++;
-           |  else $j++;
-           |}
-           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
-           |  java.util.Arrays.copyOf($out, $c));
-         """.stripMargin
-      })
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.functions.GraphSetOps.intersect($a, $b);")
 
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
       copy(left = l, right = r)
@@ -127,35 +78,17 @@ object GraphSetExpressions {
     override def prettyName: String = "graft_sorted_intersect_wsum"
 
     override protected def nullSafeEval(a: Any, w: Any, b: Any): Any = {
-      val x = a.asInstanceOf[ArrayData]; val ws = w.asInstanceOf[ArrayData]
-      val y = b.asInstanceOf[ArrayData]
-      var i = 0; var j = 0; var c = 0; var s = 0.0
-      val n = x.numElements(); val m = y.numElements()
-      while (i < n && j < m) {
-        val xv = x.getLong(i); val yv = y.getLong(j)
-        if (xv == yv) { s += ws.getDouble(i); c += 1; i += 1; j += 1 }
-        else if (xv < yv) i += 1
-        else j += 1
-      }
-      if (c == 0) null else s
+      val r = GraphSetOps.intersectWeightSum(a.asInstanceOf[ArrayData],
+        w.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+      if (r == null) null else r.doubleValue()
     }
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, (a, w, b) => {
-        val i = ctx.freshName("i"); val j = ctx.freshName("j"); val c = ctx.freshName("c")
-        val n = ctx.freshName("n"); val m = ctx.freshName("m"); val s = ctx.freshName("s")
-        val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+        val r = ctx.freshName("r")
         s"""
-           |int $i = 0, $j = 0, $c = 0;
-           |double $s = 0.0;
-           |int $n = $a.numElements(), $m = $b.numElements();
-           |while ($i < $n && $j < $m) {
-           |  long $xv = $a.getLong($i); long $yv = $b.getLong($j);
-           |  if ($xv == $yv) { $s += $w.getDouble($i); $c++; $i++; $j++; }
-           |  else if ($xv < $yv) $i++;
-           |  else $j++;
-           |}
-           |if ($c == 0) { ${ev.isNull} = true; } else { ${ev.value} = $s; }
+           |java.lang.Double $r = graft.functions.GraphSetOps.intersectWeightSum($a, $w, $b);
+           |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }
          """.stripMargin
       })
 

@@ -52,6 +52,36 @@ class GraphSetExprSpec extends SparkSpec {
     }
   }
 
+  test("galloping path (skewed sizes) ≡ linear merge on all three kernels") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import graft.functions.GraphSetOps
+    val rnd = new scala.util.Random(7)
+    def arr(xs: Seq[Long]) = ArrayData.toArrayData(xs.toArray)
+    // size pairs straddling the ratio-8 gallop threshold, both directions,
+    // including empties and no-overlap extremes
+    val cases = Seq(0 -> 100, 1 -> 100, 3 -> 1000, 12 -> 1000, 100 -> 3,
+      1000 -> 12, 50 -> 50, 0 -> 0, 7 -> 56, 56 -> 7)
+    for ((na, nb) <- cases; overlap <- Seq(0.0, 0.3, 1.0)) {
+      val pool = (0L until 4000L by 3L).toArray
+      val a = rnd.shuffle(pool.toSeq).take(na).distinct.sorted
+      val b = {
+        val shared = a.take((na * overlap).toInt)
+        (rnd.shuffle(pool.toSeq).take(nb) ++ shared).distinct.sorted.take(math.max(nb, shared.size))
+      }
+      val expectC = a.toSet.intersect(b.toSet).size
+      assert(GraphSetOps.intersectCount(arr(a), arr(b)) === expectC, s"$na/$nb")
+      assert(GraphSetOps.intersect(arr(a), arr(b)).toLongArray().toSeq ===
+        a.filter(b.toSet), s"$na/$nb members")
+      val ws = a.map(x => x * 0.5 + 1.0)
+      val r = GraphSetOps.intersectWeightSum(arr(a),
+        ArrayData.toArrayData(ws.toArray), arr(b))
+      val common = b.toSet
+      val expectS = a.zip(ws).filter(p => common(p._1)).map(_._2).sum
+      if (expectC == 0) assert(r == null, s"$na/$nb wsum null")
+      else assert(math.abs(r.doubleValue() - expectS) < 1e-9, s"$na/$nb wsum")
+    }
+  }
+
   test("SimHash64 expression equals the declarative HOF formulation") {
     val docs = Seq(
       "the quick brown fox", "the quick brown fox", "jumps over the lazy dog",

@@ -87,6 +87,31 @@ class SkewSpec extends SparkSpec {
     assert(pids > B / 2, s"hub bucket keys landed on only $pids partitions")
   }
 
+  test("2·10⁴-degree hub: per-partition work bounded (max ≤ 2× median)") {
+    // The straggler bound, asserted on the deterministic quantity that
+    // decides task runtime: rows per shuffle partition of the bucket-aligned
+    // intersection join, keyed by (vertex, bucket). Per-ROW cost is bounded
+    // separately — mixed hub/non-hub intersections take the galloping
+    // O(small·log big) path (GraphSetOps, pinned by GraphSetExprSpec) — so
+    // bounded rows/partition ⇒ bounded task time at ANY hub degree.
+    val n = 20001 // hub degree 2·10⁴, 78× over the cap → full split machinery
+    val p = GraphAlgorithms.prepareNeighborhood(starRing(n), hubDegreeCap = 256)
+    assert(p.hubCount === 1L)
+    val parts = 32
+    val counts = GraphAlgorithms.expandEdgesByBucket(p)
+      .repartition(parts, col("a"), col("ja"))
+      .groupBy(spark_partition_id().as("pid")).count()
+      .collect().map(_.getLong(1)).sorted
+    assert(counts.length > parts / 2, "expansion collapsed onto few partitions")
+    val median = counts(counts.length / 2)
+    assert(counts.last <= 2 * median,
+      s"straggler partition: max=${counts.last} median=$median")
+    // and the hub's own LCC comes out exact through the split + gallop path
+    val lcc = GraphAlgorithms.localClusteringCoefficient(starRing(n), p)
+      .filter(col("id") === 1L).head().getDouble(1)
+    assert(lcc === 2.0 * (n - 2) / ((n - 1).toLong * (n - 2)))
+  }
+
   test("saltedPairs ≡ direct pair expansion (chunked mega-groups included)") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

@@ -247,6 +247,16 @@ object Dedup {
                    shingleLen: Int = 3, numHashes: Int = 64, bands: Int = 16,
                    threshold: Double = 0.7, poly: Boolean = false,
                    buckets: Int = 32): Unit = {
+    val spark = df.sparkSession
+    Seq("bands", "sigs", "clusters", "meta")
+      .foreach(s => replaceTable(spark, s"${name}_$s"))
+    // Persist the build parameters: an incremental merge with different
+    // shingle/hash/band/threshold settings would join garbage against the
+    // base index, so incrementalMinHashLSH validates against this row.
+    import spark.implicits._
+    Seq((shingleLen, numHashes, bands, threshold, poly))
+      .toDF("shingle_len", "num_hashes", "bands", "threshold", "poly")
+      .write.mode("overwrite").saveAsTable(s"${name}_meta")
     val sigs = signatures(df, idCol, textCol, shingleLen, numHashes, poly)
       .persist(StorageLevel.MEMORY_AND_DISK)
     bandedBuckets(sigs, "id", "sig", bands, numHashes / bands, poly)
@@ -260,6 +270,24 @@ object Dedup {
       .write.mode("overwrite").bucketBy(buckets, "id").sortBy("id")
       .saveAsTable(s"${name}_clusters")
     sigs.unpersist()
+  }
+
+  /** Drop `table` from the catalog AND delete its default warehouse location
+    * if a stale directory survives the drop (a crashed writer, or a fresh
+    * in-memory catalog meeting a previous session's output dir). Without
+    * this, `bucketBy().mode("overwrite").saveAsTable` is NON-idempotent:
+    * when the catalog doesn't know the table, "overwrite" takes the CREATE
+    * path and dies with LOCATION_ALREADY_EXISTS on the orphaned directory —
+    * so any ingest loop re-running [[saveLshIndex]] after a crash would
+    * wedge permanently. */
+  private def replaceTable(spark: org.apache.spark.sql.SparkSession,
+                           table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      table.toLowerCase(java.util.Locale.ROOT))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
   }
 
   /** Incremental MinHash-LSH maintenance — the ingest loop: fold a DELTA of
@@ -284,6 +312,19 @@ object Dedup {
                             shingleLen: Int = 3, numHashes: Int = 64,
                             bands: Int = 16, threshold: Double = 0.7,
                             poly: Boolean = false): DataFrame = {
+    val meta = spark.table(s"${name}_meta").head()
+    require(meta.getAs[Int]("shingle_len") == shingleLen &&
+        meta.getAs[Int]("num_hashes") == numHashes &&
+        meta.getAs[Int]("bands") == bands &&
+        meta.getAs[Double]("threshold") == threshold &&
+        meta.getAs[Boolean]("poly") == poly,
+      s"incrementalMinHashLSH('$name'): parameters differ from the ones the " +
+        s"index was built with (saveLshIndex used shingleLen=" +
+        s"${meta.getAs[Int]("shingle_len")}, numHashes=" +
+        s"${meta.getAs[Int]("num_hashes")}, bands=${meta.getAs[Int]("bands")}, " +
+        s"threshold=${meta.getAs[Double]("threshold")}, poly=" +
+        s"${meta.getAs[Boolean]("poly")}) — delta band rows would join " +
+        "garbage against the base index")
     val baseBands = spark.table(s"${name}_bands")
     val baseSigs = spark.table(s"${name}_sigs")
     val baseClusters = spark.table(s"${name}_clusters")

@@ -346,6 +346,10 @@ class PipelineSpec extends SparkSpec {
       (14L, "delta only near dup one of a matching pair inside the delta batch too"),
       (15L, "fully singleton delta document with nothing in common")
     ).toDF("doc_id", "text")
+    // build TWICE: saveLshIndex must be idempotent — a rerun (crash-retry
+    // ingest loop, or a fresh in-memory catalog meeting an orphaned
+    // spark-warehouse dir from a previous JVM) replaces the index in place
+    Dedup.saveLshIndex(base, "ilsh", threshold = 0.4, buckets = 4)
     Dedup.saveLshIndex(base, "ilsh", threshold = 0.4, buckets = 4)
     val inc = Dedup.incrementalMinHashLSH(spark, "ilsh", delta, threshold = 0.4)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
@@ -354,6 +358,16 @@ class PipelineSpec extends SparkSpec {
     assert(inc === full)
     // the cross-split near-dup actually merged (11 joined base cluster {1,2})
     assert(inc.contains(11L -> 1L))
+  }
+
+  test("incremental LSH fails fast on build-parameter mismatch") {
+    // index built by the previous test with (3, 64, 16, 0.4, false): any
+    // divergent parameter would silently join garbage — must throw instead
+    val delta = Seq((99L, "whatever text")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.incrementalMinHashLSH(spark, "ilsh", delta, threshold = 0.7)
+    }
+    assert(e.getMessage.contains("parameters differ"))
   }
 
   test("incremental LSH index join: base side pre-partitioned, no exchange") {

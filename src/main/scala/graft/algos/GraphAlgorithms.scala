@@ -335,40 +335,60 @@ object GraphAlgorithms {
       .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
       .distinct()
 
-  /** Degree above which a vertex's adjacency is hash-bucketed into
-    * `HubBuckets` partial arrays (hub split). Power-law co-occurrence graphs
-    * put 10⁶⁺ neighbors on one vertex; without the split that is a single
-    * giant collect_set row at build time and a single straggler task doing
-    * ALL of the hub's intersections at query time. With it, both the build
-    * (groupBy key = (vertex, bucket)) and every intersection touching the hub
-    * (join key = (vertex, bucket)) spread over HubBuckets shuffle keys. */
+  /** Degree above which a vertex's adjacency is hash-bucketed into partial
+    * arrays (hub split). Power-law co-occurrence graphs put 10⁶⁺ neighbors on
+    * one vertex; without the split that is a single giant collect_set row at
+    * build time and a single straggler task doing ALL of the hub's
+    * intersections at query time. With it, both the build (groupBy key =
+    * (vertex, bucket)) and every intersection touching the hub (join key =
+    * (vertex, bucket)) spread over the hub's bucket count in shuffle keys.
+    *
+    * The bucket count is DEGREE-PROPORTIONAL per hub — the next power of two
+    * ≥ deg/cap, capped at [[MaxHubBuckets]] — so each partial holds ≈ cap
+    * neighbors at ANY hub degree: a 10⁷-degree hub gets ~2048 shuffle keys
+    * (genuine scale-out on a 1000-core cluster), while a barely-over-cap hub
+    * pays only 2. Powers of two keep any two hubs' bucket functions ALIGNED
+    * (Ba | Bb ⟹ h mod Bb determines h mod Ba), so hub–hub edges still
+    * partition their intersection bucket-by-bucket. */
   private[graft] val HubDegreeCap: Int = 8192
-  private[graft] val HubBuckets: Int = 32
+  private[graft] val MaxHubBuckets: Int = 4096
+
+  /** Per-hub bucket count: pow2ceil(ceil(deg/cap)) ∧ MaxHubBuckets, computed
+    * EXACTLY in integer space (length(bin(r−1)) = floor(log2(r−1))+1, so
+    * 2^length ≥ r is the next power of two — no FP log that could misround
+    * at a power boundary and break the divisibility alignment). */
+  private def hubBucketCount(deg: Column, cap: Int): Column = {
+    val r = floor((deg.cast("long") + lit(cap.toLong - 1L)) / lit(cap.toLong))
+      .cast("long")
+    least(pow(lit(2.0), length(bin(r - 1))).cast("long"),
+      lit(MaxHubBuckets.toLong)).cast("int")
+  }
 
   /** Undirected adjacency as per-vertex sorted ARRAYs — the building block
     * for intersection-based triangle/similarity computation. Downstream work
     * is proportional to |N(u) ∩ N(v)| per edge instead of enumerating all
     * wedges (Σ deg² rows through a shuffle).
     *
-    * Hub vertices (degree > HubDegreeCap, from `hubs`) are emitted as
-    * HubBuckets rows (src, bucket, nbrs-with-xxhash64(nbr)%B==bucket) — ALL B
-    * buckets present (empty ones as empty arrays) so bucket-aligned joins
-    * never drop an edge; everyone else is one row with bucket = -1. Buckets
-    * partition N(v) by a pure function of the NEIGHBOR id, so for any two
-    * vertices the same-bucket partials intersect independently:
-    * N(a)∩N(b) = ⊎_j N_j(a)∩N_j(b). */
+    * Hub vertices (degree > HubDegreeCap, from `hubs` with their per-hub
+    * bucket count B(v)) are emitted as B(v) rows
+    * (src, bucket, nbrs-with-xxhash64(nbr)%B(v)==bucket) — ALL B(v) buckets
+    * present (empty ones as empty arrays) so bucket-aligned joins never drop
+    * an edge; everyone else is one row with bucket = -1. Buckets partition
+    * N(v) by a pure function of the NEIGHBOR id, so for any two vertices
+    * with aligned bucket functions (Ba | Bb) the per-bucket partials
+    * intersect independently: N(a)∩N(b) = ⊎_j N_{j mod Ba}(a)∩N_j(b). */
   private def adjacencyArrays(bd: DataFrame, hubs: DataFrame): DataFrame = {
     val marked = bd
-      .join(broadcast(hubs.withColumn("_hub", lit(true))), Seq("src"), "left_outer")
-    val nonHub = marked.filter(col("_hub").isNull)
+      .join(broadcast(hubs.select(col("src"), col("nbuckets"))), Seq("src"), "left_outer")
+    val nonHub = marked.filter(col("nbuckets").isNull)
       .groupBy(col("src")).agg(array_sort(collect_set(col("dst"))).as("nbrs"))
       .select(col("src"), lit(-1).as("bucket"), col("nbrs"))
     val hubFilled = hubs
-      .select(col("src"), explode(sequence(lit(0), lit(HubBuckets - 1))).as("bucket"))
+      .select(col("src"), explode(sequence(lit(0), col("nbuckets") - 1)).as("bucket"))
       .join(
-        marked.filter(col("_hub").isNotNull)
+        marked.filter(col("nbuckets").isNotNull)
           .select(col("src"),
-            pmod(xxhash64(col("dst")), lit(HubBuckets.toLong)).cast("int").as("bucket"),
+            pmod(xxhash64(col("dst")), col("nbuckets").cast("long")).cast("int").as("bucket"),
             col("dst"))
           .groupBy(col("src"), col("bucket"))
           .agg(array_sort(collect_set(col("dst"))).as("nbrs")),
@@ -415,46 +435,100 @@ object GraphAlgorithms {
     val bd = bidir(e.select(col("a").as("src"), col("b").as("dst")), withValue = false)
     // canonical edges are distinct, so bidir rows are too: count = degree
     val hubs = cp(bd.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .filter(col("deg") > hubDegreeCap).select(col("src")))
+      .filter(col("deg") > hubDegreeCap)
+      .select(col("src"), hubBucketCount(col("deg"), hubDegreeCap).as("nbuckets")))
     val adj = cp(adjacencyArrays(bd, hubs))
     UndirectedNeighborhood(e, adj, hubs, e.count(), hubs.count())
   }
 
   /** Edge rows joined with both endpoints' (possibly hub-split) adjacency:
-    * (a, b, na, nb), one row per edge per ALIGNED bucket. For an edge with no
-    * hub endpoint this is exactly one row (the whole adjacency on both
-    * sides); with hub endpoints it is HubBuckets rows whose partials
-    * partition the intersection: Σ_j |N_j(a)∩N_j(b)| = |N(a)∩N(b)|. The
-    * non-hub side of a mixed edge repeats its (small) full array in every
-    * bucket row — sound, since bucketing filters the HUB side and the merge
-    * walk intersects. Join keys carry the bucket, so one hub's edges spread
-    * over HubBuckets shuffle keys instead of one straggler task. */
-  private def edgeAdjacency(p: UndirectedNeighborhood): DataFrame = {
-    val expanded = expandEdgesByBucket(p)
-    expanded
-      .join(adjSide(p.adj.select(col("src").as("a"), col("bucket").as("ja"),
-        col("nbrs").as("na")), p.eCount), Seq("a", "ja"))
-      .join(adjSide(p.adj.select(col("src").as("b"), col("bucket").as("jb"),
-        col("nbrs").as("nb")), p.eCount), Seq("b", "jb"))
-      .select(col("a"), col("b"), col("na"), col("nb"))
-  }
+    * (a, b, na, nb) — one row per edge per ALIGNED bucket pair, whose
+    * intersections partition the true common set:
+    * N(a)∩N(b) = ⊎ (na∩nb over the edge's rows). */
+  private def edgeAdjacency(p: UndirectedNeighborhood): DataFrame =
+    edgeAdjacencyBuckets(p).select(col("a"), col("b"), col("na"), col("nb"))
 
-  /** (a, b, ja, jb): per-edge bucket expansion. Non-hub endpoints get bucket
-    * -1 (their single adjacency row); any edge touching a hub expands to
-    * HubBuckets rows with the hub side(s) keyed by bucket j. Visible to the
-    * skew spec, which asserts hub work spreads across shuffle partitions. */
-  private[graft] def expandEdgesByBucket(p: UndirectedNeighborhood): DataFrame = {
-    val ha = broadcast(p.hubs.select(col("src").as("a"), lit(true).as("_ha")))
-    val hb = broadcast(p.hubs.select(col("src").as("b"), lit(true).as("_hb")))
-    p.e
-      .join(ha, Seq("a"), "left_outer")
-      .join(hb, Seq("b"), "left_outer")
-      .select(col("a"), col("b"), col("_ha"), col("_hb"),
-        explode(when(col("_ha").isNotNull || col("_hb").isNotNull,
-          sequence(lit(0), lit(HubBuckets - 1))).otherwise(array(lit(-1)))).as("j"))
+  /** The keyed expansion behind [[edgeAdjacency]], visible to the skew spec
+    * (which asserts per-key straggler bounds on (a, ja)). */
+  private[graft] def expandEdgesByBucket(p: UndirectedNeighborhood): DataFrame =
+    edgeAdjacencyBuckets(p).select(col("a"), col("b"), col("ja"), col("jb"))
+
+  /** (a, b, ja, jb, na, nb): per-edge bucket expansion joined with the
+    * aligned adjacency rows. Four edge classes:
+    *
+    *  - neither endpoint a hub → one row, whole arrays (ja = jb = -1); the
+    *    overwhelmingly common class, planned EXACTLY as the pre-split join
+    *    (and the only class when hubCount == 0 — the branch union is skipped
+    *    entirely then).
+    *  - one hub endpoint → join the SMALL side's whole array first, then
+    *    explode only the hub buckets its neighbors actually hash into
+    *    (≤ min(B_hub, |N(small)|) rows instead of all B_hub). This filtering
+    *    is what keeps the hub's joined intermediate LINEAR in its degree:
+    *    unfiltered, a degree-d hub ships d·B rows each carrying a d/B-long
+    *    partial — d² neighbor values through the shuffle; filtered, it ships
+    *    d·|N(small)| rows ≈ d·cap values. Correct because a common neighbor
+    *    x ∈ N(small) hashes to exactly one hub bucket, so every element of
+    *    the intersection is found in exactly one exploded row.
+    *  - both hubs (rare) → explode j over max(Ba, Bb) buckets with
+    *    ja = j mod Ba, jb = j mod Bb; power-of-two counts make the functions
+    *    aligned (Ba | Bb), so x lands in exactly the j = h(x) mod Bmax row.
+    *
+    * A hub's shuffle keys are its (vertex, bucket) pairs — B(v) of them,
+    * degree-proportional — so per-key rows stay bounded (≈ incident-edge
+    * rows / B(v)) at any degree: the straggler bound SkewSpec asserts. */
+  private def edgeAdjacencyBuckets(p: UndirectedNeighborhood): DataFrame = {
+    val adjA = p.adj.select(col("src").as("a"), col("bucket").as("ja"), col("nbrs").as("na"))
+    val adjB = p.adj.select(col("src").as("b"), col("bucket").as("jb"), col("nbrs").as("nb"))
+    val plainAll = p.e
+      .select(col("a"), col("b"), lit(-1).as("ja"), lit(-1).as("jb"))
+      .join(adjSide(adjA, p.eCount), Seq("a", "ja"))
+      .join(adjSide(adjB, p.eCount), Seq("b", "jb"))
+    if (p.hubCount == 0) return plainAll
+      .select(col("a"), col("b"), col("ja"), col("jb"), col("na"), col("nb"))
+
+    val ha = broadcast(p.hubs.select(col("src").as("a"), col("nbuckets").as("_ba")))
+    val hb = broadcast(p.hubs.select(col("src").as("b"), col("nbuckets").as("_bb")))
+    val e = p.e.join(ha, Seq("a"), "left_outer").join(hb, Seq("b"), "left_outer")
+
+    val plain = e.filter(col("_ba").isNull && col("_bb").isNull)
+      .select(col("a"), col("b"), lit(-1).as("ja"), lit(-1).as("jb"))
+      .join(adjSide(adjA, p.eCount), Seq("a", "ja"))
+      .join(adjSide(adjB, p.eCount), Seq("b", "jb"))
+
+    val aHub = e.filter(col("_ba").isNotNull && col("_bb").isNull)
+      .select(col("a"), col("b"), col("_ba"), lit(-1).as("jb"))
+      .join(adjSide(adjB, p.eCount), Seq("b", "jb"))
+      .select(col("a"), col("b"), col("jb"), col("nb"),
+        // drop the hub itself from the bucket probe: a ∈ N(b) for every
+        // mixed edge but a ∉ N(a), so its bucket h(a) would otherwise get
+        // one (useless) row from EVERY incident edge — a guaranteed
+        // degree-sized straggler key
+        explode(array_distinct(transform(array_remove(col("nb"), col("a")),
+          x => pmod(xxhash64(x), col("_ba").cast("long")).cast("int")))).as("ja"))
+      .join(adjSide(adjA, p.eCount), Seq("a", "ja"))
+
+    val bHub = e.filter(col("_ba").isNull && col("_bb").isNotNull)
+      .select(col("a"), col("b"), col("_bb"), lit(-1).as("ja"))
+      .join(adjSide(adjA, p.eCount), Seq("a", "ja"))
+      .select(col("a"), col("b"), col("ja"), col("na"),
+        explode(array_distinct(transform(array_remove(col("na"), col("b")),
+          x => pmod(xxhash64(x), col("_bb").cast("long")).cast("int")))).as("jb"))
+      .join(adjSide(adjB, p.eCount), Seq("b", "jb"))
+
+    val bothHub = e.filter(col("_ba").isNotNull && col("_bb").isNotNull)
+      .select(col("a"), col("b"), col("_ba"), col("_bb"),
+        explode(sequence(lit(0), greatest(col("_ba"), col("_bb")) - 1)).as("j"))
       .select(col("a"), col("b"),
-        when(col("_ha").isNotNull, col("j")).otherwise(lit(-1)).as("ja"),
-        when(col("_hb").isNotNull, col("j")).otherwise(lit(-1)).as("jb"))
+        pmod(col("j"), col("_ba")).cast("int").as("ja"),
+        pmod(col("j"), col("_bb")).cast("int").as("jb"))
+      .join(adjSide(adjA, p.eCount), Seq("a", "ja"))
+      .join(adjSide(adjB, p.eCount), Seq("b", "jb"))
+
+    val out = Seq("a", "b", "ja", "jb", "na", "nb").map(col)
+    plain.select(out: _*)
+      .unionByName(aHub.select(out: _*))
+      .unionByName(bHub.select(out: _*))
+      .unionByName(bothHub.select(out: _*))
   }
 
   /** Per-edge common-neighbor PARTIALS: (a, b, common array) — possibly
@@ -569,9 +643,14 @@ object GraphAlgorithms {
       else {
         // hub-split partials: sum aligned-bucket counts per edge, then take
         // |N(a)|,|N(b)| from the degree relation (partial sizes don't compose
-        // into the union size inline)
-        val common = edgeAdjacency(p)
-          .groupBy(col("a"), col("b")).agg(sum(cnt.cast("long")).as("common"))
+        // into the union size inline). LEFT join from the edge set: the
+        // filtered mixed-edge expansion emits NO row for an edge with a
+        // provably-empty intersection, but jaccard still owes it a 0.0.
+        val common = p.e.join(
+            edgeAdjacency(p)
+              .groupBy(col("a"), col("b")).agg(sum(cnt.cast("long")).as("common")),
+            Seq("a", "b"), "left_outer")
+          .withColumn("common", coalesce(col("common"), lit(0L)))
         common
           .join(degSide(p.degrees.select(col("src").as("a"), col("deg").as("degA")), p.eCount), Seq("a"))
           .join(degSide(p.degrees.select(col("src").as("b"), col("deg").as("degB")), p.eCount), Seq("b"))

@@ -59,9 +59,10 @@ class SkewSpec extends SparkSpec {
       collectMap(GraphAlgorithms.triangleCounts(g, whole)))
   }
 
-  test("hub adjacency is bucket-partitioned and hub edges spread over buckets") {
+  test("hub adjacency is bucket-partitioned; mixed-edge expansion is filtered") {
     val n = 600
-    val B = GraphAlgorithms.HubBuckets
+    // degree-proportional bucket count: next pow2 ≥ ceil(599/64) = 10 → 16
+    val B = 16
     val p = GraphAlgorithms.prepareNeighborhood(starRing(n), hubDegreeCap = 64)
 
     // all B bucket rows present (empty ones filled), partials partition N(1)
@@ -73,39 +74,41 @@ class SkewSpec extends SparkSpec {
     // non-hub vertices keep one whole row with bucket -1
     assert(p.adj.filter(col("src") =!= 1L && col("bucket") =!= -1).count() === 0L)
 
-    // every hub-incident edge expands to B aligned rows, evenly keyed: the
-    // downstream join key is (vertex, bucket), so no single task sees more
-    // than ~1/B of the hub's intersections (the straggler bound)
+    // FILTERED mixed-edge expansion: edge (1,c) explodes only to the buckets
+    // N(c)\{1} hashes into — ≤ 2 rows per edge here, never all B (the
+    // linear-in-degree guarantee), and never the hub's own h(1) bucket probe
     val hubRows = GraphAlgorithms.expandEdgesByBucket(p).filter(col("a") === 1L)
-    val perBucket = hubRows.groupBy(col("ja")).count()
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    assert(perBucket.keySet === (0 until B).toSet)
-    assert(perBucket.values.max === perBucket.values.min) // 1 row per edge per bucket
-    // and those keys hash across the shuffle space, not to one partition
-    val pids = hubRows.repartition(B, col("a"), col("ja"))
-      .select(spark_partition_id()).distinct().count()
-    assert(pids > B / 2, s"hub bucket keys landed on only $pids partitions")
+      .select(col("b"), col("ja")).collect()
+    assert(hubRows.length <= 2 * (n - 1))
+    val perEdge = hubRows.groupBy(_.getLong(0)).map(_._2.length)
+    assert(perEdge.max <= 2)
+    // keys stay inside the hub's bucket space and engage most of it
+    val keys = hubRows.map(_.getInt(1)).distinct.sorted
+    assert(keys.forall(j => j >= 0 && j < B))
+    assert(keys.length > B / 2, s"only ${keys.length} of $B bucket keys engaged")
   }
 
-  test("2·10⁴-degree hub: per-partition work bounded (max ≤ 2× median)") {
-    // The straggler bound, asserted on the deterministic quantity that
-    // decides task runtime: rows per shuffle partition of the bucket-aligned
-    // intersection join, keyed by (vertex, bucket). Per-ROW cost is bounded
-    // separately — mixed hub/non-hub intersections take the galloping
-    // O(small·log big) path (GraphSetOps, pinned by GraphSetExprSpec) — so
-    // bounded rows/partition ⇒ bounded task time at ANY hub degree.
-    val n = 20001 // hub degree 2·10⁴, 78× over the cap → full split machinery
+  test("2·10⁴-degree hub: per-bucket-key work bounded (max ≤ 2× median)") {
+    // The straggler bound, asserted on rows per (vertex, bucket) KEY — the
+    // scheduling unit a bigger cluster can spread over more tasks. Per-ROW
+    // cost is bounded separately — mixed hub/non-hub intersections take the
+    // galloping O(small·log big) path (GraphSetOps, pinned by
+    // GraphSetExprSpec) — so bounded rows/key ⇒ bounded task time at ANY
+    // hub degree.
+    val n = 20001 // hub degree 2·10⁴, 78× the cap → pow2(ceil(20000/256)) = 128 buckets
+    val B = 128
     val p = GraphAlgorithms.prepareNeighborhood(starRing(n), hubDegreeCap = 256)
     assert(p.hubCount === 1L)
-    val parts = 32
-    val counts = GraphAlgorithms.expandEdgesByBucket(p)
-      .repartition(parts, col("a"), col("ja"))
-      .groupBy(spark_partition_id().as("pid")).count()
-      .collect().map(_.getLong(1)).sorted
-    assert(counts.length > parts / 2, "expansion collapsed onto few partitions")
+    val perKey = GraphAlgorithms.expandEdgesByBucket(p).filter(col("a") === 1L)
+      .groupBy(col("ja")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1))
+    assert(perKey.map(_._1).sorted === (0 until B).toArray, "unengaged bucket keys")
+    val counts = perKey.map(_._2).sorted
     val median = counts(counts.length / 2)
     assert(counts.last <= 2 * median,
-      s"straggler partition: max=${counts.last} median=$median")
+      s"straggler key: max=${counts.last} median=$median")
+    // filtered expansion: ≤ 2 rows per hub edge (ring neighbors), not B
+    assert(counts.sum <= 2L * (n - 1))
     // and the hub's own LCC comes out exact through the split + gallop path
     val lcc = GraphAlgorithms.localClusteringCoefficient(starRing(n), p)
       .filter(col("id") === 1L).head().getDouble(1)

@@ -18,11 +18,19 @@ object Bench {
       catch { case _: Throwable => () }
     try SparkEntry.queries("q3_top_customers")(spark, sfDir).count()
     catch { case _: Throwable => () }
+    // NOTE: no cache-clearing between queries — SparkEntry memoizes shared
+    // graph/neighborhood prep as localCheckpoints ON PURPOSE (a deployment
+    // materializes those once per graph), and unpersisting a localCheckpoint
+    // truncates its lineage permanently, silently breaking every later query
+    // that shares it. A failed query must be VISIBLE, not a fast -1.
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() }
+      catch { case e: Throwable => failed += s"$name: ${e.getMessage}"; -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    failed.foreach(f => Console.err.println(s"[bench] FAILED $f"))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -43,6 +43,15 @@ final class RestServer(spark: SparkSession, port: Int = 0) {
     @volatile var state: String = "CREATED"
     @volatile var outcome: AlgorithmRegistry.Outcome = _
     @volatile var error: Option[String] = None
+    // predict-path memo: the trained model collected ONCE per completed
+    // submission (CF models are |users|+|items| rows — bounded, nothing like
+    // the raw graph), so per-request lookups are map hits, not RDD scans.
+    // Benign if two requests race the init: same value either way.
+    @volatile private var modelRows: Map[Long, Any] = _
+    def model: Map[Long, Any] = {
+      if (modelRows == null) modelRows = outcome.vertices.collectAsMap().toMap
+      modelRows
+    }
   }
 
   private val graphs = new ConcurrentHashMap[String, RDD[(Long, Long, Double)]]()
@@ -232,8 +241,7 @@ final class RestServer(spark: SparkSession, port: Int = 0) {
     val user = q("user").toLong
     val item = q("item").toLong
     val itemKey = -item - 1
-    val rows = sub.outcome.vertices
-      .filter(kv => kv._1 == user || kv._1 == itemKey).collect().toMap
+    val rows = sub.model
     require(rows.contains(user), s"no user $user")
     require(rows.contains(itemKey), s"no item $item")
     val uv = rows(user).asInstanceOf[Cf.SvdppValue]

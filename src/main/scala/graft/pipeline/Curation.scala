@@ -168,14 +168,20 @@ object Curation {
       extends Aggregator[(Double, Long), TopKState, TopKState] {
     // Total order on the score: primitive >/== are both false for NaN, which
     // would corrupt the sorted-buffer invariant in an insertion-order-
-    // dependent (shuffle-nondeterministic) way. NaN sorts WORST (a NaN score
-    // — e.g. cosine of a zero-norm embedding — never outranks a real one)
-    // and -0.0 canonicalizes to 0.0 so the order matches SQL comparison.
-    private def key(s: Double): Double =
-      if (java.lang.Double.isNaN(s)) Double.NegativeInfinity else s + 0.0
+    // dependent (shuffle-nondeterministic) way. NaN sorts STRICTLY below
+    // everything — including a genuine -Infinity (collapsing the two would
+    // let a NaN outrank a real -Inf score on the id tiebreak) — and -0.0
+    // canonicalizes to 0.0 so the order matches SQL comparison.
     private def better(a: Scored, b: Scored): Boolean = {
-      val c = java.lang.Double.compare(key(a.score), key(b.score))
-      c > 0 || (c == 0 && a.id < b.id)
+      val an = java.lang.Double.isNaN(a.score)
+      val bn = java.lang.Double.isNaN(b.score)
+      if (an != bn) bn // the non-NaN side wins
+      else {
+        val c =
+          if (an) 0 // both NaN: tie, fall to the id tiebreak
+          else java.lang.Double.compare(a.score + 0.0, b.score + 0.0)
+        c > 0 || (c == 0 && a.id < b.id)
+      }
     }
     private def insert(buf: Seq[Scored], x: Scored): Seq[Scored] = {
       val (before, after) = buf.span(better(_, x))

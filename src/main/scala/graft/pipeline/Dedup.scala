@@ -254,8 +254,8 @@ object Dedup {
     // shingle/hash/band/threshold settings would join garbage against the
     // base index, so incrementalMinHashLSH validates against this row.
     import spark.implicits._
-    Seq((shingleLen, numHashes, bands, threshold, poly))
-      .toDF("shingle_len", "num_hashes", "bands", "threshold", "poly")
+    Seq((shingleLen, numHashes, bands, threshold, poly, buckets))
+      .toDF("shingle_len", "num_hashes", "bands", "threshold", "poly", "buckets")
       .write.mode("overwrite").saveAsTable(s"${name}_meta")
     val sigs = signatures(df, idCol, textCol, shingleLen, numHashes, poly)
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -282,6 +282,9 @@ object Dedup {
     * wedge permanently. */
   private def replaceTable(spark: org.apache.spark.sql.SparkSession,
                            table: String): Unit = {
+    // invalidate any cached file listing FIRST — a later read planned off
+    // the stale cache would chase deleted part-files
+    if (spark.catalog.tableExists(table)) spark.catalog.refreshTable(table)
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val loc = new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"),
@@ -343,6 +346,47 @@ object Dedup {
     val allIds = baseClusters.select(col("id"))
       .unionByName(delta.select(col(idCol).as("id")))
     clustersFromPairs(allIds, verified.unionByName(stars))
+  }
+
+  /** COMMIT a delta into the persisted index — the ingest loop's write step,
+    * [[incrementalMinHashLSH]]'s read-compute plus the index update: merged
+    * clusters REPLACE `<name>_clusters`; the delta's band rows and
+    * signatures APPEND to the bucketed `<name>_bands` / `<name>_sigs`
+    * (an append to a bucketed table writes only the delta's own bucket
+    * files — base files untouched, no index rewrite). After the call the
+    * index describes base ∪ delta, so the NEXT delta folds against it the
+    * same way: exactly the repeated-micro-batch maintenance a streaming
+    * corpus needs (see the foreachBatch composition in PipelineSpec).
+    * Returns the merged (id, rep) clusters. */
+  def appendToLshIndex(spark: org.apache.spark.sql.SparkSession,
+                       name: String, delta: DataFrame,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       shingleLen: Int = 3, numHashes: Int = 64,
+                       bands: Int = 16, threshold: Double = 0.7,
+                       poly: Boolean = false): DataFrame = {
+    val buckets = spark.table(s"${name}_meta").head().getAs[Int]("buckets")
+    // eager localCheckpoint, not persist: DROP TABLE cascades cache
+    // invalidation to every cached plan REFERENCING the table, so a merely
+    // persisted `merged` would be evicted by the clusters replacement below
+    // and recompute from the deleted files; the checkpoint cuts the lineage
+    val merged = incrementalMinHashLSH(spark, name, delta, idCol, textCol,
+        shingleLen, numHashes, bands, threshold, poly)
+      .localCheckpoint(true)
+    val dSigs = signatures(delta, idCol, textCol, shingleLen, numHashes, poly)
+    bandedBuckets(dSigs, "id", "sig", bands, numHashes / bands, poly)
+      .write.mode("append").bucketBy(buckets, "band", "bucket")
+      .sortBy("band", "bucket").saveAsTable(s"${name}_bands")
+    dSigs.write.mode("append").bucketBy(buckets, "id").sortBy("id")
+      .saveAsTable(s"${name}_sigs")
+    replaceTable(spark, s"${name}_clusters")
+    merged.write.mode("overwrite").bucketBy(buckets, "id").sortBy("id")
+      .saveAsTable(s"${name}_clusters")
+    merged.unpersist()
+    // drop stale cached file listings so the NEXT delta's reads see the
+    // appended/rewritten state
+    Seq("bands", "sigs", "clusters")
+      .foreach(s => spark.catalog.refreshTable(s"${name}_$s"))
+    spark.table(s"${name}_clusters")
   }
 
   /** Exact n-gram Jaccard similarity for given candidate pairs (a, b):

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -59,10 +59,25 @@ object Events {
     * ASOF JOIN `l.ts >= r.ts`).
     *
     * Rows with equal (key, ts) on the RIGHT side make the match
-    * nondeterministic — pre-reduce the right side to unique (key, ts) first. */
+    * nondeterministic — pre-reduce the right side to unique (key, ts) first.
+    *
+    * HOT-KEY hardening: the default plan sorts each key's whole timeline in
+    * ONE window partition — at 100 TB a single bot user with 10⁹ events is a
+    * straggler task (or an OOM). Pass `chunk` (a pure, MONOTONIC
+    * non-decreasing ts → chunk-id mapping,
+    * e.g. `ts => floor(unix_timestamp(ts) / 86400)`) to split every key's
+    * timeline into time chunks: pass 1 runs the running-last window inside
+    * each (key, chunk) — bounded partitions regardless of key heat; pass 2
+    * carries the boundary value across chunks through a window over the
+    * per-(key, chunk) BOUNDARY relation (one row per chunk — thousands of
+    * rows per key where pass 1 had billions), then a coalesce picks the
+    * chunk-local match when one exists. Same-instant rows land in the same
+    * chunk, so the inclusive right-before-left tie order is preserved and
+    * the result is EXACTLY the unchunked plan's. */
   def asofJoin(left: DataFrame, right: DataFrame,
                keyCol: String, tsCol: String, valueCol: String,
-               asofCol: String = "asof_value"): DataFrame = {
+               asofCol: String = "asof_value",
+               chunk: Option[Column => Column] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.{StructField, StructType}
     val lCols = left.columns.toSeq
@@ -83,13 +98,45 @@ object Events {
     }.withColumn("_side", lit(0))
     val u = l.select((lCols :+ "_rv" :+ "_side").map(col): _*)
       .unionByName(r.select((lCols :+ "_rv" :+ "_side").map(col): _*))
-    val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(tsCol).asc, col("_side").asc)
-      .rowsBetween(Window.unboundedPreceding, 0)
-    u.withColumn(asofCol,
-        last(col("_rv"), ignoreNulls = true).over(w).getField("v"))
-      .filter(col("_side") === 1)
-      .drop("_rv", "_side")
+    chunk match {
+      case None =>
+        val w = Window.partitionBy(col(keyCol))
+          .orderBy(col(tsCol).asc, col("_side").asc)
+          .rowsBetween(Window.unboundedPreceding, 0)
+        u.withColumn(asofCol,
+            last(col("_rv"), ignoreNulls = true).over(w).getField("v"))
+          .filter(col("_side") === 1)
+          .drop("_rv", "_side")
+      case Some(chunkOf) =>
+        require(!lCols.contains("_chunk") && !lCols.contains("_prev"),
+          "chunked asofJoin reserves columns _chunk and _prev")
+        val uc = u.withColumn("_chunk", chunkOf(col(tsCol)))
+        // pass 1: running last INSIDE each (key, chunk) — the hot key's
+        // timeline spreads over its chunks instead of one sort partition
+        val wc = Window.partitionBy(col(keyCol), col("_chunk"))
+          .orderBy(col(tsCol).asc, col("_side").asc)
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val local = uc.withColumn("_loc",
+          last(col("_rv"), ignoreNulls = true).over(wc))
+        // pass 2: per-(key, chunk) boundary = the chunk's LAST right value
+        // (right side is unique per (key, ts), so the struct max is the
+        // latest-ts row); window over one-row-per-chunk is bounded by the
+        // time range, not the key's row count
+        val bounds = uc.filter(col("_side") === 0)
+          .groupBy(col(keyCol), col("_chunk"))
+          .agg(max(struct(col(tsCol).as("t"), col("_rv").as("rv"))).as("_b"))
+        val wb = Window.partitionBy(col(keyCol)).orderBy(col("_chunk").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val prev = uc.select(col(keyCol), col("_chunk")).distinct()
+          .join(bounds, Seq(keyCol, "_chunk"), "left_outer")
+          .withColumn("_prev", last(col("_b.rv"), ignoreNulls = true).over(wb))
+          .select(col(keyCol), col("_chunk"), col("_prev"))
+        local.join(prev, Seq(keyCol, "_chunk"), "left_outer")
+          .withColumn(asofCol,
+            coalesce(col("_loc"), col("_prev")).getField("v"))
+          .filter(col("_side") === 1)
+          .drop("_rv", "_side", "_chunk", "_loc", "_prev")
+    }
   }
 
   /** Range join: points ⋈ intervals where `startCol ≤ ptCol ≤ endCol`

@@ -360,6 +360,44 @@ class PipelineSpec extends SparkSpec {
     assert(inc.contains(11L -> 1L))
   }
 
+  test("streaming ingest loop: foreachBatch deltas fold into the persisted index") {
+    // the end-to-end maintenance story: a STREAM of document deltas commits
+    // into the persisted LSH index micro-batch by micro-batch
+    // (appendToLshIndex = incremental merge + bucketed append), and the
+    // on-disk clusters stay ≡ a full recompute over everything seen
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "completely different content about database engines and query planning")
+    ).toDF("doc_id", "text")
+    val d1 = Seq(
+      (11L, "the quick brown fox jumps over the lazy dog near the river bank yesterday"),
+      (12L, "unrelated text about breeze linear algebra solvers"))
+    val d2 = Seq(
+      (21L, "the quick brown fox jumps over the lazy dog near the river bank tomorrow"))
+    Dedup.saveLshIndex(base, "silsh", threshold = 0.4, buckets = 4)
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Dedup.appendToLshIndex(spark, "silsh", batch, threshold = 0.4)
+        ()
+      }
+      .start()
+    input.addData(d1: _*) // near-dup of base doc 1 + a singleton
+    q.processAllAvailable()
+    input.addData(d2: _*) // near-dup of the BATCH-1 universe (cross-delta)
+    q.processAllAvailable()
+    q.stop()
+    val inc = spark.table("silsh_clusters")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val full = Dedup.minHashLSH(
+        base.unionByName((d1 ++ d2).toDF("doc_id", "text")), threshold = 0.4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(inc === full)
+    assert(inc.contains(21L -> 1L)) // batch-2 doc joined the base cluster
+  }
+
   test("incremental LSH fails fast on build-parameter mismatch") {
     // index built by the previous test with (3, 64, 16, 0.4, false): any
     // divergent parameter would silently join garbage — must throw instead
@@ -515,6 +553,12 @@ class PipelineSpec extends SparkSpec {
     val h = out.filter(_._1 == "h").sortBy(_._3).map(_._2)
     assert(h.head === 5L)                 // real score first
     assert(h.toSeq === Seq(5L, 7L, 8L))   // NaNs tie-break by id asc
+    // a genuine -Infinity outranks a NaN even when the NaN has a smaller id
+    val i = Seq(("i", Double.NaN, 1L), ("i", Double.NegativeInfinity, 6L),
+        ("i", 0.0, 4L)).toDF("grp", "score", "id").repartition(1)
+    val ri = graft.pipeline.Curation.topKRanked(i, "grp", "score", "id", k = 3)
+      .collect().map(r => r.getInt(3) -> r.getLong(1)).toMap
+    assert(ri === Map(1 -> 4L, 2 -> 6L, 3 -> 1L))
   }
 
   test("asofJoin preserves a genuine NULL in the matched right value") {
@@ -563,6 +607,42 @@ class PipelineSpec extends SparkSpec {
     // left payload columns survive
     val cols = graft.pipeline.Events.asofJoin(left, right, "key", "t", "v").columns
     assert(cols.toSeq === Seq("key", "t", "payload", "asof_value"))
+  }
+
+  test("chunked asofJoin ≡ unchunked on a hot key, with bounded sort groups") {
+    // one hot key (0) carrying 2000 rows across the timeline + normal keys;
+    // right values include NULLs, same-instant ties, chunks with no right
+    // rows, and left rows before any right row — every carry-over case
+    val rnd = new scala.util.Random(7)
+    val left = (0 until 2400).map { i =>
+      val k = if (i < 2000) 0L else (i % 5 + 1).toLong
+      (k, rnd.nextInt(10000).toLong, i.toLong)
+    }.toDF("k", "ts", "row_id")
+    val right = (0 until 600).map { i =>
+      val k = if (i < 400) 0L else (i % 5 + 1).toLong
+      (k, rnd.nextInt(10000).toLong * 7 % 10000,
+        if (i % 11 == 0) None else Some(i.toLong))
+    }.distinct.toDF("k", "ts", "v")
+      .groupBy("k", "ts").agg(max(col("v")).as("v")) // unique (k, ts)
+    val chunkOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      ts => floor(ts / 500L)
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+      (if (r.isNullAt(3)) None else Some(r.getLong(3)))
+    val plain = graft.pipeline.Events.asofJoin(left, right, "k", "ts", "v")
+      .collect().map(key).toSeq.sortBy(_._1)
+    val chunked = graft.pipeline.Events.asofJoin(left, right, "k", "ts", "v",
+        chunk = Some(chunkOf))
+      .collect().map(key).toSeq.sortBy(_._1)
+    assert(chunked === plain)
+    assert(plain.length === 2400)
+    // the straggler bound: pass-1 sort groups are (key, chunk) — the hot
+    // key's 2400 union rows spread over its ~20 chunks instead of one group
+    val groups = left.select(col("k"), col("ts"))
+      .unionByName(right.select(col("k"), col("ts")))
+      .groupBy(col("k"), chunkOf(col("ts")).as("c")).count()
+      .filter(col("k") === 0L).collect().map(_.getLong(2))
+    assert(groups.length >= 15)
+    assert(groups.max <= 400, s"largest (key, chunk) sort group = ${groups.max}")
   }
 
   test("rangeJoin matches points to containing intervals across bin boundaries") {

@@ -153,4 +153,53 @@ class PregelSpec extends SparkSpec {
       res.unpersistState()
     } finally prev.foreach(sc.setCheckpointDir)
   }
+
+  test("executor-loss drill: cached state destroyed mid-run recovers from reliable checkpoint") {
+    val dir = java.nio.file.Files.createTempDirectory("pregel-fault").toString
+    val prev = sc.getCheckpointDir
+    sc.setCheckpointDir(dir)
+    try {
+      val preexisting = sc.getPersistentRDDs.keySet
+      val verts = sc.parallelize((0L to 9L).map(i => (i, Double.PositiveInfinity)))
+      val edges = sc.parallelize((0L until 9L).map(i => (i, (i + 1, 1.0))))
+      var injected = false
+      // masterCompute runs on the driver BETWEEN supersteps — inject total
+      // cache loss there (deterministically, no listener race): every block
+      // this run cached is dropped, so supersteps ≥ 7 must recompute through
+      // lineage that bottoms out in the superstep-6 RELIABLE checkpoint file.
+      // The hook lives in a JVM-static object so the compute function
+      // serializes without capturing this (non-serializable) test class.
+      PregelFaultHook.onSuperstep7 = () => if (!injected) {
+        injected = true
+        sc.getPersistentRDDs
+          .filter { case (id, _) => !preexisting.contains(id) }
+          .values.foreach(_.unpersist(blocking = true))
+      }
+      val res = Pregel.run(spark, new FaultySssp, verts, edges,
+        maxIterations = 30, checkpointInterval = 3)
+      assert(injected, "fault was never injected — superstep count changed?")
+      val got = res.vertices.collect().toMap
+      (0L to 9L).foreach(i => assert(got(i) === i.toDouble))
+      assert(res.state === "CONVERGED")
+      res.unpersistState()
+    } finally {
+      PregelFaultHook.onSuperstep7 = () => ()
+      prev.foreach(sc.setCheckpointDir)
+    }
+  }
+}
+
+/** Driver-side fault hook for the executor-loss drill, JVM-static so the
+  * compute function below serializes clean (no test-class capture). The
+  * stored lambda only ever runs on the driver. */
+object PregelFaultHook {
+  @transient @volatile var onSuperstep7: () => Unit = () => ()
+}
+
+/** Sssp that fires [[PregelFaultHook]] from masterCompute at superstep 7. */
+class FaultySssp extends graft.algos.compute.BasicAlgorithms.Sssp(0L) {
+  override def masterCompute(superstep: Int, cb: Pregel.MasterCallback): Unit = {
+    super.masterCompute(superstep, cb)
+    if (superstep == 7) PregelFaultHook.onSuperstep7()
+  }
 }

@@ -70,14 +70,18 @@ object SparkEntry {
   private val nbrCache = scala.collection.concurrent.TrieMap
     .empty[(Int, String, String), GraphAlgorithms.UndirectedNeighborhood]
 
-  private def cachedNeighborhood(s: SparkSession, dir: String, key: String)
+  private def cachedNeighborhood(s: SparkSession, dir: String, key: String,
+                                 assumeCanonical: Boolean = false)
                                 (g: => KGraph): GraphAlgorithms.UndirectedNeighborhood =
     nbrCache.getOrElseUpdate(
       (System.identityHashCode(s.sparkContext), dir, key),
-      GraphAlgorithms.prepareNeighborhood(g))
+      GraphAlgorithms.prepareNeighborhood(g, assumeCanonical = assumeCanonical))
 
   private def coPurchaseNbr(s: SparkSession, dir: String) =
-    cachedNeighborhood(s, dir, "coPurchase")(coPurchaseGraph(s, dir))
+    // saltedPairs emits src<dst from sorted arrays and the builder dedups —
+    // canonical by construction, so prepare skips its canonicalization pass
+    cachedNeighborhood(s, dir, "coPurchase", assumeCanonical = true)(
+      coPurchaseGraph(s, dir))
 
   /** supplier → part (+1e6 offset) weighted by min quantity, deduped. */
   private def supplierPartGraph(s: SparkSession, dir: String): KGraph =
@@ -85,6 +89,7 @@ object SparkEntry {
       val e = t(s, dir, "lineitem")
         .groupBy(col("l_suppkey").as("src"), (col("l_partkey") + 1000000L).as("dst"))
         .agg(min(col("l_quantity")).cast("long").as("value"))
+        .localCheckpoint(true) // vertex derivation reuses, not re-aggregates
       KGraph.fromEdges(e, id => id)
     }
 
@@ -105,8 +110,11 @@ object SparkEntry {
     cachedGraph(s, dir, "coPurchase") {
       val byOrder = t(s, dir, "lineitem")
         .groupBy(col("l_orderkey")).agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
+      // checkpoint the pair expansion BEFORE fromEdges: the vertex table is
+      // derived from the edges, and without the cut it re-runs the whole
+      // explode+distinct pipeline a second time (~2x the build cost)
       val e = graft.core.SkewUtils.saltedPairs(byOrder, "ps", SaltChunk)
-        .distinct().withColumn("value", lit(1L))
+        .distinct().withColumn("value", lit(1L)).localCheckpoint(true)
       KGraph.fromEdges(e, id => id)
     }
 
@@ -154,7 +162,9 @@ object SparkEntry {
         star.unionByName(path).withColumn("value", lit(1.0)), id => id)
     }
   private def skewHub1e5Nbr(s: SparkSession, dir: String) =
-    cachedNeighborhood(s, dir, "skewHub1e5")(skewHub1e5(s, dir))
+    // star (1,c) and path (c,c+1) ranges are canonical and disjoint
+    cachedNeighborhood(s, dir, "skewHub1e5", assumeCanonical = true)(
+      skewHub1e5(s, dir))
 
   /** customer star clusters: c → c - c%100 for c%100 ≠ 0; weight 1. */
   private def starGraph(s: SparkSession, dir: String): KGraph =
@@ -584,7 +594,7 @@ object SparkEntry {
     "d_minhash_incr" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       Dedup.saveLshIndex(docs.filter(col("doc_id") % 5 =!= 0), "incr_idx",
-        threshold = 0.5, poly = true)
+        threshold = 0.5, poly = true, buckets = 8) // SF-sized file fan-out
       Dedup.incrementalMinHashLSH(s, "incr_idx",
           docs.filter(col("doc_id") % 5 === 0), threshold = 0.5, poly = true)
         .toDF("doc_id", "rep")

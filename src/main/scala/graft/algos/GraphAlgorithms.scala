@@ -428,10 +428,18 @@ object GraphAlgorithms {
   }
 
   /** `hubDegreeCap` is exposed for tests/known-skew callers; the default is
-    * the production cap. */
+    * the production cap. `assumeCanonical = true` asserts the edge set is
+    * ALREADY canonical (src < dst, no self-loops, no duplicates) and skips
+    * the least/greatest + distinct pass — one full edge shuffle saved, the
+    * right call for pre-canonicalized stored graphs; a violated assertion
+    * silently corrupts counts, so only set it when the builder guarantees
+    * it. */
   def prepareNeighborhood(g: KGraph,
-                          hubDegreeCap: Int = HubDegreeCap): UndirectedNeighborhood = {
-    val e = cp(canonicalEdges(g.edges))
+                          hubDegreeCap: Int = HubDegreeCap,
+                          assumeCanonical: Boolean = false): UndirectedNeighborhood = {
+    val e = cp(
+      if (assumeCanonical) g.edges.select(col("src").as("a"), col("dst").as("b"))
+      else canonicalEdges(g.edges))
     val bd = bidir(e.select(col("a").as("src"), col("b").as("dst")), withValue = false)
     // canonical edges are distinct, so bidir rows are too: count = degree
     val hubs = cp(bd.groupBy(col("src")).agg(count(lit(1)).as("deg"))

@@ -115,6 +115,18 @@ class SkewSpec extends SparkSpec {
     assert(lcc === 2.0 * (n - 2) / ((n - 1).toLong * (n - 2)))
   }
 
+  test("prepareNeighborhood(assumeCanonical) ≡ default on canonical edges") {
+    val g = starRing(300) // builder emits src<dst, deduped, no self-loops
+    val viaSkip = GraphAlgorithms.prepareNeighborhood(g, hubDegreeCap = 32,
+      assumeCanonical = true)
+    val full = GraphAlgorithms.prepareNeighborhood(g, hubDegreeCap = 32)
+    assert(viaSkip.eCount === full.eCount)
+    assert(collectMap(GraphAlgorithms.triangleCounts(g, viaSkip)) ===
+      collectMap(GraphAlgorithms.triangleCounts(g, full)))
+    assert(GraphAlgorithms.globalTriangleCount(viaSkip) ===
+      GraphAlgorithms.globalTriangleCount(full))
+  }
+
   test("saltedPairs ≡ direct pair expansion (chunked mega-groups included)") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

@@ -23,12 +23,17 @@ class ImporterSpec extends SparkSpec {
     val ef = writeTemp(Seq("1 2 12", "2 3 23", "3 1 31"), ".edges")
     val vf = writeTemp(Seq("1 10", "2 20", "3 30"), ".vertices")
     val name = s"imp_${System.nanoTime()}"
-    val g = GraphImporterCli.importLocal(spark,
-      Args(edgesFile = ef, verticesFile = Some(vf), name = name, buckets = 2))
-    assert(g.vertices.count() === 3)
-    val loaded = GraphIO.loadBucketed(spark, name)
-    assert(loaded.edges.count() === 3)
-    assert(loaded.vertices.count() === 3)
+    try {
+      val g = GraphImporterCli.importLocal(spark,
+        Args(edgesFile = ef, verticesFile = Some(vf), name = name, buckets = 2))
+      assert(g.vertices.count() === 3)
+      val loaded = GraphIO.loadBucketed(spark, name)
+      assert(loaded.edges.count() === 3)
+      assert(loaded.vertices.count() === 3)
+    } finally Seq("edges", "vertices").foreach(s =>
+      // managed tables: DROP also deletes the warehouse dir — without this
+      // every suite run leaked an imp_<nanotime> table pair
+      spark.sql(s"DROP TABLE IF EXISTS ${name}_$s"))
   }
 
   test("rest mode imports and prepares through a live server") {

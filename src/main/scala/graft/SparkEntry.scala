@@ -380,7 +380,9 @@ object SparkEntry {
     // many shuffle keys instead of one straggler task.
     "g_lcc_skewhub" -> ((s, dir) => {
       val g = skewHubGraph(s, dir)
-      val p = GraphAlgorithms.prepareNeighborhood(g, hubDegreeCap = 256)
+      // star (1,c) and ring (c,c+1) over distinct customer keys: canonical
+      val p = GraphAlgorithms.prepareNeighborhood(g, hubDegreeCap = 256,
+        assumeCanonical = true)
       GraphAlgorithms.localClusteringCoefficient(g, p)
         .withColumn("value", round(col("value"), 6))
     }),

@@ -439,6 +439,49 @@ object SparkEntry {
         .edges
     }),
 
+    "g_map_vertices" -> ((s, dir) =>
+      supplierPartGraph(s, dir).mapVertices((id, v) => v * 2 + id % 7).vertices),
+
+    "g_map_edges" -> ((s, dir) =>
+      supplierPartGraph(s, dir)
+        .mapEdges((sc, dc, v) => v * 2 + (sc + dc) % 7).edges),
+
+    // joinWithEdges keyed (src,dst): input restricted to repeat pairs so both
+    // the matched branch (combiner) and the miss branch (keep value) fire
+    "g_join_edges" -> ((s, dir) => {
+      val perPair = t(s, dir, "lineitem")
+        .groupBy(col("l_suppkey").as("src"), (col("l_partkey") + 1000000L).as("dst"))
+        .agg(count(lit(1)).as("cnt")).filter(col("cnt") > 1)
+      supplierPartGraph(s, dir).joinWithEdges(perPair, (ev, in) => ev + in).edges
+    }),
+
+    "g_edge_join_tgt" -> ((s, dir) => {
+      val perPart = t(s, dir, "lineitem")
+        .groupBy((col("l_partkey") + 1000000L).as("dst"))
+        .agg(count(lit(1)).as("cnt")).filter(col("cnt") > 30)
+      supplierPartGraph(s, dir).joinWithEdgesOnTarget(perPart, (ev, in) => ev + in).edges
+    }),
+
+    // filterOnVertices: edges must lose any edge with a filtered-out endpoint
+    // (the two semi-joins), not just filtered vertices
+    "g_filter_vertices" -> ((s, dir) =>
+      supplierPartGraph(s, dir).filterOnVertices(col("id") % 3 === 0).edges),
+
+    "g_filter_edges" -> ((s, dir) =>
+      supplierPartGraph(s, dir).filterOnEdges(col("value") >= 30).edges),
+
+    // groupReduceOnNeighbors: arbitrary aggregation over the collected
+    // (edge value, neighbor value) structs — here an even-neighbor count
+    // plus the edge-value sum, folded without re-shuffling per aggregate
+    "g_group_reduce_nbrs" -> ((s, dir) =>
+      supplierPartGraph(s, dir).groupReduceOnNeighbors(EdgeDirection.Out) { df =>
+        df.select(col("id"),
+          size(filter(col("neighbors"),
+            n => n.getField("nvalue") % 2 === 0)).cast("long").as("n_even"),
+          aggregate(col("neighbors"), lit(0L),
+            (acc, n) => acc + n.getField("evalue")).as("sum_ev"))
+      }),
+
     // ---- training-data pipeline ops --------------------------------------
 
     "d_exact_dedup" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
@@ -475,6 +518,16 @@ object SparkEntry {
     "d_contamination" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       Curation.contamination(
+        docs.filter(col("doc_id") % 41 =!= 0),
+        docs.filter(col("doc_id") % 41 === 0))
+    }),
+
+    // same check, cluster-scale-probe shape: native BloomFilterAggregate
+    // prefilter cuts the corpus shingle stream BEFORE the shuffle join, the
+    // exact recheck keeps the output row-identical (same oracle SQL)
+    "d_contamination_bloom" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Curation.contaminationBloom(
         docs.filter(col("doc_id") % 41 =!= 0),
         docs.filter(col("doc_id") % 41 === 0))
     }),
@@ -798,6 +851,45 @@ object SparkEntry {
         .map { case (src, e) => (src, e.target, e.value.weight) }
         .toDF("src", "dst", "weight").localCheckpoint(true)
       res.unpersistState(); edges.unpersist(false)
+      out
+    }),
+
+    // Pregel VertexCount/EdgeCount building blocks (reference library/basic):
+    // the counts land in persistent LongSum aggregators — the Pregel
+    // aggregator channel itself is what this query gates
+    "g_counts" -> ((s, dir) => {
+      import graft.algos.compute.BasicAlgorithms.{EdgeCount, VertexCount}
+      import graft.pregel.Pregel
+      val g = supplierPartGraph(s, dir)
+      val edges = g.edges.select(col("src"), col("dst")).rdd
+        .map(r => (r.getLong(0), (r.getLong(1), 1.0))).persist()
+      val verts = g.vertices.select(col("id")).rdd
+        .map(r => (r.getLong(0), 0L)).persist()
+      val vc = Pregel.run(s, new VertexCount, verts, edges, maxIterations = 3)
+      val nv = vc.aggregates(VertexCount.Agg).asInstanceOf[Long]
+      vc.unpersistState()
+      val ec = Pregel.run(s, new EdgeCount, verts, edges, maxIterations = 3)
+      val ne = ec.aggregates(EdgeCount.Agg).asInstanceOf[Long]
+      ec.unpersistState(); verts.unpersist(false); edges.unpersist(false)
+      s.range(1).select(lit(nv).as("n_vertices"), lit(ne).as("n_edges"))
+    }),
+
+    // Pregel ReverseEdges building block: step 0 floods ids along out-edges,
+    // step 1 addEdge()s any missing reverse — gates the edge-MUTATION path
+    // (the adjacency rewrite), whose output is the final edge set itself
+    "g_reverse_edges" -> ((s, dir) => {
+      import graft.algos.compute.BasicAlgorithms.ReverseEdges
+      import graft.pregel.Pregel
+      val g = treeGraph(s, dir)
+      val edges = g.edges.rdd
+        .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).persist()
+      val verts = g.vertices.select(col("id")).rdd
+        .map(r => (r.getLong(0), 0L)).persist()
+      val res = Pregel.run(s, new ReverseEdges, verts, edges, maxIterations = 5)
+      import s.implicits._
+      val out = res.edges.map { case (src, e) => (src, e.target, e.value) }
+        .toDF("src", "dst", "value").localCheckpoint(true)
+      res.unpersistState(); verts.unpersist(false); edges.unpersist(false)
       out
     }),
 
@@ -1582,6 +1674,50 @@ object SparkEntry {
          |       CAST(CASE WHEN cnt.c IS NOT NULL THEN e.value + cnt.c ELSE e.value END AS BIGINT) AS value
          |FROM e LEFT JOIN cnt ON e.src = cnt.src""".stripMargin,
 
+    // vertex value = id in this graph (fromEdges identity initializer)
+    "g_map_vertices" ->
+      s"""WITH e AS ($sqlSupplierPartEdges),
+         |v AS (SELECT src AS id FROM e UNION SELECT dst FROM e)
+         |SELECT id, CAST(id * 2 + id % 7 AS BIGINT) AS value FROM v""".stripMargin,
+
+    "g_map_edges" ->
+      s"""WITH e AS ($sqlSupplierPartEdges)
+         |SELECT src, dst, CAST(value * 2 + (src + dst) % 7 AS BIGINT) AS value
+         |FROM e""".stripMargin,
+
+    "g_join_edges" ->
+      s"""WITH e AS ($sqlSupplierPartEdges),
+         |cnt AS (SELECT l_suppkey AS src, l_partkey + 1000000 AS dst, count(*) AS c
+         |        FROM lineitem GROUP BY 1, 2 HAVING count(*) > 1)
+         |SELECT e.src, e.dst,
+         |       CAST(CASE WHEN cnt.c IS NOT NULL THEN e.value + cnt.c ELSE e.value END AS BIGINT) AS value
+         |FROM e LEFT JOIN cnt ON e.src = cnt.src AND e.dst = cnt.dst""".stripMargin,
+
+    "g_edge_join_tgt" ->
+      s"""WITH e AS ($sqlSupplierPartEdges),
+         |cnt AS (SELECT l_partkey + 1000000 AS dst, count(*) AS c
+         |        FROM lineitem GROUP BY 1 HAVING count(*) > 30)
+         |SELECT e.src, e.dst,
+         |       CAST(CASE WHEN cnt.c IS NOT NULL THEN e.value + cnt.c ELSE e.value END AS BIGINT) AS value
+         |FROM e LEFT JOIN cnt ON e.dst = cnt.dst""".stripMargin,
+
+    "g_filter_vertices" ->
+      s"""WITH e AS ($sqlSupplierPartEdges)
+         |SELECT src, dst, value FROM e WHERE src % 3 = 0 AND dst % 3 = 0""".stripMargin,
+
+    "g_filter_edges" ->
+      s"""WITH e AS ($sqlSupplierPartEdges)
+         |SELECT src, dst, value FROM e WHERE value >= 30""".stripMargin,
+
+    // owners = sources with >=1 out-neighbor (inner adjacency join);
+    // neighbor value = dst id (fromEdges identity initializer)
+    "g_group_reduce_nbrs" ->
+      s"""WITH e AS ($sqlSupplierPartEdges)
+         |SELECT src AS id,
+         |       CAST(sum(CASE WHEN dst % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_even,
+         |       CAST(sum(value) AS BIGINT) AS sum_ev
+         |FROM e GROUP BY 1""".stripMargin,
+
     // closed form on star clusters: rank oscillates root↔leaves each power
     // iteration; 2 + ceil(log10(N)) supersteps → the side holding the rank at
     // the final superstep depends on ceil(log10(N)) parity. Magnitude per
@@ -1616,6 +1752,21 @@ object SparkEntry {
         |SELECT root AS src, c AS dst, w AS weight FROM top2
         |UNION ALL
         |SELECT c AS src, root AS dst, w AS weight FROM top2""".stripMargin,
+
+    "g_counts" ->
+      s"""WITH e AS ($sqlSupplierPartEdges)
+         |SELECT (SELECT count(*) FROM (SELECT src FROM e UNION SELECT dst FROM e)) AS n_vertices,
+         |       (SELECT count(*) FROM e) AS n_edges""".stripMargin,
+
+    // tree edges all point child -> parent (src > dst), so every reverse
+    // edge is missing and gets added with the mutation default value 1.0
+    "g_reverse_edges" ->
+      s"""WITH e AS ($sqlTreeEdges)
+         |SELECT src, dst, value FROM e
+         |UNION ALL
+         |SELECT e.dst AS src, e.src AS dst, CAST(1.0 AS DOUBLE) AS value
+         |FROM e
+         |WHERE NOT EXISTS (SELECT 1 FROM e e2 WHERE e2.src = e.dst AND e2.dst = e.src)""".stripMargin,
 
     "d_exact_dedup" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_dups
@@ -1741,6 +1892,30 @@ object SparkEntry {
         |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents))""".stripMargin,
 
     "d_contamination" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, CASE WHEN len(toks) >= 3 THEN list_distinct(list_transform(
+        |      range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        |    ELSE CAST([] AS VARCHAR[]) END AS s
+        |  FROM tk),
+        |probe AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 41 = 0),
+        |corp AS (SELECT doc_id, s FROM sh WHERE doc_id % 41 <> 0),
+        |shared AS (
+        |  SELECT i.doc_id, count(*) AS n_shared
+        |  FROM (SELECT doc_id, unnest(s) AS g FROM corp) i JOIN probe USING (g)
+        |  GROUP BY 1)
+        |SELECT c.doc_id, coalesce(sh2.n_shared, 0) AS n_shared,
+        |       len(c.s) AS n_shingles,
+        |       round(CASE WHEN len(c.s) > 0
+        |                  THEN CAST(coalesce(sh2.n_shared, 0) AS DOUBLE) / len(c.s)
+        |                  ELSE 0.0 END, 6) AS contamination
+        |FROM corp c LEFT JOIN shared sh2 USING (doc_id)""".stripMargin,
+
+    // Bloom prefilter + exact recheck is row-identical to the plain check
+    // at any fpp — same oracle by construction
+    "d_contamination_bloom" ->
       """WITH tk AS (
         |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
         |  FROM documents),

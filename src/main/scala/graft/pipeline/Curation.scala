@@ -1,8 +1,12 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.BinaryType
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.functions.Poly64
@@ -53,6 +57,13 @@ object Curation {
     val shared = corpusSh.select(col("id"), explode(col("sh")).as("g"))
       .join(probeSh, Seq("g"))
       .groupBy(col("id")).agg(count(lit(1)).as("n_shared"))
+    contaminationOutput(corpusSh, shared, idCol)
+  }
+
+  /** Shared output tail: attach n_shared to every corpus doc (0 when no
+    * overlap) and derive the contaminated fraction. */
+  private def contaminationOutput(corpusSh: DataFrame, shared: DataFrame,
+                                  idCol: String): DataFrame =
     corpusSh.select(col("id"), size(col("sh")).as("n_shingles"))
       .join(shared, Seq("id"), "left_outer")
       .select(
@@ -62,6 +73,49 @@ object Curation {
         round(when(col("n_shingles") > 0,
           coalesce(col("n_shared"), lit(0L)).cast("double") / col("n_shingles"))
           .otherwise(lit(0.0)), 6).as("contamination"))
+
+  /**
+   * [[contamination]] with a Bloom-filter pre-filter on the corpus side —
+   * the shape for a CLUSTER-SCALE probe set, where neither side broadcasts
+   * and the shingle equi-join must shuffle the full exploded corpus
+   * (`broadcastProbes = false`). A Bloom filter over the probe shingles
+   * (built with Spark's native `BloomFilterAggregate`, the same sketch the
+   * optimizer injects for runtime row-group filtering) is collected once
+   * (`numBits/8` bytes) and applied as a codegen'd `BloomFilterMightContain`
+   * predicate BEFORE the join, so only might-match shingles — in the
+   * decontamination regime a tiny fraction of the corpus — reach the
+   * shuffle. The exact join on the survivors then removes Bloom false
+   * positives: output is row-identical to [[contamination]] at any `fpp`.
+   *
+   * Membership is tested on `xxhash64(shingle)` — 64-bit hash collisions,
+   * not Bloom behavior, are the only approximation in the PRE-filter, and
+   * the exact recheck absorbs those too.
+   */
+  def contaminationBloom(corpus: DataFrame, probes: DataFrame,
+                         idCol: String = "doc_id", textCol: String = "text",
+                         shingleLen: Int = 3, fpp: Double = 0.01): DataFrame = {
+    val corpusSh = corpus
+      .select(col(idCol).as("id"), Dedup.wordShingles(col(textCol), shingleLen).as("sh"))
+    // reused three times (count, bloom build, exact recheck): cut the lineage
+    val probeSh = probes
+      .select(explode(Dedup.wordShingles(col(textCol), shingleLen)).as("g"))
+      .distinct().localCheckpoint(true)
+    val nProbe = math.max(probeSh.count(), 1L)
+    // optimal bits for n items at target fpp: ceil(-n ln p / (ln 2)^2)
+    val numBits = math.max(64L,
+      math.ceil(-nProbe * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val bfAgg = Bridge.column(new BloomFilterAggregate(
+      Bridge.expression(xxhash64(col("g"))),
+      Literal(nProbe), Literal(numBits)).toAggregateExpression())
+    val bfBytes = probeSh.agg(bfAgg.as("bf")).head.getAs[Array[Byte]](0)
+    val mightContain = Bridge.column(new BloomFilterMightContain(
+      Literal(bfBytes, BinaryType),
+      Bridge.expression(xxhash64(col("g")))))
+    val shared = corpusSh.select(col("id"), explode(col("sh")).as("g"))
+      .filter(mightContain)
+      .join(probeSh, Seq("g")) // exact recheck: Bloom/xxhash64 FPs drop here
+      .groupBy(col("id")).agg(count(lit(1)).as("n_shared"))
+    contaminationOutput(corpusSh, shared, idCol)
   }
 
   // ---- deterministic sampling / data mixing -------------------------------

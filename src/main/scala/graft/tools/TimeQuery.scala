@@ -19,9 +19,12 @@ object TimeQuery {
     spark.sparkContext.setLogLevel("WARN")
     // warmup
     graft.SparkEntry.queries("q3_top_customers")(spark, sfDir).count()
+    val explain = sys.env.get("SPARK_GRAFT_EXPLAIN").exists(_ == "1")
     for (_ <- 1 to reps; name <- names) {
       val t0 = System.nanoTime()
-      val n = graft.SparkEntry.queries(name)(spark, sfDir).count()
+      val df = graft.SparkEntry.queries(name)(spark, sfDir)
+      if (explain) { println(s"==== $name ===="); df.explain("formatted") }
+      val n = df.count()
       println(f"[time] $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
     }
     spark.stop()

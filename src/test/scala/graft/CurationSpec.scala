@@ -109,6 +109,33 @@ class CurationSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("contaminationBloom is row-identical to contamination (exact recheck)") {
+    val corpus = (0L until 60L)
+      .map(i => (i, s"w$i x${i % 7} y${i % 5} z${i % 3} common tail here"))
+      .toDF("doc_id", "text")
+    val probes = Seq(
+      (999L, "z1 common tail here and more"),
+      (998L, "x3 y2 z0 common tail phrase")).toDF("doc_id", "text")
+    val exact = Curation.contamination(corpus, probes, broadcastProbes = false)
+      .orderBy("doc_id").collect().toSeq
+    val bloom = Curation.contaminationBloom(corpus, probes)
+      .orderBy("doc_id").collect().toSeq
+    assert(bloom === exact)
+    // fpp → 0.9 forces a dense false-positive regime through the prefilter;
+    // the exact recheck must still strip every one of them
+    val sieve = Curation.contaminationBloom(corpus, probes, fpp = 0.9)
+      .orderBy("doc_id").collect().toSeq
+    assert(sieve === exact)
+  }
+
+  test("contaminationBloom handles an empty probe set (no shared shingles)") {
+    val corpus = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val probes = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val out = Curation.contaminationBloom(corpus, probes)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.toSeq === Seq((1L, 0L, 2L, 0.0)))
+  }
+
   // ---- bounded top-k ------------------------------------------------------
 
   test("topKPerGroup matches the sort-based reference (ties broken by id)") {

@@ -674,6 +674,20 @@ object SparkEntry {
         .select(col("query_id"), col("nbr_id"), col("rank"))
     }),
 
+    // incremental IVF maintenance: train + index 80% of the vectors, fold
+    // the other 20% in as a delta against the FROZEN quantizer, search the
+    // persisted index — the oracle trains on the base slice only and
+    // assigns/probes everything, exactly the frozen-centroid semantics
+    "e_knn_ivf_incr" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      Ann.saveIvfIndex(emb.filter(col("vec_id") % 5 =!= 0), "incr_ivf",
+        nlist = 16, iters = 2, hashInit = false, buckets = 8)
+      Ann.appendToIvfIndex(s, "incr_ivf", emb.filter(col("vec_id") % 5 === 0))
+      Ann.ivfKnnIndexed(s, "incr_ivf", emb, 3, nprobe = 4)
+        .select(col("query_id"), col("nbr_id"), col("rank"))
+    }),
+
     // product quantization: 2×32-dim subspaces, 8 codes each, ADC scoring —
     // id-ordered init so the whole train/encode/score pipeline is
     // DuckDB-oracle-checkable like e_knn_ivf
@@ -1156,24 +1170,29 @@ object SparkEntry {
   /** DuckDB SQL mirroring Ann.ivfKnn(hashInit=false): id-ordered centroid
     * init, `iters` Lloyd rounds (empty cells DROP, as in trainCentroids),
     * corpus assignment, nprobe nearest cells per query, exact cosine top-k
-    * within the probed cells. */
+    * within the probed cells. `trainWhere` restricts the TRAINING corpus
+    * (init + Lloyd) — the assignment/probe stages always see every vector;
+    * the incremental-index oracle trains on the base slice only, mirroring
+    * Ann.saveIvfIndex(base) + appendToIvfIndex(delta) with frozen
+    * centroids. */
   private def ivfOracleSql(nlist: Int, nprobe: Int, iters: Int, k: Int,
-                           dim: Int = 64): String = {
+                           dim: Int = 64, trainWhere: String = "TRUE"): String = {
     val sb = new StringBuilder
     sb ++= s"""WITH v AS MATERIALIZED (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
               |pts AS MATERIALIZED (SELECT id, r.i AS i, e[r.i] AS x FROM v, range(1, ${dim + 1}) r(i)),
+              |tp AS MATERIALIZED (SELECT * FROM pts WHERE $trainWhere),
               |init AS MATERIALIZED (SELECT row_number() OVER (ORDER BY id) - 1 AS cl, id
-              |         FROM (SELECT id FROM v ORDER BY id LIMIT $nlist)),
-              |cen0 AS MATERIALIZED (SELECT init.cl, p.i, p.x AS v FROM init JOIN pts p USING (id))""".stripMargin
+              |         FROM (SELECT id FROM v WHERE $trainWhere ORDER BY id LIMIT $nlist)),
+              |cen0 AS MATERIALIZED (SELECT init.cl, p.i, p.x AS v FROM init JOIN tp p USING (id))""".stripMargin
     for (t <- 1 to iters) {
       sb ++= s""",
                 |d$t AS MATERIALIZED (SELECT p.id, c.cl, sum((p.x - c.v) * (p.x - c.v)) AS dd
-                |        FROM pts p JOIN cen${t - 1} c USING (i) GROUP BY 1, 2),
+                |        FROM tp p JOIN cen${t - 1} c USING (i) GROUP BY 1, 2),
                 |a$t AS MATERIALIZED (SELECT id, cl FROM (
                 |  SELECT id, cl, row_number() OVER (PARTITION BY id ORDER BY dd, cl) AS rn
                 |  FROM d$t) WHERE rn = 1),
                 |cen$t AS MATERIALIZED (SELECT a.cl, p.i, avg(p.x) AS v
-                |          FROM a$t a JOIN pts p USING (id) GROUP BY 1, 2)""".stripMargin
+                |          FROM a$t a JOIN tp p USING (id) GROUP BY 1, 2)""".stripMargin
     }
     sb ++= s""",
               |fd AS MATERIALIZED (SELECT p.id, c.cl, sum((p.x - c.v) * (p.x - c.v)) AS dd
@@ -2028,6 +2047,9 @@ object SparkEntry {
     "g_kmeans_clusters" -> kmeansOracleSql(k = 4, steps = 8),
 
     "e_knn_ivf" -> ivfOracleSql(nlist = 16, nprobe = 4, iters = 2, k = 3),
+
+    "e_knn_ivf_incr" -> ivfOracleSql(nlist = 16, nprobe = 4, iters = 2, k = 3,
+      trainWhere = "id % 5 <> 0"),
 
     "e_knn_pq" -> pqOracleSql(m = 2, ncodes = 8, iters = 2, k = 2),
 

@@ -156,13 +156,21 @@ object Ann {
              idCol: String = "vec_id", vecCol: String = "embedding",
              excludeSelf: Boolean = true, hashInit: Boolean = true): DataFrame = {
     val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).cast("array<double>").as("cv"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
     val centroids = trainCentroids(corpus, nlist, iters, idCol, vecCol, hashInit)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val corpusCells = assignCells(c.withColumnRenamed("nbr_id", "id"), centroids, "cv")
       .toDF("nbr_id", "cell")
     val indexed = c.join(corpusCells, Seq("nbr_id"))
-    // query → nprobe nearest cells
+    probeCells(indexed, centroids, queries, k, nprobe, idCol, vecCol, excludeSelf)
+  }
+
+  /** Shared IVF search tail: route each query to its `nprobe` nearest cells,
+    * score only the vectors indexed in those cells, bounded top-k. */
+  private def probeCells(indexed: DataFrame, centroids: DataFrame,
+                         queries: DataFrame, k: Int, nprobe: Int,
+                         idCol: String, vecCol: String,
+                         excludeSelf: Boolean): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
     val qCells = q.crossJoin(broadcast(centroids))
       .withColumn("d2", squaredDistance(col("qv"), col("centroid")))
       .withColumn("rn", row_number().over(
@@ -176,6 +184,79 @@ object Ann {
         col("sim").cast("double").as("sim")), "query_id", "sim", "nbr_id", k)
       .select(col("query_id"), col("nbr_id"), col("sim"), col("rank"))
   }
+
+  // ---- persisted / incremental IVF index ----------------------------------
+
+  /** Persist an IVF index for incremental maintenance — the embeddings
+    * analog of [[Dedup.saveLshIndex]]: `<name>_centroids` (the trained
+    * coarse quantizer, nlist rows), `<name>_cells` (nbr_id, cell, cv)
+    * bucketed AND sorted by the probe-join key `cell`, and `<name>_meta`
+    * with the build parameters ([[appendToIvfIndex]] validates against it —
+    * a delta assigned under different nlist/iters/init would corrupt the
+    * index). Idempotent: tables + stale warehouse locations are replaced.
+    *
+    * Scale shape: the corpus shuffles ONCE at build (the assignment
+    * groupBy); afterwards every search streams `<name>_cells` from disk
+    * pre-partitioned on `cell`, and every delta batch touches only its own
+    * new files. */
+  def saveIvfIndex(corpus: DataFrame, name: String,
+                   nlist: Int = 64, iters: Int = 3,
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   hashInit: Boolean = true, buckets: Int = 32): Unit = {
+    val spark = corpus.sparkSession
+    Seq("centroids", "cells", "meta")
+      .foreach(s => Dedup.replaceTable(spark, s"${name}_$s"))
+    import spark.implicits._
+    Seq((nlist, iters, hashInit, buckets))
+      .toDF("nlist", "iters", "hash_init", "buckets")
+      .write.mode("overwrite").saveAsTable(s"${name}_meta")
+    val centroids = trainCentroids(corpus, nlist, iters, idCol, vecCol, hashInit)
+      .coalesce(1).localCheckpoint(true)
+    centroids.write.mode("overwrite").saveAsTable(s"${name}_centroids")
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("cv"))
+    assignCells(c.select(col("id"), col("cv").as("v")), centroids, "v")
+      .join(c, Seq("id"))
+      .select(col("id").as("nbr_id"), col("cell"), col("cv"))
+      .write.mode("overwrite").bucketBy(buckets, "cell").sortBy("cell")
+      .saveAsTable(s"${name}_cells")
+  }
+
+  /** Fold a delta of new vectors into a persisted IVF index: assign against
+    * the FROZEN quantizer (centroids broadcast, delta-only scan — the base
+    * side is not read at all) and APPEND to the bucketed cells table (only
+    * the delta's own files are written). After the call the index describes
+    * base ∪ delta — by construction identical to assigning base ∪ delta
+    * against the same centroids in one pass, since per-vector assignment is
+    * independent and deterministic. Centroids deliberately do NOT drift:
+    * re-train (a fresh [[saveIvfIndex]]) when the corpus distribution moves
+    * enough to matter, exactly like a production IVF deployment. */
+  def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                       name: String, delta: DataFrame,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    require(spark.catalog.tableExists(s"${name}_meta"),
+      s"appendToIvfIndex('$name'): no such index — run saveIvfIndex first")
+    val centroids = spark.table(s"${name}_centroids")
+    val d = delta.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("cv"))
+    assignCells(d.select(col("id"), col("cv").as("v")), centroids, "v")
+      .join(d, Seq("id"))
+      .select(col("id").as("nbr_id"), col("cell"), col("cv"))
+      .write.mode("append").format("parquet")
+      .bucketBy(spark.table(s"${name}_meta").head().getAs[Int]("buckets"),
+        "cell").sortBy("cell")
+      .saveAsTable(s"${name}_cells")
+    // the next reader must see the appended files, not a cached listing
+    spark.catalog.refreshTable(s"${name}_cells")
+  }
+
+  /** Search a persisted IVF index ([[saveIvfIndex]] + any number of
+    * [[appendToIvfIndex]] deltas): same probe path as [[ivfKnn]], with the
+    * indexed side streaming from the bucketed cells table. */
+  def ivfKnnIndexed(spark: org.apache.spark.sql.SparkSession,
+                    name: String, queries: DataFrame, k: Int, nprobe: Int = 8,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    excludeSelf: Boolean = true): DataFrame =
+    probeCells(spark.table(s"${name}_cells"), spark.table(s"${name}_centroids"),
+      queries, k, nprobe, idCol, vecCol, excludeSelf)
 
   // ---- product quantization (PQ) ------------------------------------------
 

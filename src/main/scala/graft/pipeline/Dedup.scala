@@ -280,8 +280,8 @@ object Dedup {
     * path and dies with LOCATION_ALREADY_EXISTS on the orphaned directory —
     * so any ingest loop re-running [[saveLshIndex]] after a crash would
     * wedge permanently. */
-  private def replaceTable(spark: org.apache.spark.sql.SparkSession,
-                           table: String): Unit = {
+  private[pipeline] def replaceTable(spark: org.apache.spark.sql.SparkSession,
+                                     table: String): Unit = {
     // invalidate any cached file listing FIRST — a later read planned off
     // the stale cache would chase deleted part-files
     if (spark.catalog.tableExists(table)) spark.catalog.refreshTable(table)

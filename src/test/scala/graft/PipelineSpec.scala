@@ -77,6 +77,47 @@ class PipelineSpec extends SparkSpec {
     assert(ivf.keySet === bf.keySet)
   }
 
+  test("incremental IVF: persisted index + delta ≡ one-pass frozen-centroid index") {
+    val vecs = (0 until 60).map { i =>
+      val base = if (i % 2 == 0) Array(10.0, 0.0) else Array(0.0, 10.0)
+      (i.toLong, Array(base(0) + (i % 5) * 0.01, base(1) + (i % 7) * 0.01))
+    }.toDF("vec_id", "embedding")
+    val baseSlice = vecs.filter($"vec_id" % 3 =!= 0)
+    val delta = vecs.filter($"vec_id" % 3 === 0)
+    // build TWICE: saveIvfIndex must be idempotent (crash-retry ingest loop)
+    Ann.saveIvfIndex(baseSlice, "iivf", nlist = 4, iters = 2, hashInit = false,
+      buckets = 4)
+    Ann.saveIvfIndex(baseSlice, "iivf", nlist = 4, iters = 2, hashInit = false,
+      buckets = 4)
+    Ann.appendToIvfIndex(spark, "iivf", delta)
+    // the appended index content must equal assigning base ∪ delta against
+    // the SAME frozen centroids in one pass (search equivalence follows:
+    // ivfKnnIndexed is a deterministic function of the cells table)
+    val centroids = spark.table("iivf_centroids")
+    val all = vecs.select($"vec_id".as("id"),
+      $"embedding".cast("array<double>").as("cv"))
+    val oneShot = Ann.assignCells(all.select($"id", $"cv".as("v")), centroids, "v")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val persisted = spark.table("iivf_cells")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(persisted === oneShot)
+    // and the search path over the maintained index answers every query
+    // with same-cluster neighbors (even ids cluster apart from odd ids)
+    val knn = Ann.ivfKnnIndexed(spark, "iivf", vecs, 1, nprobe = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(knn.keySet === (0L until 60L).toSet)
+    knn.foreach { case (q, n) =>
+      assert(q % 2 === n % 2, s"query $q crossed clusters to $n") }
+  }
+
+  test("appendToIvfIndex fails fast when the index does not exist") {
+    val delta = Seq((1L, Array(1.0, 0.0))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Ann.appendToIvfIndex(spark, "no_such_ivf", delta)
+    }
+    assert(e.getMessage.contains("no such index"))
+  }
+
   test("pq knn: ADC finds same-cluster neighbors on separated clusters") {
     val rnd = new scala.util.Random(3)
     val base = Seq(

@@ -1027,20 +1027,21 @@ object SparkEntry {
           col("asof_value").as("click_cents"))
     }),
 
-    "ev_sessions" -> ((s, dir) => {
-      val w = Window.partitionBy(col("user_id")).orderBy(asc("ts"), asc("event_id"))
-      events(s, dir)
-        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
-        .withColumn("new_session",
-          when(col("prev_ts").isNull ||
-            unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 30L * 60 * 1000000, 1L)
-            .otherwise(0L))
-        .withColumn("session_seq", sum(col("new_session")).over(
-          w.rowsBetween(Window.unboundedPreceding, 0)))
+    "ev_sessions" -> ((s, dir) =>
+      Events.sessionize(events(s, dir))
         .groupBy(col("user_id"), col("session_seq"))
         .agg(min(col("ts")).as("session_start"), count(lit(1)).as("n_events"))
-        .select(col("user_id"), col("session_start"), col("n_events"))
-    })
+        .select(col("user_id"), col("session_start"), col("n_events"))),
+
+    // hot-key-hardened sessionization: per-(user, day-chunk) windows +
+    // boundary-corrected prefix sums — row-identical to ev_sessions (same
+    // oracle), with every sort partition bounded by the chunk width
+    "ev_sessions_chunked" -> ((s, dir) =>
+      Events.sessionize(events(s, dir),
+          chunk = Some(ts => floor(unix_timestamp(ts) / 86400L)))
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(min(col("ts")).as("session_start"), count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("session_start"), col("n_events")))
   )
 
   // =========================================================================
@@ -2231,6 +2232,26 @@ object SparkEntry {
         |FROM x GROUP BY 1, 2""".stripMargin,
 
     "ev_sessions" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events),
+        |x AS (
+        |  SELECT user_id, ts, event_id,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM ev),
+        |y AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM x),
+        |z AS (
+        |  SELECT user_id, ts,
+        |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM y)
+        |SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+        |FROM z GROUP BY user_id, session_seq""".stripMargin,
+
+    // chunked plan is row-identical by construction — same oracle
+    "ev_sessions_chunked" ->
       """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events),
         |x AS (
         |  SELECT user_id, ts, event_id,

@@ -139,6 +139,78 @@ object Events {
     }
   }
 
+  /** Gap-based sessionization: appends `session_seq` — the running count of
+    * session BREAKS (first event of the key, or a gap > `gapMicros` since
+    * the previous event) per key in (ts, tie) order. Grouping by
+    * (key, session_seq) afterwards yields the session roll-up.
+    *
+    * HOT-KEY hardening, same pattern as [[asofJoin]]: the default plan
+    * sorts each key's entire timeline in one window partition — a bot user
+    * with 10⁹ events is a straggler task. Pass `chunk` (pure, MONOTONIC
+    * non-decreasing ts → chunk id) to bound every sort partition by the
+    * chunk width instead: pass 1 computes breaks and a running local count
+    * INSIDE each (key, chunk) — the first event of a chunk provisionally
+    * counts as a break; pass 2 fixes that one bit per chunk from the
+    * per-(key, chunk) BOUNDARY relation (previous chunk's last ts, one row
+    * per chunk) and prefix-sums the corrected per-chunk break counts into
+    * offsets. session_seq = local count + boundary correction + offset —
+    * EXACTLY the unchunked numbering, because a session break is a pure
+    * function of the gap to the previous event, wherever the chunk
+    * boundary falls. */
+  def sessionize(events: DataFrame, keyCol: String = "user_id",
+                 tsCol: String = "ts", tieCol: String = "event_id",
+                 gapMicros: Long = 30L * 60 * 1000000L,
+                 chunk: Option[Column => Column] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val reserved = Seq("_prev", "_brk", "_lseq", "_chunk", "_corr", "_off")
+    require(!events.columns.exists(reserved.contains),
+      s"sessionize reserves columns ${reserved.mkString(", ")}")
+    def isBreak(prev: Column): Column =
+      when(prev.isNull ||
+        unix_micros(col(tsCol)) - unix_micros(prev) > gapMicros, 1L)
+        .otherwise(0L)
+    chunk match {
+      case None =>
+        val w = Window.partitionBy(col(keyCol))
+          .orderBy(col(tsCol).asc, col(tieCol).asc)
+        events
+          .withColumn("_prev", lag(col(tsCol), 1).over(w))
+          .withColumn("_brk", isBreak(col("_prev")))
+          .withColumn("session_seq", sum(col("_brk")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+          .drop("_prev", "_brk")
+      case Some(chunkOf) =>
+        val uc = events.withColumn("_chunk", chunkOf(col(tsCol)))
+        // pass 1: breaks + running count inside (key, chunk); the chunk's
+        // first event provisionally counts 1 (corrected in pass 2)
+        val wc = Window.partitionBy(col(keyCol), col("_chunk"))
+          .orderBy(col(tsCol).asc, col(tieCol).asc)
+        val local = uc
+          .withColumn("_prev", lag(col(tsCol), 1).over(wc))
+          .withColumn("_brk", isBreak(col("_prev")))
+          .withColumn("_lseq", sum(col("_brk")).over(
+            wc.rowsBetween(Window.unboundedPreceding, 0)))
+        // pass 2: one row per (key, chunk) — bounded by the time range,
+        // not the key's row count
+        val wb = Window.partitionBy(col(keyCol)).orderBy(col("_chunk").asc)
+        val adj = local.groupBy(col(keyCol), col("_chunk"))
+          .agg(min(col(tsCol)).as("_first"), max(col(tsCol)).as("_last"),
+            sum(col("_brk")).as("_nbrk"))
+          .withColumn("_bbrk",
+            when(lag(col("_last"), 1).over(wb).isNull ||
+              unix_micros(col("_first")) -
+                unix_micros(lag(col("_last"), 1).over(wb)) > gapMicros, 1L)
+              .otherwise(0L))
+          .withColumn("_corr", col("_bbrk") - 1L)
+          .withColumn("_off", coalesce(sum(col("_nbrk") + col("_corr")).over(
+            wb.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col(keyCol), col("_chunk"), col("_corr"), col("_off"))
+        local.join(adj, Seq(keyCol, "_chunk"))
+          .withColumn("session_seq", col("_lseq") + col("_corr") + col("_off"))
+          .drop("_prev", "_brk", "_lseq", "_chunk", "_corr", "_off")
+    }
+  }
+
   /** Range join: points ⋈ intervals where `startCol ≤ ptCol ≤ endCol`
     * (optionally also equi-joined on `keyCols`). Spark plans a raw
     * inequality join as a nested-loop product; this formulation BUCKETIZES —

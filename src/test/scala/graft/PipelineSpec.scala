@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.pipeline.{Ann, Dedup, Multimodal, TextAnalysis}
+import graft.pipeline.{Ann, Dedup, Events, Multimodal, TextAnalysis}
 
 class PipelineSpec extends SparkSpec {
   import spark.implicits._
@@ -116,6 +116,57 @@ class PipelineSpec extends SparkSpec {
       Ann.appendToIvfIndex(spark, "no_such_ivf", delta)
     }
     assert(e.getMessage.contains("no such index"))
+  }
+
+  test("IVF index search: base side pre-partitioned, no exchange") {
+    // probe join on `cell`: the persisted side is bucketed by cell, so with
+    // broadcast off the ONLY exchange is the (small) routed-query side —
+    // the 100 TB cells table never reshuffles at search time
+    val probes = Seq((900L, 0, Array(10.0, 0.0)), (901L, 1, Array(0.0, 10.0)))
+      .toDF("query_id", "cell", "qv")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = probes.join(spark.table("iivf_cells"), Seq("cell"))
+      val plan = j.queryExecution.executedPlan.toString
+      val exchanges = "Exchange".r.findAllIn(plan).length
+      assert(exchanges === 1, s"expected probe-side-only exchange, got:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("streaming ingest loop: foreachBatch vector deltas fold into the IVF index") {
+    // embeddings analog of the LSH foreachBatch composition: micro-batch
+    // deltas append to the persisted index; the maintained cells table
+    // stays ≡ one-pass frozen-centroid assignment over everything seen
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mk = (i: Int) => {
+      val base = if (i % 2 == 0) Array(10.0, 0.0) else Array(0.0, 10.0)
+      (i.toLong, Array(base(0) + (i % 5) * 0.01, base(1) + (i % 7) * 0.01))
+    }
+    val baseSlice = (0 until 30).map(mk).toDF("vec_id", "embedding")
+    Ann.saveIvfIndex(baseSlice, "sivf", nlist = 4, iters = 2,
+      hashInit = false, buckets = 4)
+    val input = MemoryStream[(Long, Array[Double])]
+    val q = input.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Ann.appendToIvfIndex(spark, "sivf", batch)
+        ()
+      }
+      .start()
+    input.addData((30 until 45).map(mk): _*)
+    q.processAllAvailable()
+    input.addData((45 until 60).map(mk): _*)
+    q.processAllAvailable()
+    q.stop()
+    val centroids = spark.table("sivf_centroids")
+    val all = (0 until 60).map(mk).toDF("vec_id", "embedding")
+      .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v"))
+    val oneShot = Ann.assignCells(all, centroids, "v")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val persisted = spark.table("sivf_cells")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(persisted === oneShot)
   }
 
   test("pq knn: ADC finds same-cluster neighbors on separated clusters") {
@@ -684,6 +735,58 @@ class PipelineSpec extends SparkSpec {
       .filter(col("k") === 0L).collect().map(_.getLong(2))
     assert(groups.length >= 15)
     assert(groups.max <= 400, s"largest (key, chunk) sort group = ${groups.max}")
+  }
+
+  test("sessionize numbers gap-separated sessions; chunking preserves them exactly") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    // user 1: a session CONTINUING across midnight (gap 10 min over the day
+    // chunk boundary), then a break; user 2: break exactly AT the boundary
+    val df = Seq(
+      (1L, ts("2024-01-01 23:40:00"), 1L),
+      (1L, ts("2024-01-01 23:55:00"), 2L),
+      (1L, ts("2024-01-02 00:05:00"), 3L), // 10 min gap: SAME session
+      (1L, ts("2024-01-02 09:00:00"), 4L), // new session
+      (2L, ts("2024-01-01 12:00:00"), 5L),
+      (2L, ts("2024-01-02 12:00:00"), 6L)  // new session (24h gap)
+    ).toDF("user_id", "ts", "event_id")
+    val chunkOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      t => floor(unix_timestamp(t) / 86400L)
+    def seqs(out: org.apache.spark.sql.DataFrame) = out
+      .collect().map(r => r.getLong(2) -> r.getLong(3)).toMap
+    val plain = seqs(Events.sessionize(df))
+    assert(plain === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L,
+      5L -> 1L, 6L -> 2L))
+    assert(seqs(Events.sessionize(df, chunk = Some(chunkOf))) === plain)
+  }
+
+  test("chunked sessionize ≡ unchunked on a hot key, with bounded sort groups") {
+    import java.sql.Timestamp
+    // hot user 0 with 2000 events over ~14 days (avg gap ~10 min → a mix of
+    // continuations and breaks, many crossing day-chunk boundaries) plus
+    // normal users; equality must hold event by event
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 2400).map { i =>
+      val u = if (i < 2000) 0L else (i % 5 + 1).toLong
+      (u, new Timestamp(1700000000000L + rnd.nextInt(14 * 86400).toLong * 1000),
+        i.toLong)
+    }
+    val df = rows.toDF("user_id", "ts", "event_id")
+    val chunkOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      t => floor(unix_timestamp(t) / 86400L)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(2)) -> r.getLong(3)
+    val plain = Events.sessionize(df).collect().map(key).toMap
+    val chunked = Events.sessionize(df, chunk = Some(chunkOf))
+      .collect().map(key).toMap
+    assert(chunked === plain)
+    assert(plain.size === 2400)
+    // straggler bound: pass-1 sort groups are (user, day) — the hot user's
+    // 2000 events spread over ~14 chunks instead of one sort partition
+    val groups = df.groupBy(col("user_id"), chunkOf(col("ts")).as("c"))
+      .count().filter(col("user_id") === 0L).collect().map(_.getLong(2))
+    assert(groups.length >= 12)
+    assert(groups.max <= 300, s"largest (user, day) sort group = ${groups.max}")
   }
 
   test("rangeJoin matches points to containing intervals across bin boundaries") {

@@ -539,6 +539,30 @@ object SparkEntry {
         keyCol = "doc_id", salt = "mix:", defaultRate = 0.0625)
         .select(col("doc_id"), col("lang"))),
 
+    // END-TO-END curation pipeline — the composition a training-data run
+    // actually executes: language-ID → quality gate (length + stopword
+    // ratio) → exact-dedup keep-best reps → per-language stratified sample.
+    // Every stage is an already-gated operator; this gates that they
+    // COMPOSE (one corpus scan feeds langId and quality; the dedup semi
+    // join and the sample gate are the only other shuffle/filter)
+    "d_curation_e2e" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val lang = TextAnalysis.langId(docs).select(col("doc_id"), col("lang_pred"))
+      val qual = TextAnalysis.qualityScore(docs)
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("stopword_ratio"), 6).as("stopword_ratio"))
+      val reps = Dedup.exactKeepBest(docs).select(col("doc_id"))
+      val gated = docs.select(col("doc_id"))
+        .join(reps, Seq("doc_id"), "left_semi")
+        .join(lang, Seq("doc_id"))
+        .join(qual, Seq("doc_id"))
+        .filter(col("n_tokens") >= 10 && col("stopword_ratio") >= 0.05)
+      Curation.stratifiedSample(gated, "lang_pred",
+          Map("en" -> 0.5, "de" -> 0.5, "fr" -> 0.25, "es" -> 0.5, "it" -> 0.25),
+          keyCol = "doc_id", salt = "cur:", defaultRate = 0.125)
+        .select(col("doc_id"), col("lang_pred"), col("n_tokens"))
+    }),
+
     // PII scrub: the gate injects synthetic email/IP/phone spans derived
     // from doc_id so the redaction path is actually exercised on this corpus
     "d_pii_redact" -> ((s, dir) =>
@@ -1956,6 +1980,55 @@ object SparkEntry {
         |                  THEN CAST(coalesce(sh2.n_shared, 0) AS DOUBLE) / len(c.s)
         |                  ELSE 0.0 END, 6) AS contamination
         |FROM corp c LEFT JOIN shared sh2 USING (doc_id)""".stripMargin,
+
+    // the pipeline composition: each CTE is the corresponding gated query's
+    // oracle verbatim (lang = d_lang_id, qual = d_quality's first three
+    // columns, reps = d_dedup_retain's representative ids, gate =
+    // d_sample_mix's hash family with salt 'cur:' over lang_pred)
+    "d_curation_e2e" -> {
+      val cps = "list_transform(range(1, length(k) + 1), j -> CAST(unicode(k[j]) AS HUGEINT))"
+      s"""WITH lang AS (
+         |  SELECT doc_id,
+         |    CASE WHEN code < 8 THEN 'und'
+         |         ELSE ['de','en','es','fr','it'][(code % 8) + 1] END AS lang_pred
+         |  FROM (
+         |    SELECT doc_id, greatest(
+         |      8 * len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','ich','nicht','ein','eine','mit','auf','für','von','zu','den','im'], t))) + 0,
+         |      8 * len(list_filter(toks, t -> list_contains(['the','a','an','of','to','in','and','is','it','that','for','on','was','with','as','at','by','this'], t))) + 1,
+         |      8 * len(list_filter(toks, t -> list_contains(['el','la','los','las','de','y','es','un','una','en','que','por','con','para','no','se'], t))) + 2,
+         |      8 * len(list_filter(toks, t -> list_contains(['le','la','les','de','des','et','est','un','une','dans','que','pour','pas','sur','avec','au'], t))) + 3,
+         |      8 * len(list_filter(toks, t -> list_contains(['il','lo','la','gli','di','e','è','un','una','in','che','per','non','con','su','del'], t))) + 4
+         |    ) AS code
+         |    FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents))),
+         |qual AS (
+         |  SELECT doc_id, len(toks) AS n_tokens,
+         |    round(CAST(len(list_filter(toks, t -> list_contains(
+         |      ['the','a','an','of','to','in','and','is','it','that','for','on','was','with','as','at','by','this'],
+         |      lower(t)))) AS DOUBLE) / len(toks), 6) AS stopword_ratio
+         |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents)),
+         |g AS (SELECT doc_id, n_chars,
+         |             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS kk
+         |      FROM documents),
+         |r AS (SELECT kk, max(n_chars) AS kc FROM g GROUP BY 1),
+         |reps AS (SELECT min(g.doc_id) AS doc_id
+         |         FROM g JOIN r ON g.kk = r.kk AND g.n_chars = r.kc
+         |         GROUP BY r.kk, r.kc),
+         |gated AS (
+         |  SELECT d.doc_id, lang.lang_pred, qual.n_tokens
+         |  FROM documents d
+         |  JOIN reps USING (doc_id) JOIN lang USING (doc_id) JOIN qual USING (doc_id)
+         |  WHERE qual.n_tokens >= 10 AND qual.stopword_ratio >= 0.05)
+         |SELECT doc_id, lang_pred, n_tokens FROM (
+         |  SELECT doc_id, lang_pred, n_tokens,
+         |    ${sqlPoly("cps", 1125899906842597L, Curation.saltMult("cur:"))} % 1048576 AS gate
+         |  FROM (SELECT doc_id, lang_pred, n_tokens, $cps AS cps
+         |        FROM (SELECT doc_id, lang_pred, n_tokens,
+         |                     CAST(doc_id AS VARCHAR) || 'cur:' AS k
+         |              FROM gated)))
+         |WHERE gate < CASE lang_pred WHEN 'en' THEN 524288 WHEN 'de' THEN 524288
+         |                            WHEN 'fr' THEN 262144 WHEN 'es' THEN 524288
+         |                            WHEN 'it' THEN 262144 ELSE 131072 END""".stripMargin
+    },
 
     "d_sample_mix" -> {
       val cps = "list_transform(range(1, length(k) + 1), j -> CAST(unicode(k[j]) AS HUGEINT))"

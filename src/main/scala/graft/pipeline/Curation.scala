@@ -107,7 +107,7 @@ object Curation {
     val bfAgg = Bridge.column(new BloomFilterAggregate(
       Bridge.expression(xxhash64(col("g"))),
       Literal(nProbe), Literal(numBits)).toAggregateExpression())
-    val bfBytes = probeSh.agg(bfAgg.as("bf")).head.getAs[Array[Byte]](0)
+    val bfBytes = probeSh.agg(bfAgg.as("bf")).head().getAs[Array[Byte]](0)
     val mightContain = Bridge.column(new BloomFilterMightContain(
       Literal(bfBytes, BinaryType),
       Bridge.expression(xxhash64(col("g")))))

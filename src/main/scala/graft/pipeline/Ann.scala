@@ -221,10 +221,12 @@ object Ann {
       .saveAsTable(s"${name}_cells")
   }
 
-  /** Fold a delta of new vectors into a persisted IVF index: assign against
-    * the FROZEN quantizer (centroids broadcast, delta-only scan — the base
-    * side is not read at all) and APPEND to the bucketed cells table (only
-    * the delta's own files are written). After the call the index describes
+  /** Fold a delta of new vectors (ids disjoint from the base snapshot, like
+    * [[Dedup.incrementalMinHashLSH]]'s contract) into a persisted IVF index:
+    * assign against the FROZEN quantizer (centroids broadcast, delta-only
+    * scan — the base side is not read at all) and APPEND to the bucketed
+    * cells table (only the delta's own files are written). After the call
+    * the index describes
     * base ∪ delta — by construction identical to assigning base ∪ delta
     * against the same centroids in one pass, since per-vector assignment is
     * independent and deterministic. Centroids deliberately do NOT drift:

@@ -772,18 +772,23 @@ class PipelineSpec extends SparkSpec {
         i.toLong)
     }
     val df = rows.toDF("user_id", "ts", "event_id")
-    val chunkOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-      t => floor(unix_timestamp(t) / 86400L)
     def key(r: org.apache.spark.sql.Row) =
       (r.getLong(0), r.getLong(2)) -> r.getLong(3)
     val plain = Events.sessionize(df).collect().map(key).toMap
-    val chunked = Events.sessionize(df, chunk = Some(chunkOf))
-      .collect().map(key).toMap
-    assert(chunked === plain)
     assert(plain.size === 2400)
+    // equivalence must hold at ANY chunk width — boundary density varies
+    // from ~14 boundaries (1 day) to hundreds (1 hour)
+    for (width <- Seq(3600L, 21600L, 86400L, 3 * 86400L)) {
+      val chunkOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        t => floor(unix_timestamp(t) / width)
+      val chunked = Events.sessionize(df, chunk = Some(chunkOf))
+        .collect().map(key).toMap
+      assert(chunked === plain, s"chunk width $width diverged")
+    }
     // straggler bound: pass-1 sort groups are (user, day) — the hot user's
     // 2000 events spread over ~14 chunks instead of one sort partition
-    val groups = df.groupBy(col("user_id"), chunkOf(col("ts")).as("c"))
+    val groups = df.groupBy(col("user_id"),
+        floor(unix_timestamp(col("ts")) / 86400L).as("c"))
       .count().filter(col("user_id") === 0L).collect().map(_.getLong(2))
     assert(groups.length >= 12)
     assert(groups.max <= 300, s"largest (user, day) sort group = ${groups.max}")

@@ -20,7 +20,21 @@ object PlanAudit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    names.foreach { name =>
+    if (names == Seq("NLJ")) {
+      // audit mode: scan EVERY query's physical plan for the join shapes
+      // that don't survive 100 TB (nested-loop / cartesian), one line each
+      var flagged = 0
+      SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+        try {
+          val plan = SparkEntry.queries(name)(spark, sfDir)
+            .queryExecution.executedPlan.toString
+          val nlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+          val cart = "CartesianProduct".r.findAllIn(plan).length
+          if (nlj + cart > 0) { flagged += 1; println(s"[nlj] $name nlj=$nlj cartesian=$cart") }
+        } catch { case e: Throwable => println(s"[nlj] $name ERROR ${e.getMessage}") }
+      }
+      println(s"[nlj] flagged $flagged of ${SparkEntry.queries.size} queries")
+    } else names.foreach { name =>
       println(s"\n================ $name ================")
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")
     }

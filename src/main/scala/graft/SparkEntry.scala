@@ -1065,7 +1065,32 @@ object SparkEntry {
           chunk = Some(ts => floor(unix_timestamp(ts) / 86400L)))
         .groupBy(col("user_id"), col("session_seq"))
         .agg(min(col("ts")).as("session_start"), count(lit(1)).as("n_events"))
-        .select(col("user_id"), col("session_start"), col("n_events")))
+        .select(col("user_id"), col("session_start"), col("n_events"))),
+
+    // 10⁵-event-hot-user skew DRILL for the chunked session path (the
+    // events analog of g_skew_*): user 1 fires every minute with an hour
+    // jump each 1000 events → exactly 100 sessions of 1000, most of them
+    // CROSSING day-chunk boundaries mid-session; 10 normal users with
+    // 2-hour gaps → 100 single-event sessions each. Pure derivation with a
+    // closed-form oracle; every (user, day) sort group stays ≈1 day wide
+    // while the unchunked plan would sort all 10⁵ hot rows in one task
+    "ev_skew_sessions" -> ((s, dir) => {
+      val base = 1704067200L // 2024-01-01 00:00:00 UTC
+      val hot = s.range(0L, 100000L).select(
+        lit(1L).as("user_id"),
+        timestamp_seconds(lit(base) + col("id") * 60 +
+          expr("id div 1000") * 3600).as("ts"),
+        col("id").as("event_id"))
+      val normal = s.range(0L, 1000L).select(
+        (col("id") % 10 + 2).as("user_id"),
+        timestamp_seconds(lit(base) + expr("id div 10") * 7200).as("ts"),
+        (lit(100000L) + col("id")).as("event_id"))
+      Events.sessionize(hot.unionByName(normal),
+          chunk = Some(ts => floor(unix_timestamp(ts) / 86400L)))
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(min(col("ts")).as("session_start"), count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("session_start"), col("n_events"))
+    })
   )
 
   // =========================================================================
@@ -2341,6 +2366,26 @@ object SparkEntry {
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
         |  FROM y)
         |SELECT user_id, min(ts) AS session_start, count(*) AS n_events
-        |FROM z GROUP BY user_id, session_seq""".stripMargin
+        |FROM z GROUP BY user_id, session_seq""".stripMargin,
+
+    // closed form: hot session k starts at its block's first event
+    // (i = 1000k → base + k·60000 s + k·3600 s) with exactly 1000 events;
+    // normal users' every event is its own session (2 h > 30 min gap)
+    "ev_skew_sessions" ->
+      """WITH hot AS (
+        |  SELECT CAST(1 AS BIGINT) AS user_id,
+        |         TIMESTAMP '2024-01-01 00:00:00'
+        |           + (k * 60000 + k * 3600) * INTERVAL 1 SECOND AS session_start,
+        |         CAST(1000 AS BIGINT) AS n_events
+        |  FROM range(0, 100) t(k)),
+        |norm AS (
+        |  SELECT CAST(u AS BIGINT) AS user_id,
+        |         TIMESTAMP '2024-01-01 00:00:00'
+        |           + (j * 7200) * INTERVAL 1 SECOND AS session_start,
+        |         CAST(1 AS BIGINT) AS n_events
+        |  FROM range(2, 12) t(u), range(0, 100) t2(j))
+        |SELECT user_id, session_start, n_events FROM hot
+        |UNION ALL
+        |SELECT user_id, session_start, n_events FROM norm""".stripMargin
   )
 }

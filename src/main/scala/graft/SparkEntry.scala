@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.algos.GraphAlgorithms
 import graft.core.KGraph
 import graft.core.KGraph.EdgeDirection
-import graft.pipeline.{Ann, Curation, Dedup, Events, TextAnalysis}
+import graft.pipeline.{Ann, Curation, Dedup, Events, Multimodal, TextAnalysis}
 
 /**
  * Driver contract: every implemented operator from SURVEY.md §2 is exposed as
@@ -975,6 +975,27 @@ object SparkEntry {
     }),
 
     // ---- events (streaming semantics, batch-checkable) -------------------
+
+    // multimodal PLAN stages (pure Catalyst over typed metadata — the
+    // contract a decode stage plugs into; byte decode itself is spec-gated
+    // since the driver tables carry no binaries): frame-sampling schedule
+    // and resize geometry, driven by deterministic per-doc metadata
+    "mm_frame_plan" -> ((s, dir) => {
+      val media = t(s, dir, "documents").select(col("doc_id").as("id"),
+        struct(lit("video").as("mediaType"),
+          (lit(500L) + col("doc_id") % 7919).as("durationMs")).as("meta"))
+      Multimodal.frameSamplePlan(media, hopMs = 1000L)
+        .toDF("id", "frame_idx", "start_ms")
+    }),
+
+    "mm_resize_plan" -> ((s, dir) => {
+      val media = t(s, dir, "documents").select(col("doc_id").as("id"),
+        struct((lit(400L) + col("doc_id") % 1200).cast("int").as("width"),
+          (lit(300L) + col("doc_id") % 900).cast("int").as("height")).as("meta"))
+      Multimodal.resizePlan(media, maxSide = 512)
+        .select(col("id"), col("target_width"), col("target_height"),
+          round(col("scale"), 6).as("scale"))
+    }),
 
     "ev_hourly" -> ((s, dir) =>
       events(s, dir)
@@ -2192,6 +2213,26 @@ object SparkEntry {
         |       user_id AS id,
         |       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "mm_frame_plan" ->
+      """WITH m AS (SELECT doc_id AS id, 500 + doc_id % 7919 AS dur FROM documents),
+        |f AS (SELECT id, unnest(range(0, greatest((dur - 1) // 1000, 0) + 1)) AS k FROM m)
+        |SELECT id, CAST(k AS INTEGER) AS frame_idx, CAST(k * 1000 AS BIGINT) AS start_ms
+        |FROM f""".stripMargin,
+
+    "mm_resize_plan" ->
+      """WITH m AS (SELECT doc_id AS id,
+        |                  CAST(400 + doc_id % 1200 AS INTEGER) AS w,
+        |                  CAST(300 + doc_id % 900 AS INTEGER) AS h
+        |           FROM documents),
+        |s AS (SELECT id, w, h,
+        |             CASE WHEN greatest(w, h) <= 512 THEN 1.0
+        |                  ELSE 512 / CAST(greatest(w, h) AS DOUBLE) END AS scale
+        |      FROM m)
+        |SELECT id, CAST(ceil(w * scale) AS INTEGER) AS target_width,
+        |       CAST(ceil(h * scale) AS INTEGER) AS target_height,
+        |       round(scale, 6) AS scale
+        |FROM s""".stripMargin,
 
     "ev_hourly" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,

@@ -731,6 +731,19 @@ object SparkEntry {
         iters = 2, hashInit = false)
     }),
 
+    // incremental IVF-PQ maintenance: the 100 TB ANN configuration's ingest
+    // loop — quantizer AND codebook train on the 80% base, the 20% delta is
+    // assigned + encoded against both FROZEN and appended, the search reads
+    // the maintained scoring-ready index
+    "e_knn_ivfpq_incr" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      Ann.saveIvfPqIndex(emb.filter(col("vec_id") % 5 =!= 0), "incr_ivfpq",
+        nlist = 16, m = 2, ncodes = 8, iters = 2, hashInit = false, buckets = 8)
+      Ann.appendToIvfPqIndex(s, "incr_ivfpq", emb.filter(col("vec_id") % 5 === 0))
+      Ann.ivfPqKnnIndexed(s, "incr_ivfpq", emb, 2, nprobe = 4)
+    }),
+
     "e_embedding_dedup" -> ((s, dir) =>
       // exact all-pairs verification path (oracle-checkable end to end,
       // including the connected-components clustering)
@@ -1161,26 +1174,33 @@ object SparkEntry {
     * chain is generated in a loop — same unrolled-Lloyd pattern as
     * kmeansOracleSql/ivfOracleSql. */
   private def pqOracleSql(m: Int, ncodes: Int, iters: Int, k: Int,
-                          dim: Int = 64): String = {
+                          dim: Int = 64, trainWhere: String = "TRUE"): String = {
     val subDim = dim / m
     val sb = new StringBuilder
     sb ++= "WITH v AS MATERIALIZED (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)"
+    val filtered = trainWhere != "TRUE"
     for (s <- 0 until m) {
       val off = s * subDim
+      val tp = if (filtered) s"tp$s" else s"p$s"
+      val init = if (filtered) s"SELECT id FROM v WHERE $trainWhere ORDER BY id LIMIT $ncodes"
+                 else s"SELECT id FROM v ORDER BY id LIMIT $ncodes"
       sb ++= s""",
-                |p$s AS MATERIALIZED (SELECT id, r.i AS i, e[$off + r.i] AS x FROM v, range(1, ${subDim + 1}) r(i)),
+                |p$s AS MATERIALIZED (SELECT id, r.i AS i, e[$off + r.i] AS x FROM v, range(1, ${subDim + 1}) r(i))""".stripMargin
+      if (filtered) sb ++= s""",
+                |tp$s AS MATERIALIZED (SELECT * FROM p$s WHERE $trainWhere)""".stripMargin
+      sb ++= s""",
                 |init$s AS MATERIALIZED (SELECT row_number() OVER (ORDER BY id) - 1 AS cl, id
-                |        FROM (SELECT id FROM v ORDER BY id LIMIT $ncodes)),
-                |c${s}_0 AS MATERIALIZED (SELECT init$s.cl, p.i, p.x AS v FROM init$s JOIN p$s p USING (id))""".stripMargin
+                |        FROM ($init)),
+                |c${s}_0 AS MATERIALIZED (SELECT init$s.cl, p.i, p.x AS v FROM init$s JOIN $tp p USING (id))""".stripMargin
       for (t <- 1 to iters) {
         sb ++= s""",
                   |d${s}_$t AS MATERIALIZED (SELECT p.id, c.cl, sum((p.x - c.v) * (p.x - c.v)) AS dd
-                  |        FROM p$s p JOIN c${s}_${t - 1} c USING (i) GROUP BY 1, 2),
+                  |        FROM $tp p JOIN c${s}_${t - 1} c USING (i) GROUP BY 1, 2),
                   |a${s}_$t AS MATERIALIZED (SELECT id, cl FROM (
                   |  SELECT id, cl, row_number() OVER (PARTITION BY id ORDER BY dd, cl) AS rn
                   |  FROM d${s}_$t) WHERE rn = 1),
                   |c${s}_$t AS MATERIALIZED (SELECT a.cl, p.i, avg(p.x) AS v
-                  |        FROM a${s}_$t a JOIN p$s p USING (id) GROUP BY 1, 2)""".stripMargin
+                  |        FROM a${s}_$t a JOIN $tp p USING (id) GROUP BY 1, 2)""".stripMargin
       }
       // lut = every vector's subvector distance to every FINAL codeword;
       // encode = its argmin (the same distances, so one CTE serves both)
@@ -1213,14 +1233,14 @@ object SparkEntry {
     * verbatim over the shared `v`. */
   private def ivfPqOracleSql(nlist: Int, nprobe: Int, iters: Int,
                              m: Int, ncodes: Int, k: Int,
-                             dim: Int = 64): String = {
-    val ivf = ivfOracleSql(nlist, nprobe, iters, k, dim)
+                             dim: Int = 64, trainWhere: String = "TRUE"): String = {
+    val ivf = ivfOracleSql(nlist, nprobe, iters, k, dim, trainWhere)
     // ivf body: everything between the shared v CTE and its `sims` scoring
     // stage (cand is the last CTE we keep)
     val ivfBody = ivf.substring(
       ivf.indexOf("pts AS MATERIALIZED"),
       ivf.indexOf(",\nsims AS MATERIALIZED"))
-    val pq = pqOracleSql(m, ncodes, iters, k, dim)
+    val pq = pqOracleSql(m, ncodes, iters, k, dim, trainWhere)
     // pq body: everything after the shared v CTE up to (excluding) its
     // final all-pairs adc stage
     val pqBody = pq.substring(
@@ -1248,22 +1268,28 @@ object SparkEntry {
     * centroids. */
   private def ivfOracleSql(nlist: Int, nprobe: Int, iters: Int, k: Int,
                            dim: Int = 64, trainWhere: String = "TRUE"): String = {
+    val filtered = trainWhere != "TRUE"
+    val tp = if (filtered) "tp" else "pts"
+    val init = if (filtered) s"SELECT id FROM v WHERE $trainWhere ORDER BY id LIMIT $nlist"
+               else s"SELECT id FROM v ORDER BY id LIMIT $nlist"
     val sb = new StringBuilder
     sb ++= s"""WITH v AS MATERIALIZED (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-              |pts AS MATERIALIZED (SELECT id, r.i AS i, e[r.i] AS x FROM v, range(1, ${dim + 1}) r(i)),
-              |tp AS MATERIALIZED (SELECT * FROM pts WHERE $trainWhere),
+              |pts AS MATERIALIZED (SELECT id, r.i AS i, e[r.i] AS x FROM v, range(1, ${dim + 1}) r(i))""".stripMargin
+    if (filtered) sb ++= s""",
+              |tp AS MATERIALIZED (SELECT * FROM pts WHERE $trainWhere)""".stripMargin
+    sb ++= s""",
               |init AS MATERIALIZED (SELECT row_number() OVER (ORDER BY id) - 1 AS cl, id
-              |         FROM (SELECT id FROM v WHERE $trainWhere ORDER BY id LIMIT $nlist)),
-              |cen0 AS MATERIALIZED (SELECT init.cl, p.i, p.x AS v FROM init JOIN tp p USING (id))""".stripMargin
+              |         FROM ($init)),
+              |cen0 AS MATERIALIZED (SELECT init.cl, p.i, p.x AS v FROM init JOIN $tp p USING (id))""".stripMargin
     for (t <- 1 to iters) {
       sb ++= s""",
                 |d$t AS MATERIALIZED (SELECT p.id, c.cl, sum((p.x - c.v) * (p.x - c.v)) AS dd
-                |        FROM tp p JOIN cen${t - 1} c USING (i) GROUP BY 1, 2),
+                |        FROM $tp p JOIN cen${t - 1} c USING (i) GROUP BY 1, 2),
                 |a$t AS MATERIALIZED (SELECT id, cl FROM (
                 |  SELECT id, cl, row_number() OVER (PARTITION BY id ORDER BY dd, cl) AS rn
                 |  FROM d$t) WHERE rn = 1),
                 |cen$t AS MATERIALIZED (SELECT a.cl, p.i, avg(p.x) AS v
-                |          FROM a$t a JOIN tp p USING (id) GROUP BY 1, 2)""".stripMargin
+                |          FROM a$t a JOIN $tp p USING (id) GROUP BY 1, 2)""".stripMargin
     }
     sb ++= s""",
               |fd AS MATERIALIZED (SELECT p.id, c.cl, sum((p.x - c.v) * (p.x - c.v)) AS dd
@@ -2170,6 +2196,9 @@ object SparkEntry {
 
     "e_knn_ivf_incr" -> ivfOracleSql(nlist = 16, nprobe = 4, iters = 2, k = 3,
       trainWhere = "id % 5 <> 0"),
+
+    "e_knn_ivfpq_incr" -> ivfPqOracleSql(nlist = 16, nprobe = 4, iters = 2,
+      m = 2, ncodes = 8, k = 2, trainWhere = "id % 5 <> 0"),
 
     "e_knn_pq" -> pqOracleSql(m = 2, ncodes = 8, iters = 2, k = 2),
 

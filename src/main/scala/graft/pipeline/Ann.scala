@@ -366,20 +366,35 @@ object Ann {
                        excludeSelf: Boolean,
                        candidates: Option[DataFrame],
                        broadcastLut: Boolean): DataFrame = {
-    val codeCols = (0 until m).map(s =>
-      max(when(col("subspace") === s, col("code"))).as(s"_c$s"))
-    val wide = corpusCodes.groupBy(col("nbr_id"))
-      .agg(codeCols.head, codeCols.tail: _*)
+    val wide = pivotCodes(corpusCodes, m)
     val seeded = candidates match {
       case Some(cand) => wide.join(cand, Seq("nbr_id"))  // carries query_id in
       case None       => wide
     }
+    scoreAdcSeeded(seeded, lut, m, k, excludeSelf, broadcastLut,
+      fanout = candidates.isEmpty)
+  }
+
+  /** (id, subspace, code) → one row per vector with m `_c<s>` code columns —
+    * the scoring-ready shape (also what the persisted IVF-PQ index stores,
+    * so a search never re-pivots the corpus). */
+  private def pivotCodes(codes: DataFrame, m: Int): DataFrame = {
+    val codeCols = (0 until m).map(s =>
+      max(when(col("subspace") === s, col("code"))).as(s"_c$s"))
+    codes.groupBy(col("nbr_id")).agg(codeCols.head, codeCols.tail: _*)
+  }
+
+  /** ADC tail over an already-seeded wide frame (`_c0.._c{m-1}` + query_id
+    * unless `fanout`): the m chained LUT-lookup joins + bounded top-k. */
+  private def scoreAdcSeeded(seeded: DataFrame, lut: DataFrame, m: Int, k: Int,
+                             excludeSelf: Boolean, broadcastLut: Boolean,
+                             fanout: Boolean): DataFrame = {
     val scored = (0 until m).foldLeft(seeded) { (df, s) =>
       val l = lut.filter(col("subspace") === s).select(col("query_id"),
         col("code").as(s"_c$s"), col("pd2").as(s"_p$s"))
-      // first join fans each candidate out to every query (pure PQ scans all
-      // candidates per query by definition); later joins are per-query lookups
-      val keys = if (candidates.isEmpty && s == 0) Seq(s"_c$s")
+      // a fanout first join spreads each candidate to every query (pure PQ
+      // scans all candidates per query); later joins are per-query lookups
+      val keys = if (fanout && s == 0) Seq(s"_c$s")
                  else Seq("query_id", s"_c$s")
       df.join(if (broadcastLut) broadcast(l) else l, keys)
     }
@@ -424,6 +439,96 @@ object Ann {
       .select(col("query_id"), col("nbr_id")).distinct()
     scoreAdc(corpusCodes, lut, m, k, excludeSelf, candidates = Some(cand),
       broadcastLut)
+  }
+
+  // ---- persisted / incremental IVF-PQ index -------------------------------
+
+  /** Persist the full 100 TB ANN configuration for incremental maintenance:
+    * `<name>_centroids` (IVF quantizer) + `<name>_codebook` (PQ) +
+    * `<name>_cells` — one SCORING-READY row per vector
+    * (nbr_id, cell, _c0.._c{m-1}), bucketed AND sorted by the probe key
+    * `cell`. The float corpus is read exactly once, at build; every search
+    * and every delta append after that touches codes only. Idempotent like
+    * [[saveIvfIndex]]; parameters persisted in `<name>_meta` and validated
+    * on append. */
+  def saveIvfPqIndex(corpus: DataFrame, name: String,
+                     nlist: Int = 64, m: Int = 8, ncodes: Int = 256,
+                     iters: Int = 3,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     hashInit: Boolean = true, buckets: Int = 32): Unit = {
+    val spark = corpus.sparkSession
+    Seq("centroids", "codebook", "cells", "meta")
+      .foreach(s => Dedup.replaceTable(spark, s"${name}_$s"))
+    import spark.implicits._
+    Seq((nlist, m, ncodes, iters, hashInit, buckets))
+      .toDF("nlist", "m", "ncodes", "iters", "hash_init", "buckets")
+      .write.mode("overwrite").saveAsTable(s"${name}_meta")
+    val centroids = trainCentroids(corpus, nlist, iters, idCol, vecCol, hashInit)
+      .coalesce(1).localCheckpoint(true)
+    centroids.write.mode("overwrite").saveAsTable(s"${name}_centroids")
+    val codebook = pqTrainCodebook(corpus, m, ncodes, iters, idCol, vecCol, hashInit)
+      .coalesce(1).localCheckpoint(true)
+    codebook.write.mode("overwrite").saveAsTable(s"${name}_codebook")
+    indexedPqRows(corpus, centroids, codebook, m, idCol, vecCol)
+      .write.mode("overwrite").bucketBy(buckets, "cell").sortBy("cell")
+      .saveAsTable(s"${name}_cells")
+  }
+
+  /** (nbr_id, cell, _c0.._c{m-1}) for `vectors` against FROZEN quantizer +
+    * codebook — the persisted index's row shape. */
+  private def indexedPqRows(vectors: DataFrame, centroids: DataFrame,
+                            codebook: DataFrame, m: Int,
+                            idCol: String, vecCol: String): DataFrame = {
+    val c = vectors.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("cv"))
+    val cells = assignCells(c.select(col("id"), col("cv").as("v")), centroids, "v")
+      .toDF("nbr_id", "cell")
+    pivotCodes(pqEncode(vectors, codebook, m, idCol, vecCol)
+        .toDF("nbr_id", "subspace", "code"), m)
+      .join(cells, Seq("nbr_id"))
+  }
+
+  /** Fold a delta of new vectors (ids disjoint from the base) into a
+    * persisted IVF-PQ index: assign + encode against the FROZEN quantizer
+    * and codebook (both broadcast; delta-only scan) and append the delta's
+    * own bucket files. */
+  def appendToIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+                         name: String, delta: DataFrame,
+                         idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    require(spark.catalog.tableExists(s"${name}_meta"),
+      s"appendToIvfPqIndex('$name'): no such index — run saveIvfPqIndex first")
+    val meta = spark.table(s"${name}_meta").head()
+    indexedPqRows(delta, spark.table(s"${name}_centroids"),
+        spark.table(s"${name}_codebook"), meta.getAs[Int]("m"), idCol, vecCol)
+      .write.mode("append").format("parquet")
+      .bucketBy(meta.getAs[Int]("buckets"), "cell").sortBy("cell")
+      .saveAsTable(s"${name}_cells")
+    spark.catalog.refreshTable(s"${name}_cells")
+  }
+
+  /** Search a persisted IVF-PQ index: route each query to its nprobe
+    * nearest cells (broadcast centroids), read ONLY those cells' rows from
+    * the bucketed table (already scoring-ready — no pivot), ADC-score via
+    * the chained LUT joins. */
+  def ivfPqKnnIndexed(spark: org.apache.spark.sql.SparkSession,
+                      name: String, queries: DataFrame, k: Int, nprobe: Int = 8,
+                      idCol: String = "vec_id", vecCol: String = "embedding",
+                      excludeSelf: Boolean = true,
+                      broadcastLut: Boolean = true): DataFrame = {
+    val meta = spark.table(s"${name}_meta").head()
+    val m = meta.getAs[Int]("m")
+    val centroids = spark.table(s"${name}_centroids")
+    val codebook = spark.table(s"${name}_codebook")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+    val qCells = q.crossJoin(broadcast(centroids))
+      .withColumn("d2", squaredDistance(col("qv"), col("centroid")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(asc("d2"), asc("centroid_id"))))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("centroid_id").as("cell"))
+    val seeded = qCells.join(spark.table(s"${name}_cells"), Seq("cell"))
+      .drop("cell")
+    val lut = pqLut(queries, codebook, m, idCol, vecCol)
+    scoreAdcSeeded(seeded, lut, m, k, excludeSelf, broadcastLut, fanout = false)
   }
 
   /** LSH-bucketed approximate top-k (no training pass): candidates share the

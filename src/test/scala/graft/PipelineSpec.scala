@@ -118,6 +118,47 @@ class PipelineSpec extends SparkSpec {
     assert(e.getMessage.contains("no such index"))
   }
 
+  test("incremental IVF-PQ: appended index ≡ one-pass frozen assign+encode") {
+    val rnd = new scala.util.Random(13)
+    val base8 = Seq(Array.fill(8)(0.0), Array.fill(8)(10.0))
+    val vecs = (0 until 60).map { i =>
+      (i.toLong, base8(i % 2).map(_ + rnd.nextGaussian() * 0.3).toSeq)
+    }.toDF("vec_id", "embedding")
+    val baseSlice = vecs.filter($"vec_id" % 3 =!= 0)
+    val delta = vecs.filter($"vec_id" % 3 === 0)
+    Ann.saveIvfPqIndex(baseSlice, "iivfpq", nlist = 4, m = 2, ncodes = 4,
+      iters = 2, hashInit = false, buckets = 4)
+    Ann.saveIvfPqIndex(baseSlice, "iivfpq", nlist = 4, m = 2, ncodes = 4,
+      iters = 2, hashInit = false, buckets = 4) // idempotent rebuild
+    Ann.appendToIvfPqIndex(spark, "iivfpq", delta)
+    // persisted rows ≡ assigning + encoding EVERYTHING against the frozen
+    // quantizer/codebook in one pass
+    def rowKey(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))
+    val persisted = spark.table("iivfpq_cells")
+      .select($"nbr_id", $"cell", $"_c0", $"_c1")
+      .collect().map(rowKey).toSet
+    val centroids = spark.table("iivfpq_centroids")
+    val codebook = spark.table("iivfpq_codebook")
+    val cells = Ann.assignCells(
+      vecs.select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v")),
+      centroids, "v").toDF("nbr_id", "cell")
+    val codes = Ann.pqEncode(vecs, codebook, m = 2)
+      .groupBy($"id".as("nbr_id"))
+      .agg(max(when($"subspace" === 0, $"code")).as("_c0"),
+        max(when($"subspace" === 1, $"code")).as("_c1"))
+    val oneShot = cells.join(codes, Seq("nbr_id"))
+      .select($"nbr_id", $"cell", $"_c0", $"_c1")
+      .collect().map(rowKey).toSet
+    assert(persisted === oneShot)
+    // the maintained-index search stays within clusters (even vs odd ids)
+    val knn = Ann.ivfPqKnnIndexed(spark, "iivfpq", vecs, 1, nprobe = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(knn.keySet === (0L until 60L).toSet)
+    knn.foreach { case (q, n) =>
+      assert(q % 2 === n % 2, s"query $q crossed clusters to $n") }
+  }
+
   test("IVF index search: base side pre-partitioned, no exchange") {
     // probe join on `cell`: the persisted side is bucketed by cell, so with
     // broadcast off the ONLY exchange is the (small) routed-query side —

@@ -439,6 +439,26 @@ object SparkEntry {
         .edges
     }),
 
+    // text loader round-trips (SURVEY §2.2, reference Parsers.java:27-95):
+    // dump driver-derived rows as whitespace text, parse back through the
+    // library loaders, gate against the direct derivation — the loaders'
+    // split/cast path is what's under test
+    "g_text_edges_roundtrip" -> ((s, dir) => {
+      val stage = s"/tmp/graft_stage_${math.abs(dir.hashCode)}/edges"
+      treeGraph(s, dir).edges
+        .select(concat_ws(" ", col("src"), col("dst"), col("value")).as("value"))
+        .write.mode("overwrite").text(stage)
+      graft.core.GraphIO.readEdges(s, stage)
+    }),
+
+    "g_text_vertices_roundtrip" -> ((s, dir) => {
+      val stage = s"/tmp/graft_stage_${math.abs(dir.hashCode)}/vertices"
+      graft.core.GraphIO.writeVertices(
+        t(s, dir, "customer").select(col("c_custkey").as("id"),
+          (col("c_custkey") % 100).as("value")), stage)
+      graft.core.GraphIO.readVertices(s, stage)
+    }),
+
     "g_map_vertices" -> ((s, dir) =>
       supplierPartGraph(s, dir).mapVertices((id, v) => v * 2 + id % 7).vertices),
 
@@ -1789,6 +1809,12 @@ object SparkEntry {
          |SELECT e.src, e.dst,
          |       CAST(CASE WHEN cnt.c IS NOT NULL THEN e.value + cnt.c ELSE e.value END AS BIGINT) AS value
          |FROM e LEFT JOIN cnt ON e.src = cnt.src""".stripMargin,
+
+    "g_text_edges_roundtrip" ->
+      s"""SELECT src, dst, value FROM ($sqlTreeEdges)""",
+
+    "g_text_vertices_roundtrip" ->
+      """SELECT c_custkey AS id, c_custkey % 100 AS value FROM customer""",
 
     // vertex value = id in this graph (fromEdges identity initializer)
     "g_map_vertices" ->

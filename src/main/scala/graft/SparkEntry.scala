@@ -751,6 +751,16 @@ object SparkEntry {
         iters = 2, hashInit = false)
     }),
 
+    // hyperplane-LSH KNN (no training pass): sign-bucket candidates with
+    // Hamming-1 multi-probe, exact cosine rerank — the Rademacher hash
+    // family is SQL-reproducible, so the whole path is oracle-gated
+    "e_knn_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      Ann.lshKnn(emb, emb, 3, bits = 10)
+        .select(col("query_id"), col("nbr_id"), col("rank"))
+    }),
+
     // incremental IVF-PQ maintenance: the 100 TB ANN configuration's ingest
     // loop — quantizer AND codebook train on the 80% base, the 20% delta is
     // assigned + encoded against both FROZEN and appended, the search reads
@@ -2225,6 +2235,42 @@ object SparkEntry {
 
     "e_knn_ivfpq_incr" -> ivfPqOracleSql(nlist = 16, nprobe = 4, iters = 2,
       m = 2, ncodes = 8, k = 2, trainWhere = "id % 5 <> 0"),
+
+    // hyperplane buckets exactly as embLshOracleSql (sign of the Rademacher
+    // projection is scale-invariant, so bucketing the normalized vector
+    // equals bucketing the raw one); multi-probe = bucket ∪ 1-bit flips
+    "e_knn_lsh" ->
+      """WITH v AS MATERIALIZED (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |nv AS MATERIALIZED (SELECT id, CASE WHEN sqrt(list_dot_product(e, e)) > 0
+        |                       THEN list_transform(e, x -> x / sqrt(list_dot_product(e, e)))
+        |                       ELSE e END AS u FROM v),
+        |pr AS MATERIALIZED (
+        |  SELECT id, b.b,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(0, len(u)), i -> u[i + 1] *
+        |        (CASE WHEN ((b.b * 1000003 + i) * 2654435761 >> 16) % 2 = 0
+        |              THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END))),
+        |      (a, x) -> a + x) AS proj
+        |  FROM nv, range(0, 10) b(b)),
+        |bk AS MATERIALIZED (
+        |  SELECT id, CAST(sum(CASE WHEN proj >= 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM pr GROUP BY id),
+        |probes AS (
+        |  SELECT id AS query_id, bucket FROM bk
+        |  UNION
+        |  SELECT id, xor(bucket, CAST(1 << f AS BIGINT)) FROM bk, range(0, 10) t(f)),
+        |cand AS (
+        |  SELECT DISTINCT p.query_id, c.id AS nbr_id
+        |  FROM probes p JOIN bk c ON p.bucket = c.bucket AND p.query_id <> c.id),
+        |sims AS (
+        |  SELECT cand.query_id, cand.nbr_id,
+        |         list_dot_product(qv.e, cv.e) /
+        |         (sqrt(list_dot_product(qv.e, qv.e)) * sqrt(list_dot_product(cv.e, cv.e))) AS sim
+        |  FROM cand JOIN v qv ON qv.id = cand.query_id JOIN v cv ON cv.id = cand.nbr_id)
+        |SELECT query_id, nbr_id, CAST(rn AS INTEGER) AS rank FROM (
+        |  SELECT query_id, nbr_id,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id) AS rn
+        |  FROM sims) WHERE rn <= 3""".stripMargin,
 
     "e_knn_pq" -> pqOracleSql(m = 2, ncodes = 8, iters = 2, k = 2),
 

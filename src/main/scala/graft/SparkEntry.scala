@@ -583,6 +583,26 @@ object SparkEntry {
         .select(col("doc_id"), col("lang_pred"), col("n_tokens"))
     }),
 
+    // the same pipeline FUSED into one corpus scan: langId and qualityScore
+    // are withColumn chains over the same frame, so composing them lets
+    // Catalyst collapse the projections — the dedup fingerprint groupBy is
+    // the only second scan. Row-identical to d_curation_e2e (same oracle);
+    // the 100 TB-preferred shape (features never rescan or re-join)
+    "d_curation_fused" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val featured = TextAnalysis.qualityScore(TextAnalysis.langId(docs))
+        .select(col("doc_id"), col("lang_pred"), col("n_tokens"),
+          round(col("stopword_ratio"), 6).as("stopword_ratio"))
+      val reps = Dedup.exactKeepBest(docs).select(col("doc_id"))
+      val gated = featured
+        .join(reps, Seq("doc_id"), "left_semi")
+        .filter(col("n_tokens") >= 10 && col("stopword_ratio") >= 0.05)
+      Curation.stratifiedSample(gated, "lang_pred",
+          Map("en" -> 0.5, "de" -> 0.5, "fr" -> 0.25, "es" -> 0.5, "it" -> 0.25),
+          keyCol = "doc_id", salt = "cur:", defaultRate = 0.125)
+        .select(col("doc_id"), col("lang_pred"), col("n_tokens"))
+    }),
+
     // PII scrub: the gate injects synthetic email/IP/phone spans derived
     // from doc_id so the redaction path is actually exercised on this corpus
     "d_pii_redact" -> ((s, dir) =>
@@ -1509,6 +1529,53 @@ object SparkEntry {
        |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
        |SELECT a AS vec_id, min(b) AS rep FROM reach GROUP BY a""".stripMargin
 
+  /** Shared oracle for d_curation_e2e / d_curation_fused (row-identical
+    * by construction — same stages, joined vs fused plan). */
+  private lazy val sqlCurationE2e: String = {
+      val cps = "list_transform(range(1, length(k) + 1), j -> CAST(unicode(k[j]) AS HUGEINT))"
+      s"""WITH lang AS (
+         |  SELECT doc_id,
+         |    CASE WHEN code < 8 THEN 'und'
+         |         ELSE ['de','en','es','fr','it'][(code % 8) + 1] END AS lang_pred
+         |  FROM (
+         |    SELECT doc_id, greatest(
+         |      8 * len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','ich','nicht','ein','eine','mit','auf','für','von','zu','den','im'], t))) + 0,
+         |      8 * len(list_filter(toks, t -> list_contains(['the','a','an','of','to','in','and','is','it','that','for','on','was','with','as','at','by','this'], t))) + 1,
+         |      8 * len(list_filter(toks, t -> list_contains(['el','la','los','las','de','y','es','un','una','en','que','por','con','para','no','se'], t))) + 2,
+         |      8 * len(list_filter(toks, t -> list_contains(['le','la','les','de','des','et','est','un','une','dans','que','pour','pas','sur','avec','au'], t))) + 3,
+         |      8 * len(list_filter(toks, t -> list_contains(['il','lo','la','gli','di','e','è','un','una','in','che','per','non','con','su','del'], t))) + 4
+         |    ) AS code
+         |    FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents))),
+         |qual AS (
+         |  SELECT doc_id, len(toks) AS n_tokens,
+         |    round(CAST(len(list_filter(toks, t -> list_contains(
+         |      ['the','a','an','of','to','in','and','is','it','that','for','on','was','with','as','at','by','this'],
+         |      lower(t)))) AS DOUBLE) / len(toks), 6) AS stopword_ratio
+         |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents)),
+         |g AS (SELECT doc_id, n_chars,
+         |             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS kk
+         |      FROM documents),
+         |r AS (SELECT kk, max(n_chars) AS kc FROM g GROUP BY 1),
+         |reps AS (SELECT min(g.doc_id) AS doc_id
+         |         FROM g JOIN r ON g.kk = r.kk AND g.n_chars = r.kc
+         |         GROUP BY r.kk, r.kc),
+         |gated AS (
+         |  SELECT d.doc_id, lang.lang_pred, qual.n_tokens
+         |  FROM documents d
+         |  JOIN reps USING (doc_id) JOIN lang USING (doc_id) JOIN qual USING (doc_id)
+         |  WHERE qual.n_tokens >= 10 AND qual.stopword_ratio >= 0.05)
+         |SELECT doc_id, lang_pred, n_tokens FROM (
+         |  SELECT doc_id, lang_pred, n_tokens,
+         |    ${sqlPoly("cps", 1125899906842597L, Curation.saltMult("cur:"))} % 1048576 AS gate
+         |  FROM (SELECT doc_id, lang_pred, n_tokens, $cps AS cps
+         |        FROM (SELECT doc_id, lang_pred, n_tokens,
+         |                     CAST(doc_id AS VARCHAR) || 'cur:' AS k
+         |              FROM gated)))
+         |WHERE gate < CASE lang_pred WHEN 'en' THEN 524288 WHEN 'de' THEN 524288
+         |                            WHEN 'fr' THEN 262144 WHEN 'es' THEN 524288
+         |                            WHEN 'it' THEN 262144 ELSE 131072 END""".stripMargin
+    }
+
   def oracleSql: Map[String, String] = Map(
 
     "d_minhash_clusters" -> minhashOracleSql(threshold = 0.5),
@@ -2093,50 +2160,11 @@ object SparkEntry {
     // oracle verbatim (lang = d_lang_id, qual = d_quality's first three
     // columns, reps = d_dedup_retain's representative ids, gate =
     // d_sample_mix's hash family with salt 'cur:' over lang_pred)
-    "d_curation_e2e" -> {
-      val cps = "list_transform(range(1, length(k) + 1), j -> CAST(unicode(k[j]) AS HUGEINT))"
-      s"""WITH lang AS (
-         |  SELECT doc_id,
-         |    CASE WHEN code < 8 THEN 'und'
-         |         ELSE ['de','en','es','fr','it'][(code % 8) + 1] END AS lang_pred
-         |  FROM (
-         |    SELECT doc_id, greatest(
-         |      8 * len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','ich','nicht','ein','eine','mit','auf','für','von','zu','den','im'], t))) + 0,
-         |      8 * len(list_filter(toks, t -> list_contains(['the','a','an','of','to','in','and','is','it','that','for','on','was','with','as','at','by','this'], t))) + 1,
-         |      8 * len(list_filter(toks, t -> list_contains(['el','la','los','las','de','y','es','un','una','en','que','por','con','para','no','se'], t))) + 2,
-         |      8 * len(list_filter(toks, t -> list_contains(['le','la','les','de','des','et','est','un','une','dans','que','pour','pas','sur','avec','au'], t))) + 3,
-         |      8 * len(list_filter(toks, t -> list_contains(['il','lo','la','gli','di','e','è','un','una','in','che','per','non','con','su','del'], t))) + 4
-         |    ) AS code
-         |    FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents))),
-         |qual AS (
-         |  SELECT doc_id, len(toks) AS n_tokens,
-         |    round(CAST(len(list_filter(toks, t -> list_contains(
-         |      ['the','a','an','of','to','in','and','is','it','that','for','on','was','with','as','at','by','this'],
-         |      lower(t)))) AS DOUBLE) / len(toks), 6) AS stopword_ratio
-         |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents)),
-         |g AS (SELECT doc_id, n_chars,
-         |             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS kk
-         |      FROM documents),
-         |r AS (SELECT kk, max(n_chars) AS kc FROM g GROUP BY 1),
-         |reps AS (SELECT min(g.doc_id) AS doc_id
-         |         FROM g JOIN r ON g.kk = r.kk AND g.n_chars = r.kc
-         |         GROUP BY r.kk, r.kc),
-         |gated AS (
-         |  SELECT d.doc_id, lang.lang_pred, qual.n_tokens
-         |  FROM documents d
-         |  JOIN reps USING (doc_id) JOIN lang USING (doc_id) JOIN qual USING (doc_id)
-         |  WHERE qual.n_tokens >= 10 AND qual.stopword_ratio >= 0.05)
-         |SELECT doc_id, lang_pred, n_tokens FROM (
-         |  SELECT doc_id, lang_pred, n_tokens,
-         |    ${sqlPoly("cps", 1125899906842597L, Curation.saltMult("cur:"))} % 1048576 AS gate
-         |  FROM (SELECT doc_id, lang_pred, n_tokens, $cps AS cps
-         |        FROM (SELECT doc_id, lang_pred, n_tokens,
-         |                     CAST(doc_id AS VARCHAR) || 'cur:' AS k
-         |              FROM gated)))
-         |WHERE gate < CASE lang_pred WHEN 'en' THEN 524288 WHEN 'de' THEN 524288
-         |                            WHEN 'fr' THEN 262144 WHEN 'es' THEN 524288
-         |                            WHEN 'it' THEN 262144 ELSE 131072 END""".stripMargin
-    },
+    "d_curation_e2e" -> sqlCurationE2e,
+
+    // fused one-scan variant is row-identical by construction
+    "d_curation_fused" -> sqlCurationE2e,
+
 
     "d_sample_mix" -> {
       val cps = "list_transform(range(1, length(k) + 1), j -> CAST(unicode(k[j]) AS HUGEINT))"

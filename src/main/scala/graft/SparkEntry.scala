@@ -439,6 +439,21 @@ object SparkEntry {
         .edges
     }),
 
+    // graph generators (SURVEY §2.2, reference GraphGenerators.java:40-98):
+    // all four generators' edge sets, tagged and unioned, against the
+    // closed-form range() oracle — generation is a narrow map over
+    // spark.range partitions, so this is exactly what runs at 1e9 vertices
+    "g_generators" -> ((s, dir) => {
+      import graft.core.GraphGenerators
+      def tag(g: KGraph, t: String) =
+        g.edges.select(lit(t).as("tag"), col("src"), col("dst"),
+          col("value").cast("double").as("value"))
+      tag(GraphGenerators.completeGraph(s, 20), "k")
+        .unionByName(tag(GraphGenerators.gridGraph(s, 5, 7), "g"))
+        .unionByName(tag(GraphGenerators.starGraph(s, 50), "s"))
+        .unionByName(tag(GraphGenerators.chain(s, 30), "c"))
+    }),
+
     // text loader round-trips (SURVEY §2.2, reference Parsers.java:27-95):
     // dump driver-derived rows as whitespace text, parse back through the
     // library loaders, gate against the direct derivation — the loaders'
@@ -1886,6 +1901,18 @@ object SparkEntry {
          |SELECT e.src, e.dst,
          |       CAST(CASE WHEN cnt.c IS NOT NULL THEN e.value + cnt.c ELSE e.value END AS BIGINT) AS value
          |FROM e LEFT JOIN cnt ON e.src = cnt.src""".stripMargin,
+
+    "g_generators" ->
+      """SELECT 'k' AS tag, a.i AS src, b.j AS dst, CAST(1.0 AS DOUBLE) AS value
+        |FROM range(0, 20) a(i), range(0, 20) b(j) WHERE a.i <> b.j
+        |UNION ALL
+        |SELECT 'g', id, id + 1, 1.0 FROM range(0, 35) t(id) WHERE id % 7 < 6
+        |UNION ALL
+        |SELECT 'g', id, id + 7, 1.0 FROM range(0, 35) t(id) WHERE id // 7 < 4
+        |UNION ALL
+        |SELECT 's', i, CAST(0 AS BIGINT), 1.0 FROM range(1, 50) t(i)
+        |UNION ALL
+        |SELECT 'c', i, i + 1, 1.0 FROM range(0, 29) t(i)""".stripMargin,
 
     "g_text_edges_roundtrip" ->
       s"""SELECT src, dst, value FROM ($sqlTreeEdges)""",

@@ -210,6 +210,48 @@ class PipelineSpec extends SparkSpec {
     assert(persisted === oneShot)
   }
 
+  test("streaming ingest loop: foreachBatch vector deltas fold into the IVF-PQ index") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rnd = new scala.util.Random(17)
+    val base8 = Seq(Array.fill(8)(0.0), Array.fill(8)(10.0))
+    val mk = (i: Int) =>
+      (i.toLong, base8(i % 2).map(_ + rnd.nextGaussian() * 0.3).toSeq)
+    val all = (0 until 60).map(mk)
+    Ann.saveIvfPqIndex(all.take(30).toDF("vec_id", "embedding"), "sivfpq",
+      nlist = 4, m = 2, ncodes = 4, iters = 2, hashInit = false, buckets = 4)
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = input.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Ann.appendToIvfPqIndex(spark, "sivfpq", batch)
+        ()
+      }
+      .start()
+    input.addData(all.slice(30, 45): _*)
+    q.processAllAvailable()
+    input.addData(all.slice(45, 60): _*)
+    q.processAllAvailable()
+    q.stop()
+    // maintained cells table ≡ one-pass frozen assign+encode over all seen
+    val centroids = spark.table("sivfpq_centroids")
+    val codebook = spark.table("sivfpq_codebook")
+    val vecs = all.toDF("vec_id", "embedding")
+    val cells = Ann.assignCells(
+      vecs.select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v")),
+      centroids, "v").toDF("nbr_id", "cell")
+    val codes = Ann.pqEncode(vecs, codebook, m = 2)
+      .groupBy($"id".as("nbr_id"))
+      .agg(max(when($"subspace" === 0, $"code")).as("_c0"),
+        max(when($"subspace" === 1, $"code")).as("_c1"))
+    def rowKey(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))
+    val oneShot = cells.join(codes, Seq("nbr_id"))
+      .select($"nbr_id", $"cell", $"_c0", $"_c1").collect().map(rowKey).toSet
+    val persisted = spark.table("sivfpq_cells")
+      .select($"nbr_id", $"cell", $"_c0", $"_c1").collect().map(rowKey).toSet
+    assert(persisted === oneShot)
+  }
+
   test("pq knn: ADC finds same-cluster neighbors on separated clusters") {
     val rnd = new scala.util.Random(3)
     val base = Seq(

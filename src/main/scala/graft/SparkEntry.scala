@@ -981,10 +981,14 @@ object SparkEntry {
         .map(r => (r.getLong(0), (r.getLong(1), 1.0))).persist()
       val verts = g.vertices.select(col("id")).rdd
         .map(r => (r.getLong(0), 0L)).persist()
-      val vc = Pregel.run(s, new VertexCount, verts, edges, maxIterations = 3)
+      // 8 partitions: the graph is ~1e5 rows at sf0.1 — per-superstep cogroup
+      // scheduling dominates at the default 32 (same tuning as g_maxbmatching)
+      val vc = Pregel.run(s, new VertexCount, verts, edges,
+        numPartitions = 8, maxIterations = 3)
       val nv = vc.aggregates(VertexCount.Agg).asInstanceOf[Long]
       vc.unpersistState()
-      val ec = Pregel.run(s, new EdgeCount, verts, edges, maxIterations = 3)
+      val ec = Pregel.run(s, new EdgeCount, verts, edges,
+        numPartitions = 8, maxIterations = 3)
       val ne = ec.aggregates(EdgeCount.Agg).asInstanceOf[Long]
       ec.unpersistState(); verts.unpersist(false); edges.unpersist(false)
       s.range(1).select(lit(nv).as("n_vertices"), lit(ne).as("n_edges"))
@@ -1001,7 +1005,8 @@ object SparkEntry {
         .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).persist()
       val verts = g.vertices.select(col("id")).rdd
         .map(r => (r.getLong(0), 0L)).persist()
-      val res = Pregel.run(s, new ReverseEdges, verts, edges, maxIterations = 5)
+      val res = Pregel.run(s, new ReverseEdges, verts, edges,
+        numPartitions = 8, maxIterations = 5)
       import s.implicits._
       val out = res.edges.map { case (src, e) => (src, e.target, e.value) }
         .toDF("src", "dst", "value").localCheckpoint(true)

@@ -256,4 +256,40 @@ class PropertySpec extends SparkSpec {
       assert(got === expected, s"funnel mismatch on $dedup")
     }
   }
+
+  test("sessionize matches a driver-side reference on random event logs") {
+    import spark.implicits._
+    val gapSec = 600L // 10-minute session gap
+    val logGen = Gen.listOfN(40, for {
+      u <- Gen.choose(0L, 4L)
+      t <- Gen.choose(0L, 30000L) // up to ~8h of activity
+    } yield (u, t))
+    forAll(logGen) { evs0 =>
+      // unique (user, ts) so the reference's ordering is unambiguous
+      val evs = evs0.zipWithIndex.map { case ((u, t), i) => (u, t, i.toLong) }
+        .groupBy(e => (e._1, e._2)).map(_._2.head).toSeq
+      // reference: per user, sort by ts; break when gap > gapSec
+      val expected = evs.groupBy(_._1).flatMap { case (u, rows) =>
+        val sorted = rows.sortBy(e => (e._2, e._3))
+        var seq = 0L; var prev = Option.empty[Long]
+        sorted.map { case (_, t, id) =>
+          if (prev.forall(p => t - p > gapSec)) seq += 1
+          prev = Some(t)
+          id -> seq
+        }
+      }
+      val df = evs.map { case (u, t, id) =>
+        (u, new java.sql.Timestamp(t * 1000), id) }
+        .toDF("user_id", "ts", "event_id")
+      import org.apache.spark.sql.functions.{floor, unix_timestamp}
+      for (chunk <- Seq(None,
+          Some((ts: org.apache.spark.sql.Column) =>
+            floor(unix_timestamp(ts) / 3600L)))) {
+        val got = graft.pipeline.Events
+          .sessionize(df, gapMicros = gapSec * 1000000L, chunk = chunk)
+          .collect().map(r => r.getLong(2) -> r.getLong(3)).toMap
+        assert(got === expected, s"sessionize(chunk=${chunk.isDefined}) mismatch on $evs")
+      }
+    }
+  }
 }

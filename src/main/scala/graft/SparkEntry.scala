@@ -822,6 +822,20 @@ object SparkEntry {
       Dedup.embeddingDedup(t(s, dir, "embeddings"), threshold = 0.9, lshBits = 10)
         .toDF("vec_id", "rep")),
 
+    "e_semdedup" -> ((s, dir) => {
+      // SemDeDup (arXiv:2303.09540): k-means cells bound the pairwise term,
+      // greedy lowest-id retention inside each cell. hashInit=false so the
+      // Lloyd trainer is the same id-ordered-init pipeline the e_knn_ivf
+      // oracle already derives in ANSI SQL. threshold=0.35 sits inside the
+      // synthetic corpus's cosine mass (its max pairwise cosine is ~0.51 —
+      // no planted near-dups) so the prune path actually fires: ~46 of 500
+      // vectors drop at sf0.01; nearest pair is 1.2e-6 from the threshold
+      // at sf0.1, so the float boundary can't flip a comparison.
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      Dedup.semDedup(emb, nlist = 16, threshold = 0.35, iters = 2, hashInit = false)
+    }),
+
     // ---- Pregel CF algorithms, ORACLE-GATED via derived prediction order --
     // The float factor values themselves are seeded-deterministic but not
     // ANSI-SQL-derivable (DuckDB can't run the trainer); they stay pinned by
@@ -1338,6 +1352,35 @@ object SparkEntry {
     * centroids. */
   private def ivfOracleSql(nlist: Int, nprobe: Int, iters: Int, k: Int,
                            dim: Int = 64, trainWhere: String = "TRUE"): String = {
+    val sb = new StringBuilder
+    sb ++= lloydCellsSqlPrefix(nlist, iters, dim, trainWhere)
+    sb ++= s""",
+              |qp AS MATERIALIZED (SELECT id AS query_id, cl AS cell FROM (
+              |  SELECT id, cl, row_number() OVER (PARTITION BY id ORDER BY dd, cl) AS rn
+              |  FROM fd) WHERE rn <= $nprobe),
+              |cand AS MATERIALIZED (SELECT q.query_id, c.id AS nbr_id
+              |         FROM qp q JOIN ca c ON q.cell = c.cell AND q.query_id <> c.id),
+              |sims AS MATERIALIZED (SELECT cand.query_id, cand.nbr_id,
+              |  CASE WHEN sqrt(list_dot_product(qv.e, qv.e)) > 0
+              |        AND sqrt(list_dot_product(cv.e, cv.e)) > 0
+              |       THEN list_dot_product(qv.e, cv.e) /
+              |            (sqrt(list_dot_product(qv.e, qv.e)) * sqrt(list_dot_product(cv.e, cv.e)))
+              |       ELSE 0.0 END AS sim
+              |  FROM cand JOIN v qv ON qv.id = cand.query_id JOIN v cv ON cv.id = cand.nbr_id)
+              |SELECT query_id, nbr_id, CAST(rnk AS INTEGER) AS rank FROM (
+              |  SELECT query_id, nbr_id,
+              |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id) AS rnk
+              |  FROM sims) WHERE rnk <= $k""".stripMargin
+    sb.toString
+  }
+
+  /** Shared Lloyd-training + final-assignment CTE prefix (everything through
+    * `fd` — per-(id, cell) distances against the final centroids — and `ca`
+    * — the row_number argmin cell assignment). Common front of
+    * [[ivfOracleSql]] and [[semdedupOracleSql]]. `trainWhere` restricts the
+    * TRAINING slice only; assignment sees every vector. */
+  private def lloydCellsSqlPrefix(nlist: Int, iters: Int, dim: Int,
+                                  trainWhere: String): String = {
     val filtered = trainWhere != "TRUE"
     val tp = if (filtered) "tp" else "pts"
     val init = if (filtered) s"SELECT id FROM v WHERE $trainWhere ORDER BY id LIMIT $nlist"
@@ -1366,25 +1409,27 @@ object SparkEntry {
               |       FROM pts p JOIN cen$iters c USING (i) GROUP BY 1, 2),
               |ca AS MATERIALIZED (SELECT id, cl AS cell FROM (
               |  SELECT id, cl, row_number() OVER (PARTITION BY id ORDER BY dd, cl) AS rn
-              |  FROM fd) WHERE rn = 1),
-              |qp AS MATERIALIZED (SELECT id AS query_id, cl AS cell FROM (
-              |  SELECT id, cl, row_number() OVER (PARTITION BY id ORDER BY dd, cl) AS rn
-              |  FROM fd) WHERE rn <= $nprobe),
-              |cand AS MATERIALIZED (SELECT q.query_id, c.id AS nbr_id
-              |         FROM qp q JOIN ca c ON q.cell = c.cell AND q.query_id <> c.id),
-              |sims AS MATERIALIZED (SELECT cand.query_id, cand.nbr_id,
-              |  CASE WHEN sqrt(list_dot_product(qv.e, qv.e)) > 0
-              |        AND sqrt(list_dot_product(cv.e, cv.e)) > 0
-              |       THEN list_dot_product(qv.e, cv.e) /
-              |            (sqrt(list_dot_product(qv.e, qv.e)) * sqrt(list_dot_product(cv.e, cv.e)))
-              |       ELSE 0.0 END AS sim
-              |  FROM cand JOIN v qv ON qv.id = cand.query_id JOIN v cv ON cv.id = cand.nbr_id)
-              |SELECT query_id, nbr_id, CAST(rnk AS INTEGER) AS rank FROM (
-              |  SELECT query_id, nbr_id,
-              |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id) AS rnk
-              |  FROM sims) WHERE rnk <= $k""".stripMargin
+              |  FROM fd) WHERE rn = 1)""".stripMargin
     sb.toString
   }
+
+  /** DuckDB SQL mirroring Dedup.semDedup(hashInit=false): Lloyd cells from
+    * the shared prefix, vectors L2-normalized once, survivors = vectors
+    * with no LOWER-id cell-mate at normalized-dot ≥ threshold (the same
+    * comparison form the e_embedding_dedup oracle proved float-safe on
+    * this data at the same threshold). */
+  private def semdedupOracleSql(nlist: Int, iters: Int, threshold: Double,
+                                dim: Int = 64): String =
+    lloydCellsSqlPrefix(nlist, iters, dim, "TRUE") + s""",
+      |nv AS MATERIALIZED (SELECT id, CASE WHEN sqrt(list_dot_product(e, e)) > 0
+      |        THEN list_transform(e, x -> x / sqrt(list_dot_product(e, e)))
+      |        ELSE e END AS u FROM v),
+      |kill AS (SELECT DISTINCT x.id
+      |         FROM ca x JOIN ca y ON y.cell = x.cell AND y.id < x.id
+      |         JOIN nv a ON a.id = x.id JOIN nv b ON b.id = y.id
+      |         WHERE list_dot_product(a.u, b.u) >= $threshold)
+      |SELECT c.id AS vec_id, CAST(c.cell AS INTEGER) AS cell FROM ca c
+      |WHERE c.id NOT IN (SELECT id FROM kill)""".stripMargin
 
   /** A cluster oracle ([[minhashOracleSql]]/[[simhashOracleSql]] — both end
     * with the same reach-closure SELECT) composed with the keep-largest
@@ -2289,6 +2334,8 @@ object SparkEntry {
     "g_kmeans_clusters" -> kmeansOracleSql(k = 4, steps = 8),
 
     "e_knn_ivf" -> ivfOracleSql(nlist = 16, nprobe = 4, iters = 2, k = 3),
+
+    "e_semdedup" -> semdedupOracleSql(nlist = 16, iters = 2, threshold = 0.35),
 
     "e_knn_ivf_incr" -> ivfOracleSql(nlist = 16, nprobe = 4, iters = 2, k = 3,
       trainWhere = "id % 5 <> 0"),

@@ -583,6 +583,41 @@ object Dedup {
     clustersFromPairs(df.select(col(idCol).as("id")), pairs)
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means partitions the embedding space into `nlist`
+    * cells, then within each cell a vector is pruned iff a LOWER-id
+    * cell-mate has cosine similarity ≥ `threshold` (greedy
+    * canonical-minimum retention — deterministic, no transitive closure, so
+    * a kept representative is always the smallest id among the cell-local
+    * near-dups that reach it directly). Returns survivors (idCol, cell).
+    *
+    * Scale design: the clustering bounds the quadratic term that makes
+    * [[embeddingDedup]]'s brute path single-node-only. With nlist chosen as
+    * ~N / targetCellSize the within-cell all-pairs work is O(N ·
+    * targetCellSize) rows TOTAL — independent of corpus size — and it
+    * shuffles on `cell`, so a 1000-executor cluster spreads cells evenly.
+    * Vectors are L2-normalized once per row (O(N) array passes); the pair
+    * loop is a bare codegen'd dot product. No global all-pairs anywhere.
+    */
+  def semDedup(df: DataFrame, nlist: Int, threshold: Double = 0.95,
+               iters: Int = 2, idCol: String = "vec_id",
+               vecCol: String = "embedding", hashInit: Boolean = true): DataFrame = {
+    val centroids = Ann.trainCentroids(df, nlist, iters, idCol, vecCol, hashInit)
+    val v = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    val cells = Ann.assignCells(v, centroids, "v")
+    val nv = v.select(col("id"), Ann.l2normalize(col("v")).as("u"))
+    // both sides of the pair self-join and the final anti-join read this
+    val au = cells.join(nv, Seq("id")).select(col("id"), col("cell"), col("u"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val killed = au.toDF("a", "cell", "uA")
+      .join(au.toDF("b", "cell", "uB"), Seq("cell"))
+      .filter(col("b") < col("a"))
+      .filter(graft.functions.VectorExpressions.dot(col("uA"), col("uB")) >= threshold)
+      .select(col("a").as("id")).distinct()
+    au.join(killed, Seq("id"), "left_anti")
+      .select(col("id").as(idCol), col("cell"))
+  }
+
   // -------------------------------------------------------------------------
 
   /** Duplicate clusters from a near-dup pair graph: connected components with

@@ -53,6 +53,38 @@ class PipelineSpec extends SparkSpec {
     assert(out(1L) === 1L && out(2L) === 1L && out(3L) === 3L)
   }
 
+  test("semDedup: within-cell greedy lowest-id pruning, brute-force verified") {
+    val rnd = new scala.util.Random(7)
+    val raw = (0L until 80L).map(i => (i, Array.fill(8)(rnd.nextGaussian())))
+    val vecs = raw.toDF("vec_id", "embedding")
+    val tau = 0.5
+    val out = Dedup.semDedup(vecs, nlist = 5, threshold = tau, iters = 2,
+      hashInit = false).collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // reference: same trainer/assignment via Ann, exact pair recheck driver-side
+    val cents = Ann.trainCentroids(vecs, 5, 2, hashInit = false)
+    val cells = Ann.assignCells(
+      vecs.select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v")),
+      cents, "v").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val unit = raw.map { case (i, v) =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      i -> v.map(_ / n)
+    }.toMap
+    def cos(a: Long, b: Long): Double =
+      unit(a).zip(unit(b)).map { case (x, y) => x * y }.sum
+    val ids = raw.map(_._1)
+    val expected = ids.filter(a =>
+      !ids.exists(b => b < a && cells(b) == cells(a) && cos(a, b) >= tau)).toSet
+    assert(expected.size < ids.size, "test vectors produced no prunable pair")
+    assert(out.keySet === expected)
+    out.foreach { case (id, cell) => assert(cell === cells(id)) }
+    // degenerate thresholds: > 1 keeps everything; ≤ -1 keeps min id per cell
+    assert(Dedup.semDedup(vecs, nlist = 5, threshold = 1.5, iters = 2,
+      hashInit = false).count() === 80L)
+    val mins = Dedup.semDedup(vecs, nlist = 5, threshold = -1.0, iters = 2,
+      hashInit = false).collect().map(_.getLong(0)).toSet
+    assert(mins === cells.groupBy(_._2).values.map(_.keys.min).toSet)
+  }
+
   test("brute-force knn finds nearest by cosine") {
     val vecs = Seq(
       (1L, Array(1.0, 0.0)), (2L, Array(0.9, 0.1)),

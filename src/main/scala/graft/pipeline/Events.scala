@@ -255,4 +255,85 @@ object Events {
       .groupBy(col("cohort_day"), col("day_offset"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** Open-session state for [[sessionizeStream]]: disjoint (startMicros,
+    * lastMicros, nEvents) intervals sorted by start, pairwise separated by
+    * more than the gap. */
+  case class OpenSessions(sessions: Seq[(Long, Long, Long)])
+
+  /** One closed session emitted by [[sessionizeStream]]. */
+  case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
+                           session_end: java.sql.Timestamp, n_events: Long)
+
+  /** Completed-session summaries over a STREAM of events — the online analog
+    * of [[sessionize]]'s gap rule, via `flatMapGroupsWithState` with an
+    * event-time timeout. The input must already carry
+    * `withWatermark(tsCol, …)`. Emits one row per CLOSED session
+    * (user_id, session_start, session_end, n_events): a session closes only
+    * once the watermark passes its last event + gap, at which point no
+    * in-watermark event can extend it or merge into it (an extender needs
+    * ts ≤ last+gap ≤ watermark and a backward merger needs ts < start ≤
+    * last — both below the watermark).
+    *
+    * Out-of-order arrivals WITHIN the watermark delay are handled exactly:
+    * each event folds into the interval list immediately (extend left/right,
+    * start a new interval, or MERGE two intervals it bridges) — so per-key
+    * state is O(open intervals inside the watermark horizon), never a
+    * buffer of raw events. Events older than the current watermark are
+    * dropped (same contract as every Spark stateful operator); stream ≡
+    * batch [[sessionize]] summaries whenever no event is later than the
+    * watermark delay. */
+  def sessionizeStream(events: DataFrame,
+                       gapMicros: Long = 30L * 60 * 1000000L,
+                       keyCol: String = "user_id",
+                       tsCol: String = "ts"): org.apache.spark.sql.Dataset[ClosedSession] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    def micros(t: java.sql.Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    def toTs(m: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(math.floorDiv(m, 1000000L) * 1000L)
+      t.setNanos((math.floorMod(m, 1000000L) * 1000L).toInt)
+      t
+    }
+    // tsCol must stay the SAME attribute the watermark was declared on — a
+    // cast would mint a new one and silently drop the watermark tag
+    val typed = events
+      .select(col(keyCol).cast("long"), col(tsCol))
+      .as[(Long, java.sql.Timestamp)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSessions, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+         state: GroupState[OpenSessions]) =>
+          val wm = state.getCurrentWatermarkMs * 1000L
+          var open = state.getOption.map(_.sessions.toVector).getOrElse(Vector.empty)
+          rows.foreach { case (_, t) =>
+            val x = micros(t)
+            if (x >= wm) {
+              val (lo, rest) = open.span(s => s._2 + gapMicros < x)
+              val (mid, hi) = rest.span(s => s._1 - gapMicros <= x)
+              val merged =
+                if (mid.isEmpty) (x, x, 1L)
+                else (math.min(mid.head._1, x), math.max(mid.last._2, x),
+                      mid.map(_._3).sum + 1L)
+              open = (lo :+ merged) ++ hi
+            }
+          }
+          val (closed, stillOpen) = open.partition(s => s._2 + gapMicros <= wm)
+          if (stillOpen.isEmpty) state.remove()
+          else {
+            state.update(OpenSessions(stillOpen))
+            // fire once the earliest open session becomes closeable; the
+            // timeout must sit strictly above the current watermark
+            val earliestClose = stillOpen.map(_._2 + gapMicros).min
+            state.setTimeoutTimestamp(
+              math.max(earliestClose / 1000L + 1, state.getCurrentWatermarkMs + 1))
+          }
+          closed.iterator.map { case (a, b, n) =>
+            ClosedSession(user, toTs(a), toTs(b), n)
+          }
+      }
+  }
 }

@@ -909,6 +909,87 @@ class PipelineSpec extends SparkSpec {
     assert(groups.max <= 300, s"largest (user, day) sort group = ${groups.max}")
   }
 
+  test("sessionizeStream: closed sessions ≡ batch summaries, out-of-order bridge merge") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    val input = MemoryStream[(Long, Timestamp)]
+    val events = input.toDF().toDF("user_id", "ts").withWatermark("ts", "10 minutes")
+    val out = Events.sessionizeStream(events, gapMicros = 60L * 1000000L)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("sess_stream_out").start()
+    // user 1: two events 100 s apart (> gap) → two provisional open sessions
+    input.addData((1L, ts("2024-01-01 00:00:00")), (1L, ts("2024-01-01 00:01:40")))
+    q.processAllAvailable()
+    // a LATER out-of-order arrival lands between them and bridges both into
+    // ONE session; user 2 opens a singleton session
+    input.addData((1L, ts("2024-01-01 00:00:50")), (2L, ts("2024-01-01 00:00:10")))
+    q.processAllAvailable()
+    // sentinel advances the watermark far past everything…
+    input.addData((99L, ts("2024-01-01 10:00:00")))
+    q.processAllAvailable()
+    // …and the next batch lets the event-time timeouts fire under it
+    input.addData((99L, ts("2024-01-01 10:00:01")))
+    q.processAllAvailable()
+    val got = spark.table("sess_stream_out").filter($"user_id" =!= 99L).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      .toSet
+    q.stop()
+    val batchRows = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L), (1L, ts("2024-01-01 00:01:40"), 2L),
+      (1L, ts("2024-01-01 00:00:50"), 3L), (2L, ts("2024-01-01 00:00:10"), 4L)
+    ).toDF("user_id", "ts", "event_id")
+    val expect = Events.sessionize(batchRows, gapMicros = 60L * 1000000L)
+      .groupBy($"user_id", $"session_seq")
+      .agg(min($"ts").as("a"), max($"ts").as("b"), count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(2), r.getTimestamp(3), r.getLong(4)))
+      .toSet
+    assert(got === expect)
+    assert(got.exists { case (u, _, _, n) => u == 1L && n == 3L },
+      "bridge merge did not produce the single 3-event session")
+  }
+
+  test("sessionizeStream ≡ batch sessionize on random shuffled logs") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(23)
+    val base = 1700000000000L
+    // 300 events, 3 users, 12 h span, 5 min gap (avg inter-event gap ~7 min
+    // per user) → a rich mix of breaks and continuations; fed fully shuffled
+    // in ONE batch (watermark is still 0 there, so arbitrary disorder is
+    // legal) and closed by sentinels
+    val rows = (0 until 300).map { i =>
+      ((i % 3).toLong, new Timestamp(base + rnd.nextInt(43200).toLong * 1000), i.toLong)
+    }
+    val input = MemoryStream[(Long, Timestamp)]
+    val events = input.toDF().toDF("user_id", "ts").withWatermark("ts", "1 hour")
+    val gap = 300L * 1000000L
+    val q = Events.sessionizeStream(events, gapMicros = gap).writeStream
+      .outputMode("append").format("memory").queryName("sess_rand_out").start()
+    input.addData(rnd.shuffle(rows).map(r => (r._1, r._2)): _*)
+    q.processAllAvailable()
+    input.addData((99L, new Timestamp(base + 86400000L)))
+    q.processAllAvailable()
+    input.addData((99L, new Timestamp(base + 86401000L)))
+    q.processAllAvailable()
+    val got = spark.table("sess_rand_out").filter($"user_id" =!= 99L).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      .toSet
+    q.stop()
+    val expect = Events.sessionize(rows.toDF("user_id", "ts", "event_id"),
+        gapMicros = gap)
+      .groupBy($"user_id", $"session_seq")
+      .agg(min($"ts").as("a"), max($"ts").as("b"), count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(2), r.getTimestamp(3), r.getLong(4)))
+      .toSet
+    assert(expect.size > 10, "fixture degenerated to too few sessions")
+    assert(got === expect)
+  }
+
   test("rangeJoin matches points to containing intervals across bin boundaries") {
     val pts = Seq((1L, 5L), (2L, 10L), (3L, 99L), (4L, 250L))
       .toDF("pid", "p")

@@ -634,6 +634,25 @@ object SparkEntry {
           .select(col("source"), col("doc_id"), col("quality")),
         "source", "quality", "doc_id", k = 3)),
 
+    "d_quality_quantile" -> ((s, dir) =>
+      // top 20 % quality per source, through the bucketed two-pass rank
+      // (quality ∈ [0,1] → 32 fixed range buckets; bounded sort groups) —
+      // gated against the single-window oracle, identical by construction
+      Curation.topQuantilePerGroup(
+        TextAnalysis.qualityScore(t(s, dir, "documents"))
+          .select(col("source"), col("doc_id"), col("quality")),
+        "source", "quality", "doc_id", fraction = 0.2,
+        bucketOf = Some(q => floor(q * 32)))),
+
+    "d_token_budget" -> ((s, dir) =>
+      // domain token quotas filled in deterministic hash order; shards=8
+      // exercises the two-pass chunk-then-carry prefix sum (the 100 TB
+      // path) directly against the single-window oracle
+      Curation.tokenBudgetMix(t(s, dir, "documents"),
+        budget = when(col("source").isin("src0", "src1", "src2"), lit(900L))
+          .otherwise(lit(600L)),
+        shards = 8)),
+
     "d_ngram_pairs" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), threshold = 0.1)
         .withColumn("jaccard", round(col("jaccard"), 6))),
@@ -1430,6 +1449,41 @@ object SparkEntry {
       |         WHERE list_dot_product(a.u, b.u) >= $threshold)
       |SELECT c.id AS vec_id, CAST(c.cell AS INTEGER) AS cell FROM ca c
       |WHERE c.id NOT IN (SELECT id FROM kill)""".stripMargin
+
+  /** Composite-quality CTE prefix: `comp` = the per-doc text features, `q` =
+    * the documented 4-term quality score (round 6) of
+    * TextAnalysis.qualityScore. Shared by the d_quality_topk and
+    * d_quality_quantile oracles, which differ only in the keep rule. */
+  private val qualityCteSql: String =
+    """WITH comp AS (
+      |  SELECT source, doc_id, toks,
+      |    CASE WHEN len(toks) > 0
+      |         THEN (length(text) - (len(toks) - 1)) / CAST(len(toks) AS DOUBLE)
+      |         ELSE 0.0 END AS mtl,
+      |    CASE WHEN len(toks) > 0
+      |         THEN CAST(len(list_filter(toks, t -> list_contains(
+      |    ['the','a','an','of','to','in','and','is','it','that','for','on','was','with','as','at','by','this'],
+      |           lower(t)))) AS DOUBLE) / len(toks)
+      |         ELSE 0.0 END AS swr,
+      |    CASE WHEN length(text) > 0
+      |         THEN (length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')))
+      |              / CAST(length(text) AS DOUBLE)
+      |         ELSE 0.0 END AS pr,
+      |    CASE WHEN length(text) > 0
+      |         THEN (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+      |              / CAST(length(text) AS DOUBLE)
+      |         ELSE 0.0 END AS dr
+      |  FROM (SELECT source, doc_id, text,
+      |          string_split_regex(trim(text), '\s+') AS toks FROM documents)),
+      |q AS (
+      |  SELECT source, doc_id,
+      |    round(greatest(0.0, least(1.0,
+      |      0.25 * least(len(toks) / 64.0, 1.0)
+      |      + 0.25 * (CASE WHEN mtl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END)
+      |      + 0.25 * least(swr * 4.0, 1.0)
+      |      + 0.25 * (1.0 - least(pr + dr, 1.0)))), 6) AS quality
+      |  FROM comp)
+      |""".stripMargin
 
   /** A cluster oracle ([[minhashOracleSql]]/[[simhashOracleSql]] — both end
     * with the same reach-closure SELECT) composed with the keep-largest
@@ -2269,39 +2323,34 @@ object SparkEntry {
         |    '\+?\d[\d .()-]{6,}\d', '<PHONE>', 'g') AS redacted
         |FROM documents""".stripMargin,
 
-    "d_quality_topk" ->
-      """WITH comp AS (
-        |  SELECT source, doc_id, toks,
-        |    CASE WHEN len(toks) > 0
-        |         THEN (length(text) - (len(toks) - 1)) / CAST(len(toks) AS DOUBLE)
-        |         ELSE 0.0 END AS mtl,
-        |    CASE WHEN len(toks) > 0
-        |         THEN CAST(len(list_filter(toks, t -> list_contains(
-        |    ['the','a','an','of','to','in','and','is','it','that','for','on','was','with','as','at','by','this'],
-        |           lower(t)))) AS DOUBLE) / len(toks)
-        |         ELSE 0.0 END AS swr,
-        |    CASE WHEN length(text) > 0
-        |         THEN (length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')))
-        |              / CAST(length(text) AS DOUBLE)
-        |         ELSE 0.0 END AS pr,
-        |    CASE WHEN length(text) > 0
-        |         THEN (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
-        |              / CAST(length(text) AS DOUBLE)
-        |         ELSE 0.0 END AS dr
-        |  FROM (SELECT source, doc_id, text,
-        |          string_split_regex(trim(text), '\s+') AS toks FROM documents)),
-        |q AS (
-        |  SELECT source, doc_id,
-        |    round(greatest(0.0, least(1.0,
-        |      0.25 * least(len(toks) / 64.0, 1.0)
-        |      + 0.25 * (CASE WHEN mtl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END)
-        |      + 0.25 * least(swr * 4.0, 1.0)
-        |      + 0.25 * (1.0 - least(pr + dr, 1.0)))), 6) AS quality
-        |  FROM comp)
-        |SELECT source, doc_id, quality FROM (
+    "d_quality_topk" -> (qualityCteSql +
+      """SELECT source, doc_id, quality FROM (
         |  SELECT source, doc_id, quality,
         |         row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rn
-        |  FROM q) WHERE rn <= 3""".stripMargin,
+        |  FROM q) WHERE rn <= 3""".stripMargin),
+
+    "d_quality_quantile" -> (qualityCteSql +
+      """SELECT source, doc_id, quality FROM (
+        |  SELECT source, doc_id, quality,
+        |         row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rn,
+        |         count(*) OVER (PARTITION BY source) AS n
+        |  FROM q) WHERE rn <= ceil(0.2 * n)""".stripMargin),
+
+    "d_token_budget" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+        |    (doc_id * 2654435761) % 4294967296 AS h
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS running_before
+        |  FROM d)
+        |SELECT doc_id, source, n_tokens FROM r
+        |WHERE running_before < CASE WHEN source IN ('src0','src1','src2')
+        |                            THEN 900 ELSE 600 END""".stripMargin,
 
     "d_ngram_pairs" ->
       """WITH sh AS (

@@ -284,4 +284,108 @@ object Curation {
       .select(col(groupCol), col("_p.id").as(idCol), col("_p.score").as(scoreCol),
         (col("_i") + 1).cast("int").as("rank"))
   }
+
+  // ---- Token-budget mixture selection -------------------------------------
+
+  /** Token-budget mixture selection — the domain-weights → token-budgets
+    * step of training-mix assembly ([[stratifiedSample]] mixes by ROW rate;
+    * this fills each group to a TOKEN quota). Docs are ordered inside each
+    * group by a fixed multiplicative hash of id (a deterministic
+    * pseudo-random permutation, reproducible in plain integer SQL), and a
+    * doc is kept iff the group's running token total BEFORE it is still
+    * under `budget` — so the kept set is a stable PREFIX of the permutation
+    * (re-runs and budget increases only append) and each group lands within
+    * one document of its quota. Returns (idCol, groupCol, n_tokens).
+    *
+    * `shards` > 1 is the 100 TB path: the hash space is cut into `shards`
+    * contiguous ranges, pass 1 runs the prefix sum inside (group, shard) —
+    * sort groups of |group|/shards instead of a whole domain in one task —
+    * and pass 2 adds per-shard boundary offsets from a |groups|·`shards`-row
+    * broadcast relation. The global running sum is identical by
+    * construction (the same chunk-then-carry shape as Events.sessionize's
+    * hot-key variant). */
+  def tokenBudgetMix(docs: DataFrame, budget: Column,
+                     groupCol: String = "source", idCol: String = "doc_id",
+                     textCol: String = "text", shards: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val HashMod = 4294967296L
+    val base = docs.select(col(idCol).as("id"), col(groupCol).as("grp"),
+      budget.cast("long").as("_budget"),
+      TextAnalysis.tokenCount(col(textCol)).as("n_tokens"),
+      pmod(col(idCol) * lit(2654435761L), lit(HashMod)).as("_h"))
+    val withBefore =
+      if (shards <= 1) {
+        val w = Window.partitionBy(col("grp")).orderBy(col("_h"), col("id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        base.withColumn("_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      } else {
+        // floor(h / width) is monotone in h, so shard ids are contiguous
+        // hash ranges and ascending shard order IS ascending hash order
+        val width = math.max(HashMod / shards, 1L)
+        val sharded = base.withColumn("_shard", (col("_h") / lit(width)).cast("long"))
+        val wS = Window.partitionBy(col("grp"), col("_shard"))
+          .orderBy(col("_h"), col("id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wOff = Window.partitionBy(col("grp")).orderBy(col("_shard"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = sharded.groupBy(col("grp"), col("_shard"))
+          .agg(sum(col("n_tokens")).as("_tot"))
+          .withColumn("_off", coalesce(sum(col("_tot")).over(wOff), lit(0L)))
+          .select(col("grp"), col("_shard"), col("_off"))
+        sharded
+          .withColumn("_local", coalesce(sum(col("n_tokens")).over(wS), lit(0L)))
+          .join(broadcast(offsets), Seq("grp", "_shard"))
+          .withColumn("_before", col("_off") + col("_local"))
+      }
+    withBefore.filter(col("_before") < col("_budget"))
+      .select(col("id").as(idCol), col("grp").as(groupCol), col("n_tokens"))
+  }
+
+  // ---- Per-group quality quantile filter ----------------------------------
+
+  /** Keep the top `fraction` of each group by score — "top 20 % quality per
+    * domain" curation. k(group) = ceil(fraction · |group|); ties break to
+    * the lower id. Returns the kept (groupCol, idCol, scoreCol) rows.
+    *
+    * `bucketOf` is the 100 TB path for a score with KNOWN range (quality ∈
+    * [0, 1]): map each score to a coarse bucket (e.g. `floor(score · 32)`),
+    * rank inside (group, bucket) — bounded sort groups — and recover the
+    * exact global rank by adding the counts of all higher buckets from a
+    * |groups|·|buckets|-row broadcast relation. Equal scores always share a
+    * bucket, so the bucketed rank is identical to the single-window rank by
+    * construction. With `None`, one window per group (fine until a single
+    * domain outgrows a task's sort budget). */
+  def topQuantilePerGroup(df: DataFrame, groupCol: String, scoreCol: String,
+                          idCol: String, fraction: Double,
+                          bucketOf: Option[Column => Column] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(fraction >= 0.0 && fraction <= 1.0, "fraction must be in [0, 1]")
+    val out = df.select(col(groupCol), col(idCol), col(scoreCol))
+    val sizes = Window.partitionBy(col(groupCol))
+    val ranked = bucketOf match {
+      case None =>
+        val w = Window.partitionBy(col(groupCol))
+          .orderBy(col(scoreCol).desc, col(idCol))
+        out.withColumn("_rn", row_number().over(w))
+          .withColumn("_n", count(lit(1)).over(sizes))
+      case Some(b) =>
+        val bucketed = out.withColumn("_bkt", b(col(scoreCol)).cast("long"))
+        val wB = Window.partitionBy(col(groupCol), col("_bkt"))
+          .orderBy(col(scoreCol).desc, col(idCol))
+        // offset of a bucket = rows in strictly HIGHER buckets of the group
+        val wOff = Window.partitionBy(col(groupCol)).orderBy(col("_bkt").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = bucketed.groupBy(col(groupCol), col("_bkt"))
+          .agg(count(lit(1)).as("_cnt"))
+          .withColumn("_off", coalesce(sum(col("_cnt")).over(wOff), lit(0L)))
+          .withColumn("_n", sum(col("_cnt")).over(sizes))
+          .select(col(groupCol), col("_bkt"), col("_off"), col("_n"))
+        bucketed
+          .withColumn("_lrn", row_number().over(wB))
+          .join(broadcast(offsets), Seq(groupCol, "_bkt"))
+          .withColumn("_rn", col("_off") + col("_lrn"))
+    }
+    ranked.filter(col("_rn") <= ceil(lit(fraction) * col("_n")))
+      .select(col(groupCol), col(idCol), col(scoreCol))
+  }
 }

@@ -160,4 +160,60 @@ class CurationSpec extends SparkSpec {
       .as[(String, Long, Double)].collect().toSet
     assert(out === Set(("a", 2L, 2.0), ("a", 1L, 1.0), ("b", 3L, 3.0)))
   }
+
+  test("tokenBudgetMix: greedy hash-order prefix, shard counts all equivalent") {
+    val rnd = new scala.util.Random(13)
+    // random token counts via literal whitespace tokens
+    val rows = (0L until 240L).map { i =>
+      (i, s"s${i % 4}", Seq.fill(1 + rnd.nextInt(30))("w").mkString(" "))
+    }
+    val docs = rows.toDF("doc_id", "source", "text").repartition(16)
+    def keep(shards: Int, budget: Long): Set[Long] =
+      Curation.tokenBudgetMix(docs, lit(budget), shards = shards)
+        .collect().map(_.getLong(0)).toSet
+    val plain = keep(1, 300L)
+    // driver-side greedy reference over the same permutation
+    val expected = rows.groupBy(_._2).values.flatMap { rs =>
+      val ordered = rs.sortBy(r => ((r._1 * 2654435761L) % 4294967296L, r._1))
+      var run = 0L
+      ordered.takeWhile { r =>
+        val ok = run < 300L; run += r._3.split("\\s+").length; ok
+      }.map(_._1)
+    }.toSet
+    assert(plain === expected)
+    assert(plain.nonEmpty && plain.size < 240, "budget did not bite")
+    for (s <- Seq(2, 8, 32, 100))
+      assert(keep(s, 300L) === plain, s"shards=$s diverged")
+    // degenerate budgets
+    assert(keep(8, 0L).isEmpty)
+    assert(keep(8, 1000000L).size === 240)
+    // prefix property: raising the budget only ever ADDS documents
+    assert(plain.subsetOf(keep(1, 600L)))
+  }
+
+  test("topQuantilePerGroup: bucketed two-pass rank ≡ single window, ceil semantics") {
+    val rnd = new scala.util.Random(17)
+    // coarse score grid → cross-group ties and many same-bucket ties
+    val rows = (0L until 300L).map { i =>
+      (s"g${i % 5}", math.round(rnd.nextDouble() * 20) / 20.0, i)
+    }
+    val df = rows.toDF("grp", "score", "id").repartition(16)
+    def run(frac: Double, bucketed: Boolean): Set[(String, Long)] =
+      Curation.topQuantilePerGroup(df, "grp", "score", "id", frac,
+        bucketOf = if (bucketed) Some(q => floor(q * 8)) else None)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    for (frac <- Seq(0.1, 0.25, 0.5, 0.9)) {
+      val plain = run(frac, bucketed = false)
+      // driver-side reference: ceil(frac · n) best rows, ties to lower id
+      val expected = rows.groupBy(_._1).toSeq.flatMap { case (g, rs) =>
+        rs.sortBy(r => (-r._2, r._3))
+          .take(math.ceil(frac * rs.size).toInt).map(r => (g, r._3))
+      }.toSet
+      assert(plain === expected, s"frac=$frac vs reference")
+      assert(run(frac, bucketed = true) === plain, s"frac=$frac bucketed diverged")
+    }
+    assert(run(1.0, bucketed = true).size === 300)
+    // ceil: even a tiny fraction keeps one row per nonempty group
+    assert(run(0.001, bucketed = true).size === 5)
+  }
 }

@@ -855,6 +855,18 @@ object SparkEntry {
       Dedup.semDedup(emb, nlist = 16, threshold = 0.35, iters = 2, hashInit = false)
     }),
 
+    "e_semdedup_incr" -> ((s, dir) => {
+      // ingest-loop shape: quantizer frozen on the base slice, delta
+      // appended as bucket files, survivors computed over the maintained
+      // cells table (same greedy rule, no base-side exchange)
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      Dedup.saveSemDedupIndex(emb.filter(col("vec_id") % 5 =!= 0), "isem",
+        nlist = 16, threshold = 0.35, iters = 2, hashInit = false, buckets = 8)
+      Dedup.appendToSemDedupIndex(s, "isem", emb.filter(col("vec_id") % 5 === 0))
+      Dedup.semDedupSurvivors(s, "isem")
+    }),
+
     // ---- Pregel CF algorithms, ORACLE-GATED via derived prediction order --
     // The float factor values themselves are seeded-deterministic but not
     // ANSI-SQL-derivable (DuckDB can't run the trainer); they stay pinned by
@@ -1436,10 +1448,13 @@ object SparkEntry {
     * the shared prefix, vectors L2-normalized once, survivors = vectors
     * with no LOWER-id cell-mate at normalized-dot ≥ threshold (the same
     * comparison form the e_embedding_dedup oracle proved float-safe on
-    * this data at the same threshold). */
+    * this data at the same threshold). `trainWhere` restricts the TRAINING
+    * slice only (the incremental-index oracle: frozen centroids trained on
+    * the base, every vector assigned and pruned). */
   private def semdedupOracleSql(nlist: Int, iters: Int, threshold: Double,
-                                dim: Int = 64): String =
-    lloydCellsSqlPrefix(nlist, iters, dim, "TRUE") + s""",
+                                dim: Int = 64,
+                                trainWhere: String = "TRUE"): String =
+    lloydCellsSqlPrefix(nlist, iters, dim, trainWhere) + s""",
       |nv AS MATERIALIZED (SELECT id, CASE WHEN sqrt(list_dot_product(e, e)) > 0
       |        THEN list_transform(e, x -> x / sqrt(list_dot_product(e, e)))
       |        ELSE e END AS u FROM v),
@@ -2385,6 +2400,9 @@ object SparkEntry {
     "e_knn_ivf" -> ivfOracleSql(nlist = 16, nprobe = 4, iters = 2, k = 3),
 
     "e_semdedup" -> semdedupOracleSql(nlist = 16, iters = 2, threshold = 0.35),
+
+    "e_semdedup_incr" -> semdedupOracleSql(nlist = 16, iters = 2,
+      threshold = 0.35, trainWhere = "id % 5 <> 0"),
 
     "e_knn_ivf_incr" -> ivfOracleSql(nlist = 16, nprobe = 4, iters = 2, k = 3,
       trainWhere = "id % 5 <> 0"),

@@ -618,6 +618,85 @@ object Dedup {
       .select(col("id").as(idCol), col("cell"))
   }
 
+  /** Persist a [[semDedup]] index for incremental maintenance — the
+    * embeddings ingest-loop analog of [[saveLshIndex]] / Ann.saveIvfIndex:
+    * `<name>_meta` (build parameters), `<name>_centroids` (the frozen
+    * quantizer), and `<name>_cells` = (id, cell, u) with the vector
+    * L2-normalized ONCE at write time, bucketed by `cell` so the
+    * within-cell pair join at [[semDedupSurvivors]] time reads the table
+    * with no base-side exchange. Idempotent (table drop + stale-location
+    * cleanup first) — safe in a crash-retry ingest loop. */
+  def saveSemDedupIndex(corpus: DataFrame, name: String, nlist: Int,
+                        threshold: Double = 0.95, iters: Int = 2,
+                        idCol: String = "vec_id", vecCol: String = "embedding",
+                        hashInit: Boolean = true, buckets: Int = 32): Unit = {
+    val spark = corpus.sparkSession
+    Seq("centroids", "cells", "meta")
+      .foreach(s => replaceTable(spark, s"${name}_$s"))
+    import spark.implicits._
+    Seq((nlist, threshold, iters, hashInit, buckets))
+      .toDF("nlist", "threshold", "iters", "hash_init", "buckets")
+      .write.mode("overwrite").saveAsTable(s"${name}_meta")
+    val centroids = Ann.trainCentroids(corpus, nlist, iters, idCol, vecCol, hashInit)
+      .coalesce(1).localCheckpoint(true)
+    centroids.write.mode("overwrite").saveAsTable(s"${name}_centroids")
+    indexedSemRows(corpus, centroids, idCol, vecCol)
+      .write.mode("overwrite").bucketBy(buckets, "cell").sortBy("cell")
+      .saveAsTable(s"${name}_cells")
+  }
+
+  /** Scoring-ready cells rows: frozen-quantizer assignment + one-time L2
+    * normalization (shared by the base build and every delta append). */
+  private def indexedSemRows(vectors: DataFrame, centroids: DataFrame,
+                             idCol: String, vecCol: String): DataFrame = {
+    val v = vectors.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    Ann.assignCells(v, centroids, "v")
+      .join(v.select(col("id"), Ann.l2normalize(col("v")).as("u")), Seq("id"))
+      .select(col("id"), col("cell"), col("u"))
+  }
+
+  /** Fold a delta of NEW vectors (ids disjoint from the base, the
+    * [[incrementalMinHashLSH]] contract) into a persisted semDedup index:
+    * assign against the FROZEN quantizer and APPEND bucket files — the
+    * base side is never read or reshuffled. The maintained cells table is
+    * identical to one-pass assignment of base ∪ delta against the same
+    * centroids, since per-vector assignment is independent and
+    * deterministic. */
+  def appendToSemDedupIndex(spark: org.apache.spark.sql.SparkSession,
+                            name: String, delta: DataFrame,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding"): Unit = {
+    require(spark.catalog.tableExists(s"${name}_meta"),
+      s"appendToSemDedupIndex('$name'): no such index — run saveSemDedupIndex first")
+    val centroids = spark.table(s"${name}_centroids")
+    indexedSemRows(delta, centroids, idCol, vecCol)
+      .write.mode("append").format("parquet")
+      .bucketBy(spark.table(s"${name}_meta").head().getAs[Int]("buckets"),
+        "cell").sortBy("cell")
+      .saveAsTable(s"${name}_cells")
+    // the next reader must see the appended files, not a cached listing
+    spark.catalog.refreshTable(s"${name}_cells")
+  }
+
+  /** Survivors of the maintained corpus under the index's stored threshold:
+    * the same greedy lowest-id rule as [[semDedup]], evaluated over the
+    * bucketed cells table — the pair self-join keys on `cell`, which BOTH
+    * sides are bucketed by, so the 100 TB table joins against itself
+    * without reshuffling. Equal to [[semDedup]] run with the index's
+    * frozen centroids over everything ingested so far. */
+  def semDedupSurvivors(spark: org.apache.spark.sql.SparkSession,
+                        name: String, idCol: String = "vec_id"): DataFrame = {
+    val threshold = spark.table(s"${name}_meta").head().getAs[Double]("threshold")
+    val cells = spark.table(s"${name}_cells")
+    val killed = cells.toDF("a", "cell", "uA")
+      .join(cells.toDF("b", "cell", "uB"), Seq("cell"))
+      .filter(col("b") < col("a"))
+      .filter(graft.functions.VectorExpressions.dot(col("uA"), col("uB")) >= threshold)
+      .select(col("a").as("id")).distinct()
+    cells.join(killed, Seq("id"), "left_anti")
+      .select(col("id").as(idCol), col("cell"))
+  }
+
   // -------------------------------------------------------------------------
 
   /** Duplicate clusters from a near-dup pair graph: connected components with

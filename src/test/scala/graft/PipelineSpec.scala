@@ -191,6 +191,63 @@ class PipelineSpec extends SparkSpec {
       assert(q % 2 === n % 2, s"query $q crossed clusters to $n") }
   }
 
+  test("incremental semDedup: index + delta survivors ≡ frozen-centroid one-pass") {
+    val vecs = (0 until 60).map { i =>
+      val base = if (i % 2 == 0) Array(10.0, 0.0) else Array(0.0, 10.0)
+      (i.toLong, Array(base(0) + (i % 5) * 0.01, base(1) + (i % 7) * 0.01))
+    }.toDF("vec_id", "embedding")
+    val baseSlice = vecs.filter($"vec_id" % 3 =!= 0)
+    val delta = vecs.filter($"vec_id" % 3 === 0)
+    val tau = 0.999
+    // build TWICE: crash-retry idempotence, like the LSH/IVF indexes
+    Dedup.saveSemDedupIndex(baseSlice, "isemspec", nlist = 4, threshold = tau,
+      iters = 2, hashInit = false, buckets = 4)
+    Dedup.saveSemDedupIndex(baseSlice, "isemspec", nlist = 4, threshold = tau,
+      iters = 2, hashInit = false, buckets = 4)
+    Dedup.appendToSemDedupIndex(spark, "isemspec", delta)
+    val got = Dedup.semDedupSurvivors(spark, "isemspec")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // reference: greedy rule over ALL vectors assigned against the SAME
+    // frozen (base-trained) centroids, rechecked driver-side
+    val centroids = spark.table("isemspec_centroids")
+    val cells = Ann.assignCells(
+      vecs.select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v")),
+      centroids, "v").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val raw = vecs.select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val unit = raw.map { case (i, v) =>
+      val n = math.sqrt(v.map(x => x * x).sum); i -> v.map(_ / n)
+    }
+    def cos(a: Long, b: Long): Double =
+      unit(a).zip(unit(b)).map { case (x, y) => x * y }.sum
+    val ids = raw.keys.toSeq.sorted
+    val expected = ids.filter(a =>
+      !ids.exists(b => b < a && cells(b) == cells(a) && cos(a, b) >= tau)).toSet
+    assert(expected.size < ids.size, "fixture produced no prunable pair")
+    assert(got.keySet === expected)
+    got.foreach { case (id, cell) => assert(cell === cells(id)) }
+    // fail fast when the index does not exist
+    intercept[IllegalArgumentException] {
+      Dedup.appendToSemDedupIndex(spark, "no_such_sem_index", delta)
+    }
+  }
+
+  test("semDedup survivors: cells self-join runs without any exchange") {
+    // both sides of the within-cell pair join ARE the cells table, bucketed
+    // by cell — the 100 TB corpus joins against itself with no reshuffle
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val cells = spark.table("isemspec_cells")
+      val j = cells.toDF("a", "cell", "uA")
+        .join(cells.toDF("b", "cell", "uB"), Seq("cell"))
+        .filter(col("b") < col("a"))
+      val plan = j.queryExecution.executedPlan.toString
+      val exchanges = "Exchange".r.findAllIn(plan).length
+      assert(exchanges === 0, s"expected no exchange, got:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("IVF index search: base side pre-partitioned, no exchange") {
     // probe join on `cell`: the persisted side is bucketed by cell, so with
     // broadcast off the ONLY exchange is the (small) routed-query side —

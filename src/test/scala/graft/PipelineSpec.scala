@@ -299,6 +299,51 @@ class PipelineSpec extends SparkSpec {
     assert(persisted === oneShot)
   }
 
+  test("streaming ingest loop: foreachBatch deltas fold into the semDedup index") {
+    // fourth stream-driven maintenance loop (LSH / IVF / IVF-PQ / semDedup):
+    // survivors over the maintained cells table stay ≡ one-pass semDedup
+    // with the frozen base-trained centroids after every micro-batch
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mk = (i: Int) => {
+      val base = if (i % 2 == 0) Array(10.0, 0.0) else Array(0.0, 10.0)
+      (i.toLong, Array(base(0) + (i % 5) * 0.01, base(1) + (i % 7) * 0.01))
+    }
+    val tau = 0.999
+    Dedup.saveSemDedupIndex((0 until 30).map(mk).toDF("vec_id", "embedding"),
+      "ssem", nlist = 4, threshold = tau, iters = 2, hashInit = false, buckets = 4)
+    val input = MemoryStream[(Long, Array[Double])]
+    val q = input.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Dedup.appendToSemDedupIndex(spark, "ssem", batch)
+        ()
+      }
+      .start()
+    input.addData((30 until 45).map(mk): _*)
+    q.processAllAvailable()
+    input.addData((45 until 60).map(mk): _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = Dedup.semDedupSurvivors(spark, "ssem")
+      .collect().map(_.getLong(0)).toSet
+    // reference: batch semDedup semantics with the SAME frozen centroids
+    val centroids = spark.table("ssem_centroids")
+    val cells = Ann.assignCells(
+      (0 until 60).map(mk).toDF("vec_id", "embedding")
+        .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("v")),
+      centroids, "v").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val unit = (0 until 60).map(mk).map { case (i, v) =>
+      val n = math.sqrt(v.map(x => x * x).sum); i -> v.map(_ / n)
+    }.toMap
+    def cos(a: Long, b: Long): Double =
+      unit(a).zip(unit(b)).map { case (x, y) => x * y }.sum
+    val ids = (0L until 60L).toSeq
+    val expected = ids.filter(a =>
+      !ids.exists(b => b < a && cells(b) == cells(a) && cos(a, b) >= tau)).toSet
+    assert(expected.size < 60, "fixture produced no prunable pair")
+    assert(got === expected)
+  }
+
   test("streaming ingest loop: foreachBatch vector deltas fold into the IVF-PQ index") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

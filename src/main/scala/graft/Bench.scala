@@ -24,7 +24,13 @@ object Bench {
     // truncates its lineage permanently, silently breaking every later query
     // that shares it. A failed query must be VISIBLE, not a fast -1.
     val failed = scala.collection.mutable.ListBuffer.empty[String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // SORTED name order, not Map hash order: a Map's iteration order
+    // reshuffles whenever the query set grows, which silently changes every
+    // query's predecessor (JIT/GC/cache state) between rounds and made two
+    // rounds of per-query deltas look like regressions that were not there.
+    // Sorted order is deterministic forever, so cross-round per-query
+    // comparison stays apples-to-apples.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() }
       catch { case e: Throwable => failed += s"$name: ${e.getMessage}"; -1L }
@@ -33,7 +39,7 @@ object Bench {
     failed.foreach(f => Console.err.println(s"[bench] FAILED $f"))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

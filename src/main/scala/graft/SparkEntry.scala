@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.algos.GraphAlgorithms
 import graft.core.KGraph
 import graft.core.KGraph.EdgeDirection
-import graft.pipeline.{Ann, Curation, Dedup, Events, Multimodal, TextAnalysis}
+import graft.pipeline.{Ann, Curation, Dedup, Events, Multimodal, Sketches, TextAnalysis}
 
 /**
  * Driver contract: every implemented operator from SURVEY.md §2 is exposed as
@@ -652,6 +652,35 @@ object SparkEntry {
         budget = when(col("source").isin("src0", "src1", "src2"), lit(900L))
           .otherwise(lit(600L)),
         shards = 8)),
+
+    // exact distributed quantiles, no global sort: bucket histogram locates
+    // each target rank, then only the candidate buckets' rows are ranked
+    "q6_price_quantiles" -> ((s, dir) =>
+      Curation.exactQuantiles(t(s, dir, "lineitem"), "l_extendedprice",
+        Seq(0.01, 0.25, 0.5, 0.75, 0.9, 0.99))),
+
+    // exact φ-heavy-hitters over corpus tokens (stopword discovery): one
+    // scan folds a bounded Misra–Gries candidate sketch, a second recounts
+    // only the ≤ 2/φ candidates exactly — never a full-vocabulary shuffle
+    "d_heavy_tokens" -> ((s, dir) =>
+      Sketches.heavyHitters(
+        t(s, dir, "documents").select(
+          explode(TextAnalysis.wsTokens(lower(trim(col("text"))))).as("tok")),
+        "tok", phiDenom = 30)),
+
+    // DSIR importance weights: hashed-unigram (Poly64 mod 64) log-ratio of
+    // the non-English target slice vs the raw corpus, add-one smoothed,
+    // integer micro-nat quantized before the per-doc sum (hash-stable)
+    "d_dsir_weights" -> ((s, dir) =>
+      Curation.dsirWeights(t(s, dir, "documents"), col("lang") =!= "en")),
+
+    // DSIR selection: top 20% of docs by importance weight (weight DESC,
+    // doc_id ASC) via the bounded-heap top-k — no global sort
+    "d_dsir_sample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val k = math.ceil(docs.count() * 0.2).toInt
+      Curation.dsirSample(docs, col("lang") =!= "en", k)
+    }),
 
     "d_ngram_pairs" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), threshold = 0.1)
@@ -1528,6 +1557,38 @@ object SparkEntry {
   private val S63 = "9223372036854775808"  // 2^63
 
   /** DuckDB left fold of Poly64 over a HUGEINT codepoint list expression. */
+  /** DSIR hashed-unigram importance-weight CTE prefix (ends at `w`):
+    * mirrors [[Curation.dsirWeights]] with target = lang <> 'en', B = 64.
+    * Each whitespace token Poly64-hashes mod 64 — 64 divides 2^64, so the
+    * unsigned HUGEINT mod equals Spark's signed pmod. One aggregation
+    * yields raw+target bucket counts; the add-one-smoothed ln ratio
+    * quantizes to integer micro-nats PER BUCKET (order-independent long
+    * sums — the lmScore cross-engine discipline), then sums per doc. */
+  private def dsirWeightsCte: String = {
+    val tokCps = "list_transform(range(1, length(tok) + 1), " +
+      "i -> CAST(unicode(tok[i]) AS HUGEINT))"
+    val poly = sqlPoly(tokCps, graft.functions.Poly64.Seed1, graft.functions.Poly64.Mult1)
+    s"""WITH tk AS (
+       |  SELECT doc_id, (lang <> 'en') AS is_tgt,
+       |    unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+       |  FROM documents),
+       |bk AS (SELECT doc_id, is_tgt,
+       |         CAST(($poly) % 64 AS BIGINT) AS bucket
+       |       FROM tk),
+       |model AS (SELECT bucket, count(*) AS raw_cnt,
+       |            sum(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS tgt_cnt
+       |          FROM bk GROUP BY 1),
+       |tot AS (SELECT CAST(sum(raw_cnt) AS BIGINT) AS raw_n,
+       |               CAST(sum(tgt_cnt) AS BIGINT) AS tgt_n FROM model),
+       |delta AS (SELECT bucket,
+       |            CAST(round((ln(CAST(tgt_cnt + 1 AS DOUBLE) / (tgt_n + 64))
+       |                      - ln(CAST(raw_cnt + 1 AS DOUBLE) / (raw_n + 64)))
+       |              * 1000000) AS BIGINT) AS dm
+       |          FROM model CROSS JOIN tot),
+       |w AS (SELECT doc_id, CAST(sum(dm) AS BIGINT) AS weight_micro
+       |      FROM bk JOIN delta USING (bucket) GROUP BY 1)""".stripMargin
+  }
+
   private def sqlPoly(cps: String, seed: Long, mult: Long): String =
     s"list_reduce(list_prepend(CAST($seed AS HUGEINT), $cps), (a, x) -> (a * $mult + x) % $U64)"
 
@@ -2366,6 +2427,34 @@ object SparkEntry {
         |SELECT doc_id, source, n_tokens FROM r
         |WHERE running_before < CASE WHEN source IN ('src0','src1','src2')
         |                            THEN 900 ELSE 600 END""".stripMargin,
+
+    "q6_price_quantiles" ->
+      // value at ascending rank max(1, ceil(p*n)) — exact, interpolation-free
+      """WITH v AS (SELECT CAST(l_extendedprice AS DOUBLE) AS val,
+        |                  row_number() OVER (ORDER BY l_extendedprice) AS rnk
+        |           FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |n AS (SELECT count(*) AS n FROM v),
+        |t AS (SELECT p, greatest(1, CAST(ceil(p * n.n) AS BIGINT)) AS rnk
+        |      FROM n, unnest([0.01, 0.25, 0.5, 0.75, 0.9, 0.99]) AS u(p))
+        |SELECT t.p, v.val AS value FROM t JOIN v USING (rnk)""".stripMargin,
+
+    "d_heavy_tokens" ->
+      """WITH tk AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |            FROM documents)
+        |SELECT tok, count(*) AS cnt FROM tk
+        |GROUP BY tok HAVING count(*) * 30 > (SELECT count(*) FROM tk)""".stripMargin,
+
+    "d_dsir_weights" ->
+      s"""$dsirWeightsCte
+         |SELECT doc_id, weight_micro FROM w""".stripMargin,
+
+    "d_dsir_sample" ->
+      s"""$dsirWeightsCte
+         |SELECT doc_id, weight_micro FROM (
+         |  SELECT doc_id, weight_micro,
+         |         row_number() OVER (ORDER BY weight_micro DESC, doc_id) AS rn
+         |  FROM w)
+         |WHERE rn <= ceil(0.2 * (SELECT count(*) FROM documents))""".stripMargin,
 
     "d_ngram_pairs" ->
       """WITH sh AS (

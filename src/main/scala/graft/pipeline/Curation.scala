@@ -388,4 +388,127 @@ object Curation {
     ranked.filter(col("_rn") <= ceil(lit(fraction) * col("_n")))
       .select(col(groupCol), col(idCol), col(scoreCol))
   }
+
+  // ---- DSIR-style importance resampling -----------------------------------
+
+  /**
+   * DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+   * Language Models via Importance Resampling"): score every corpus
+   * document by how much more likely its hashed-unigram bag is under the
+   * TARGET distribution (documents matching `targetPred`, e.g. a trusted
+   * domain) than under the RAW corpus distribution.
+   *
+   * Features are word unigrams hashed into `numBuckets` buckets
+   * (Poly64 mod B — integer-reproducible in plain SQL, unlike a library
+   * murmur). Both bucket distributions come out of ONE aggregation over
+   * the tokenized corpus (count + conditional count), are add-one
+   * smoothed, and collapse to a B-row broadcast model; scoring is a
+   * second corpus scan joined against that broadcast — the classic
+   * train-then-score two-scan shape, no shuffle wider than B rows.
+   *
+   * Per-bucket log-ratios quantize to integer micro-nats BEFORE the
+   * per-document sum (the [[TextAnalysis.lmScore]] discipline): long
+   * addition is order-independent, so `weight_micro` is hash-stable
+   * across engines and shuffle orders. Returns (idCol, weight_micro).
+   */
+  def dsirWeights(corpus: DataFrame, targetPred: Column,
+                  idCol: String = "doc_id", textCol: String = "text",
+                  numBuckets: Int = 64): DataFrame = {
+    val bk = Dedup.spread(corpus).select(col(idCol).as("id"),
+        targetPred.as("is_tgt"),
+        explode(TextAnalysis.wsTokens(lower(trim(col(textCol))))).as("tok"))
+      .select(col("id"), col("is_tgt"),
+        pmod(Poly64.poly64(col("tok")), lit(numBuckets.toLong)).as("bucket"))
+    val model = bk.groupBy(col("bucket")).agg(
+      count(lit(1)).as("raw_cnt"),
+      sum(when(col("is_tgt"), 1L).otherwise(0L)).as("tgt_cnt"))
+    val totals = model.agg(sum(col("raw_cnt")).as("raw_n"),
+      sum(col("tgt_cnt")).as("tgt_n"))
+    val delta = model.crossJoin(broadcast(totals))
+      .withColumn("delta_micro", round((
+        log((col("tgt_cnt") + 1).cast("double") / (col("tgt_n") + numBuckets)) -
+        log((col("raw_cnt") + 1).cast("double") / (col("raw_n") + numBuckets)))
+        * 1e6).cast("long"))
+      .select(col("bucket"), col("delta_micro"))
+    bk.join(broadcast(delta), Seq("bucket"))
+      .groupBy(col("id"))
+      .agg(sum(col("delta_micro")).as("weight_micro"))
+      .select(col("id").as(idCol), col("weight_micro"))
+  }
+
+  // ---- exact distributed quantiles ----------------------------------------
+
+  /**
+   * EXACT quantiles of a numeric column without a global sort — the data
+   * profiling primitive (`approxQuantile` trades accuracy for one pass;
+   * this trades one extra cheap pass for exactness, which matters when the
+   * quantile becomes a filter threshold that must reproduce bit-identically
+   * across engines and reruns).
+   *
+   * For each probability p the result is the value at ascending rank
+   * `max(1, ceil(p·n))` — "smallest v with at least ⌈p·n⌉ values ≤ v".
+   *
+   * Plan: (1) one scan for min/max/count; (2) one scan folds the
+   * equi-width bucket histogram (`numBuckets` rows — a driver-bounded
+   * control channel, like the Pregel aggregator lane); the cumulative
+   * histogram locates each target rank's bucket and local offset;
+   * (3) ONLY the ≤ |probs| candidate buckets' rows re-read + rank with a
+   * window partitioned per bucket. No stage ever sorts more than one
+   * bucket (~n/numBuckets rows for non-degenerate distributions — a
+   * point-mass bucket degrades to that key's count, the same caveat as
+   * every value-bucketed ranking here). NULLs are excluded; NaN is
+   * rejected up front (it has no place in a value order).
+   *
+   * Returns (p, value) — `value` is always one of the column's own values.
+   */
+  def exactQuantiles(df: DataFrame, valueCol: String, probs: Seq[Double],
+                     numBuckets: Int = 1024): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p > 0 && p <= 1),
+      s"probs must be in (0, 1], got $probs")
+    val v = col(valueCol).cast("double")
+    val vals = df.filter(v.isNotNull).select(v.as("_v"))
+    val Array(stats) = vals.agg(min(col("_v")), max(col("_v")), count(lit(1)),
+      sum(when(isnan(col("_v")), 1).otherwise(0))).collect()
+    val n = stats.getLong(2)
+    val sp = df.sparkSession
+    import sp.implicits._
+    if (n == 0) return sp.emptyDataFrame
+      .select(lit(0.0).as("p"), lit(0.0).as("value")).limit(0)
+    require(stats.getLong(3) == 0, s"$valueCol contains NaN")
+    val (lo, hi) = (stats.getDouble(0), stats.getDouble(1))
+    val width = math.max((hi - lo) / numBuckets, java.lang.Double.MIN_NORMAL)
+    val bucketOf = least(floor((col("_v") - lo) / width), lit(numBuckets - 1))
+      .cast("int")
+    val hist = vals.groupBy(bucketOf.as("_b")).agg(count(lit(1)).as("_c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val cumBefore = hist.scanLeft(0L)(_ + _._2)
+    // target rank -> (bucket, rank within bucket)
+    val targets = probs.map { p =>
+      val rank = math.max(1L, math.ceil(p * n).toLong)
+      val i = hist.indices.find(i => cumBefore(i + 1) >= rank).get
+      (p, hist(i)._1, rank - cumBefore(i))
+    }
+    val wanted = targets.map(_._2).distinct
+    val local = targets.toDF("p", "_b", "_lr")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("_b")).orderBy(col("_v"))
+    vals.withColumn("_b", bucketOf).filter(col("_b").isInCollection(wanted))
+      .withColumn("_lr", row_number().over(w).cast("long"))
+      .join(broadcast(local), Seq("_b", "_lr"))
+      .select(col("p"), col("_v").as("value"))
+  }
+
+  /** [[dsirWeights]] + deterministic selection: keep the `k` documents
+    * with the highest importance weight (weight DESC, id ASC tiebreak),
+    * via the bounded-heap [[topKPerGroup]] — no global sort. Integer
+    * weights make the cut exactly reproducible (a double-weight rank
+    * would be engine-dependent at ties). Returns (idCol, weight_micro). */
+  def dsirSample(corpus: DataFrame, targetPred: Column, k: Int,
+                 idCol: String = "doc_id", textCol: String = "text",
+                 numBuckets: Int = 64): DataFrame = {
+    val w = dsirWeights(corpus, targetPred, idCol, textCol, numBuckets)
+      .withColumn("_g", lit(1))
+    topKPerGroup(w, "_g", "weight_micro", idCol, k)
+      .select(col(idCol), col("weight_micro").cast("long").as("weight_micro"))
+  }
 }

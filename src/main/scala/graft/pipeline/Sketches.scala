@@ -1,0 +1,117 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/**
+ * Mergeable frequency sketches for corpus-scale "find the hot keys"
+ * questions — stopword discovery, hot-entity detection, abusive-user
+ * triage — where the key universe (corpus vocabulary, user base) is far
+ * too large to hash-aggregate in full but only the φ-frequent tail
+ * matters.
+ *
+ * The workhorse is the two-pass exact heavy-hitters pattern:
+ *
+ *   1. ONE scan folds a bounded Misra–Gries summary (capacity `m`) via a
+ *      typed `Aggregator` — map-side partials merge associatively
+ *      (Agarwal et al., "Mergeable Summaries", PODS'12), so the cluster
+ *      ships O(m) state per partition instead of one row per distinct
+ *      key. Every key with true frequency > n/(m+1) is GUARANTEED to
+ *      survive into the summary (counts may be underestimated, never the
+ *      key dropped).
+ *   2. A second scan recounts ONLY the ≤ m surviving candidates exactly
+ *      (a codegen'd `isin` prefilter, then a tiny hash aggregate) and
+ *      applies the φ-threshold to the exact counts.
+ *
+ * Net: exact φ-heavy-hitters over 100 TB with two scans, no full-key
+ * shuffle, and a driver control channel bounded by m entries — the same
+ * "sketch to find candidates, exact pass to verify" shape as the banded
+ * LSH dedup pipelines. (The one-pass alternative — groupBy(key).count —
+ * shuffles every distinct key; at web-corpus vocabulary sizes that is
+ * the bottleneck this operator exists to avoid.)
+ */
+object Sketches {
+
+  /** Misra–Gries summary state: bounded (key → count) map plus the exact
+    * number of rows folded in (the n of the φ·n threshold — riding it in
+    * the state makes the sketch pass also the counting pass). */
+  case class MgState(n: Long, counts: Map[String, Long])
+
+  /** Bounded Misra–Gries frequency summary over string keys.
+    *
+    * `reduce`: increment the key if tracked or if a slot is free; else
+    * decrement-all by the new minimum (batch form: subtract the smallest
+    * count and drop the keys that hit zero — at least one does).
+    * `merge`: pointwise-sum the two maps, then if more than `capacity`
+    * keys survive, subtract the (capacity+1)-th largest count and drop
+    * non-positives (the classic mergeable-summaries shrink). Both keep
+    * the invariant: estimated count ∈ [true − n/(capacity+1), true].
+    */
+  final class MisraGries(capacity: Int)
+      extends Aggregator[String, MgState, MgState] {
+    require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+
+    /** Keep the `capacity` largest counts, subtracting the (capacity+1)-th
+      * largest from every survivor (no-op when already within bounds). */
+    private def shrink(m: Map[String, Long]): Map[String, Long] =
+      if (m.size <= capacity) m
+      else {
+        val cStar = m.valuesIterator.toArray.sorted(Ordering[Long].reverse)
+          .apply(capacity) // (capacity+1)-th largest
+        m.collect { case (k, c) if c > cStar => k -> (c - cStar) }
+      }
+
+    def zero: MgState = MgState(0L, Map.empty)
+    def reduce(b: MgState, key: String): MgState =
+      MgState(b.n + 1, shrink(b.counts.updated(key, b.counts.getOrElse(key, 0L) + 1)))
+    def merge(a: MgState, b: MgState): MgState = {
+      val sum = b.counts.foldLeft(a.counts) { case (m, (k, c)) =>
+        m.updated(k, m.getOrElse(k, 0L) + c)
+      }
+      MgState(a.n + b.n, shrink(sum))
+    }
+    def finish(b: MgState): MgState = b
+    def bufferEncoder = org.apache.spark.sql.Encoders.product[MgState]
+    def outputEncoder = org.apache.spark.sql.Encoders.product[MgState]
+  }
+
+  /** Fold the Misra–Gries summary over one column of `df` (cast to
+    * string). Exposed for tests and for callers that want the raw
+    * candidate set rather than the exact recount. */
+  def misraGriesSummary(df: DataFrame, keyCol: String, capacity: Int): MgState = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keys: Dataset[String] = df.select(col(keyCol).cast("string")).as[String]
+    keys.select(new MisraGries(capacity).toColumn).head()
+  }
+
+  /**
+   * Exact φ-heavy-hitters: every key of `keyCol` whose exact frequency
+   * satisfies `count * phiDenom > n` (strictly), as (keyCol, cnt) — the
+   * integer-ratio threshold sidesteps float boundary ambiguity.
+   *
+   * `capacity` must be ≥ phiDenom for the no-false-negative guarantee
+   * (a φ-frequent key has frequency > n/phiDenom ≥ n/(capacity+1), so
+   * Misra–Gries cannot have evicted it); the default gives 2× slack so
+   * the exact recount prunes estimation noise instead of the guarantee
+   * doing load-bearing work at the boundary.
+   */
+  def heavyHitters(df: DataFrame, keyCol: String, phiDenom: Int,
+                   capacity: Int = -1): DataFrame = {
+    val cap = if (capacity > 0) capacity else 2 * phiDenom
+    require(cap >= phiDenom,
+      s"capacity $cap < 1/phi = $phiDenom voids the superset guarantee")
+    val summary = misraGriesSummary(df, keyCol, cap)
+    val candidates = summary.counts.keys.toSeq
+    if (candidates.isEmpty) {
+      // n < phiDenom rows total, or pathological all-distinct stream
+      df.select(col(keyCol), lit(0L).as("cnt")).limit(0)
+    } else {
+      df.filter(col(keyCol).cast("string").isInCollection(candidates))
+        .groupBy(col(keyCol))
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") * phiDenom > lit(summary.n))
+    }
+  }
+}

@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.Poly64
+import graft.pipeline.Curation
+
+/** DSIR importance resampling: weights match an independent driver-side
+  * reference (same hashing/smoothing/quantization math, scala collections
+  * instead of DataFrames), selection is the exact (weight DESC, id ASC)
+  * top-k, and the semantics point the right way — target-like documents
+  * outweigh raw-typical ones. */
+class DsirSpec extends SparkSpec {
+  import spark.implicits._
+
+  // three "english" docs over one vocabulary, two "german" target docs
+  // over a partially overlapping one
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog", "en"),
+    (1L, "the fast red fox runs past the calm dog", "en"),
+    (2L, "a quiet brown bird sits near the old tree", "en"),
+    (3L, "der schnelle braune fuchs springt hoch", "de"),
+    (4L, "der alte hund schläft unter dem baum", "de"))
+
+  private def refWeights(bn: Int = 64): Map[Long, Long] = {
+    val toks = docs.flatMap { case (id, text, lang) =>
+      text.trim.toLowerCase.split("\\s+").map(t => (id, lang != "en",
+        java.lang.Math.floorMod(
+          Poly64.hash(UTF8String.fromString(t), Poly64.Seed1, Poly64.Mult1), bn.toLong)))
+    }
+    val raw = toks.groupBy(_._3).map { case (b, xs) => b -> xs.size.toLong }
+    val tgt = toks.filter(_._2).groupBy(_._3).map { case (b, xs) => b -> xs.size.toLong }
+    val rawN = toks.size.toLong
+    val tgtN = toks.count(_._2).toLong
+    val delta = raw.map { case (b, rc) =>
+      val x = (math.log((tgt.getOrElse(b, 0L) + 1).toDouble / (tgtN + bn))
+        - math.log((rc + 1).toDouble / (rawN + bn))) * 1e6
+      // Spark round() is BigDecimal HALF_UP (away from zero) — not Math.round
+      b -> BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    toks.groupBy(_._1).map { case (id, xs) => id -> xs.map(x => delta(x._3)).sum }
+  }
+
+  test("dsirWeights matches the driver-side reference exactly") {
+    val got = Curation.dsirWeights(docs.toDF("doc_id", "text", "lang"),
+        col("lang") =!= "en")
+      .as[(Long, Long)].collect().toMap
+    assert(got === refWeights())
+  }
+
+  test("target-slice documents outweigh raw-typical ones") {
+    val w = refWeights()
+    val deMin = Seq(3L, 4L).map(w).min
+    val enMax = Seq(0L, 1L, 2L).map(w).max
+    assert(deMin > enMax,
+      s"german docs should score above english ones: $w")
+  }
+
+  test("dsirSample is the exact (weight DESC, id ASC) top-k prefix") {
+    val df = docs.toDF("doc_id", "text", "lang")
+    val w = refWeights()
+    val order = w.toSeq.sortBy { case (id, wt) => (-wt, id) }.map(_._1)
+    for (k <- 1 to 5) {
+      val got = Curation.dsirSample(df, col("lang") =!= "en", k)
+        .as[(Long, Long)].collect()
+      assert(got.map(_._1).toSet === order.take(k).toSet, s"k=$k")
+      assert(got.toMap.forall { case (id, wt) => w(id) == wt }, s"k=$k weights")
+    }
+  }
+
+  test("exactQuantiles = sorted-rank reference on random doubles (incl. ties)") {
+    val rnd = new scala.util.Random(7)
+    // heavy ties (quantized values) + a few outliers to stretch the range
+    val xs = Seq.fill(5000)(math.floor(rnd.nextGaussian() * 50) / 10.0) ++
+      Seq(1e6, -1e6)
+    val probs = Seq(0.01, 0.1, 0.5, 0.9, 0.999, 1.0)
+    val got = Curation.exactQuantiles(xs.toDF("x"), "x", probs, numBuckets = 64)
+      .as[(Double, Double)].collect().toMap
+    val sorted = xs.sorted
+    val want = probs.map(p =>
+      p -> sorted(math.max(1, math.ceil(p * xs.size).toLong).toInt - 1)).toMap
+    assert(got === want)
+  }
+
+  test("exactQuantiles: nulls excluded, NaN rejected, empty input empty output") {
+    val withNull = Seq(Some(3.0), None, Some(1.0), Some(2.0)).toDF("x")
+    val q = Curation.exactQuantiles(withNull, "x", Seq(0.5, 1.0))
+      .as[(Double, Double)].collect().toMap
+    assert(q === Map(0.5 -> 2.0, 1.0 -> 3.0))
+    intercept[IllegalArgumentException] {
+      Curation.exactQuantiles(Seq(1.0, Double.NaN).toDF("x"), "x", Seq(0.5))
+    }
+    assert(Curation.exactQuantiles(Seq.empty[Double].toDF("x"), "x", Seq(0.5))
+      .collect().isEmpty)
+  }
+
+  test("exactQuantiles: constant column collapses every p to the constant") {
+    val got = Curation.exactQuantiles(Seq.fill(100)(42.0).toDF("x"), "x",
+      Seq(0.1, 0.5, 1.0), numBuckets = 16).as[(Double, Double)].collect().toMap
+    assert(got === Map(0.1 -> 42.0, 0.5 -> 42.0, 1.0 -> 42.0))
+  }
+
+  test("empty target slice degrades gracefully (uniform target prior)") {
+    val df = docs.toDF("doc_id", "text", "lang")
+    val got = Curation.dsirWeights(df, col("lang") === "xx")
+      .as[(Long, Long)].collect().toMap
+    // tgt counts all zero → delta depends only on raw distribution; every
+    // doc still gets a finite weight
+    assert(got.keySet === Set(0L, 1L, 2L, 3L, 4L))
+  }
+}

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Sketches
+
+/** Misra–Gries heavy hitters: the no-false-negative guarantee, genuine
+  * candidate pruning on a long-tail stream (the case the driver's uniform
+  * synthetic corpus cannot exercise), merge associativity, and the exact
+  * two-pass result vs a brute-force groupBy. */
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** 5 hot keys (2_000 rows each) + 20_000 singleton tail keys, shuffled
+    * deterministically across partitions: n = 30_000. */
+  private def longTail = {
+    val hot = (0 until 5).flatMap(h => Seq.fill(2000)(s"hot$h"))
+    val tail = (0 until 20000).map(i => s"tail$i")
+    // interleave by a fixed permutation so hot keys hit every partition
+    val rows = (hot ++ tail).zipWithIndex
+      .sortBy { case (_, i) => (i * 2654435761L) % 4294967296L }
+      .map(_._1)
+    spark.createDataset(rows).repartition(8).toDF("k")
+  }
+
+  test("long-tail stream: candidates bounded by capacity, hot keys never evicted") {
+    val st = Sketches.misraGriesSummary(longTail, "k", capacity = 32)
+    assert(st.n === 30000L)
+    assert(st.counts.size <= 32, s"summary exceeded capacity: ${st.counts.size}")
+    // every key with freq > n/(cap+1) = 909 must survive — all 5 hot keys
+    (0 until 5).foreach(h => assert(st.counts.contains(s"hot$h"),
+      s"hot$h (freq 2000 > n/33) was evicted"))
+    // estimates never overshoot and undershoot by at most n/(cap+1)
+    st.counts.foreach { case (k, c) =>
+      val truth = if (k.startsWith("hot")) 2000L else 1L
+      assert(c <= truth, s"$k overestimated: $c > $truth")
+      assert(truth - c <= 30000L / 33, s"$k deficit ${truth - c} > n/(m+1)")
+    }
+  }
+
+  test("heavyHitters = brute-force φ-frequent set on the long-tail stream") {
+    val df = longTail
+    // φ = 1/20: threshold 1500 — exactly the 5 hot keys
+    val got = Sketches.heavyHitters(df, "k", phiDenom = 20)
+      .as[(String, Long)].collect().toMap
+    val brute = df.groupBy("k").count().as[(String, Long)].collect()
+      .filter(_._2 * 20 > 30000).toMap
+    assert(got === brute)
+    assert(got === (0 until 5).map(h => s"hot$h" -> 2000L).toMap)
+  }
+
+  test("merge is associative-safe: split-fold equals whole-fold guarantee") {
+    val agg = new Sketches.MisraGries(8)
+    val xs = (0 until 600).map(i => s"a${i % 3}") ++ // 3 hot keys, 200 each
+      (0 until 500).map(i => s"t$i")
+    val whole = xs.foldLeft(agg.zero)(agg.reduce)
+    val (l, r) = xs.splitAt(257)
+    val merged = agg.merge(l.foldLeft(agg.zero)(agg.reduce),
+      r.foldLeft(agg.zero)(agg.reduce))
+    for (st <- Seq(whole, merged)) {
+      assert(st.n === 1100L)
+      assert(st.counts.size <= 8)
+      // freq 200 > n/(m+1) = 122 → all three hot keys present either way
+      (0 until 3).foreach(h => assert(st.counts.contains(s"a$h")))
+    }
+  }
+
+  test("empty and sub-threshold inputs yield empty results with the right schema") {
+    val empty = Seq.empty[String].toDF("k")
+    assert(Sketches.heavyHitters(empty, "k", phiDenom = 10).collect().isEmpty)
+    // 5 distinct keys × 1 row: nothing exceeds n/2
+    val tiny = Seq("a", "b", "c", "d", "e").toDF("k")
+    val out = Sketches.heavyHitters(tiny, "k", phiDenom = 2)
+    assert(out.columns.toSeq === Seq("k", "cnt"))
+    assert(out.collect().isEmpty)
+  }
+
+  test("streaming ingest: per-batch summaries merge into a live heavy-hitter state") {
+    // the same foreachBatch maintenance-loop shape as the LSH/IVF/semDedup
+    // index loops: each micro-batch folds its own bounded summary, the
+    // driver merges it into the running state (associative, O(capacity)),
+    // and the φ-frequent guarantee holds over everything seen so far
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val agg = new Sketches.MisraGries(32)
+    var state = agg.zero
+    val input = MemoryStream[String]
+    val q = input.toDF().toDF("k").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        state = agg.merge(state, Sketches.misraGriesSummary(batch, "k", 32))
+        ()
+      }
+      .start()
+    val batches = (0 until 3).map { b =>
+      (0 until 5).flatMap(h => Seq.fill(500)(s"hot$h")) ++
+        (0 until 3000).map(i => s"tail${b}_$i")
+    }
+    batches.foreach { rows => input.addData(rows: _*); q.processAllAvailable() }
+    q.stop()
+    assert(state.n === batches.map(_.size).sum)
+    assert(state.counts.size <= 32)
+    // hot freq 1500 > n/(m+1) = 16500/33 = 500 → guaranteed present
+    (0 until 5).foreach(h => assert(state.counts.contains(s"hot$h")))
+  }
+
+  test("capacity below 1/phi is rejected") {
+    intercept[IllegalArgumentException] {
+      Sketches.heavyHitters(Seq("a").toDF("k"), "k", phiDenom = 30, capacity = 10)
+    }
+  }
+}

@@ -653,6 +653,12 @@ object SparkEntry {
           .otherwise(lit(600L)),
         shards = 8)),
 
+    // per-group exact quantiles: one global-range histogram keyed by
+    // (group, bucket), then ranking windows over candidate slices only
+    "ev_value_quantiles" -> ((s, dir) =>
+      Curation.exactQuantilesPerGroup(events(s, dir), "event_type",
+        "value", Seq(0.25, 0.5, 0.9))),
+
     // exact distributed quantiles, no global sort: bucket histogram locates
     // each target rank, then only the candidate buckets' rows are ranked
     "q6_price_quantiles" -> ((s, dir) =>
@@ -2427,6 +2433,16 @@ object SparkEntry {
         |SELECT doc_id, source, n_tokens FROM r
         |WHERE running_before < CASE WHEN source IN ('src0','src1','src2')
         |                            THEN 900 ELSE 600 END""".stripMargin,
+
+    "ev_value_quantiles" ->
+      """WITH v AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS val,
+        |                  row_number() OVER (PARTITION BY event_type ORDER BY value) AS rnk
+        |           FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |n AS (SELECT g, count(*) AS n FROM v GROUP BY 1),
+        |t AS (SELECT g, p, greatest(1, CAST(ceil(p * n) AS BIGINT)) AS rnk
+        |      FROM n, unnest([0.25, 0.5, 0.9]) AS u(p))
+        |SELECT t.g AS event_type, t.p, v.val AS value
+        |FROM t JOIN v USING (g, rnk)""".stripMargin,
 
     "q6_price_quantiles" ->
       // value at ascending rank max(1, ceil(p*n)) — exact, interpolation-free

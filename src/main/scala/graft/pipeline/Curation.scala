@@ -498,6 +498,59 @@ object Curation {
       .select(col("p"), col("_v").as("value"))
   }
 
+  /**
+   * Per-group [[exactQuantiles]] — "p50/p90 of `valueCol` for every
+   * `groupCol`" in the same three bounded passes: one global min/max scan,
+   * one (group, bucket) histogram (the driver control channel is
+   * |groups|·numBuckets entries — meant for PROFILING dimensions of
+   * bounded cardinality: event types, languages, sources; not user-id-like
+   * keys), then a ranking window over only the candidate (group, bucket)
+   * slices. Groups are compared as strings (the output `groupCol` is the
+   * string form). Returns (groupCol, p, value).
+   */
+  def exactQuantilesPerGroup(df: DataFrame, groupCol: String, valueCol: String,
+                             probs: Seq[Double],
+                             numBuckets: Int = 1024): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p > 0 && p <= 1),
+      s"probs must be in (0, 1], got $probs")
+    val v = col(valueCol).cast("double")
+    val vals = df.filter(v.isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).cast("string").as("_g"), v.as("_v"))
+    val Array(stats) = vals.agg(min(col("_v")), max(col("_v")), count(lit(1)),
+      sum(when(isnan(col("_v")), 1).otherwise(0))).collect()
+    val sp = df.sparkSession
+    import sp.implicits._
+    if (stats.getLong(2) == 0) return sp.emptyDataFrame
+      .select(lit("").as(groupCol), lit(0.0).as("p"), lit(0.0).as("value")).limit(0)
+    require(stats.getLong(3) == 0, s"$valueCol contains NaN")
+    val (lo, hi) = (stats.getDouble(0), stats.getDouble(1))
+    val width = math.max((hi - lo) / numBuckets, java.lang.Double.MIN_NORMAL)
+    val bucketOf = least(floor((col("_v") - lo) / width), lit(numBuckets - 1))
+      .cast("int")
+    val hist = vals.groupBy(col("_g"), bucketOf.as("_b"))
+      .agg(count(lit(1)).as("_c"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val targets = hist.toSeq.flatMap { case (g, buckets) =>
+      val cumBefore = buckets.scanLeft(0L)(_ + _._3)
+      val gn = cumBefore.last
+      probs.map { p =>
+        val rank = math.max(1L, math.ceil(p * gn).toLong)
+        val i = buckets.indices.find(i => cumBefore(i + 1) >= rank).get
+        (g, p, buckets(i)._2, rank - cumBefore(i))
+      }
+    }
+    val wantedKeys = targets.map(t => (t._1, t._3)).distinct.toSet
+    val local = targets.toDF("_g", "p", "_b", "_lr")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("_g"), col("_b")).orderBy(col("_v"))
+    val wantedB = wantedKeys.map(_._2).toSeq
+    vals.withColumn("_b", bucketOf).filter(col("_b").isInCollection(wantedB))
+      .withColumn("_lr", row_number().over(w).cast("long"))
+      .join(broadcast(local), Seq("_g", "_b", "_lr"))
+      .select(col("_g").as(groupCol), col("p"), col("_v").as("value"))
+  }
+
   /** [[dsirWeights]] + deterministic selection: keep the `k` documents
     * with the highest importance weight (weight DESC, id ASC tiebreak),
     * via the bounded-heap [[topKPerGroup]] — no global sort. Integer

@@ -95,6 +95,23 @@ class DsirSpec extends SparkSpec {
       .collect().isEmpty)
   }
 
+  test("exactQuantilesPerGroup = per-group sorted-rank reference") {
+    val rnd = new scala.util.Random(11)
+    val rows = for (i <- 0 until 3000) yield
+      (s"g${i % 3}", math.floor(rnd.nextGaussian() * 40) / 8.0)
+    val probs = Seq(0.1, 0.5, 0.95, 1.0)
+    val got = Curation.exactQuantilesPerGroup(rows.toDF("g", "x"), "g", "x",
+        probs, numBuckets = 32)
+      .as[(String, Double, Double)].collect()
+      .map { case (g, p, v) => (g, p) -> v }.toMap
+    val want = rows.groupBy(_._1).flatMap { case (g, xs) =>
+      val sorted = xs.map(_._2).sorted
+      probs.map(p => (g, p) ->
+        sorted(math.max(1, math.ceil(p * xs.size).toLong).toInt - 1))
+    }
+    assert(got === want)
+  }
+
   test("exactQuantiles: constant column collapses every p to the constant") {
     val got = Curation.exactQuantiles(Seq.fill(100)(42.0).toDF("x"), "x",
       Seq(0.1, 0.5, 1.0), numBuckets = 16).as[(Double, Double)].collect().toMap

@@ -18,6 +18,18 @@ object Bench {
       catch { case _: Throwable => () }
     try SparkEntry.queries("q3_top_customers")(spark, sfDir).count()
     catch { case _: Throwable => () }
+    // ...and the catalog/bucketed-writer machinery: the first saveAsTable in
+    // a JVM pays ~7 s of one-time session-catalog + parquet-writer init,
+    // which otherwise lands entirely on the alphabetically-first *_incr
+    // index fixture (measured: d_minhash_incr 11.1 s cold vs 4.0 s warm,
+    // identical plans). Single-JVM artifact, not a scale property.
+    try {
+      import spark.implicits._
+      spark.sql("DROP TABLE IF EXISTS bench_warmup")
+      Seq((1L, 1L)).toDF("id", "v").write.mode("overwrite")
+        .bucketBy(2, "id").sortBy("id").saveAsTable("bench_warmup")
+      spark.sql("DROP TABLE IF EXISTS bench_warmup")
+    } catch { case _: Throwable => () }
     // NOTE: no cache-clearing between queries — SparkEntry memoizes shared
     // graph/neighborhood prep as localCheckpoints ON PURPOSE (a deployment
     // materializes those once per graph), and unpersisting a localCheckpoint

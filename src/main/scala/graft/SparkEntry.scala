@@ -653,6 +653,12 @@ object SparkEntry {
           .otherwise(lit(600L)),
         shards = 8)),
 
+    // deterministic weighted sampling (Efraimidis–Spirakis): hash-derived
+    // uniforms, ln(u)/w rank keys micro-quantized, bounded-heap top-k —
+    // reproducible across runs/engines, inclusion odds follow the weights
+    "d_weighted_sample" -> ((s, dir) =>
+      Curation.weightedSample(t(s, dir, "documents"), "n_chars", k = 100)),
+
     // per-group exact quantiles: one global-range histogram keyed by
     // (group, bucket), then ranking windows over candidate slices only
     "ev_value_quantiles" -> ((s, dir) =>
@@ -2433,6 +2439,23 @@ object SparkEntry {
         |SELECT doc_id, source, n_tokens FROM r
         |WHERE running_before < CASE WHEN source IN ('src0','src1','src2')
         |                            THEN 900 ELSE 600 END""".stripMargin,
+
+    "d_weighted_sample" -> {
+      val cps = "list_transform(range(1, length(s) + 1), j -> CAST(unicode(s[j]) AS HUGEINT))"
+      // u = (Poly64(id || 'ws:'; mult = saltMult) mod 2^52 + 1) / 2^52 —
+      // 2^52 divides 2^64 so HUGEINT-mod equals Spark's signed pmod, and
+      // the division is exact (power-of-two denominator)
+      s"""SELECT doc_id, sample_key FROM (
+         |  SELECT doc_id, sample_key,
+         |         row_number() OVER (ORDER BY sample_key DESC, doc_id) AS rn
+         |  FROM (SELECT doc_id,
+         |          CAST(round(ln(((${sqlPoly("cps", 1125899906842597L, Curation.saltMult("ws:"))} % 4503599627370496) + 1)
+         |               / 4503599627370496.0) / CAST(n_chars AS DOUBLE) * 1000000) AS BIGINT) AS sample_key
+         |        FROM (SELECT doc_id, n_chars, $cps AS cps
+         |              FROM (SELECT doc_id, n_chars, CAST(doc_id AS VARCHAR) || 'ws:' AS s
+         |                    FROM documents WHERE n_chars > 0))))
+         |WHERE rn <= 100""".stripMargin
+    },
 
     "ev_value_quantiles" ->
       """WITH v AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS val,

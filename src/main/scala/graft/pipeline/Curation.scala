@@ -436,6 +436,35 @@ object Curation {
       .select(col("id").as(idCol), col("weight_micro"))
   }
 
+  /**
+   * Deterministic weighted sampling WITHOUT replacement (Efraimidis–
+   * Spirakis A-ES, one-pass form): row i gets rank key ln(u_i)/w_i with
+   * u_i a Poly64-hash-derived uniform in (0,1], and the k LARGEST keys
+   * are the sample — inclusion probability follows the weights, but the
+   * draw is a pure function of (id, salt, weight, k): re-runs, retries,
+   * speculative tasks, and engine ports agree row-for-row (`df.sample`
+   * survives none of those). Selection rides the O(k)-state bounded
+   * heap — one scan, no global sort, no RNG state.
+   *
+   * Keys quantize to integer micro units before ranking (the lmScore ln
+   * discipline), id-asc tiebreak. Rows with NULL or non-positive weight
+   * are excluded (their inclusion probability is zero). Returns
+   * (idCol, sample_key).
+   */
+  def weightedSample(df: DataFrame, weightCol: String, k: Int,
+                     idCol: String = "doc_id",
+                     salt: String = "ws:"): DataFrame = {
+    val denom = 1L << 52
+    val u = (pmod(Poly64.poly64(concat(col(idCol).cast("string"), lit(salt)),
+      Poly64.Seed1, saltMult(salt)), lit(denom)) + 1).cast("double") / denom.toDouble
+    val scored = df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("_wskey",
+        round(log(u) / col(weightCol).cast("double") * 1e6).cast("long"))
+      .withColumn("_g", lit(1))
+    topKPerGroup(scored, "_g", "_wskey", idCol, k)
+      .select(col(idCol), col("_wskey").cast("long").as("sample_key"))
+  }
+
   // ---- exact distributed quantiles ----------------------------------------
 
   /**

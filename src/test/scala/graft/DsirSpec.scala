@@ -118,6 +118,39 @@ class DsirSpec extends SparkSpec {
     assert(got === Map(0.1 -> 42.0, 0.5 -> 42.0, 1.0 -> 42.0))
   }
 
+  test("weightedSample matches the A-ES reference and favors heavy weights") {
+    val rows = (0L until 400L).map(i => (i, if (i < 40) 50.0 else 1.0))
+    val df = rows.toDF("doc_id", "w")
+    def refKey(id: Long, w: Double, salt: String): Long = {
+      val h = java.lang.Math.floorMod(
+        Poly64.hash(UTF8String.fromString(s"$id$salt"), Poly64.Seed1,
+          Curation.saltMult(salt)), 1L << 52)
+      val u = (h + 1).toDouble / (1L << 52).toDouble
+      BigDecimal(math.log(u) / w * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    val k = 50
+    val got = Curation.weightedSample(df, "w", k).as[(Long, Long)].collect()
+    val want = rows.map { case (id, w) => (id, refKey(id, w, "ws:")) }
+      .sortBy { case (id, key) => (-key, id) }.take(k)
+    assert(got.sortBy(x => (-x._2, x._1)).toSeq === want)
+    // heavy rows are 10% of the population but weight-50× — across several
+    // salts they should dominate the sample
+    val heavyFracs = Seq("a:", "b:", "c:").map { s =>
+      val picked = Curation.weightedSample(df, "w", k, salt = s)
+        .as[(Long, Long)].collect().map(_._1)
+      picked.count(_ < 40).toDouble / k
+    }
+    assert(heavyFracs.forall(_ > 0.4),
+      s"50x-weighted 10% slice under-sampled: $heavyFracs")
+    // zero/negative/null weights never sampled
+    val withBad = rows.toDF("doc_id", "w")
+      .union(Seq((999L, 0.0), (998L, -3.0)).toDF("doc_id", "w"))
+    val ids = Curation.weightedSample(withBad, "w", 500).as[(Long, Long)]
+      .collect().map(_._1).toSet
+    assert(!ids.contains(999L) && !ids.contains(998L) && ids.size == 400)
+  }
+
   test("empty target slice degrades gracefully (uniform target prior)") {
     val df = docs.toDF("doc_id", "text", "lang")
     val got = Curation.dsirWeights(df, col("lang") === "xx")

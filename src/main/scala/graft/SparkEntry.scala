@@ -653,6 +653,19 @@ object SparkEntry {
           .otherwise(lit(600L)),
         shards = 8)),
 
+    // winsorized quality normalization: clip at the exact p05/p95 —
+    // exactQuantiles composing as broadcast thresholds (2-value control
+    // channel), the outlier-robust scaling step before mixing scores
+    "d_quality_winsor" -> ((s, dir) => {
+      val q = TextAnalysis.qualityScore(t(s, dir, "documents"))
+        .select(col("doc_id"), col("quality"))
+      val thr = Curation.exactQuantiles(q, "quality", Seq(0.05, 0.95))
+        .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+      q.select(col("doc_id"),
+        least(greatest(col("quality"), lit(thr(0.05))), lit(thr(0.95)))
+          .as("quality_winsor"))
+    }),
+
     // deterministic weighted sampling (Efraimidis–Spirakis): hash-derived
     // uniforms, ln(u)/w rank keys micro-quantized, bounded-heap top-k —
     // reproducible across runs/engines, inclusion odds follow the weights
@@ -2439,6 +2452,16 @@ object SparkEntry {
         |SELECT doc_id, source, n_tokens FROM r
         |WHERE running_before < CASE WHEN source IN ('src0','src1','src2')
         |                            THEN 900 ELSE 600 END""".stripMargin,
+
+    "d_quality_winsor" -> (qualityCteSql +
+      """SELECT doc_id, least(greatest(quality,
+        |    (SELECT quality FROM (SELECT quality,
+        |        row_number() OVER (ORDER BY quality) AS rn, count(*) OVER () AS n FROM q)
+        |     WHERE rn = greatest(1, CAST(ceil(0.05 * n) AS BIGINT)))),
+        |    (SELECT quality FROM (SELECT quality,
+        |        row_number() OVER (ORDER BY quality) AS rn, count(*) OVER () AS n FROM q)
+        |     WHERE rn = greatest(1, CAST(ceil(0.95 * n) AS BIGINT)))) AS quality_winsor
+        |FROM q""".stripMargin),
 
     "d_weighted_sample" -> {
       val cps = "list_transform(range(1, length(s) + 1), j -> CAST(unicode(s[j]) AS HUGEINT))"

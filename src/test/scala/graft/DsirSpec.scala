@@ -151,6 +151,21 @@ class DsirSpec extends SparkSpec {
     assert(!ids.contains(999L) && !ids.contains(998L) && ids.size == 400)
   }
 
+  test("winsorize composition: exactQuantiles thresholds clip exactly") {
+    val xs = (1 to 200).map(_.toDouble)
+    val df = xs.toDF("x")
+    val thr = Curation.exactQuantiles(df, "x", Seq(0.05, 0.95))
+      .as[(Double, Double)].collect().toMap
+    assert(thr === Map(0.05 -> 10.0, 0.95 -> 190.0)) // ceil(p*200)-th value
+    val clipped = df.select(
+        least(greatest(col("x"), lit(thr(0.05))), lit(thr(0.95))).as("c"))
+      .as[Double].collect().sorted
+    assert(clipped.head === 10.0 && clipped.last === 190.0)
+    assert(clipped.count(_ == 10.0) === 10 && clipped.count(_ == 190.0) === 11)
+    // interior untouched
+    assert(clipped.filter(c => c > 10 && c < 190).toSeq === (11 to 189).map(_.toDouble))
+  }
+
   test("empty target slice degrades gracefully (uniform target prior)") {
     val df = docs.toDF("doc_id", "text", "lang")
     val got = Curation.dsirWeights(df, col("lang") === "xx")

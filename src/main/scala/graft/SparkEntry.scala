@@ -653,6 +653,15 @@ object SparkEntry {
           .otherwise(lit(600L)),
         shards = 8)),
 
+    // content-defined chunking: rolling-hash (Rabin-style) boundaries —
+    // insertion-stable chunk streams for chunk-level dedup (expected chunk
+    // 2^6 = 64 code points; rowwise codegen'd expression, zero shuffle)
+    "d_cdc_chunks" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(graft.functions.Poly64.cdcChunks(col("text"))))
+        .toDF("doc_id", "chunk_idx", "chunk_len")),
+
     // winsorized quality normalization: clip at the exact p05/p95 —
     // exactQuantiles composing as broadcast thresholds (2-value control
     // channel), the outlier-robust scaling step before mixing scores
@@ -2452,6 +2461,30 @@ object SparkEntry {
         |SELECT doc_id, source, n_tokens FROM r
         |WHERE running_before < CASE WHEN source IN ('src0','src1','src2')
         |                            THEN 900 ELSE 600 END""".stripMargin,
+
+    "d_cdc_chunks" -> {
+      // boundary AFTER 1-based char position i+7 whenever the Poly64 fold
+      // of the window starting at i (8 chars) is 0 mod 64 (64 divides 2^64
+      // so HUGEINT-mod equals Java's signed `h & 63`); chunk lengths are
+      // diffs of consecutive boundaries, with the string end closing the
+      // last chunk. len < 8 → no windows → one whole-string chunk.
+      val winCps = "list_transform(range(i, i + 8), j -> CAST(unicode(s[j]) AS HUGEINT))"
+      s"""WITH d AS (SELECT doc_id, text AS s, length(text) AS len FROM documents),
+         |b AS (SELECT doc_id, len,
+         |        list_filter(list_transform(range(1, greatest(len - 7, 0) + 1),
+         |          i -> CASE WHEN ${sqlPoly(winCps, 1125899906842597L, 1099511628211L)} % 64 = 0
+         |               THEN i + 7 ELSE 0 END), x -> x > 0) AS bs
+         |      FROM d WHERE len > 0),
+         |cl AS (SELECT doc_id,
+         |         CASE WHEN len(bs) > 0 AND bs[len(bs)] = len THEN bs
+         |              ELSE list_append(bs, len) END AS bs2 FROM b),
+         |ch AS (SELECT doc_id, unnest(list_transform(range(1, len(bs2) + 1),
+         |         j -> struct_pack(idx := j - 1,
+         |                l := bs2[j] - CASE WHEN j = 1 THEN 0 ELSE bs2[j - 1] END))) AS c
+         |       FROM cl)
+         |SELECT doc_id, CAST(c.idx AS INT) AS chunk_idx,
+         |       CAST(c.l AS BIGINT) AS chunk_len FROM ch""".stripMargin
+    },
 
     "d_quality_winsor" -> (qualityCteSql +
       """SELECT doc_id, least(greatest(quality,

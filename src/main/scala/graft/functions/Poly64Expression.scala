@@ -160,4 +160,80 @@ object Poly64 {
   def rollingFps(c: Column, k: Int = 8, maxOut: Int = 16,
                  seed: Long = Seed1, mult: Long = Mult1): Column =
     Bridge.column(RollingFingerprintsExpr(Bridge.expression(c), k, maxOut, seed, mult))
+
+  /**
+   * Content-defined chunk lengths (Rabin-style CDC): scan code points left
+   * to right maintaining the same rolling Poly64 window hash as
+   * [[rollingFingerprints]]; cut AFTER position i when the window ending at
+   * i satisfies `(hash & (2^maskBits − 1)) == 0` and the running chunk has
+   * at least `minLen` code points; force a cut at `maxLen` regardless.
+   * Returns the chunk lengths in order (they sum to the code-point count);
+   * empty input → empty array.
+   *
+   * Why CDC instead of fixed windows: boundaries depend only on local
+   * content, so an insertion/deletion perturbs ONLY the chunk it lands in —
+   * the chunk stream resynchronizes within one window, which is what makes
+   * chunk-level dedup stable across document revisions (fixed-size chunking
+   * shifts every downstream chunk). Expected chunk length ≈ 2^maskBits.
+   */
+  def cdcChunkLengths(s: UTF8String, k: Int, maskBits: Int,
+                      minLen: Int, maxLen: Int): GenericArrayData = {
+    val str = s.toString
+    val len = str.length
+    var cnt = 0
+    var ci = 0
+    while (ci < len) { ci += Character.charCount(str.codePointAt(ci)); cnt += 1 }
+    val cps = new Array[Int](cnt)
+    ci = 0; var i = 0
+    while (ci < len) {
+      val cp = str.codePointAt(ci); cps(i) = cp; i += 1; ci += Character.charCount(cp)
+    }
+    val mask = (1L << maskBits) - 1
+    var b = 1L; var t = 0
+    while (t < k - 1) { b *= Mult1; t += 1 } // mult^(k-1), wrapped
+    val a = b * Mult1 * Seed1                // seed·mult^k, wrapped
+    val lens = new scala.collection.mutable.ArrayBuffer[Long]()
+    var h = Seed1
+    var lastCut = -1
+    var end = 0
+    while (end < cnt) {
+      if (end < k) h = h * Mult1 + cps(end) // growing first window
+      else h = (h - a - cps(end - k) * b) * Mult1 + cps(end) + a
+      val curLen = end - lastCut
+      if (curLen >= maxLen ||
+          (end >= k - 1 && (h & mask) == 0 && curLen >= minLen)) {
+        lens += curLen.toLong
+        lastCut = end
+      }
+      end += 1
+    }
+    if (cnt - 1 > lastCut) lens += (cnt - 1 - lastCut).toLong
+    new GenericArrayData(lens.toArray)
+  }
+
+  case class CdcChunkLengthsExpr(child: Expression, k: Int, maskBits: Int,
+                                 minLen: Int, maxLen: Int)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    require(k >= 1, "window length must be >= 1")
+    require(maskBits >= 1 && maskBits <= 62, "maskBits must be in [1, 62]")
+    require(minLen >= 1 && maxLen >= minLen, "need 1 <= minLen <= maxLen")
+    override def inputTypes: Seq[Bridge.AbstractType] = Seq(StringType)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "graft_cdc_chunks"
+
+    override protected def nullSafeEval(input: Any): Any =
+      cdcChunkLengths(input.asInstanceOf[UTF8String], k, maskBits, minLen, maxLen)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, s =>
+        s"graft.functions.Poly64.cdcChunkLengths($s, $k, $maskBits, $minLen, $maxLen)")
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Column form of [[cdcChunkLengths]] (array<bigint> chunk lengths). */
+  def cdcChunks(c: Column, k: Int = 8, maskBits: Int = 6,
+                minLen: Int = 1, maxLen: Int = Int.MaxValue): Column =
+    Bridge.column(CdcChunkLengthsExpr(Bridge.expression(c), k, maskBits, minLen, maxLen))
 }

@@ -166,6 +166,26 @@ class DsirSpec extends SparkSpec {
     assert(clipped.filter(c => c > 10 && c < 190).toSeq === (11 to 189).map(_.toDouble))
   }
 
+  test("plan: quantile ranking window is fed by the candidate-bucket filter") {
+    // the rank window's shuffle must sit ABOVE the bucket prefilter so only
+    // candidate-bucket rows (~n/numBuckets each) ever reach the sort — an
+    // unfiltered exchange would be the global-sort plan this op exists to
+    // avoid
+    // spark.range source: a local-collection input constant-folds the
+    // filter into the LocalTableScan and hides the shape under test
+    val df = spark.range(1, 10001).select(col("id").cast("double").as("x"))
+    val q = Curation.exactQuantiles(df, "x", Seq(0.25, 0.75), numBuckets = 128)
+    val plan = q.queryExecution.executedPlan.toString
+    val ex = plan.indexOf("Exchange hashpartitioning(_b")
+    assert(ex >= 0, s"expected the window's bucket exchange:\n$plan")
+    // treeString prints parent before child: the bucket IN-prefilter must
+    // sit BELOW the window exchange (only candidate buckets are shuffled)
+    val filt = plan.indexOf("Filter", ex)
+    assert(filt > ex && plan.indexOf(" IN (", ex) > ex,
+      s"window exchange not fed by the bucket prefilter:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan)
+  }
+
   test("empty target slice degrades gracefully (uniform target prior)") {
     val df = docs.toDF("doc_id", "text", "lang")
     val got = Curation.dsirWeights(df, col("lang") === "xx")

@@ -145,4 +145,68 @@ class Poly64Spec extends SparkSpec {
     // ascending signed order
     fps.values.foreach(v => assert(v === v.sorted))
   }
+
+  // ---- content-defined chunking -------------------------------------------
+
+  /** Independent slow reference: full Poly64 fold per window (no rolling),
+    * then the cut scan with min/max guards. */
+  private def refCdc(s: String, k: Int, maskBits: Int,
+                     minLen: Int, maxLen: Int): Seq[Long] = {
+    val cps = s.codePoints().toArray
+    val mask = (1L << maskBits) - 1
+    val lens = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var lastCut = -1
+    for (end <- cps.indices) {
+      val curLen = end - lastCut
+      val windowHash = if (end >= k - 1) {
+        var h = Poly64.Seed1
+        ((end - k + 1) to end).foreach(j => h = h * Poly64.Mult1 + cps(j))
+        Some(h)
+      } else None
+      if (curLen >= maxLen ||
+          windowHash.exists(h => (h & mask) == 0 && curLen >= minLen)) {
+        lens += curLen.toLong; lastCut = end
+      }
+    }
+    if (cps.length - 1 > lastCut) lens += (cps.length - 1 - lastCut).toLong
+    lens.toSeq
+  }
+
+  test("cdcChunkLengths matches the non-rolling reference, guards included") {
+    val rnd = new scala.util.Random(3)
+    val alphabet = "abcdef \n"
+    val strs = Seq("", "a", "short", "x" * 7, "y" * 8) ++
+      (0 until 40).map(_ => (0 until (50 + rnd.nextInt(400)))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    for (s <- strs; (mb, mn, mx) <- Seq((4, 1, Int.MaxValue), (3, 4, 16), (5, 2, 40))) {
+      val got = Poly64.cdcChunkLengths(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s), 8, mb, mn, mx)
+        .toLongArray.toSeq
+      assert(got === refCdc(s, 8, mb, mn, mx), s"mb=$mb mn=$mn mx=$mx s=${s.take(30)}")
+      assert(got.sum === s.codePointCount(0, s.length))
+      if (s.nonEmpty) assert(got.forall(l => l >= 1 && l <= mx))
+    }
+  }
+
+  test("CDC chunk stream resynchronizes after an insertion (the point of CDC)") {
+    val rnd = new scala.util.Random(9)
+    val s = (0 until 2000).map(_ => ('a' + rnd.nextInt(6)).toChar).mkString
+    val mutated = s.substring(0, 700) + "ZQX" + s.substring(700)
+    def chunks(x: String) = Poly64.cdcChunkLengths(
+      org.apache.spark.unsafe.types.UTF8String.fromString(x), 8, 5, 1,
+      Int.MaxValue).toLongArray.toSeq
+    val (c1, c2) = (chunks(s), chunks(mutated))
+    // all boundaries at least one window past the edit are preserved: the
+    // suffix chunk streams coincide, only the edited chunk (and maybe its
+    // immediate neighbor) differ — fixed-size chunking would shift EVERY
+    // downstream chunk
+    val prefix = c1.zip(c2).takeWhile { case (a, b) => a == b }.length
+    val suffix = c1.reverse.zip(c2.reverse).takeWhile { case (a, b) => a == b }.length
+    // everything aligns except the edited chunk (and at most one neighbor
+    // while the window re-fills): prefix + suffix cover all but ≤ 2 chunks
+    assert(prefix + suffix >= c1.length - 2,
+      s"chunk streams failed to resync: ${c1.length} chunks, " +
+        s"prefix=$prefix suffix=$suffix")
+    assert(c2.sum === c1.sum + 3)
+  }
 }

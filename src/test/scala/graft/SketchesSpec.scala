@@ -103,6 +103,27 @@ class SketchesSpec extends SparkSpec {
     (0 until 5).foreach(h => assert(state.counts.contains(s"hot$h")))
   }
 
+  test("plan: recount pass filters to candidates BEFORE the aggregate exchange") {
+    // the second pass must ship only candidate rows into the shuffle — the
+    // whole point of the sketch; an exchange below the filter would re-ship
+    // every distinct key and reduce the operator to groupBy(key).count
+    // spark.range source: a local-collection input constant-folds the
+    // filter into the LocalTableScan and hides the shape under test
+    val ranged = spark.range(30000)
+      .select(concat(lit("hot"), (col("id") % 5)).as("k"))
+    val hh = Sketches.heavyHitters(ranged, "k", phiDenom = 20)
+    val plan = hh.queryExecution.executedPlan.toString
+    val ex = plan.indexOf("Exchange hashpartitioning(k")
+    assert(ex >= 0, s"expected a hash exchange on the key:\n$plan")
+    // treeString prints parent before child: the candidate IN-filter must
+    // appear BELOW (after) the aggregate's exchange, i.e. inside its input
+    val filt = plan.indexOf(" IN (", ex)
+    assert(filt > ex, s"no candidate isin filter under the exchange:\n$plan")
+    // and nothing above the exchange re-reads the raw keys: exactly one
+    // shuffle in the whole recount pass
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan)
+  }
+
   test("capacity below 1/phi is rejected") {
     intercept[IllegalArgumentException] {
       Sketches.heavyHitters(Seq("a").toDF("k"), "k", phiDenom = 30, capacity = 10)

@@ -662,6 +662,22 @@ object SparkEntry {
           posexplode(graft.functions.Poly64.cdcChunks(col("text"))))
         .toDF("doc_id", "chunk_idx", "chunk_len")),
 
+    // chunk-level dedup: CDC chunk fingerprints as the join key — docs
+    // sharing ≥1 content-defined chunk of ≥16 code points, via the same
+    // inverted-index shape as d_ngram_pairs (never O(n²) text compares)
+    "d_cdc_dedup" -> ((s, dir) => {
+      val ch = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(graft.functions.Poly64.cdcChunkInfoCol(col("text"))).as("c"))
+        .filter(col("c.chunk_len") >= 16)
+        .select(col("doc_id"), col("c.chunk_fp").as("fp"))
+        .distinct()
+      ch.as("x").join(ch.as("y"),
+          col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .agg(count(lit(1)).as("shared"))
+    }),
+
     // winsorized quality normalization: clip at the exact p05/p95 —
     // exactQuantiles composing as broadcast thresholds (2-value control
     // channel), the outlier-robust scaling step before mixing scores
@@ -2484,6 +2500,31 @@ object SparkEntry {
          |       FROM cl)
          |SELECT doc_id, CAST(c.idx AS INT) AS chunk_idx,
          |       CAST(c.l AS BIGINT) AS chunk_len FROM ch""".stripMargin
+    },
+
+    "d_cdc_dedup" -> {
+      // chunk fingerprints = Poly64 fold of each chunk's code points; chunk
+      // spans from the same positional boundary list as d_cdc_chunks
+      val winCps = "list_transform(range(i, i + 8), j -> CAST(unicode(s[j]) AS HUGEINT))"
+      val chunkCps = "list_transform(range(c.lo + 1, c.hi + 1), j -> CAST(unicode(s[j]) AS HUGEINT))"
+      s"""WITH d AS (SELECT doc_id, text AS s, length(text) AS len FROM documents),
+         |b AS (SELECT doc_id, s, len,
+         |        list_filter(list_transform(range(1, greatest(len - 7, 0) + 1),
+         |          i -> CASE WHEN ${sqlPoly(winCps, 1125899906842597L, 1099511628211L)} % 64 = 0
+         |               THEN i + 7 ELSE 0 END), x -> x > 0) AS bs
+         |      FROM d WHERE len > 0),
+         |cl AS (SELECT doc_id, s,
+         |         CASE WHEN len(bs) > 0 AND bs[len(bs)] = len THEN bs
+         |              ELSE list_append(bs, len) END AS bs2 FROM b),
+         |ch AS (SELECT doc_id, s, unnest(list_transform(range(1, len(bs2) + 1),
+         |         j -> struct_pack(lo := CASE WHEN j = 1 THEN 0 ELSE bs2[j - 1] END,
+         |                          hi := bs2[j]))) AS c FROM cl),
+         |keep AS (SELECT DISTINCT doc_id,
+         |           ${sqlU2S(sqlPoly(chunkCps, 1125899906842597L, 1099511628211L))} AS fp
+         |         FROM ch WHERE c.hi - c.lo >= 16)
+         |SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS shared
+         |FROM keep x JOIN keep y ON x.fp = y.fp AND x.doc_id < y.doc_id
+         |GROUP BY 1, 2""".stripMargin
     },
 
     "d_quality_winsor" -> (qualityCteSql +

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputT
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graft.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /**
@@ -236,4 +236,83 @@ object Poly64 {
   def cdcChunks(c: Column, k: Int = 8, maskBits: Int = 6,
                 minLen: Int = 1, maxLen: Int = Int.MaxValue): Column =
     Bridge.column(CdcChunkLengthsExpr(Bridge.expression(c), k, maskBits, minLen, maxLen))
+
+  /**
+   * [[cdcChunkLengths]] plus each chunk's CONTENT fingerprint (the plain
+   * Poly64 fold of the chunk's code points — identical to `poly64` of the
+   * chunk substring, maintained incrementally in the same single scan):
+   * array of (chunk_len, chunk_fp) structs. Two co-identified chunks have
+   * equal fingerprints iff their text hashes equal — the join key for
+   * chunk-level dedup across document revisions.
+   */
+  def cdcChunkInfo(s: UTF8String, k: Int, maskBits: Int,
+                   minLen: Int, maxLen: Int): GenericArrayData = {
+    val str = s.toString
+    val len = str.length
+    var cnt = 0
+    var ci = 0
+    while (ci < len) { ci += Character.charCount(str.codePointAt(ci)); cnt += 1 }
+    val cps = new Array[Int](cnt)
+    ci = 0; var i = 0
+    while (ci < len) {
+      val cp = str.codePointAt(ci); cps(i) = cp; i += 1; ci += Character.charCount(cp)
+    }
+    val mask = (1L << maskBits) - 1
+    var b = 1L; var t = 0
+    while (t < k - 1) { b *= Mult1; t += 1 }
+    val a = b * Mult1 * Seed1
+    val rows = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.catalyst.InternalRow]()
+    var h = Seed1
+    var chunkH = Seed1
+    var lastCut = -1
+    var end = 0
+    while (end < cnt) {
+      if (end < k) h = h * Mult1 + cps(end)
+      else h = (h - a - cps(end - k) * b) * Mult1 + cps(end) + a
+      chunkH = chunkH * Mult1 + cps(end)
+      val curLen = end - lastCut
+      if (curLen >= maxLen ||
+          (end >= k - 1 && (h & mask) == 0 && curLen >= minLen)) {
+        rows += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](curLen.toLong, chunkH))
+        chunkH = Seed1
+        lastCut = end
+      }
+      end += 1
+    }
+    if (cnt - 1 > lastCut)
+      rows += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any]((cnt - 1 - lastCut).toLong, chunkH))
+    new GenericArrayData(rows.toArray[Any])
+  }
+
+  case class CdcChunkInfoExpr(child: Expression, k: Int, maskBits: Int,
+                              minLen: Int, maxLen: Int)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    require(k >= 1, "window length must be >= 1")
+    require(maskBits >= 1 && maskBits <= 62, "maskBits must be in [1, 62]")
+    require(minLen >= 1 && maxLen >= minLen, "need 1 <= minLen <= maxLen")
+    override def inputTypes: Seq[Bridge.AbstractType] = Seq(StringType)
+    override def dataType: DataType = ArrayType(
+      StructType(Seq(
+        StructField("chunk_len", LongType, nullable = false),
+        StructField("chunk_fp", LongType, nullable = false))),
+      containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "graft_cdc_chunk_info"
+
+    override protected def nullSafeEval(input: Any): Any =
+      cdcChunkInfo(input.asInstanceOf[UTF8String], k, maskBits, minLen, maxLen)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, s =>
+        s"graft.functions.Poly64.cdcChunkInfo($s, $k, $maskBits, $minLen, $maxLen)")
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Column form of [[cdcChunkInfo]]: array<struct<chunk_len, chunk_fp>>. */
+  def cdcChunkInfoCol(c: Column, k: Int = 8, maskBits: Int = 6,
+                      minLen: Int = 1, maxLen: Int = Int.MaxValue): Column =
+    Bridge.column(CdcChunkInfoExpr(Bridge.expression(c), k, maskBits, minLen, maxLen))
 }

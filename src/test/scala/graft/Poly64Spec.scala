@@ -188,6 +188,48 @@ class Poly64Spec extends SparkSpec {
     }
   }
 
+  test("cdcChunkInfo: lengths match cdcChunkLengths, fps are the chunk substring folds") {
+    val rnd = new scala.util.Random(17)
+    val strs = Seq("", "tiny", "x" * 100) ++ (0 until 20).map(_ =>
+      (0 until (30 + rnd.nextInt(300)))
+        .map(_ => ('a' + rnd.nextInt(8)).toChar).mkString)
+    for (s <- strs) {
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+      val lens = Poly64.cdcChunkLengths(u, 8, 5, 1, Int.MaxValue).toLongArray.toSeq
+      val info = Poly64.cdcChunkInfo(u, 8, 5, 1, Int.MaxValue)
+      val rows = (0 until info.numElements).map(i => info.getStruct(i, 2))
+      assert(rows.map(_.getLong(0)) === lens)
+      // each fp is the plain Poly64 fold of that chunk's substring
+      var off = 0
+      rows.foreach { r =>
+        val chunk = s.substring(off, off + r.getLong(0).toInt)
+        assert(r.getLong(1) === refHash(chunk, Poly64.Seed1, Poly64.Mult1),
+          s"fp mismatch for chunk '$chunk'")
+        off += r.getLong(0).toInt
+      }
+      assert(off === s.length)
+    }
+  }
+
+  test("shared-chunk dedup finds a planted common paragraph, column path") {
+    val para = "the shared paragraph that both documents quote verbatim " * 3
+    val docs = Seq(
+      (1L, "unique preamble one " + para + " unique tail one"),
+      (2L, "a different beginning " + para + " and a different end"),
+      (3L, "completely unrelated content with nothing in common at all"))
+      .toDF("doc_id", "text")
+    val ch = docs.select(col("doc_id"),
+        explode(graft.functions.Poly64.cdcChunkInfoCol(col("text"))).as("c"))
+      .filter(col("c.chunk_len") >= 16)
+      .select(col("doc_id"), col("c.chunk_fp").as("fp")).distinct()
+    val pairs = ch.as("x").join(ch.as("y"),
+        col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id"), col("y.doc_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), s"planted shared paragraph not found: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("CDC chunk stream resynchronizes after an insertion (the point of CDC)") {
     val rnd = new scala.util.Random(9)
     val s = (0 until 2000).map(_ => ('a' + rnd.nextInt(6)).toChar).mkString

@@ -52,6 +52,12 @@ object GraftExtensions {
       s"$fn: $what must be an integer literal, got $other")
   }
 
+  private def stringOf(e: Expression, fn: String, what: String): String = e match {
+    case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn: $what must be a string literal, got $other")
+  }
+
   private def boolOf(e: Expression, fn: String, what: String): Boolean = e match {
     case Literal(v: Boolean, _) => v
     case other => throw new IllegalArgumentException(
@@ -135,6 +141,16 @@ object GraftExtensions {
       if (a.length == 1) Poly64.Poly64Hash(a(0), Poly64.Seed1, Poly64.Mult1)
       else Poly64.Poly64Hash(a(0), longOf(a(1), "graft_poly64", "seed"),
         longOf(a(2), "graft_poly64", "mult"))
+    },
+    desc("graft_normalize",
+        "_FUNC_(s, form) - Unicode normalization (NFC/NFD/NFKC/NFKD)") { a =>
+      arity("graft_normalize", a, 2)
+      NormalizeExpression.UnicodeNormalize(a(0),
+        stringOf(a(1), "graft_normalize", "form"))
+    },
+    desc("graft_mix64",
+        "_FUNC_(h) - xorshift/multiply 64-bit avalanche finalizer") { a =>
+      arity("graft_mix64", a, 1); Poly64.Mix64(a(0))
     },
     desc("graft_rolling_fps",
         "_FUNC_(s[, k, max]) - winnowing fingerprints via Poly64 rolling hash") { a =>

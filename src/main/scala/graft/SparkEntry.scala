@@ -718,6 +718,32 @@ object SparkEntry {
           explode(TextAnalysis.wsTokens(lower(trim(col("text"))))).as("tok")),
         "tok", phiDenom = 30)),
 
+    // HLL distinct-count registers over order keys: deterministic Poly64
+    // buckets/ranks so the sketch state itself hash-gates against DuckDB;
+    // one partial-aggregated scan, ≤ 2^12 shuffle keys, mergeable by max
+    "d_hll_orders" -> ((s, dir) =>
+      Sketches.hllRegisters(
+        t(s, dir, "lineitem").select(col("l_orderkey").cast("string").as("k")),
+        "k", p = 12)),
+
+    // Gopher repetition filters, occurrence-weighted: top word-2-gram share
+    // + duplicate-3-gram occurrence fraction per doc, integer ppm (the
+    // argmax complement of d_repetition's distinct-based dup ratios)
+    "d_top_grams" -> ((s, dir) =>
+      TextAnalysis.topGramSignals(t(s, dir, "documents"))),
+
+    // Unicode NFC normalization (native expression, isNormalized fast path):
+    // a decomposed/precomposed suffix forces real composition; the Poly64
+    // fingerprint of the normalized text gates byte-exact NFC vs DuckDB
+    "d_nfc" -> ((s, dir) => {
+      val raw = concat(col("text"), lit(" cafe\u0301 caf\u00e9 stra\u00dfe"))
+      val norm = graft.functions.NormalizeExpression.nfc(raw)
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        graft.functions.Poly64.poly64(norm).as("norm_fp"),
+        length(norm).cast("long").as("n_cp"))
+    }),
+
     // DSIR importance weights: hashed-unigram (Poly64 mod 64) log-ratio of
     // the non-English target slice vs the raw corpus, add-one smoothed,
     // integer micro-nat quantized before the per-doc sum (hash-stable)
@@ -1645,6 +1671,12 @@ object SparkEntry {
   /** Unsigned (HUGEINT, mod-2^64) → signed BIGINT reinterpretation. */
   private def sqlU2S(u: String): String =
     s"CAST($u - CASE WHEN $u >= $S63 THEN CAST($U64 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END AS BIGINT)"
+
+  /** One xorshift round on an unsigned mod-2^64 value: `u XOR (u >>> s)`.
+    * Unsigned shift = integer division by 2^s; xor runs on the signed
+    * BIGINT reinterpretation (bitwise — range-independent), then back. */
+  private def sqlXorShr(u: String, s: Int): String =
+    sqlS2U(s"xor(${sqlU2S(u)}, ${sqlU2S(s"($u // ${1L << s})")})")
 
   /** Signed BIGINT → unsigned HUGEINT reinterpretation. */
   private def sqlS2U(s: String): String =
@@ -2579,6 +2611,58 @@ object SparkEntry {
         |            FROM documents)
         |SELECT tok, count(*) AS cnt FROM tk
         |GROUP BY tok HAVING count(*) * 30 > (SELECT count(*) FROM tk)""".stripMargin,
+
+    // HLL registers: bucket = low 12 bits of mix64(Poly64), rank = leading
+    // zeros of the high 52-bit window + 1 (bit length via bin(), no FP log);
+    // the xorshift/multiply finalizer CTEs mirror Poly64.mix exactly
+    "d_hll_orders" ->
+      s"""WITH ks AS (SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS k
+         |            FROM lineitem WHERE l_orderkey IS NOT NULL),
+         |hs AS (SELECT ${sqlPoly("cps", 1125899906842597L, 1099511628211L)} AS u
+         |       FROM (SELECT list_transform(range(1, length(k) + 1),
+         |                      j -> CAST(unicode(k[j]) AS HUGEINT)) AS cps FROM ks)),
+         |m1 AS (SELECT (${sqlXorShr("u", 33)} * 6364136223846793005) % $U64 AS u FROM hs),
+         |m2 AS (SELECT (${sqlXorShr("u", 29)} * 2685821657736338717) % $U64 AS u FROM m1),
+         |m3 AS (SELECT ${sqlXorShr("u", 32)} AS u FROM m2),
+         |rv AS (SELECT CAST(u % 4096 AS BIGINT) AS bucket,
+         |              CAST(u // 4096 AS BIGINT) AS v FROM m3)
+         |SELECT bucket,
+         |       CAST(max(CASE WHEN v = 0 THEN 53 ELSE 53 - length(bin(v)) END) AS INTEGER) AS r
+         |FROM rv GROUP BY bucket""".stripMargin,
+
+    "d_nfc" -> {
+      val cps = "list_transform(range(1, length(t) + 1), j -> CAST(unicode(t[j]) AS HUGEINT))"
+      s"""WITH x AS (SELECT doc_id,
+         |  nfc_normalize(text || ' cafe' || chr(769) || ' caf' || chr(233) ||
+         |                ' stra' || chr(223) || 'e') AS t
+         |  FROM documents)
+         |SELECT doc_id, ${sqlU2S(sqlPoly("cps", 1125899906842597L, 1099511628211L))} AS norm_fp,
+         |       CAST(length(t) AS BIGINT) AS n_cp
+         |FROM (SELECT doc_id, t, $cps AS cps FROM x)""".stripMargin
+    },
+
+    "d_top_grams" ->
+      """WITH tk AS MATERIALIZED (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk FROM documents),
+        |c2 AS MATERIALIZED (
+        |  SELECT doc_id, g, count(*) AS c FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+        |                     i -> tk[i] || ' ' || tk[i+1])) AS g
+        |    FROM tk WHERE len(tk) >= 2) GROUP BY 1, 2),
+        |t2 AS (SELECT doc_id, g AS top2, CAST(c * 1000000 // tot AS BIGINT) AS top2_ppm FROM (
+        |  SELECT doc_id, g, c, sum(c) OVER (PARTITION BY doc_id) AS tot,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS rn
+        |  FROM c2) WHERE rn = 1),
+        |c3 AS MATERIALIZED (
+        |  SELECT doc_id, g, count(*) AS c FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+        |                     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g
+        |    FROM tk WHERE len(tk) >= 3) GROUP BY 1, 2),
+        |d3 AS (SELECT doc_id,
+        |         CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) * 1000000 // sum(c) AS BIGINT) AS dup3_ppm
+        |       FROM c3 GROUP BY 1)
+        |SELECT d.doc_id, t2.top2, t2.top2_ppm, d3.dup3_ppm
+        |FROM documents d LEFT JOIN t2 USING (doc_id) LEFT JOIN d3 USING (doc_id)""".stripMargin,
 
     "d_dsir_weights" ->
       s"""$dsirWeightsCte

@@ -44,6 +44,54 @@ object Poly64 {
     h
   }
 
+  /** Xorshift–multiply avalanche constants (public domain families: the
+    * PCG64 LCG multiplier and Marsaglia's xorshift64* multiplier). */
+  val MixC1 = 6364136223846793005L
+  val MixC2 = 2685821657736338717L
+
+  /** 64-bit avalanche finalizer. Poly64 alone is NOT an avalanche hash:
+    * over short decimal-ish strings the high bits live on a coarse lattice
+    * (each varying character contributes `d · mult^k` from a ≤ 10-value
+    * set), which breaks leading-zero statistics (HLL ranks). Three
+    * xorshift/multiply rounds restore per-bit diffusion while staying
+    * exactly reproducible in oracle SQL (unsigned shift = `// 2^s`,
+    * bitwise xor, wrap-around multiply mod 2^64 — both constants < 2^63 so
+    * the HUGEINT product stays in range). */
+  def mix(h0: Long): Long = {
+    var h = h0
+    h ^= h >>> 33; h *= MixC1
+    h ^= h >>> 29; h *= MixC2
+    h ^= h >>> 32
+    h
+  }
+
+  case class Mix64(child: Expression)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[Bridge.AbstractType] = Seq(LongType)
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "graft_mix64"
+
+    override protected def nullSafeEval(input: Any): Any =
+      mix(input.asInstanceOf[Long])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, h0 => {
+        val h = ctx.freshName("h")
+        s"""
+           |long $h = $h0;
+           |$h ^= $h >>> 33; $h *= ${MixC1}L;
+           |$h ^= $h >>> 29; $h *= ${MixC2}L;
+           |$h ^= $h >>> 32;
+           |${ev.value} = $h;
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def mix64(c: Column): Column = Bridge.column(Mix64(Bridge.expression(c)))
+
   /** Generated-Java fragment computing the same fold (shared with
     * MinHashExpression's poly family codegen). `str` must be a String local;
     * declares and assigns the long local `h`. */

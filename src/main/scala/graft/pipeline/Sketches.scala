@@ -114,4 +114,69 @@ object Sketches {
         .filter(col("cnt") * phiDenom > lit(summary.n))
     }
   }
+
+  // -------------------------------------------------------------------------
+  // HyperLogLog registers — distinct-count sketch with a DETERMINISTIC,
+  // SQL-reproducible register table (Flajolet et al., AofA'07).
+  //
+  // Spark's approx_count_distinct is an opaque HLL++ whose binary state can't
+  // be cross-checked by another engine. This variant derives everything from
+  // the Poly64 hash the rest of the oracle family uses: the register table
+  // (bucket → max rank) is a pure function of the key SET, so it hash-gates
+  // exactly against DuckDB, survives re-runs/retries/engine ports, and merges
+  // by pointwise max — union of shard registers ≡ registers of the union,
+  // which is what makes it a per-partition/per-day maintainable profile at
+  // 100 TB (store one tiny register table per shard; estimate any union of
+  // shards without rescanning). One scan, partial-aggregated groupBy over at
+  // most 2^p buckets — never a distinct-key shuffle.
+  // -------------------------------------------------------------------------
+
+  /** HLL register table for `keyCol`: (bucket BIGINT, r INT), one row per
+    * NON-EMPTY bucket. h = mix64(Poly64(key)) — the avalanche finalizer is
+    * load-bearing: raw Poly64 top bits are lattice-structured on short keys
+    * and skew the rank statistics. bucket = low p bits; rank = leading
+    * zeros of the remaining (64−p)-bit window + 1 (in [1, 64−p+1]). Bit
+    * length via `length(bin(v))` — exact integer arithmetic at power-of-two
+    * boundaries on both engines (never FP log). NULL keys are skipped. */
+  def hllRegisters(df: DataFrame, keyCol: String, p: Int): DataFrame = {
+    require(p >= 4 && p <= 18, s"p must be in [4, 18], got $p")
+    val w = 64 - p
+    val h = graft.functions.Poly64.mix64(
+      graft.functions.Poly64.poly64(col(keyCol).cast("string")))
+    val v = shiftrightunsigned(h, p) // high 64-p bits; >= 0 for p >= 1
+    df.filter(col(keyCol).isNotNull)
+      .select(
+        h.bitwiseAND(lit((1L << p) - 1)).as("bucket"),
+        when(v === 0, lit(w + 1))
+          .otherwise(lit(w + 1) - length(bin(v))).cast("int").as("rank"))
+      .groupBy(col("bucket"))
+      .agg(max(col("rank")).as("r"))
+  }
+
+  /** Merge register tables (any number of shards): pointwise max. */
+  def mergeHllRegisters(shards: Seq[DataFrame]): DataFrame =
+    shards.reduce(_ unionByName _).groupBy(col("bucket")).agg(max(col("r")).as("r"))
+
+  /** Standard HLL estimate from a (bucket, r) register table: harmonic mean
+    * of 2^-r over all 2^p buckets (empty bucket ⇒ r = 0), bias constant
+    * α_m, linear-counting correction in the small range. Driver-side over
+    * ≤ 2^p rows — the sketch IS the reduction; 64-bit hashes need no
+    * large-range correction. */
+  def hllEstimate(registers: DataFrame, p: Int): Double = {
+    val m = 1 << p
+    val regs = new Array[Int](m)
+    registers.select(col("bucket").cast("long"), col("r").cast("int"))
+      .collect().foreach { row => regs(row.getLong(0).toInt) = row.getInt(1) }
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1.0 + 1.079 / m)
+    }
+    var z = 0.0
+    var zeros = 0
+    regs.foreach { r => z += math.pow(2.0, -r); if (r == 0) zeros += 1 }
+    val e = alpha * m * m / z
+    if (e <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) else e
+  }
 }

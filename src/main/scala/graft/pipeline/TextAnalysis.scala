@@ -251,6 +251,59 @@ object TextAnalysis {
   def robustFingerprintsPoly(text: Column, k: Int = 8, numFingerprints: Int = 16): Column =
     graft.functions.Poly64.rollingFps(
       regexp_replace(lower(trim(text)), "\\s+", " "), k, numFingerprints)
+
+  /**
+   * Gopher-style repetition quality signals (Rae et al. 2021, §A1.1: the
+   * "repetition" filters of the MassiveText pipeline): per document,
+   *
+   *   - `top2` / `top2_ppm`: the most frequent word 2-gram (ties broken by
+   *     lexicographic order — deterministic) and its share of all 2-gram
+   *     occurrences, in integer parts-per-million;
+   *   - `dup3_ppm`: the fraction of 3-gram OCCURRENCES belonging to 3-grams
+   *     that occur more than once, in ppm.
+   *
+   * Boilerplate/template spam scores high on both; natural text stays low.
+   * All ratios are integer `x * 1_000_000 DIV total` — exact and engine-
+   * portable (never a float division). Docs with fewer than n tokens carry
+   * NULL for that signal (every input doc keeps its row).
+   *
+   * Scale shape: gram expansion is declarative (`transform` over a bounded
+   * per-row sequence — no shuffle), counts partial-aggregate on
+   * (doc_id, gram), and the per-doc argmax/sums window on doc_id — sort
+   * groups bounded by a single document's distinct grams. The `size >= n`
+   * guard is load-bearing: `sequence(0, size-n)` with size < n would emit a
+   * DESCENDING range, not an empty one.
+   */
+  def topGramSignals(docs: DataFrame, textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col(idCol), wsTokens(lower(trim(col(textCol)))).as("toks"))
+
+    def gramCounts(n: Int) = base
+      .select(col(idCol), explode(when(size(col("toks")) >= n,
+        transform(sequence(lit(0), size(col("toks")) - n),
+          i => concat_ws(" ", slice(col("toks"), i + 1, lit(n)))))).as("g"))
+      .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
+
+    val byDoc = Window.partitionBy(idCol)
+    val top2 = gramCounts(2)
+      .withColumn("tot", sum(col("c")).over(byDoc))
+      .withColumn("rn", row_number().over(byDoc.orderBy(desc("c"), asc("g"))))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col("g").as("top2"),
+        expr("CAST(c * 1000000 DIV tot AS BIGINT)").as("top2_ppm"))
+
+    val dup3 = gramCounts(3)
+      .groupBy(col(idCol)).agg(
+        sum(when(col("c") >= 2, col("c")).otherwise(0L)).as("dup"),
+        sum(col("c")).as("tot"))
+      .select(col(idCol),
+        expr("CAST(dup * 1000000 DIV tot AS BIGINT)").as("dup3_ppm"))
+
+    docs.select(col(idCol))
+      .join(top2, Seq(idCol), "left")
+      .join(dup3, Seq(idCol), "left")
+  }
 }
 
 /** Minimal per-language stopword profiles (public common-word lists). */

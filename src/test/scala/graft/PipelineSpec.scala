@@ -1134,4 +1134,71 @@ class PipelineSpec extends SparkSpec {
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(out === Map(4L -> ((11L, 3L)), 3L -> ((5L, 1L))))
   }
+
+  // ---- Gopher repetition signals ------------------------------------------
+
+  /** Driver-side reference: token n-grams with duplicates, top-2-gram share
+    * and duplicate-3-gram occurrence fraction, integer ppm. */
+  private def refRepetition(text: String): (Option[(String, Long)], Option[Long]) = {
+    val toks = text.trim.toLowerCase.split("\\s+").toSeq
+    def grams(n: Int) =
+      if (toks.length < n) Seq.empty
+      else toks.sliding(n).map(_.mkString(" ")).toSeq
+    val g2 = grams(2)
+    val top2 = if (g2.isEmpty) None else {
+      val counts = g2.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val (g, c) = counts.toSeq.minBy { case (g, c) => (-c, g) }
+      Some((g, c * 1000000L / g2.size))
+    }
+    val g3 = grams(3)
+    val dup3 = if (g3.isEmpty) None else {
+      val counts = g3.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      Some(counts.values.filter(_ >= 2).sum * 1000000L / g3.size)
+    }
+    (top2, dup3)
+  }
+
+  test("topGramSignals: spam scores high, varied text low, short docs NULL") {
+    val d = Seq(
+      (1L, "buy now buy now buy now buy now buy now"),
+      (2L, "one two three four five six seven eight nine ten"),
+      (3L, "alpha"),              // no 2-grams, no 3-grams
+      (4L, "alpha beta"),         // one 2-gram, no 3-grams
+      (5L, "a b a b a b a b")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.topGramSignals(d).collect()
+      .map(r => r.getLong(0) ->
+        ((Option(r.get(1)).map(_.toString), Option(r.get(2)).map(_.toString.toLong)),
+         Option(r.get(3)).map(_.toString.toLong))).toMap
+    assert(out.size === 5)
+    // "buy now" appears 5 of 9 2-grams = 555555 ppm; every 3-gram duplicated
+    assert(out(1L) === (((Some("buy now"), Some(555555L)), Some(1000000L))))
+    // all distinct: count-1 tie → lexicographic min gram; share 1/9 ppm
+    assert(out(2L) === (((Some("eight nine"), Some(111111L)), Some(0L))))
+    assert(out(3L) === (((None, None), None)))
+    assert(out(4L) === (((Some("alpha beta"), Some(1000000L)), None)))
+    // tie on counts: "a b" (4) beats "b a" (3); all 3-grams duplicated
+    assert(out(5L)._1._1 === Some("a b"))
+    assert(out(5L)._2 === Some(1000000L))
+  }
+
+  test("topGramSignals ≡ driver-side reference on random small-vocab docs") {
+    val rnd = new scala.util.Random(20260813L)
+    val vocab = Vector("aa", "bb", "cc", "dd")
+    val docs = (0L until 60L).map { i =>
+      val n = rnd.nextInt(12) // includes degenerate 0/1/2-token docs
+      (i, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text").repartition(7)
+    val got = TextAnalysis.topGramSignals(df).collect()
+      .map(r => r.getLong(0) ->
+        ((Option(r.get(1)).map(_.toString), Option(r.get(2)).map(_.toString.toLong)),
+         Option(r.get(3)).map(_.toString.toLong))).toMap
+    docs.foreach { case (id, text) =>
+      val (top2, dup3) = refRepetition(text)
+      assert(got(id)._1._1 === top2.map(_._1), s"doc $id top2 gram, text='$text'")
+      assert(got(id)._1._2 === top2.map(_._2), s"doc $id top2 ppm, text='$text'")
+      assert(got(id)._2 === dup3, s"doc $id dup3 ppm, text='$text'")
+    }
+  }
 }

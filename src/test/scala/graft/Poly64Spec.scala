@@ -251,4 +251,40 @@ class Poly64Spec extends SparkSpec {
         s"prefix=$prefix suffix=$suffix")
     assert(c2.sum === c1.sum + 3)
   }
+
+  test("mix64 column path equals Poly64.mix; bijective on a sample") {
+    import spark.implicits._
+    import graft.functions.Poly64
+    val vals = Seq(0L, 1L, -1L, Long.MinValue, Long.MaxValue, 42L,
+      1234567890123L, -987654321L)
+    val got = vals.toDF("h").repartition(3)
+      .select(col("h"), Poly64.mix64(col("h")).as("m")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    vals.foreach(v => assert(got(v) === Poly64.mix(v), s"mix64($v)"))
+    // xorshift and odd-multiply rounds are each invertible mod 2^64
+    assert(got.values.toSet.size === vals.size)
+  }
+
+  test("unicode normalization: composition, idempotence, fast-path identity") {
+    import spark.implicits._
+    import graft.functions.NormalizeExpression._
+    val decomposed = "cafe\u0301 A\u030A"
+    val composed = "caf\u00E9 \u00C5"
+    val rows = Seq((1L, decomposed), (2L, composed), (3L, "plain ascii"),
+      (4L, null.asInstanceOf[String]), (5L, "😀 emoji"))
+    val out = rows.toDF("id", "s").repartition(2)
+      .select(col("id"), nfc(col("s")).as("c"), nfd(col("s")).as("d"),
+        nfkc(col("s")).as("kc")).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2), r.getString(3)))
+      .toMap
+    assert(out(1L)._1 === composed)                      // NFC composes
+    assert(out(2L)._1 === composed)                      // already-NFC unchanged
+    assert(out(1L)._2 === out(2L)._2)                    // NFD agrees both ways
+    assert(out(3L) === (("plain ascii", "plain ascii", "plain ascii")))
+    assert(out(4L) === ((null, null, null)))
+    assert(out(5L)._1 === "😀 emoji")          // non-BMP passthrough
+    // idempotence via the Java reference
+    assert(java.text.Normalizer.normalize(out(1L)._1,
+      java.text.Normalizer.Form.NFC) === out(1L)._1)
+  }
 }

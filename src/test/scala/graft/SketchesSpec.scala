@@ -129,4 +129,69 @@ class SketchesSpec extends SparkSpec {
       Sketches.heavyHitters(Seq("a").toDF("k"), "k", phiDenom = 30, capacity = 10)
     }
   }
+
+  // ---- HyperLogLog registers ----------------------------------------------
+
+  /** Driver-side register reference: same Poly64 hash via the expression's
+    * own eval, bucket = low p bits, rank = Long.numberOfLeadingZeros on the
+    * high window. */
+  private def refRegisters(keys: Seq[String], p: Int): Map[Long, Int] = {
+    keys.map { k =>
+      val h = graft.functions.Poly64.mix(graft.functions.Poly64.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(k),
+        graft.functions.Poly64.Seed1, graft.functions.Poly64.Mult1))
+      val bucket = h & ((1L << p) - 1)
+      val v = h >>> p
+      val rank = if (v == 0L) 64 - p + 1
+                 else java.lang.Long.numberOfLeadingZeros(v) - p + 1
+      bucket -> rank
+    }.groupBy(_._1).map { case (b, rs) => b -> rs.map(_._2).max }
+  }
+
+  test("hllRegisters matches a driver-side bit-twiddling reference") {
+    val keys = (0 until 5000).map(i => s"key-$i")
+    val df = spark.createDataset(keys).repartition(8).toDF("k")
+    val got = Sketches.hllRegisters(df, "k", p = 10).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === refRegisters(keys, 10))
+  }
+
+  test("registers are a function of the key SET: duplicates and nulls ignored") {
+    val keys = (0 until 2000).map(i => s"key-${i % 500}")
+    val withNulls = spark.createDataset(keys.map(Option(_)) ++ Seq(None, None))
+      .toDF("k")
+    val distinctOnly = spark.createDataset(keys.distinct).toDF("k")
+    val a = Sketches.hllRegisters(withNulls, "k", p = 8).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val b = Sketches.hllRegisters(distinctOnly, "k", p = 8).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(a === b)
+  }
+
+  test("shard registers merge by pointwise max to the union's registers") {
+    val all = (0 until 8000).map(i => s"doc-$i")
+    val shards = all.grouped(3000).map(ks =>
+      Sketches.hllRegisters(spark.createDataset(ks).toDF("k"), "k", p = 9)).toSeq
+    val merged = Sketches.mergeHllRegisters(shards).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val whole = Sketches.hllRegisters(spark.createDataset(all).toDF("k"), "k", p = 9)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(merged === whole)
+  }
+
+  test("estimate within 5% at 50k distinct (p=12, deterministic hash)") {
+    val n = 50000
+    val df = spark.range(n).select(concat(lit("u"), col("id")).as("k"))
+    val est = Sketches.hllEstimate(Sketches.hllRegisters(df, "k", p = 12), p = 12)
+    val err = math.abs(est - n) / n
+    assert(err < 0.05, s"estimate $est vs $n: relative error $err")
+  }
+
+  test("small range falls back to linear counting and stays within 2%") {
+    val n = 150
+    val df = spark.range(n).select(concat(lit("s"), col("id")).as("k"))
+    val est = Sketches.hllEstimate(Sketches.hllRegisters(df, "k", p = 12), p = 12)
+    val err = math.abs(est - n) / n
+    assert(err < 0.02, s"estimate $est vs $n: relative error $err")
+  }
 }

@@ -732,6 +732,23 @@ object SparkEntry {
     "d_top_grams" -> ((s, dir) =>
       TextAnalysis.topGramSignals(t(s, dir, "documents"))),
 
+    // URL canonicalization for web-corpus dedup: synthetic URLs derived from
+    // (source, doc_id) exercise case folding, default ports, www/fragment/
+    // tracking-param stripping, and param sorting; canon string + naive
+    // registered domain are the dedup keys
+    "d_url_canon" -> ((s, dir) => {
+      val u = when(col("doc_id") % 2 === 0,
+          concat(lit("HTTPS://WWW."), col("source"), lit(".Example.COM:443/Path/"),
+            (col("doc_id") % 3).cast("string"),
+            lit("?utm_source=feed&b=2&a=1&gclid=x&z=9#frag")))
+        .otherwise(concat(lit("http://"), col("source"),
+          lit(".example.com:80?ref=abc&q=term#x")))
+      val canon = TextAnalysis.canonicalizeUrl(u)
+      t(s, dir, "documents").select(col("doc_id"), canon.as("canon_url"),
+        TextAnalysis.registeredDomain(
+          regexp_extract(canon, "^[a-z]+://([^/?#]*)", 1)).as("domain"))
+    }),
+
     // Unicode NFC normalization (native expression, isNormalized fast path):
     // a decomposed/precomposed suffix forces real composition; the Poly64
     // fingerprint of the normalized text gates byte-exact NFC vs DuckDB
@@ -2629,6 +2646,37 @@ object SparkEntry {
          |SELECT bucket,
          |       CAST(max(CASE WHEN v = 0 THEN 53 ELSE 53 - length(bin(v)) END) AS INTEGER) AS r
          |FROM rv GROUP BY bucket""".stripMargin,
+
+    "d_url_canon" ->
+      """WITH u AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN
+        |    'HTTPS://WWW.' || source || '.Example.COM:443/Path/' ||
+        |    CAST(doc_id % 3 AS VARCHAR) || '?utm_source=feed&b=2&a=1&gclid=x&z=9#frag'
+        |  ELSE 'http://' || source || '.example.com:80?ref=abc&q=term#x' END AS url
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |  lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+        |  regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
+        |  regexp_extract(url, '\?([^#]*)', 1) AS q0
+        |  FROM u),
+        |h AS (SELECT doc_id, scheme,
+        |  regexp_replace(CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+        |       WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+        |       ELSE hostport END, '^www\.', '') AS host,
+        |  CASE WHEN rawpath = '' THEN '/' ELSE rawpath END AS path,
+        |  array_to_string(list_sort(list_filter(string_split(q0, '&'),
+        |    p -> length(p) > 0 AND NOT regexp_matches(p,
+        |           '^(utm_[^=]*|gclid|fbclid|msclkid|ref)(=|$)'))), '&') AS q
+        |  FROM c)
+        |SELECT doc_id,
+        |  CASE WHEN scheme = '' OR host = '' THEN NULL ELSE
+        |    scheme || '://' || host || path ||
+        |    CASE WHEN length(q) > 0 THEN '?' || q ELSE '' END END AS canon_url,
+        |  CASE WHEN len(string_split(host, '.')) >= 2 THEN
+        |    string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1]
+        |  ELSE host END AS domain
+        |FROM h""".stripMargin,
 
     "d_nfc" -> {
       val cps = "list_transform(range(1, length(t) + 1), j -> CAST(unicode(t[j]) AS HUGEINT))"

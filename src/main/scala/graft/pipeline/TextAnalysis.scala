@@ -253,6 +253,46 @@ object TextAnalysis {
       regexp_replace(lower(trim(text)), "\\s+", " "), k, numFingerprints)
 
   /**
+   * Canonical URL form for web-corpus dedup (the CommonCrawl-pipeline
+   * normalization): lowercase scheme and host, strip a default port
+   * (:80/http, :443/https) and a leading `www.`, drop the fragment, drop
+   * tracking parameters (`utm_*`, `gclid`, `fbclid`, `msclkid`, `ref`),
+   * sort the surviving query parameters (binary order), and normalize an
+   * empty path to `/`. Path case is PRESERVED (paths are case-sensitive).
+   * Inputs without a `scheme://` prefix yield NULL — a canonical key must
+   * never half-normalize. Entirely rowwise (regexp + array HOFs, codegen'd):
+   * composes into the corpus scan with no shuffle; the canonical string is
+   * then an exact-dedup / groupBy key.
+   */
+  def canonicalizeUrl(url: Column, stripWww: Boolean = true): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostport = lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val noPort = when(scheme === "http", regexp_replace(hostport, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostport, ":443$", ""))
+      .otherwise(hostport)
+    val host = if (stripWww) regexp_replace(noPort, "^www\\.", "") else noPort
+    val rawPath = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val path = when(rawPath === "", lit("/")).otherwise(rawPath)
+    val params = filter(split(regexp_extract(url, "\\?([^#]*)", 1), "&"),
+      p => length(p) > 0 && !p.rlike("^(utm_[^=]*|gclid|fbclid|msclkid|ref)(=|$)"))
+    val q = array_join(array_sort(params), "&")
+    when(scheme === "" || host === "", lit(null).cast("string"))
+      .otherwise(concat(scheme, lit("://"), host, path,
+        when(length(q) > 0, concat(lit("?"), q)).otherwise(lit(""))))
+  }
+
+  /** Naive registered domain: the last two host labels (`a.b.c.com` →
+    * `c.com`). An approximation — a real pipeline substitutes the public
+    * suffix list here; the shape (rowwise split + slice) is identical. */
+  def registeredDomain(host: Column): Column = {
+    val parts = split(host, "\\.")
+    when(host.isNull, lit(null).cast("string"))
+      .when(size(parts) >= 2,
+        concat_ws(".", element_at(parts, -2), element_at(parts, -1)))
+      .otherwise(host)
+  }
+
+  /**
    * Gopher-style repetition quality signals (Rae et al. 2021, §A1.1: the
    * "repetition" filters of the MassiveText pipeline): per document,
    *

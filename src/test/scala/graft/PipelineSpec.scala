@@ -1135,6 +1135,40 @@ class PipelineSpec extends SparkSpec {
     assert(out === Map(4L -> ((11L, 3L)), 3L -> ((5L, 1L))))
   }
 
+  // ---- URL canonicalization -----------------------------------------------
+
+  test("canonicalizeUrl: golden cases for every normalization rule") {
+    val cases = Seq(
+      // case fold + www + default port + tracking strip + param sort + fragment
+      ("HTTPS://WWW.Example.COM:443/Path/A?utm_source=x&b=2&a=1#f",
+        "https://example.com/Path/A?a=1&b=2"),
+      ("http://example.com:80", "http://example.com/"),          // empty path → /
+      ("http://example.com:8080/x", "http://example.com:8080/x"), // non-default port kept
+      ("https://sub.shop.co.uk/p?gclid=1&ref=2&q=3", "https://sub.shop.co.uk/p?q=3"),
+      ("ftp://Files.example.com:443/a", "ftp://files.example.com:443/a"), // non-http scheme: port kept
+      ("https://example.com/P?utm_a=1&utm_b=2", "https://example.com/P"), // all params tracked → no ?
+      ("no-scheme.com/path", null),                               // schemeless → NULL
+      (null, null)
+    )
+    val out = cases.zipWithIndex.map { case ((in, _), i) => (i.toLong, in) }
+      .toDF("id", "url")
+      .select(col("id"), TextAnalysis.canonicalizeUrl(col("url")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    cases.zipWithIndex.foreach { case ((in, want), i) =>
+      assert(out(i.toLong) === want, s"url '$in'")
+    }
+  }
+
+  test("registeredDomain: naive last-two-label approximation") {
+    val out = Seq((1L, "sub.a.example.com"), (2L, "example.com"),
+      (3L, "localhost"), (4L, null.asInstanceOf[String]))
+      .toDF("id", "h")
+      .select(col("id"), TextAnalysis.registeredDomain(col("h")).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "example.com", 2L -> "example.com",
+      3L -> "localhost", 4L -> null))
+  }
+
   // ---- Gopher repetition signals ------------------------------------------
 
   /** Driver-side reference: token n-grams with duplicates, top-2-gram share

@@ -179,6 +179,40 @@ class SketchesSpec extends SparkSpec {
     assert(merged === whole)
   }
 
+  test("streaming ingest: per-batch HLL registers merge into a live distinct count") {
+    // same foreachBatch maintenance shape as the Misra–Gries loop: each
+    // micro-batch contributes its register table, the driver keeps the
+    // pointwise max (tiny: ≤ 2^p entries), and the estimate tracks the
+    // distinct count of everything seen so far — overlap double-counts
+    // nothing, because max is idempotent
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val p = 11
+    var state = Map.empty[Long, Int]
+    val input = MemoryStream[String]
+    val q = input.toDF().toDF("k").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Sketches.hllRegisters(batch, "k", p).collect().foreach { r =>
+          val (b, rk) = (r.getLong(0), r.getInt(1))
+          state = state.updated(b, math.max(state.getOrElse(b, 0), rk))
+        }
+        ()
+      }
+      .start()
+    // 3 batches of 4000 keys, each overlapping the previous by 1000
+    (0 until 3).foreach { b =>
+      input.addData((b * 3000 until b * 3000 + 4000).map(i => s"u$i"): _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val stateDf = spark.createDataFrame(
+      state.toSeq.map { case (b, r) => (b, r) }).toDF("bucket", "r")
+    val est = Sketches.hllEstimate(stateDf, p)
+    val truth = 10000.0 // 0..9999 distinct across overlapping batches
+    assert(math.abs(est - truth) / truth < 0.05,
+      s"streamed estimate $est vs $truth")
+  }
+
   test("estimate within 5% at 50k distinct (p=12, deterministic hash)") {
     val n = 50000
     val df = spark.range(n).select(concat(lit("u"), col("id")).as("k"))

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.algos.GraphAlgorithms
 import graft.core.KGraph
 import graft.core.KGraph.EdgeDirection
-import graft.pipeline.{Ann, Curation, Dedup, Events, Multimodal, Sketches, TextAnalysis}
+import graft.pipeline.{Ann, Curation, Dedup, Events, LinAlg, Multimodal, Sketches, TextAnalysis}
 
 /**
  * Driver contract: every implemented operator from SURVEY.md §2 is exposed as
@@ -731,6 +731,12 @@ object SparkEntry {
     // argmax complement of d_repetition's distinct-based dup ratios)
     "d_top_grams" -> ((s, dir) =>
       TextAnalysis.topGramSignals(t(s, dir, "documents"))),
+
+    // embedding second-moment (Gram) matrix, integer-exact: one bounded-state
+    // aggregation (O(d²) longs per partition), per-term micro quantization
+    // makes the sums associative-exact — the distributed half of PCA/whitening
+    "d_embed_gram" -> ((s, dir) =>
+      LinAlg.gramMatrix(t(s, dir, "embeddings"), "embedding")),
 
     // URL canonicalization for web-corpus dedup: synthetic URLs derived from
     // (source, doc_id) exercise case folding, default ports, www/fragment/
@@ -2646,6 +2652,14 @@ object SparkEntry {
          |SELECT bucket,
          |       CAST(max(CASE WHEN v = 0 THEN 53 ELSE 53 - length(bin(v)) END) AS INTEGER) AS r
          |FROM rv GROUP BY bucket""".stripMargin,
+
+    "d_embed_gram" ->
+      """SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
+        |  CAST(sum(CAST(floor(CAST(e[i] AS DOUBLE) * CAST(e[j] AS DOUBLE)
+        |                      * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS s_micro
+        |FROM (SELECT embedding AS e FROM embeddings WHERE embedding IS NOT NULL),
+        |     range(1, 65) t1(i), range(1, 65) t2(j)
+        |WHERE j >= i GROUP BY i, j""".stripMargin,
 
     "d_url_canon" ->
       """WITH u AS (SELECT doc_id,

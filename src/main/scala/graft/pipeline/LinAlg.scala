@@ -171,4 +171,27 @@ object LinAlg {
     val (vals, vecs) = symEigen(covariance(moments(df, vecCol)))
     (vals.take(k), vecs.take(k))
   }
+
+  /** Project `vecCol` onto a driver-computed basis (rows of `comps`, e.g.
+    * `pca(...)._2`), optionally mean-centering and whitening (dividing
+    * component i by √λ_i). The basis rides the closure as a literal — a
+    * broadcast-sized control value — and the projection itself is a rowwise
+    * codegen'd dot product: the 100 TB side never shuffles. Appends
+    * `projCol` as array<double> of length k. */
+  def project(df: DataFrame, vecCol: String, comps: Array[Array[Double]],
+              mean: Option[Array[Double]] = None,
+              scales: Option[Array[Double]] = None,
+              projCol: String = "proj"): DataFrame = {
+    val d = comps.headOption.map(_.length).getOrElse(0)
+    val mu = mean.getOrElse(Array.fill(d)(0.0))
+    require(mu.length == d, s"mean width ${mu.length} != basis width $d")
+    val sc = scales.getOrElse(Array.fill(comps.length)(1.0))
+    val centered = (0 until d).map(i =>
+      col(vecCol).getItem(i).cast("double") - lit(mu(i)))
+    val projections = comps.zip(sc).map { case (row, s) =>
+      row.zip(centered).map { case (w, x) => x * lit(w) }
+        .reduce(_ + _) * lit(s)
+    }
+    df.withColumn(projCol, array(projections: _*))
+  }
 }

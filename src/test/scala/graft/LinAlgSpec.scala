@@ -76,4 +76,36 @@ class LinAlgSpec extends SparkSpec {
     assert(cosTop > 0.999, s"top PC misaligned: |cos|=$cosTop")
     assert(vals(0) > 20 * vals(1), s"spectrum not dominated: ${vals.toSeq}")
   }
+
+  test("project: rowwise plan, driver-side parity, whitening unit variance") {
+    val d = 4
+    val data = vecs(300, d)
+    val df = data.map(Tuple1(_)).toDF("embedding").repartition(3)
+    val st = LinAlg.moments(df, "embedding")
+    val mean = st.sums.map(_ / 1e6 / st.n).toArray
+    val (vals, comps) = LinAlg.pca(df, "embedding", 2)
+    val scales = vals.map(v => 1.0 / math.sqrt(v))
+    val out = LinAlg.project(df, "embedding", comps, Some(mean), Some(scales))
+    // no shuffle beyond the test's own repartition: project adds none
+    val flat = LinAlg.project(data.map(Tuple1(_)).toDF("embedding"),
+      "embedding", comps, Some(mean), Some(scales))
+    assert(!flat.queryExecution.executedPlan.toString.contains("Exchange"),
+      "projection introduced a shuffle")
+    val got = out.select(col("proj")).collect().map(_.getSeq[Double](0))
+    // whitened components have ~unit variance over the corpus
+    for (c <- 0 until 2) {
+      val xs = got.map(_(c))
+      val m = xs.sum / xs.length
+      val v = xs.map(x => (x - m) * (x - m)).sum / xs.length
+      assert(math.abs(v - 1.0) < 0.05, s"component $c variance $v")
+    }
+    // parity with a driver-side projection of the first row
+    val v0 = data.head.map(_.toDouble)
+    val want = comps.zip(scales).map { case (row, s) =>
+      row.indices.map(i => (v0(i) - mean(i)) * row(i)).sum * s
+    }
+    val first = out.select(col("proj"))
+      .where(col("embedding") === typedLit(data.head)).head().getSeq[Double](0)
+    want.zip(first).foreach { case (w, g) => assert(math.abs(w - g) < 1e-9) }
+  }
 }

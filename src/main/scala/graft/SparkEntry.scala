@@ -732,6 +732,12 @@ object SparkEntry {
     "d_top_grams" -> ((s, dir) =>
       TextAnalysis.topGramSignals(t(s, dir, "documents"))),
 
+    // BPE vocabulary induction: 6 merge rules learned over the corpus — per
+    // iteration one pair-count shuffle (vocabulary-sized after partial agg)
+    // + a 1-row driver argmax + a rowwise codegen'd greedy merge pass
+    "d_bpe_merges" -> ((s, dir) =>
+      TextAnalysis.bpeLearn(t(s, dir, "documents"), iters = 6)),
+
     // embedding second-moment (Gram) matrix, integer-exact: one bounded-state
     // aggregation (O(d²) longs per partition), per-term micro quantization
     // makes the sums associative-exact — the distributed half of PCA/whitening
@@ -1686,6 +1692,53 @@ object SparkEntry {
        |          FROM model CROSS JOIN tot),
        |w AS (SELECT doc_id, CAST(sum(dm) AS BIGINT) AS weight_micro
        |      FROM bk JOIN delta USING (bucket) GROUP BY 1)""".stripMargin
+  }
+
+  /** Unrolled BPE oracle: per iteration, pair counts + 1-row argmax CTE +
+    * an EXACT greedy-left-to-right merge. Greedy semantics in set-based SQL:
+    * overlapping candidate positions only arise for l = r runs, where the
+    * merged positions are exactly the odd row_numbers within each
+    * gaps-and-islands streak; everything else merges unconditionally. A
+    * position is consumed iff its left neighbor merged. */
+  private def bpeOracleSql(iters: Int): String = {
+    val head =
+      """WITH s0 AS MATERIALIZED (
+        |  SELECT doc_id, regexp_extract_all(regexp_replace(regexp_replace(
+        |    lower(trim(text)), '\s+', ' ', 'g'), ' ', '¶', 'g'), '.') AS tk
+        |  FROM documents WHERE text IS NOT NULL)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""p$i AS MATERIALIZED (
+         |  SELECT doc_id, i, tk[i] AS a, tk[i + 1] AS b
+         |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM s${i - 1})),
+         |c$i AS MATERIALIZED (
+         |  SELECT a AS l, b AS r, count(*) AS cnt FROM p$i
+         |  WHERE strpos(a, '¶') = 0 AND strpos(b, '¶') = 0
+         |  GROUP BY 1, 2 ORDER BY cnt DESC, l, r LIMIT 1),
+         |f$i AS MATERIALIZED (
+         |  SELECT doc_id, i FROM (
+         |    SELECT doc_id, i, cand,
+         |      row_number() OVER (PARTITION BY doc_id, cand, island ORDER BY i) % 2 = 1 AS odd
+         |    FROM (
+         |      SELECT doc_id, i, cand,
+         |        i - row_number() OVER (PARTITION BY doc_id, cand ORDER BY i) AS island
+         |      FROM (SELECT p.doc_id, p.i, (p.a = c.l AND p.b = c.r) AS cand
+         |            FROM p$i p, c$i c)))
+         |  WHERE cand AND odd),
+         |s$i AS MATERIALIZED (
+         |  SELECT doc_id, list(tok ORDER BY pos) AS tk FROM (
+         |    SELECT x.doc_id, x.pos,
+         |      CASE WHEN fm.i IS NOT NULL THEN x.tk[x.pos] || x.tk[x.pos + 1]
+         |           WHEN fp.i IS NOT NULL THEN NULL
+         |           ELSE x.tk[x.pos] END AS tok
+         |    FROM (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS pos FROM s${i - 1}) x
+         |    LEFT JOIN f$i fm ON fm.doc_id = x.doc_id AND fm.i = x.pos
+         |    LEFT JOIN f$i fp ON fp.doc_id = x.doc_id AND fp.i = x.pos - 1)
+         |  WHERE tok IS NOT NULL GROUP BY doc_id)""".stripMargin
+    }
+    val out = (1 to iters).map(i =>
+      s"SELECT CAST($i AS INTEGER) AS it, l AS lhs, r AS rhs, l || r AS merged, cnt FROM c$i")
+      .mkString("\nUNION ALL\n")
+    (head +: steps).mkString(",\n") + "\n" + out
   }
 
   private def sqlPoly(cps: String, seed: Long, mult: Long): String =
@@ -2652,6 +2705,8 @@ object SparkEntry {
          |SELECT bucket,
          |       CAST(max(CASE WHEN v = 0 THEN 53 ELSE 53 - length(bin(v)) END) AS INTEGER) AS r
          |FROM rv GROUP BY bucket""".stripMargin,
+
+    "d_bpe_merges" -> bpeOracleSql(6),
 
     "d_embed_gram" ->
       """SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,

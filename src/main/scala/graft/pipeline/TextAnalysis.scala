@@ -281,6 +281,60 @@ object TextAnalysis {
         when(length(q) > 0, concat(lit("?"), q)).otherwise(lit(""))))
   }
 
+  /**
+   * BPE vocabulary induction (Sennrich et al. 2016): learn `iters` merge
+   * rules over the corpus. Each iteration is one distributed pair-count
+   * (adjacent-symbol pairs, word-boundary pairs excluded, partial-aggregated
+   * groupBy) followed by a driver-side argmax of ONE row (count DESC, then
+   * lexicographic — deterministic), then a rowwise codegen'd merge pass
+   * rewriting every document's symbol sequence greedily left to right.
+   * Returns the merge table (it, lhs, rhs, merged, cnt) — the artifact a
+   * tokenizer consumes.
+   *
+   * Scale shape: per-iteration cost is a corpus scan + a shuffle keyed by
+   * symbol PAIRS (vocabulary-sized, not corpus-sized, after map-side
+   * combine); the state is persisted between iterations so iteration k
+   * never replays the previous k−1 merge passes. Nothing corpus-sized ever
+   * reaches the driver.
+   */
+  def bpeLearn(docs: DataFrame, iters: Int, textCol: String = "text"): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val spark = docs.sparkSession
+    val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
+    var state = docs.filter(col(textCol).isNotNull)
+      .select(graft.functions.BpeExpression.charSymbols(norm).as("tk"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var it = 1
+    var done = false
+    while (it <= iters && !done) {
+      val top = state
+        .select(explode(when(size(col("tk")) >= 2,
+          transform(sequence(lit(0), size(col("tk")) - 2),
+            i => struct(element_at(col("tk"), i + 1).as("l"),
+              element_at(col("tk"), i + 2).as("r"))))).as("p"))
+        .select(col("p.l").as("l"), col("p.r").as("r"))
+        .filter(!col("l").contains("¶") && !col("r").contains("¶"))
+        .groupBy(col("l"), col("r")).agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), asc("l"), asc("r")).limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (l, r, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((it, l, r, l + r, cnt))
+        val next = state
+          .select(graft.functions.BpeExpression.mergePair(col("tk"), l, r).as("tk"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        next.count() // materialize before releasing the parent
+        state.unpersist()
+        state = next
+        it += 1
+      }
+    }
+    state.unpersist()
+    import spark.implicits._
+    merges.toSeq.toDF("it", "lhs", "rhs", "merged", "cnt")
+  }
+
   /** Naive registered domain: the last two host labels (`a.b.c.com` →
     * `c.com`). An approximation — a real pipeline substitutes the public
     * suffix list here; the shape (rowwise split + slice) is identical. */

@@ -1135,6 +1135,75 @@ class PipelineSpec extends SparkSpec {
     assert(out === Map(4L -> ((11L, 3L)), 3L -> ((5L, 1L))))
   }
 
+  // ---- BPE vocabulary induction -------------------------------------------
+
+  private def refGreedyMerge(tk: Vector[String], l: String, r: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < tk.length) {
+      if (i + 1 < tk.length && tk(i) == l && tk(i + 1) == r) { out += (l + r); i += 2 }
+      else { out += tk(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** Driver-side reference BPE trainer (chars → ¶-marked symbols, pair
+    * argmax by (cnt DESC, l, r), greedy left-to-right merges). */
+  private def refBpe(texts: Seq[String], iters: Int): Seq[(Int, String, String, String, Long)] = {
+    var states = texts.map(t =>
+      t.trim.toLowerCase.replaceAll("\\s+", " ")
+        .map(c => if (c == ' ') "¶" else c.toString).toVector)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    for (it <- 1 to iters) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      states.foreach(_.sliding(2).foreach {
+        case Seq(a, b) if !a.contains("¶") && !b.contains("¶") =>
+          counts((a, b)) += 1
+        case _ =>
+      })
+      if (counts.nonEmpty) {
+        val ((l, r), c) = counts.toSeq.minBy { case ((l, r), c) => (-c, l, r) }
+        out += ((it, l, r, l + r, c))
+        states = states.map(refGreedyMerge(_, l, r))
+      }
+    }
+    out.toSeq
+  }
+
+  test("BPE mergePair: greedy left-to-right, overlap and run semantics") {
+    import graft.functions.BpeExpression
+    val cases = Seq(
+      (Seq("x", "x", "x"), "x", "x", Seq("xx", "x")),
+      (Seq("x", "x", "x", "x"), "x", "x", Seq("xx", "xx")),
+      (Seq("l", "r", "l", "r"), "l", "r", Seq("lr", "lr")),
+      (Seq("a", "l", "r", "b"), "l", "r", Seq("a", "lr", "b")),
+      (Seq.empty[String], "l", "r", Seq.empty[String]),
+      (Seq("l"), "l", "r", Seq("l")))
+    cases.zipWithIndex.foreach { case ((in, l, r, want), i) =>
+      val got = Seq(Tuple1(in)).toDF("tk")
+        .select(BpeExpression.mergePair(col("tk"), l, r).as("m"))
+        .head().getSeq[String](0)
+      assert(got === want, s"case $i: merge($in, $l, $r)")
+    }
+    val chars = Seq(Tuple1("ab cd")).toDF("s")
+      .select(BpeExpression.charSymbols(col("s")).as("c")).head().getSeq[String](0)
+    assert(chars === Seq("a", "b", "¶", "c", "d"))
+  }
+
+  test("bpeLearn ≡ driver-side reference on a random small-alphabet corpus") {
+    val rnd = new scala.util.Random(99L)
+    val words = Vector("aba", "bab", "abc", "cab", "bc", "aabb", "ccc")
+    val texts = (0 until 40).map(_ =>
+      Seq.fill(3 + rnd.nextInt(8))(words(rnd.nextInt(words.size))).mkString(" "))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text").repartition(5)
+    val got = TextAnalysis.bpeLearn(df, iters = 6).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .sortBy(_._1).toSeq
+    assert(got === refBpe(texts, 6))
+  }
+
   // ---- URL canonicalization -----------------------------------------------
 
   test("canonicalizeUrl: golden cases for every normalization rule") {

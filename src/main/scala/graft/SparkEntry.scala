@@ -738,6 +738,18 @@ object SparkEntry {
     "d_bpe_merges" -> ((s, dir) =>
       TextAnalysis.bpeLearn(t(s, dir, "documents"), iters = 6)),
 
+    // BPE encode: apply the 6 learned merges rowwise (shuffle-free scan);
+    // gated by symbol count + Poly64 fingerprint of the symbol stream
+    "d_bpe_tokens" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = TextAnalysis.bpeLearn(docs, iters = 6).collect()
+        .sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.bpeEncode(docs, merges).select(
+        col("doc_id"),
+        size(col("symbols")).cast("long").as("n_symbols"),
+        graft.functions.Poly64.poly64(array_join(col("symbols"), " ")).as("sym_fp"))
+    }),
+
     // embedding second-moment (Gram) matrix, integer-exact: one bounded-state
     // aggregation (O(d²) longs per partition), per-term micro quantization
     // makes the sums associative-exact — the distributed half of PCA/whitening
@@ -1700,7 +1712,7 @@ object SparkEntry {
     * merged positions are exactly the odd row_numbers within each
     * gaps-and-islands streak; everything else merges unconditionally. A
     * position is consumed iff its left neighbor merged. */
-  private def bpeOracleSql(iters: Int): String = {
+  private def bpeOracleSql(iters: Int, finalSelect: Option[String] = None): String = {
     val head =
       """WITH s0 AS MATERIALIZED (
         |  SELECT doc_id, regexp_extract_all(regexp_replace(regexp_replace(
@@ -1735,9 +1747,9 @@ object SparkEntry {
          |    LEFT JOIN f$i fp ON fp.doc_id = x.doc_id AND fp.i = x.pos - 1)
          |  WHERE tok IS NOT NULL GROUP BY doc_id)""".stripMargin
     }
-    val out = (1 to iters).map(i =>
+    val out = finalSelect.getOrElse((1 to iters).map(i =>
       s"SELECT CAST($i AS INTEGER) AS it, l AS lhs, r AS rhs, l || r AS merged, cnt FROM c$i")
-      .mkString("\nUNION ALL\n")
+      .mkString("\nUNION ALL\n"))
     (head +: steps).mkString(",\n") + "\n" + out
   }
 
@@ -2707,6 +2719,14 @@ object SparkEntry {
          |FROM rv GROUP BY bucket""".stripMargin,
 
     "d_bpe_merges" -> bpeOracleSql(6),
+
+    "d_bpe_tokens" -> bpeOracleSql(6, Some {
+      val cps = "list_transform(range(1, length(s) + 1), j -> CAST(unicode(s[j]) AS HUGEINT))"
+      s"""SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_symbols,
+         |  ${sqlU2S(sqlPoly("cps", 1125899906842597L, 1099511628211L))} AS sym_fp
+         |FROM (SELECT doc_id, tk, $cps AS cps
+         |      FROM (SELECT doc_id, tk, array_to_string(tk, ' ') AS s FROM s6))""".stripMargin
+    }),
 
     "d_embed_gram" ->
       """SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,

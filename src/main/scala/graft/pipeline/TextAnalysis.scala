@@ -335,6 +335,21 @@ object TextAnalysis {
     merges.toSeq.toDF("it", "lhs", "rhs", "merged", "cnt")
   }
 
+  /** Apply a learned BPE merge table (in order) to the corpus: the encode
+    * side of `bpeLearn`. Entirely rowwise — `iters` chained codegen'd merge
+    * passes compose into the single corpus scan; at 100 TB this is the
+    * tokenizer pass of the pipeline, shuffle-free. Appends `symbols`
+    * (array<string>). */
+  def bpeEncode(docs: DataFrame, merges: Seq[(String, String)],
+                textCol: String = "text"): DataFrame = {
+    val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
+    val init = graft.functions.BpeExpression.charSymbols(norm)
+    val encoded = merges.foldLeft(init) { case (st, (l, r)) =>
+      graft.functions.BpeExpression.mergePair(st, l, r)
+    }
+    docs.filter(col(textCol).isNotNull).withColumn("symbols", encoded)
+  }
+
   /** Naive registered domain: the last two host labels (`a.b.c.com` →
     * `c.com`). An approximation — a real pipeline substitutes the public
     * suffix list here; the shape (rowwise split + slice) is identical. */

@@ -1204,6 +1204,26 @@ class PipelineSpec extends SparkSpec {
     assert(got === refBpe(texts, 6))
   }
 
+  test("bpeEncode reproduces the reference final state, shuffle-free") {
+    val rnd = new scala.util.Random(7L)
+    val words = Vector("aba", "bab", "abc", "cab")
+    val texts = (0 until 20).map(_ =>
+      Seq.fill(2 + rnd.nextInt(6))(words(rnd.nextInt(words.size))).mkString(" "))
+    val merges = refBpe(texts, 4).map(m => (m._2, m._3))
+    // reference final states
+    var states = texts.map(t =>
+      t.map(c => if (c == ' ') "¶" else c.toString).toVector)
+    merges.foreach { case (l, r) => states = states.map(refGreedyMerge(_, l, r)) }
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bpeEncode(df, merges)
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"),
+      "encode introduced a shuffle")
+    val got = out.select(col("doc_id"), col("symbols")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    texts.indices.foreach(i => assert(got(i.toLong) === states(i), s"doc $i"))
+  }
+
   // ---- URL canonicalization -----------------------------------------------
 
   test("canonicalizeUrl: golden cases for every normalization rule") {

@@ -32,13 +32,22 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** events.ts is TIMESTAMP(NANOS) in parquet, which Spark only reads as a
-    * nanos long (legacy conf); normalize to a microsecond timestamp — the same
-    * truncation DuckDB applies casting TIMESTAMP_NS → TIMESTAMP. */
+  /** Normalize events.ts to a session-tz microsecond timestamp whatever the
+    * parquet writer produced. Generations of the driver's testdata have
+    * shipped it as TIMESTAMP(NANOS) — which Spark only reads as a nanos long
+    * (legacy conf) — and as plain TIMESTAMP micros (read as NTZ); the DuckDB
+    * oracle sees TIMESTAMP either way (`CAST(ts AS TIMESTAMP)` truncates
+    * nanos → micros exactly like `div 1000` here), so both paths land on
+    * identical values. */
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = t(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => // TIMESTAMP or TIMESTAMP_NTZ; session tz is UTC in all mains
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** exact integer cents from a double money column (same IEEE ops in DuckDB) */
@@ -725,6 +734,50 @@ object SparkEntry {
       Sketches.hllRegisters(
         t(s, dir, "lineitem").select(col("l_orderkey").cast("string").as("k")),
         "k", p = 12)),
+
+    // PII redaction: synthetic emails/IPv4s/phones injected per doc (the
+    // clean corpus has none), scrubbed by the ordered conservative regex
+    // set; rowwise map-only pass, counts + scrubbed-text fingerprint gate
+    "d_pii_scrub" -> ((s, dir) => {
+      val injected = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@"), col("source"), lit(".example.com from 10."),
+        (col("doc_id") % 256).cast("string"), lit(".0."),
+        (col("doc_id") % 100).cast("string"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" call +1-555-01"),
+            lpad((col("doc_id") % 90).cast("string"), 2, "0")))
+          .otherwise(lit("")))
+      TextAnalysis.scrubPii(
+          t(s, dir, "documents").select(col("doc_id"), injected.as("text")))
+        .select(col("doc_id"), col("n_email"), col("n_ip"), col("n_phone"),
+          graft.functions.Poly64.poly64(col("text_scrubbed")).as("scrub_fp"))
+    }),
+
+    // Line-level exact dedup (C4/RefinedWeb boilerplate killer): first
+    // corpus occurrence of each distinct line survives, later copies drop.
+    // The single-line corpus is re-wrapped into 2-token lines (~900 combos
+    // over ~37k lines ⇒ heavy genuine duplication + hot line-hash keys);
+    // winner selection is a combinable min, never a hot-group sort
+    "d_line_dedup" -> ((s, dir) => {
+      val toks = TextAnalysis.wsTokens(trim(col("text")))
+      val docs2 = t(s, dir, "documents").select(col("doc_id"),
+        array_join(transform(
+            sequence(lit(0), ((size(toks) + 1) / 2 - 1).cast("int")),
+            i => array_join(slice(toks, i * 2 + 1, lit(2)), " ")),
+          "\n").as("text"))
+      Dedup.lineDedup(docs2)
+    }),
+
+    // Count-Min counter table over corpus tokens: deterministic
+    // Carter–Wegman×mix64 buckets so the sketch state hash-gates against
+    // DuckDB; one partial-aggregated scan, ≤ 4·2^11 shuffle keys,
+    // mergeable by pointwise sum (see CmsSpec for lookup/merge/stream)
+    "d_cms_tokens" -> ((s, dir) =>
+      Sketches.cmsTable(
+        t(s, dir, "documents").select(
+          explode(TextAnalysis.wsTokens(lower(trim(col("text"))))).as("tok")),
+        "tok", depth = 4, widthLog2 = 11)),
 
     // Gopher repetition filters, occurrence-weighted: top word-2-gram share
     // + duplicate-3-gram occurrence fraction per doc, integer ppm (the
@@ -2717,6 +2770,83 @@ object SparkEntry {
          |SELECT bucket,
          |       CAST(max(CASE WHEN v = 0 THEN 53 ELSE 53 - length(bin(v)) END) AS INTEGER) AS r
          |FROM rv GROUP BY bucket""".stripMargin,
+
+    // PII scrub: same injected fixture, RE2 'g' replaces mirror the JVM
+    // regex pass; counts from regexp_extract_all on the SAME intermediate
+    "d_pii_scrub" -> {
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ipRe = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+      val phoneRe = "\\+[0-9][0-9 -]{5,13}[0-9]\\b"
+      val cps = "list_transform(range(1, length(t3) + 1), j -> CAST(unicode(t3[j]) AS HUGEINT))"
+      s"""WITH inj AS (SELECT doc_id, text || ' contact user' ||
+         |    CAST(doc_id AS VARCHAR) || '@' || source || '.example.com from 10.' ||
+         |    CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 100 AS VARCHAR) ||
+         |    CASE WHEN doc_id % 3 = 0 THEN ' call +1-555-01' ||
+         |      lpad(CAST(doc_id % 90 AS VARCHAR), 2, '0') ELSE '' END AS t0
+         |  FROM documents),
+         |s1 AS (SELECT doc_id, t0,
+         |         len(regexp_extract_all(t0, '$emailRe')) AS n_email,
+         |         regexp_replace(t0, '$emailRe', '<EMAIL>', 'g') AS t1 FROM inj),
+         |s2 AS (SELECT doc_id, n_email,
+         |         len(regexp_extract_all(t1, '$ipRe')) AS n_ip,
+         |         regexp_replace(t1, '$ipRe', '<IP>', 'g') AS t2 FROM s1),
+         |s3 AS (SELECT doc_id, n_email, n_ip,
+         |         len(regexp_extract_all(t2, '$phoneRe')) AS n_phone,
+         |         regexp_replace(t2, '$phoneRe', '<PHONE>', 'g') AS t3 FROM s2)
+         |SELECT doc_id, CAST(n_email AS BIGINT) AS n_email,
+         |       CAST(n_ip AS BIGINT) AS n_ip, CAST(n_phone AS BIGINT) AS n_phone,
+         |       ${sqlU2S(sqlPoly("cps", 1125899906842597L, 1099511628211L))} AS scrub_fp
+         |FROM (SELECT doc_id, n_email, n_ip, n_phone, $cps AS cps FROM s3)""".stripMargin
+    },
+
+    // Line dedup: re-wrap the corpus into 2-token lines, keep each distinct
+    // line's first (doc_id, pos) occurrence, fingerprint the rebuilt text
+    "d_line_dedup" -> {
+      val lineCps = "list_transform(range(1, length(line) + 1), j -> CAST(unicode(line[j]) AS HUGEINT))"
+      val txtCps = "list_transform(range(1, length(txt) + 1), j -> CAST(unicode(txt[j]) AS HUGEINT))"
+      s"""WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+         |           FROM documents),
+         |l AS (SELECT doc_id, list_transform(range(0, (len(tk) + 1) // 2),
+         |        i -> array_to_string(list_slice(tk, i * 2 + 1, i * 2 + 2), ' ')) AS lines
+         |      FROM d),
+         |ln AS (SELECT doc_id, i, lines[i] AS line
+         |       FROM (SELECT doc_id, lines, unnest(range(1, len(lines) + 1)) AS i FROM l)),
+         |h AS (SELECT doc_id, i, line,
+         |             ${sqlPoly("cps", 1125899906842597L, 1099511628211L)} AS lh,
+         |             doc_id * 1048576 + (i - 1) AS ord
+         |      FROM (SELECT doc_id, i, line, $lineCps AS cps FROM ln)),
+         |w AS (SELECT lh, min(ord) AS wo FROM h GROUP BY lh),
+         |k AS (SELECT doc_id, i, line FROM h JOIN w USING (lh) WHERE ord = wo),
+         |r AS (SELECT doc_id, count(*) AS n_kept,
+         |             string_agg(line, chr(10) ORDER BY i) AS txt
+         |      FROM k GROUP BY doc_id),
+         |f AS (SELECT l.doc_id AS doc_id, len(l.lines) AS n_lines,
+         |             coalesce(r.n_kept, 0) AS n_kept, coalesce(r.txt, '') AS txt
+         |      FROM l LEFT JOIN r USING (doc_id))
+         |SELECT doc_id, CAST(n_kept AS BIGINT) AS n_kept,
+         |       CAST(n_lines - n_kept AS BIGINT) AS n_dropped,
+         |       ${sqlU2S(sqlPoly("txtCps", 1125899906842597L, 1099511628211L))} AS text_fp
+         |FROM (SELECT doc_id, n_lines, n_kept, $txtCps AS txtCps FROM f)""".stripMargin
+    },
+
+    // CMS counters: g_i = h1 + i·h2 (Carter–Wegman over the two Poly64
+    // members), mix64-finalized, low 11 bits = bucket; counts per (row,
+    // bucket). The CTE chain carries the row index i through the finalizer.
+    "d_cms_tokens" ->
+      s"""WITH tk AS (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+         |            FROM documents),
+         |hs AS (SELECT ${sqlPoly("cps", 1125899906842597L, 1099511628211L)} AS h1,
+         |              ${sqlPoly("cps", 2065775093L, 6364136223846793005L)} AS h2
+         |       FROM (SELECT list_transform(range(1, length(tok) + 1),
+         |                      j -> CAST(unicode(tok[j]) AS HUGEINT)) AS cps FROM tk)),
+         |ex AS (SELECT i, (h1 + CAST(i AS HUGEINT) * h2) % $U64 AS u
+         |       FROM hs, range(0, 4) t(i)),
+         |m1 AS (SELECT i, (${sqlXorShr("u", 33)} * 6364136223846793005) % $U64 AS u FROM ex),
+         |m2 AS (SELECT i, (${sqlXorShr("u", 29)} * 2685821657736338717) % $U64 AS u FROM m1),
+         |m3 AS (SELECT i, ${sqlXorShr("u", 32)} AS u FROM m2)
+         |SELECT CAST(i AS INTEGER) AS "row", CAST(u % 2048 AS BIGINT) AS bucket,
+         |       count(*) AS cnt
+         |FROM m3 GROUP BY i, u % 2048""".stripMargin,
 
     "d_bpe_merges" -> bpeOracleSql(6),
 

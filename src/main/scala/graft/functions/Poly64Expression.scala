@@ -92,6 +92,34 @@ object Poly64 {
 
   def mix64(c: Column): Column = Bridge.column(Mix64(Bridge.expression(c)))
 
+  /** Wrapping Carter–Wegman combine `a + i·b` on Java long semantics (mod
+    * 2^64) — Column `+`/`*` would throw under ANSI overflow checking, but
+    * hash-family arithmetic WANTS the wraparound. */
+  case class WrapMulAdd(first: Expression, second: Expression, third: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+      with ImplicitCastInputTypes {
+    override def inputTypes: Seq[Bridge.AbstractType] =
+      Seq(LongType, LongType, LongType)
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "graft_wrap_mul_add"
+
+    override protected def nullSafeEval(a: Any, i: Any, b: Any): Any =
+      a.asInstanceOf[Long] + i.asInstanceOf[Long] * b.asInstanceOf[Long]
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, i, b) => s"${ev.value} = $a + $i * $b;")
+
+    override protected def withNewChildrenInternal(
+        a: Expression, i: Expression, b: Expression): Expression =
+      copy(first = a, second = i, third = b)
+  }
+
+  /** `a + i·b` with Long wraparound (never ANSI-throws). */
+  def wrapMulAdd(a: Column, i: Column, b: Column): Column =
+    Bridge.column(WrapMulAdd(Bridge.expression(a), Bridge.expression(i),
+      Bridge.expression(b)))
+
   /** Generated-Java fragment computing the same fold (shared with
     * MinHashExpression's poly family codegen). `str` must be a String local;
     * declares and assigns the long local `h`. */

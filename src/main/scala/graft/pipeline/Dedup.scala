@@ -746,4 +746,77 @@ object Dedup {
       .select(col("id"), coalesce(col("rep"), col("id")).as("rep"))
     out
   }
+
+  // -------------------------------------------------------------------------
+  // Line-level exact dedup (C4 / RefinedWeb style)
+  // -------------------------------------------------------------------------
+
+  /** Remove every line that already occurred EARLIER in the corpus — the
+    * C4/RefinedWeb boilerplate killer (nav bars, cookie banners, license
+    * headers repeat across millions of pages; document-level dedup never
+    * sees them). "Earlier" is the total order (idCol, line position): the
+    * first occurrence survives, all later copies are dropped, so the corpus
+    * keeps exactly one copy of every distinct line and the result is
+    * independent of partitioning.
+    *
+    * Returns one row per input document: (idCol, n_kept, n_dropped,
+    * text_fp) where text_fp is the Poly64 fingerprint of the surviving
+    * lines rejoined with '\n' (documents whose every line was dropped
+    * fingerprint the empty string). Returning the fingerprint instead of
+    * the rebuilt text keeps the gated result narrow; callers that want the
+    * text itself use [[lineDedupKept]].
+    *
+    * Scale shape: lines explode once; the winner per line-hash is a
+    * map-side-combinable min aggregate (hot boilerplate lines collapse to
+    * one row per partition before the shuffle); the winner relation (one
+    * row per DISTINCT line) joins back on the 64-bit hash — a hot line is
+    * heavy only on the probe side, which AQE skew-split handles, and the
+    * reassembly groupBy shuffles on doc id, which is as uniform as the
+    * corpus itself. No sort over hot-line groups anywhere (a row_number
+    * window over the line hash would funnel every copy of a boilerplate
+    * line into one sort group).
+    *
+    * Line position must fit in 2^20 (a "document" with a million lines is
+    * a concatenation bug, not a document) — positions pack with the id
+    * into one orderable long so the min-aggregate stays a primitive. */
+  def lineDedup(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    val kept = lineDedupKeptLines(docs, idCol, textCol)
+    val counts = docs.select(col(idCol).as("_id"),
+      size(split(col(textCol), "\n", -1)).cast("long").as("_n_lines"))
+    val reassembled = kept
+      .groupBy(col("_id"))
+      .agg(count(lit(1)).as("_n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("_pos"), col("_line")))),
+            x => x("_line")), "\n").as("_text"))
+    counts.join(reassembled, Seq("_id"), "left_outer")
+      .select(col("_id").as(idCol),
+        coalesce(col("_n_kept"), lit(0L)).as("n_kept"),
+        (col("_n_lines") - coalesce(col("_n_kept"), lit(0L))).as("n_dropped"),
+        graft.functions.Poly64.poly64(coalesce(col("_text"), lit("")))
+          .as("text_fp"))
+  }
+
+  /** The surviving (idCol, pos, line) rows of [[lineDedup]]'s keep rule —
+    * for callers that rebuild text or feed the lines onward. */
+  def lineDedupKept(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame =
+    lineDedupKeptLines(docs, idCol, textCol)
+      .select(col("_id").as(idCol), col("_pos").as("pos"), col("_line").as("line"))
+
+  private def lineDedupKeptLines(docs: DataFrame, idCol: String,
+                                 textCol: String): DataFrame = {
+    val PosBits = 20
+    val lines = docs.select(col(idCol).as("_id"),
+        posexplode(split(col(textCol), "\n", -1)).as(Seq("_pos", "_line")))
+      .withColumn("_h", graft.functions.Poly64.poly64(col("_line")))
+      .withColumn("_ord",
+        shiftleft(col("_id"), PosBits) + col("_pos").cast("long"))
+    val winners = lines.groupBy(col("_h"))
+      .agg(min(col("_ord")).as("_w"))
+    lines.join(winners, Seq("_h"))
+      .filter(col("_ord") === col("_w"))
+      .select(col("_id"), col("_pos"), col("_line"))
+  }
 }

@@ -179,4 +179,86 @@ object Sketches {
     val e = alpha * m * m / z
     if (e <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) else e
   }
+
+  // -------------------------------------------------------------------------
+  // Count-Min sketch — point-frequency estimates with a DETERMINISTIC,
+  // SQL-reproducible counter table (Cormode & Muthukrishnan, J.Alg'05).
+  //
+  // Complements the two exact passes of `heavyHitters`: Misra–Gries answers
+  // "which keys are φ-frequent", the CMS answers "roughly how often is THIS
+  // key" for ANY key after the fact, without a second corpus scan. The
+  // counter table (row, bucket → cnt) is a pure aggregate of the key stream
+  // — ≤ depth·width rows, built in ONE partial-aggregated groupBy (never a
+  // distinct-key shuffle), merged across shards by pointwise SUM (union of
+  // shard sketches ≡ sketch of the union), so a 100 TB corpus keeps one tiny
+  // table per shard/day and answers frequency probes over any shard union by
+  // summing tables. Estimates are one-sided: est ≥ true count always; excess
+  // is bounded by n·depth/width-ish collisions (classic ε = e/width at
+  // δ = e^-depth).
+  //
+  // Hash family: Carter–Wegman over the two Poly64 members, g_i = h1 + i·h2
+  // (mod 2^64) — the same construction the MinHash slots use — then the
+  // mix64 avalanche finalizer before taking the low log2(width) bits. The
+  // finalizer is load-bearing exactly as in the HLL: low bits of a raw
+  // Rabin hash depend only on low bits of the input code points (mod-2^k
+  // multiplication never propagates high→low), so unmixed buckets would
+  // collide structurally on short decimal-ish keys. Width is a power of two
+  // so `bucket = mixed & (width-1)` is the same low-bits window on Spark's
+  // signed Long and the oracle's unsigned HUGEINT.
+  // -------------------------------------------------------------------------
+
+  /** Count-Min counter table for `keyCol`: (row INT in [0, depth),
+    * bucket BIGINT in [0, 2^widthLog2), cnt BIGINT), one row per non-empty
+    * counter. NULL keys are skipped. One scan, map-side partial aggregation;
+    * counter updates for all `depth` rows ride a single `explode` over the
+    * per-key (h1, h2) pair. */
+  def cmsTable(df: DataFrame, keyCol: String, depth: Int = 4,
+               widthLog2: Int = 11): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth must be in [1, 16], got $depth")
+    require(widthLog2 >= 1 && widthLog2 <= 24,
+      s"widthLog2 must be in [1, 24], got $widthLog2")
+    val mask = (1L << widthLog2) - 1
+    df.filter(col(keyCol).isNotNull)
+      .select(
+        graft.functions.Poly64.poly64(col(keyCol).cast("string")).as("h1"),
+        graft.functions.Poly64.poly64(col(keyCol).cast("string"),
+          graft.functions.Poly64.Seed2, graft.functions.Poly64.Mult2).as("h2"))
+      .select(explode(sequence(lit(0), lit(depth - 1))).as("row"),
+        col("h1"), col("h2"))
+      .select(col("row"),
+        graft.functions.Poly64.mix64(graft.functions.Poly64.wrapMulAdd(
+            col("h1"), col("row").cast("long"), col("h2")))
+          .bitwiseAND(lit(mask)).as("bucket"))
+      .groupBy(col("row"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge CMS tables (any number of shards): pointwise sum. */
+  def mergeCmsTables(shards: Seq[DataFrame]): DataFrame =
+    shards.reduce(_ unionByName _)
+      .groupBy(col("row"), col("bucket")).agg(sum(col("cnt")).as("cnt"))
+
+  /** Point-frequency estimates for every row of `probes`: min over the
+    * `depth` counters each probe key hashes into (0 when a counter row is
+    * absent — an absent counter means no key ever touched it). Returns
+    * `probes` + an `est` BIGINT column. The probe side explodes ×depth and
+    * joins the ≤ depth·2^widthLog2-row counter table — broadcast-sized by
+    * construction, so the probe never shuffles. */
+  def cmsLookup(cms: DataFrame, probes: DataFrame, keyCol: String,
+                depth: Int = 4, widthLog2: Int = 11): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth must be in [1, 16], got $depth")
+    val mask = (1L << widthLog2) - 1
+    val probeCols = probes.columns.map(col)
+    probes
+      .withColumn("h1", graft.functions.Poly64.poly64(col(keyCol).cast("string")))
+      .withColumn("h2", graft.functions.Poly64.poly64(col(keyCol).cast("string"),
+        graft.functions.Poly64.Seed2, graft.functions.Poly64.Mult2))
+      .withColumn("row", explode(sequence(lit(0), lit(depth - 1))))
+      .withColumn("bucket",
+        graft.functions.Poly64.mix64(graft.functions.Poly64.wrapMulAdd(
+          col("h1"), col("row").cast("long"), col("h2"))).bitwiseAND(lit(mask)))
+      .join(broadcast(cms), Seq("row", "bucket"), "left")
+      .groupBy(probeCols: _*)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
 }

@@ -19,13 +19,18 @@ class FileStreamSpec extends SparkSpec {
     Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
       Paths.get(s"$dir/events.parquet"), StandardCopyOption.REPLACE_EXISTING)
 
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
+    // the file source needs an explicit schema — take whatever the current
+    // generation of the driver's parquet actually has (ts has shipped both
+    // as TIMESTAMP(NANOS)→Long and as plain TIMESTAMP), and normalize the
+    // same way SparkEntry.events does
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    def normTs(df: org.apache.spark.sql.DataFrame) =
+      schema("ts").dataType match {
+        case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _        => df.withColumn("ts", col("ts").cast("timestamp"))
+      }
 
-    val stream = spark.readStream.schema(schema).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = normTs(spark.readStream.schema(schema).parquet(dir))
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
@@ -38,8 +43,7 @@ class FileStreamSpec extends SparkSpec {
       .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
     q.stop()
 
-    val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val batch = normTs(spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
       .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap

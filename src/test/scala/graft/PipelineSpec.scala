@@ -21,6 +21,82 @@ class PipelineSpec extends SparkSpec {
     assert(out.size === 4)
   }
 
+  test("lineDedup: first corpus occurrence survives, later copies drop, " +
+       "counts and rebuilt-text fingerprints match a driver reference") {
+    val multi = Seq(
+      (10L, "cookie banner\nunique alpha\nlicense header"),
+      (11L, "cookie banner\nunique beta\nlicense header\ncookie banner"),
+      (12L, "unique gamma\ncookie banner"),
+      (13L, "license header"), // every line already seen → empty doc
+      (14L, "")                // single empty line: first "" occurrence, kept
+    ).toDF("doc_id", "text")
+
+    // driver-side reference of the same rule
+    val seen = scala.collection.mutable.Set.empty[String]
+    val ref = Seq(10L -> "cookie banner\nunique alpha\nlicense header",
+      11L -> "cookie banner\nunique beta\nlicense header\ncookie banner",
+      12L -> "unique gamma\ncookie banner", 13L -> "license header", 14L -> "")
+      .map { case (id, t) =>
+        val lines = t.split("\n", -1)
+        val kept = lines.filter(l => seen.add(l))
+        id -> ((kept.length.toLong, (lines.length - kept.length).toLong,
+          kept.mkString("\n")))
+      }.toMap
+
+    val got = Dedup.lineDedup(multi).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet === ref.keySet)
+    ref.foreach { case (id, (nk, nd, txt)) =>
+      val (gnk, gnd, gfp) = got(id)
+      assert(gnk === nk, s"doc $id n_kept")
+      assert(gnd === nd, s"doc $id n_dropped")
+      val expFp = graft.functions.Poly64.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(txt),
+        graft.functions.Poly64.Seed1, graft.functions.Poly64.Mult1)
+      assert(gfp === expFp, s"doc $id rebuilt-text fingerprint")
+    }
+
+    // kept-lines view agrees with the fingerprints
+    val keptLines = Dedup.lineDedupKept(multi).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(keptLines.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)
+      .mkString("\n")).toMap ===
+      ref.collect { case (id, (nk, _, txt)) if nk > 0 => id -> txt })
+  }
+
+  test("scrubPii: ordered redaction, no double counting, clean text untouched") {
+    val rows = Seq(
+      (1L, "mail bob.smith+spam@sub.example.co.uk now"),          // 1 email
+      (2L, "server at 192.168.0.1 and 10.0.0.255 up"),            // 2 ips
+      (3L, "call +1-555-0123 or +44 20 7946 0958 today"),         // 2 phones
+      (4L, "admin@10.0.0.1.example.com hides an ip-like host"),   // email only
+      (5L, "version 1.2.3 of lib, build 10.20.30.40.50 skipped"), // 1 ip (40.50? no: \b10.20.30.40\b then .50 — boundary)
+      (6L, "nothing sensitive here at all")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.scrubPii(rows).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_email"), r.getAs[Long]("n_ip"),
+          r.getAs[Long]("n_phone"), r.getAs[String]("text_scrubbed")))).toMap
+
+    // driver-side reference applying the same ordered Java regex passes
+    val ref = Seq(1L, 2L, 3L, 4L, 5L, 6L).map { id =>
+      val t0 = rows.collect().find(_.getLong(0) == id).get.getString(1)
+      val (t3, cnts) = TextAnalysis.PiiPatterns
+        .foldLeft((t0, List.empty[Long])) { case ((t, acc), (_, re, tok)) =>
+          (t.replaceAll(re, tok), re.r.findAllIn(t).size.toLong :: acc)
+        }
+      val List(nPhone, nIp, nEmail) = cnts
+      id -> ((nEmail, nIp, nPhone, t3))
+    }.toMap
+    assert(out === ref)
+
+    // spot semantics: email rule wins over the ip-like host inside it
+    assert(out(4L)._1 === 1L && out(4L)._2 === 0L)
+    assert(out(4L)._4.contains("<EMAIL>"))
+    assert(out(6L) === ((0L, 0L, 0L, "nothing sensitive here at all")))
+    assert(out(3L)._3 === 2L)
+  }
+
   test("minhash LSH clusters near-dups together") {
     val out = Dedup.minHashLSH(docs, threshold = 0.5)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -228,4 +228,99 @@ class SketchesSpec extends SparkSpec {
     val err = math.abs(est - n) / n
     assert(err < 0.02, s"estimate $est vs $n: relative error $err")
   }
+
+  // ---- Count-Min sketch ----------------------------------------------------
+
+  /** Zipf-ish stream: key z0 5000×, z1 2500×, z2 1250×, …, plus a 3000-key
+    * singleton tail; n = 12_750. */
+  private def cmsStream = {
+    val hot = (0 until 8).flatMap(h => Seq.fill(5000 >> h)(s"z$h"))
+    val tail = (0 until 3000).map(i => s"ct$i")
+    spark.createDataset(hot ++ tail).repartition(8).toDF("k")
+  }
+
+  test("CMS lookup: one-sided (est >= true), hot keys near-exact, row sums = n") {
+    val df = cmsStream
+    val truth = df.groupBy("k").count().as[(String, Long)].collect().toMap
+    val n = truth.values.sum
+    val cms = Sketches.cmsTable(df, "k", depth = 4, widthLog2 = 11)
+    // every row of the table counts the whole stream once
+    val rowSums = cms.groupBy("row").agg(sum("cnt").as("s"))
+      .as[(Int, Long)].collect().toMap
+    assert(rowSums === (0 until 4).map(_ -> n).toMap)
+    val probes = spark.createDataset(truth.keys.toSeq).toDF("k")
+    val est = Sketches.cmsLookup(cms, probes, "k", depth = 4, widthLog2 = 11)
+      .as[(String, Long)].collect().toMap
+    est.foreach { case (k, e) =>
+      assert(e >= truth(k), s"$k underestimated: $e < ${truth(k)}")
+      // ε = e/width ≈ 0.00133 ⇒ slack ≈ 17 at n=12750; generous 10× margin
+      assert(e - truth(k) <= 10 * math.E / 2048 * n,
+        s"$k overshot by ${e - truth(k)}")
+    }
+    // the heavy keys dominate their counters: near-exact (min over 4 rows
+    // can still carry a few colliding tail singletons)
+    (0 until 4).foreach { h =>
+      assert(est(s"z$h") - truth(s"z$h") <= 5,
+        s"hot z$h estimate ${est(s"z$h")} vs ${truth(s"z$h")}")
+    }
+  }
+
+  test("CMS lookup of a never-seen key is 0 (absent counters count as empty)") {
+    val cms = Sketches.cmsTable(
+      spark.createDataset(Seq("a", "b", "a")).toDF("k"), "k", 4, 11)
+    val est = Sketches.cmsLookup(cms,
+      spark.createDataset(Seq("zzz-unseen")).toDF("k"), "k", 4, 11)
+      .as[(String, Long)].collect().toMap
+    // width 2048 with 2 distinct keys: collision on all 4 rows is ~(2/2048)^4
+    assert(est("zzz-unseen") === 0L)
+  }
+
+  test("shard CMS tables merge by pointwise sum to the union's table") {
+    val all = (0 until 9000).map(i => s"m${i % 1100}")
+    val shards = all.grouped(2500).map(ks =>
+      Sketches.cmsTable(spark.createDataset(ks).toDF("k"), "k", 4, 10)).toSeq
+    val merged = Sketches.mergeCmsTables(shards).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val whole = Sketches.cmsTable(spark.createDataset(all).toDF("k"), "k", 4, 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(merged === whole)
+  }
+
+  test("streaming ingest: per-batch CMS tables sum into a live frequency sketch") {
+    // foreachBatch maintenance loop: each micro-batch contributes its counter
+    // table, the driver keeps the pointwise sum (≤ depth·width entries), and
+    // point lookups over the accumulated state track exact counts of the
+    // stream so far — sum (unlike HLL's max) double-counts nothing because
+    // batches are disjoint slices of the stream
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    var state = Map.empty[(Int, Long), Long]
+    val input = MemoryStream[String]
+    val q = input.toDF().toDF("k").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Sketches.cmsTable(batch, "k", 4, 11).collect().foreach { r =>
+          val key = (r.getInt(0), r.getLong(1))
+          state = state.updated(key, state.getOrElse(key, 0L) + r.getLong(2))
+        }
+        ()
+      }
+      .start()
+    (0 until 3).foreach { b =>
+      input.addData((0 until 2000).map(i => s"k${(b * 2000 + i) % 3000}"): _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val stateDf = spark.createDataFrame(
+      state.toSeq.map { case ((row, b), c) => (row, b, c) })
+      .toDF("row", "bucket", "cnt")
+    // keys 0..999 appeared twice (batches wrap at 3000), 1000..2999 once;
+    // estimates are one-sided with a few colliding-singleton extras
+    val probes = spark.createDataset(Seq("k0", "k500", "k1500", "k2999")).toDF("k")
+    val est = Sketches.cmsLookup(stateDf, probes, "k", 4, 11)
+      .as[(String, Long)].collect().toMap
+    for ((k, truth) <- Seq("k0" -> 2L, "k500" -> 2L, "k1500" -> 1L, "k2999" -> 1L)) {
+      assert(est(k) >= truth && est(k) - truth <= 10,
+        s"$k estimate ${est(k)} vs true $truth")
+    }
+  }
 }

@@ -662,6 +662,24 @@ object SparkEntry {
           .otherwise(lit(600L)),
         shards = 8)),
 
+    // temperature (α=1/2) domain mixing: integer-exact √n_d weights +
+    // largest-remainder quota allocation, Σalloc = budget exactly; one
+    // corpus-scan count, then #groups-row arithmetic
+    "d_domain_mix" -> ((s, dir) =>
+      Curation.temperatureMix(t(s, dir, "documents"), "source",
+        budget = 1000000L)),
+
+    // deterministic hash split: membership gated per (split, source) by
+    // count + order-independent XOR of member id-hashes — any migration
+    // of a single doc between splits flips the fingerprint
+    "d_split" -> ((s, dir) =>
+      Curation.hashSplit(t(s, dir, "documents"))
+        .select(col("split"), col("source"),
+          graft.functions.Poly64.mix64(graft.functions.Poly64.poly64(
+            col("doc_id").cast("string"))).as("h"))
+        .groupBy(col("split"), col("source"))
+        .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("member_fp"))),
+
     // content-defined chunking: rolling-hash (Rabin-style) boundaries —
     // insertion-stable chunk streams for chunk-level dedup (expected chunk
     // 2^6 = 64 code points; rowwise codegen'd expression, zero shuffle)
@@ -748,7 +766,7 @@ object SparkEntry {
           concat(lit(" call +1-555-01"),
             lpad((col("doc_id") % 90).cast("string"), 2, "0")))
           .otherwise(lit("")))
-      TextAnalysis.scrubPii(
+      Curation.scrubPii(
           t(s, dir, "documents").select(col("doc_id"), injected.as("text")))
         .select(col("doc_id"), col("n_email"), col("n_ip"), col("n_phone"),
           graft.functions.Poly64.poly64(col("text_scrubbed")).as("scrub_fp"))
@@ -2774,9 +2792,7 @@ object SparkEntry {
     // PII scrub: same injected fixture, RE2 'g' replaces mirror the JVM
     // regex pass; counts from regexp_extract_all on the SAME intermediate
     "d_pii_scrub" -> {
-      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-      val ipRe = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
-      val phoneRe = "\\+[0-9][0-9 -]{5,13}[0-9]\\b"
+      val Seq(emailRe, ipRe, phoneRe) = Curation.PiiPatterns.map(_._2)
       val cps = "list_transform(range(1, length(t3) + 1), j -> CAST(unicode(t3[j]) AS HUGEINT))"
       s"""WITH inj AS (SELECT doc_id, text || ' contact user' ||
          |    CAST(doc_id AS VARCHAR) || '@' || source || '.example.com from 10.' ||
@@ -2798,6 +2814,41 @@ object SparkEntry {
          |       ${sqlU2S(sqlPoly("cps", 1125899906842597L, 1099511628211L))} AS scrub_fp
          |FROM (SELECT doc_id, n_email, n_ip, n_phone, $cps AS cps FROM s3)""".stripMargin
     },
+
+    // temperature mixing: isqrt via floor(sqrt)+integer correction, floor
+    // quotas + largest-remainder top-up — all integer, Σalloc = 10^6
+    "d_domain_mix" ->
+      """WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+        |k AS (SELECT source, n_docs,
+        |        CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT) AS k0 FROM c),
+        |w AS (SELECT source, n_docs,
+        |        CASE WHEN (k0+1)*(k0+1) <= n_docs THEN k0+1
+        |             WHEN k0*k0 > n_docs THEN k0-1 ELSE k0 END AS w FROM k),
+        |t AS (SELECT source, n_docs, w, sum(w) OVER () AS ws FROM w),
+        |a AS (SELECT source, n_docs, w,
+        |        (1000000 * w) // ws AS a0, (1000000 * w) % ws AS rem FROM t),
+        |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source ASC) AS rk,
+        |        1000000 - sum(a0) OVER () AS deficit FROM a)
+        |SELECT source, n_docs, CAST(w AS BIGINT) AS w,
+        |       CAST(a0 + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |FROM r""".stripMargin,
+
+    // hash split: mix64(poly64(id)) >>> 1 mod 1000 thousandth-buckets,
+    // membership per (split, source) as count + BIGINT XOR of id-hashes
+    "d_split" ->
+      s"""WITH ks AS (SELECT source, CAST(doc_id AS VARCHAR) AS k FROM documents),
+         |hs AS (SELECT source, ${sqlPoly("cps", 1125899906842597L, 1099511628211L)} AS u
+         |       FROM (SELECT source, list_transform(range(1, length(k) + 1),
+         |                      j -> CAST(unicode(k[j]) AS HUGEINT)) AS cps FROM ks)),
+         |m1 AS (SELECT source, (${sqlXorShr("u", 33)} * 6364136223846793005) % $U64 AS u FROM hs),
+         |m2 AS (SELECT source, (${sqlXorShr("u", 29)} * 2685821657736338717) % $U64 AS u FROM m1),
+         |m3 AS (SELECT source, ${sqlXorShr("u", 32)} AS u FROM m2),
+         |b AS (SELECT source, ${sqlU2S("u")} AS h,
+         |             CAST((u // 2) % 1000 AS BIGINT) AS bucket FROM m3),
+         |s AS (SELECT source, h, CASE WHEN bucket < 900 THEN 'train'
+         |        WHEN bucket < 950 THEN 'valid' ELSE 'test' END AS split FROM b)
+         |SELECT split, source, count(*) AS n, bit_xor(h) AS member_fp
+         |FROM s GROUP BY split, source""".stripMargin,
 
     // Line dedup: re-wrap the corpus into 2-token lines, keep each distinct
     // line's first (doc_id, pos) occurrence, fingerprint the rebuilt text

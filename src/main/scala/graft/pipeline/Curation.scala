@@ -204,6 +204,106 @@ object Curation {
         Ipv4Pattern, "<IP>"),
       PhonePattern, "<PHONE>")
 
+  /** The [[redactPii]] rules as (name, pattern, placeholder) in application
+    * order — the single source of truth for both redaction entry points. */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", EmailPattern, "<EMAIL>"),
+    ("ip", Ipv4Pattern, "<IP>"),
+    ("phone", PhonePattern, "<PHONE>"))
+
+  /**
+   * [[redactPii]] plus per-type redaction COUNTS — the "how much PII does
+   * this document leak" density signal curation filters sort on, not just
+   * the scrubbed text. Returns df + (textCol_scrubbed, n_email, n_ip,
+   * n_phone). Counts are computed against the SAME intermediate each
+   * replacement pass saw, so overlapping categories never double-count (an
+   * email's dotted-digit host can't also count as an IP once the email is
+   * already a placeholder). Purely rowwise regexp_replace/regexp_count —
+   * no UDF, no shuffle: a map-only pass that fuses into whatever scan
+   * feeds it at any corpus size.
+   */
+  def scrubPii(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val (scrubbed, counts) =
+      PiiPatterns.foldLeft((col(textCol), List.empty[(String, Column)])) {
+        case ((txt, acc), (name, re, token)) =>
+          (regexp_replace(txt, re, token),
+            (s"n_$name" -> regexp_count(txt, lit(re)).cast("long")) :: acc)
+      }
+    counts.reverse.foldLeft(df.withColumn(s"${textCol}_scrubbed", scrubbed)) {
+      case (d, (name, c)) => d.withColumn(name, c)
+    }
+  }
+
+  // ---- mixture + split assignment -----------------------------------------
+
+  /**
+   * Temperature-based domain mixing (α = 1/2): per-group sampling quotas
+   * proportional to √n_d — the standard "flatten the domain distribution"
+   * rule multilingual/multi-source training mixes use (raw proportional
+   * sampling drowns small domains; uniform ignores size entirely; √n is
+   * the classic compromise, e.g. multilingual BERT's exponent-smoothed
+   * sampling). All integer-exact, so the allocation is reproducible
+   * bit-for-bit on any engine:
+   *
+   *   - w_d = isqrt(n_d): floor(√·) in doubles then a ±1 integer
+   *     correction, so the result is the true integer sqrt regardless of
+   *     FP rounding;
+   *   - a_d = ⌊B·w_d / Σw⌋ plus largest-remainder top-up (remainder DESC,
+   *     group ASC), so Σa_d = B exactly — quota sums never drift off the
+   *     token budget.
+   *
+   * The group column is a bounded profiling dimension (domains, languages,
+   * sources): everything after the one corpus-scan count aggregate runs on
+   * a #groups-row relation, where single-partition windows are free.
+   * Returns (groupCol, n_docs, w, alloc).
+   */
+  def temperatureMix(df: DataFrame, groupCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_docs"))
+    val k0 = floor(sqrt(col("n_docs").cast("double"))).cast("long")
+    val w = when((k0 + 1) * (k0 + 1) <= col("n_docs"), k0 + 1)
+      .when(k0 * k0 > col("n_docs"), k0 - 1)
+      .otherwise(k0)
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+    val byRem = org.apache.spark.sql.expressions.Window.partitionBy()
+      .orderBy(col("rem").desc, col(groupCol).asc)
+    counts.withColumn("w", w)
+      .withColumn("ws", sum(col("w")).over(all))
+      .withColumn("a0", expr(s"($budget * w) div ws"))
+      .withColumn("rem", expr(s"($budget * w) % ws"))
+      .withColumn("deficit", lit(budget) - sum(col("a0")).over(all))
+      .withColumn("rk", row_number().over(byRem))
+      .select(col(groupCol), col("n_docs"), col("w"),
+        (col("a0") + when(col("rk") <= col("deficit"), 1L).otherwise(0L))
+          .as("alloc"))
+  }
+
+  /**
+   * Deterministic train/valid/test assignment: each row's split is a pure
+   * function of its id — stable under reruns, re-partitioning, corpus
+   * growth (old rows never migrate), and reproducible from the id alone
+   * anywhere. Buckets in thousandths: mix64(poly64(id)) → an unsigned
+   * 63-bit value (top bit shifted out so signed/unsigned mod agree across
+   * engines) → mod 1000 → first split whose cumulative share exceeds the
+   * bucket. Purely rowwise, map-only at any scale.
+   */
+  def hashSplit(df: DataFrame, idCol: String = "doc_id",
+                splits: Seq[(String, Int)] =
+                  Seq(("train", 900), ("valid", 50), ("test", 50))): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 >= 0) &&
+      splits.map(_._2).sum == 1000,
+      s"split shares must be non-negative thousandths summing to 1000: $splits")
+    val bucket = pmod(shiftrightunsigned(
+      graft.functions.Poly64.mix64(
+        graft.functions.Poly64.poly64(col(idCol).cast("string"))), 1),
+      lit(1000L))
+    val cum = splits.scanLeft(0)(_ + _._2).tail
+    val assign = splits.zip(cum).init.foldRight(lit(splits.last._1): Column) {
+      case (((name, _), hi), els) => when(bucket < hi, name).otherwise(els)
+    }
+    df.withColumn("split", assign)
+  }
+
   // ---- bounded per-group top-k --------------------------------------------
 
   /** One (score, id) candidate. */

@@ -281,42 +281,6 @@ object TextAnalysis {
         when(length(q) > 0, concat(lit("?"), q)).otherwise(lit(""))))
   }
 
-  /** The PII patterns [[scrubPii]] redacts, in application order. Kept
-    * deliberately conservative and alternation-free: ASCII character
-    * classes + bounded quantifiers behave identically across regex engines
-    * (the JVM here, RE2-based engines in cross-checking tools), so the
-    * scrub is reproducible wherever the corpus is reprocessed. Email
-    * before IP (an IP inside an email's domain part must count as email),
-    * phone last (the email rule consumes digit runs in local parts). */
-  val PiiPatterns: Seq[(String, String, String)] = Seq(
-    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
-    ("ip", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"),
-    ("phone", "\\+[0-9][0-9 -]{5,13}[0-9]\\b", "<PHONE>"))
-
-  /**
-   * PII redaction for web corpora: replaces emails, IPv4 addresses, and
-   * international-format phone numbers with typed placeholder tokens and
-   * counts each redaction, per document. Purely rowwise (regexp_replace /
-   * regexp_count over codegen'd expressions — no UDF, no shuffle): at
-   * 100 TB this is a map-only pass that fuses into whatever scan feeds it.
-   *
-   * Returns df + (textCol_scrubbed, n_email, n_ip, n_phone). Counts are
-   * computed against the SAME intermediate the replacement saw, so
-   * overlapping categories never double-count (an email's host dots do
-   * not also match the IP rule once the email is already a placeholder).
-   */
-  def scrubPii(df: DataFrame, textCol: String = "text"): DataFrame = {
-    val (scrubbed, counts) =
-      PiiPatterns.foldLeft((col(textCol), List.empty[(String, Column)])) {
-        case ((txt, acc), (name, re, token)) =>
-          (regexp_replace(txt, re, token),
-            (s"n_$name" -> regexp_count(txt, lit(re)).cast("long")) :: acc)
-      }
-    counts.reverse.foldLeft(df.withColumn(s"${textCol}_scrubbed", scrubbed)) {
-      case (d, (name, c)) => d.withColumn(name, c)
-    }
-  }
-
   /**
    * BPE vocabulary induction (Sennrich et al. 2016): learn `iters` merge
    * rules over the corpus. Each iteration is one distributed pair-count

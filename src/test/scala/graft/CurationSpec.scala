@@ -216,4 +216,91 @@ class CurationSpec extends SparkSpec {
     // ceil: even a tiny fraction keeps one row per nonempty group
     assert(run(0.001, bucketed = true).size === 5)
   }
+
+  // ---- temperature mixing -------------------------------------------------
+
+  test("temperatureMix: exact isqrt weights, quotas sum to the budget, " +
+       "largest-remainder matches a BigInt reference") {
+    // sizes straddle perfect-square boundaries (the FP-sqrt danger zone)
+    val sizes = Map("a" -> 36L, "b" -> 35L, "c" -> 1L, "d" -> 48L, "e" -> 1000L)
+    val df = sizes.toSeq.flatMap { case (g, n) => Seq.fill(n.toInt)(g) }
+      .toDF("source")
+    val budget = 999983L // prime: floor quotas never sum exactly
+    val got = Curation.temperatureMix(df, "source", budget).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+
+    // driver-side BigInt reference of the same rule
+    val w = sizes.map { case (g, n) => g -> math.sqrt(n.toDouble).toLong }
+      .map { case (g, k) => // exact isqrt correction
+        val kk = if ((k + 1) * (k + 1) <= sizes(g)) k + 1
+        else if (k * k > sizes(g)) k - 1 else k
+        g -> kk
+      }
+    assert(w === Map("a" -> 6L, "b" -> 5L, "c" -> 1L, "d" -> 6L, "e" -> 31L))
+    val ws = w.values.sum
+    val a0 = w.map { case (g, k) => g -> budget * k / ws }
+    val deficit = budget - a0.values.sum
+    val topped = w.keys.toSeq
+      .sortBy(g => (-(budget * w(g) % ws), g)).take(deficit.toInt).toSet
+    val ref = sizes.keys.map(g =>
+      g -> ((sizes(g), w(g), a0(g) + (if (topped(g)) 1L else 0L)))).toMap
+    assert(got === ref)
+    assert(got.values.map(_._3).sum === budget)
+  }
+
+  test("temperatureMix: budget below group count still sums exactly") {
+    val df = Seq("a", "a", "b", "c", "d", "e").toDF("source")
+    val got = Curation.temperatureMix(df, "source", budget = 2L).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(got.values.sum === 2L)
+    assert(got.values.forall(a => a == 0L || a == 1L))
+  }
+
+  // ---- hash split ---------------------------------------------------------
+
+  test("hashSplit: pure function of id — stable under reruns, partitioning, " +
+       "and corpus growth; shares near the requested thousandths") {
+    val ids = spark.range(10000).select(col("id").as("doc_id"))
+    val full = Curation.hashSplit(ids).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+
+    // driver reference of the bucket rule
+    ids.collect().map(_.getLong(0)).take(100).foreach { id =>
+      val h = graft.functions.Poly64.mix(graft.functions.Poly64.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(id.toString),
+        graft.functions.Poly64.Seed1, graft.functions.Poly64.Mult1))
+      val b = (h >>> 1) % 1000
+      val exp = if (b < 900) "train" else if (b < 950) "valid" else "test"
+      assert(full(id) === exp, s"id $id bucket $b")
+    }
+
+    // growth stability: assignment on a subset equals the full corpus's
+    val sub = Curation.hashSplit(ids.filter(col("doc_id") < 1000)).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    sub.foreach { case (id, s) => assert(s === full(id)) }
+
+    // repartitioning changes nothing
+    val reparted = Curation.hashSplit(ids.repartition(17)).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(reparted === full)
+
+    val shares = full.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(shares.values.sum === 10000)
+    assert(math.abs(shares("train") - 9000) < 150, s"train ${shares("train")}")
+    assert(math.abs(shares("valid") - 500) < 80, s"valid ${shares("valid")}")
+    assert(math.abs(shares("test") - 500) < 80, s"test ${shares("test")}")
+  }
+
+  test("hashSplit: custom shares honored; invalid shares rejected") {
+    val ids = spark.range(2000).select(col("id").as("doc_id"))
+    val got = Curation.hashSplit(ids, splits = Seq(("x", 1000))).collect()
+    assert(got.forall(_.getString(1) == "x"))
+    intercept[IllegalArgumentException] {
+      Curation.hashSplit(ids, splits = Seq(("a", 500), ("b", 400)))
+    }
+    intercept[IllegalArgumentException] {
+      Curation.hashSplit(ids, splits = Seq.empty)
+    }
+  }
 }

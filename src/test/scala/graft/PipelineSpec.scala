@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.pipeline.{Ann, Dedup, Events, Multimodal, TextAnalysis}
+import graft.pipeline.{Ann, Curation, Dedup, Events, Multimodal, TextAnalysis}
 
 class PipelineSpec extends SparkSpec {
   import spark.implicits._
@@ -73,7 +73,7 @@ class PipelineSpec extends SparkSpec {
       (5L, "version 1.2.3 of lib, build 10.20.30.40.50 skipped"), // 1 ip (40.50? no: \b10.20.30.40\b then .50 — boundary)
       (6L, "nothing sensitive here at all")
     ).toDF("doc_id", "text")
-    val out = TextAnalysis.scrubPii(rows).collect()
+    val out = Curation.scrubPii(rows).collect()
       .map(r => r.getAs[Long]("doc_id") ->
         ((r.getAs[Long]("n_email"), r.getAs[Long]("n_ip"),
           r.getAs[Long]("n_phone"), r.getAs[String]("text_scrubbed")))).toMap
@@ -81,7 +81,7 @@ class PipelineSpec extends SparkSpec {
     // driver-side reference applying the same ordered Java regex passes
     val ref = Seq(1L, 2L, 3L, 4L, 5L, 6L).map { id =>
       val t0 = rows.collect().find(_.getLong(0) == id).get.getString(1)
-      val (t3, cnts) = TextAnalysis.PiiPatterns
+      val (t3, cnts) = Curation.PiiPatterns
         .foldLeft((t0, List.empty[Long])) { case ((t, acc), (_, re, tok)) =>
           (t.replaceAll(re, tok), re.r.findAllIn(t).size.toLong :: acc)
         }

@@ -797,6 +797,20 @@ object SparkEntry {
           explode(TextAnalysis.wsTokens(lower(trim(col("text"))))).as("tok")),
         "tok", depth = 4, widthLog2 = 11)),
 
+    // per-source HLL register tables: one mergeable distinct-token profile
+    // per bounded dimension value; ≤ #sources·2^10 rows from one scan
+    "d_hll_by_source" -> ((s, dir) =>
+      Sketches.hllRegistersBy(
+        t(s, dir, "documents").select(col("source"),
+          explode(TextAnalysis.wsTokens(lower(trim(col("text"))))).as("tok")),
+        "source", "tok", p = 10)),
+
+    // cross-doc repetition coverage: ppm of each doc's distinct 3-gram
+    // shingles shared with ≥2 docs — inverted-index join on shingles,
+    // doc-frequency combinable before its shuffle
+    "d_shared_coverage" -> ((s, dir) =>
+      TextAnalysis.sharedShingleCoverage(t(s, dir, "documents"))),
+
     // Gopher repetition filters, occurrence-weighted: top word-2-gram share
     // + duplicate-3-gram occurrence fraction per doc, integer ppm (the
     // argmax complement of d_repetition's distinct-based dup ratios)
@@ -2898,6 +2912,45 @@ object SparkEntry {
          |SELECT CAST(i AS INTEGER) AS "row", CAST(u % 2048 AS BIGINT) AS bucket,
          |       count(*) AS cnt
          |FROM m3 GROUP BY i, u % 2048""".stripMargin,
+
+    // per-source HLL registers: p=10 ⇒ bucket = low 10 bits, rank over the
+    // high 54-bit window, max rank 55; source carried through the CTE chain
+    "d_hll_by_source" ->
+      s"""WITH tk AS (SELECT source,
+         |              unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+         |            FROM documents),
+         |hs AS (SELECT source, ${sqlPoly("cps", 1125899906842597L, 1099511628211L)} AS u
+         |       FROM (SELECT source, list_transform(range(1, length(tok) + 1),
+         |                      j -> CAST(unicode(tok[j]) AS HUGEINT)) AS cps FROM tk)),
+         |m1 AS (SELECT source, (${sqlXorShr("u", 33)} * 6364136223846793005) % $U64 AS u FROM hs),
+         |m2 AS (SELECT source, (${sqlXorShr("u", 29)} * 2685821657736338717) % $U64 AS u FROM m1),
+         |m3 AS (SELECT source, ${sqlXorShr("u", 32)} AS u FROM m2),
+         |rv AS (SELECT source, CAST(u % 1024 AS BIGINT) AS bucket,
+         |              CAST(u // 1024 AS BIGINT) AS v FROM m3)
+         |SELECT source, bucket,
+         |       CAST(max(CASE WHEN v = 0 THEN 55 ELSE 55 - length(bin(v)) END) AS INTEGER) AS r
+         |FROM rv GROUP BY source, bucket""".stripMargin,
+
+    // shared-shingle coverage: distinct 3-gram shingles per doc (same CTE
+    // family as the contamination oracles), doc-frequency > 1 ⇒ shared
+    "d_shared_coverage" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+        |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS g
+        |       FROM tk WHERE len(toks) >= 3),
+        |nd AS (SELECT g, count(*) AS ndocs FROM sh GROUP BY g),
+        |per AS (SELECT doc_id, count(*) AS n_shingles,
+        |               sum(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS n_shared
+        |        FROM sh JOIN nd USING (g) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |       CAST(coalesce(n_shingles, 0) AS BIGINT) AS n_shingles,
+        |       CAST(coalesce(n_shared, 0) AS BIGINT) AS n_shared,
+        |       CAST(CASE WHEN coalesce(n_shingles, 0) > 0
+        |            THEN (coalesce(n_shared, 0) * 1000000) // n_shingles
+        |            ELSE 0 END AS BIGINT) AS shared_ppm
+        |FROM documents d LEFT JOIN per USING (doc_id)""".stripMargin,
 
     "d_bpe_merges" -> bpeOracleSql(6),
 

@@ -157,6 +157,34 @@ object Sketches {
   def mergeHllRegisters(shards: Seq[DataFrame]): DataFrame =
     shards.reduce(_ unionByName _).groupBy(col("bucket")).agg(max(col("r")).as("r"))
 
+  /** Per-group HLL register tables: (groupCol, bucket, r) — one distinct
+    * profile per value of a BOUNDED grouping dimension (source, language,
+    * day). ≤ #groups · 2^p rows from one partial-aggregated scan; each
+    * group's slice feeds [[hllEstimate]], and shard tables merge by
+    * (group, bucket) max exactly like the ungrouped ones — the per-shard/
+    * per-day profile a 100 TB corpus keeps instead of recounting distincts
+    * per dimension slice. */
+  def hllRegistersBy(df: DataFrame, groupCol: String, keyCol: String,
+                     p: Int): DataFrame = {
+    require(p >= 4 && p <= 18, s"p must be in [4, 18], got $p")
+    val w = 64 - p
+    val h = graft.functions.Poly64.mix64(
+      graft.functions.Poly64.poly64(col(keyCol).cast("string")))
+    val v = shiftrightunsigned(h, p)
+    df.filter(col(keyCol).isNotNull)
+      .select(col(groupCol),
+        h.bitwiseAND(lit((1L << p) - 1)).as("bucket"),
+        when(v === 0, lit(w + 1))
+          .otherwise(lit(w + 1) - length(bin(v))).cast("int").as("rank"))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(max(col("rank")).as("r"))
+  }
+
+  /** Merge per-group register tables: pointwise max within (group, bucket). */
+  def mergeHllRegistersBy(groupCol: String, shards: Seq[DataFrame]): DataFrame =
+    shards.reduce(_ unionByName _)
+      .groupBy(col(groupCol), col("bucket")).agg(max(col("r")).as("r"))
+
   /** Standard HLL estimate from a (bucket, r) register table: harmonic mean
     * of 2^-r over all 2^p buckets (empty bucket ⇒ r = 0), bias constant
     * α_m, linear-counting correction in the small range. Driver-side over

@@ -134,6 +134,40 @@ object TextAnalysis {
       .withColumn("dup_3gram_ratio", dupRatio(3))
   }
 
+  /** Cross-document repetition coverage — the corpus-level complement of
+    * [[repetition]]'s intra-document ratios: for each document, how much of
+    * it is boilerplate the rest of the corpus also contains? A document's
+    * DISTINCT word n-gram shingles are counted against the number of
+    * documents sharing each shingle; `shared_ppm` = the integer-ppm
+    * fraction of its shingles that occur in ≥ 2 documents (the
+    * deduplicate-training-data diagnostic: high shared coverage ⇒ template
+    * or mirror content even when no single document is a near-dup).
+    *
+    * Scale shape: shingles explode once (distinct within doc — rowwise),
+    * the doc-frequency aggregate is a combinable count keyed by shingle,
+    * and the join back is the same inverted-index equi-join every dedup
+    * pipeline here uses; hot boilerplate shingles are heavy only on the
+    * probe side (AQE skew-split territory), never in a sort group.
+    * Returns (idCol, n_shingles, n_shared, shared_ppm), one row per input
+    * document (short docs: 0/0/0). */
+  def sharedShingleCoverage(docs: DataFrame, idCol: String = "doc_id",
+                            textCol: String = "text", n: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol).as("_id"),
+      explode(Dedup.wordShingles(col(textCol), n)).as("_g"))
+    val docFreq = sh.groupBy(col("_g")).agg(count(lit(1)).as("_nd"))
+    val per = sh.join(docFreq, Seq("_g"))
+      .groupBy(col("_id"))
+      .agg(count(lit(1)).as("_n_shingles"),
+        sum(when(col("_nd") > 1, 1L).otherwise(0L)).as("_n_shared"))
+    docs.select(col(idCol).as("_id")).join(per, Seq("_id"), "left_outer")
+      .select(col("_id").as(idCol),
+        coalesce(col("_n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("_n_shared"), lit(0L)).as("n_shared"),
+        when(coalesce(col("_n_shingles"), lit(0L)) > 0,
+          expr("_n_shared * 1000000 div _n_shingles"))
+          .otherwise(lit(0L)).as("shared_ppm"))
+  }
+
   /** Split documents into fixed-size token chunks with overlap — the
     * training/RAG preparation step. Chunk i covers tokens
     * [i·stride, i·stride + chunkTokens) over the whitespace tokens of the

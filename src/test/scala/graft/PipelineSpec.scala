@@ -97,6 +97,35 @@ class PipelineSpec extends SparkSpec {
     assert(out(3L)._3 === 2L)
   }
 
+  test("sharedShingleCoverage matches a driver reference; short docs 0/0/0") {
+    val corpus = Seq(
+      (1L, "the cat sat on the mat quietly"),
+      (2L, "a dog ran while the cat sat on a rug"),   // shares "the cat sat", "cat sat on"
+      (3L, "entirely novel content with zero overlap here"),
+      (4L, "too short"),                               // < 3 tokens → 0/0/0
+      (5L, "the cat sat")                              // exactly one shingle, shared
+    ).toDF("doc_id", "text")
+
+    // driver reference on distinct shingles
+    val docs = corpus.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def shingles(t: String) = t.toLowerCase.trim.split("\\s+").toSeq
+      .sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+    val all = docs.map { case (id, t) => id -> shingles(t) }
+    val freq = all.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val ref = all.map { case (id, ss) =>
+      val shared = ss.count(freq(_) > 1).toLong
+      id -> ((ss.size.toLong, shared,
+        if (ss.nonEmpty) shared * 1000000L / ss.size else 0L))
+    }
+
+    val got = TextAnalysis.sharedShingleCoverage(corpus).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === ref)
+    assert(got(4L) === ((0L, 0L, 0L)))
+    assert(got(5L) === ((1L, 1L, 1000000L)))
+    assert(got(3L)._2 === 0L)
+  }
+
   test("minhash LSH clusters near-dups together") {
     val out = Dedup.minHashLSH(docs, threshold = 0.5)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -229,6 +229,24 @@ class SketchesSpec extends SparkSpec {
     assert(err < 0.02, s"estimate $est vs $n: relative error $err")
   }
 
+  test("per-group registers: each group slice equals its own ungrouped table; " +
+       "grouped shard merge = grouped union") {
+    val rows = (0 until 5000).map(i => (s"g${i % 3}", s"k${i % (700 + 100 * (i % 3))}"))
+    val df = spark.createDataset(rows).toDF("src", "k")
+    val grouped = Sketches.hllRegistersBy(df, "src", "k", p = 9).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    (0 until 3).foreach { g =>
+      val slice = Sketches.hllRegisters(df.filter(col("src") === s"g$g"), "k", p = 9)
+        .collect().map(r => (s"g$g", r.getLong(0), r.getInt(1))).toSet
+      assert(grouped.filter(_._1 == s"g$g") === slice, s"group g$g slice")
+    }
+    val shards = rows.grouped(1700).map(rs =>
+      Sketches.hllRegistersBy(spark.createDataset(rs).toDF("src", "k"), "src", "k", 9)).toSeq
+    val merged = Sketches.mergeHllRegistersBy("src", shards).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(merged === grouped)
+  }
+
   // ---- Count-Min sketch ----------------------------------------------------
 
   /** Zipf-ish stream: key z0 5000×, z1 2500×, z2 1250×, …, plus a 3000-key

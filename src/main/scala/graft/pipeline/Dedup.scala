@@ -798,6 +798,74 @@ object Dedup {
           .as("text_fp"))
   }
 
+  /** Persist the seen-line index for the STREAMING form of [[lineDedup]]:
+    * table `<name>_lines` holds the distinct line hashes of the base
+    * corpus, bucketed by hash so later deltas anti-join it without
+    * shuffling the (corpus-sized) index side. Idempotent like the other
+    * index builders: replaces table + stale warehouse dirs. */
+  def saveLineIndex(spark: org.apache.spark.sql.SparkSession, name: String,
+                    docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text"): Unit = {
+    replaceTable(spark, s"${name}_lines")
+    docs.select(posexplode(split(col(textCol), "\n", -1)).as(Seq("_pos", "_line")))
+      .select(graft.functions.Poly64.poly64(col("_line")).as("lh"))
+      .distinct()
+      // bucket count fixed at 8 so appends never drift from the builder
+      // (the other indexes persist tunables in a _meta table; this one has
+      // none — the hash family is fixed)
+      .write.mode("overwrite").bucketBy(8, "lh").sortBy("lh")
+      .saveAsTable(s"${name}_lines")
+  }
+
+  /** One ingest-loop step of streaming line dedup: drop every line of
+    * `delta` already in the `<name>_lines` index OR duplicated earlier
+    * within the delta itself (first (id, pos) wins), append the delta's
+    * genuinely-new line hashes to the index (delta-only bucket files — the
+    * base index is never rescanned or rewritten), and return the deltas'
+    * per-doc survival summary in [[lineDedup]]'s shape.
+    *
+    * Feeding batches in id order reproduces batch [[lineDedup]] over the
+    * concatenated corpus EXACTLY (spec-pinned): the index is precisely
+    * "every line seen by earlier batches", and the within-delta rule is
+    * the same packed-(id, pos) combinable min. Designed for foreachBatch:
+    * the sixth stream-driven maintenance loop next to the LSH/IVF/IVF-PQ/
+    * semDedup indexes and the MG/HLL/CMS summaries. */
+  def appendToLineIndex(spark: org.apache.spark.sql.SparkSession, name: String,
+                        delta: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val PosBits = 20
+    val seen = spark.table(s"${name}_lines")
+    val lines = delta.select(col(idCol).as("_id"),
+        posexplode(split(col(textCol), "\n", -1)).as(Seq("_pos", "_line")))
+      .withColumn("_h", graft.functions.Poly64.poly64(col("_line")))
+      .withColumn("_ord",
+        shiftleft(col("_id"), PosBits) + col("_pos").cast("long"))
+    // localCheckpoint BEFORE the append: winners anti-joins the very table
+    // the append grows — a lazy plan re-evaluated after the write would see
+    // its own lines in the index and drop everything it just kept
+    val winners = lines.groupBy(col("_h")).agg(min(col("_ord")).as("_w"))
+      .join(seen, col("_h") === col("lh"), "left_anti")
+      .localCheckpoint(true)
+    val kept = lines.join(winners, Seq("_h")).filter(col("_ord") === col("_w"))
+    winners.select(col("_h").as("lh"))
+      .write.mode("append").bucketBy(8, "lh").sortBy("lh")
+      .saveAsTable(s"${name}_lines")
+    spark.catalog.refreshTable(s"${name}_lines")
+    val counts = delta.select(col(idCol).as("_id"),
+      size(split(col(textCol), "\n", -1)).cast("long").as("_n_lines"))
+    val reassembled = kept.groupBy(col("_id"))
+      .agg(count(lit(1)).as("_n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("_pos"), col("_line")))),
+            x => x("_line")), "\n").as("_text"))
+    counts.join(reassembled, Seq("_id"), "left_outer")
+      .select(col("_id").as(idCol),
+        coalesce(col("_n_kept"), lit(0L)).as("n_kept"),
+        (col("_n_lines") - coalesce(col("_n_kept"), lit(0L))).as("n_dropped"),
+        graft.functions.Poly64.poly64(coalesce(col("_text"), lit("")))
+          .as("text_fp"))
+  }
+
   /** The surviving (idCol, pos, line) rows of [[lineDedup]]'s keep rule —
     * for callers that rebuild text or feed the lines onward. */
   def lineDedupKept(docs: DataFrame, idCol: String = "doc_id",

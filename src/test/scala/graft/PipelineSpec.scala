@@ -64,6 +64,44 @@ class PipelineSpec extends SparkSpec {
       ref.collect { case (id, (nk, _, txt)) if nk > 0 => id -> txt })
   }
 
+  test("streaming ingest loop: foreachBatch line deltas ≡ batch lineDedup " +
+       "over the concatenated corpus") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val allDocs = Seq(
+      (1L, "cookie banner\nalpha one\nlicense header"),
+      (2L, "beta two\ncookie banner"),
+      (3L, "license header\ngamma three\ncookie banner"),   // batch 2
+      (4L, "gamma three\ndelta four"),
+      (5L, "delta four\nepsilon five\nlicense header")      // batch 3
+    )
+    val batches = Seq(allDocs.take(2), allDocs.slice(2, 4), allDocs.drop(4))
+
+    Dedup.saveLineIndex(spark, "ilines",
+      spark.createDataset(Seq.empty[(Long, String)]).toDF("doc_id", "text")
+        .filter(lit(false)))
+    val results = scala.collection.mutable.Map.empty[Long, (Long, Long, Long)]
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Dedup.appendToLineIndex(spark, "ilines", batch).collect().foreach { r =>
+          results(r.getLong(0)) = (r.getLong(1), r.getLong(2), r.getLong(3))
+        }
+        ()
+      }
+      .start()
+    batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+
+    val expected = Dedup.lineDedup(allDocs.toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(results.toMap === expected)
+    // and the loop genuinely dropped cross-batch repeats
+    assert(results(3L)._2 === 2L) // license header + cookie banner both seen
+    assert(results(5L)._1 === 1L) // only "epsilon five" is new
+  }
+
   test("scrubPii: ordered redaction, no double counting, clean text untouched") {
     val rows = Seq(
       (1L, "mail bob.smith+spam@sub.example.co.uk now"),          // 1 email

@@ -152,6 +152,11 @@ object GraftExtensions {
         "_FUNC_(h) - xorshift/multiply 64-bit avalanche finalizer") { a =>
       arity("graft_mix64", a, 1); Poly64.Mix64(a(0))
     },
+    desc("graft_wrap_mul_add",
+        "_FUNC_(a, i, b) - a + i*b with Long wraparound (Carter-Wegman " +
+        "hash combine; never ANSI-throws)") { a =>
+      arity("graft_wrap_mul_add", a, 3); Poly64.WrapMulAdd(a(0), a(1), a(2))
+    },
     desc("graft_rolling_fps",
         "_FUNC_(s[, k, max]) - winnowing fingerprints via Poly64 rolling hash") { a =>
       arity("graft_rolling_fps", a, 1, 3)

@@ -75,6 +75,23 @@ class ExtensionsSpec extends SparkSpec {
     assert(sql === api)
   }
 
+  test("hash combine via SQL: graft_wrap_mul_add wraps where ANSI + throws") {
+    docs.createOrReplaceTempView("docs")
+    val sql = spark.sql(
+      """SELECT doc_id, graft_mix64(graft_wrap_mul_add(
+        |  graft_poly64(text), 3, graft_poly64(text, 2065775093, 6364136223846793005)
+        |)) AS b FROM docs""".stripMargin).collect()
+    val api = docs.select(col("doc_id"),
+      Poly64.mix64(Poly64.wrapMulAdd(Poly64.poly64(col("text")), lit(3L),
+        Poly64.poly64(col("text"), 2065775093L, 6364136223846793005L)))).collect()
+    assert(sql === api)
+    // the combine genuinely wraps (a plain ANSI expression would throw here)
+    val wrapped = spark.sql(
+      "SELECT graft_wrap_mul_add(9223372036854775807, 2, 9223372036854775807) AS v")
+      .collect()(0).getLong(0)
+    assert(wrapped === (Long.MaxValue + 2L * Long.MaxValue))
+  }
+
   test("band buckets via SQL drive the same LSH pipeline stage") {
     docs.createOrReplaceTempView("docs")
     val sql = spark.sql(

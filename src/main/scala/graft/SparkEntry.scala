@@ -817,6 +817,33 @@ object SparkEntry {
     "d_top_grams" -> ((s, dir) =>
       TextAnalysis.topGramSignals(t(s, dir, "documents"))),
 
+    // prefix-filtered similarity join (PPJoin-family): identical output to
+    // d_ngram_pairs, but the inverted index holds only each doc's
+    // rarest-first prefix — the 100 TB plan (boilerplate shingles never
+    // join); candidates verified exactly by the galloping kernel
+    "d_ngram_pairs_prefix" -> ((s, dir) =>
+      Dedup.ngramJaccardPairsPrefix(t(s, dir, "documents"), threshold = 0.1)
+        .withColumn("jaccard", round(col("jaccard"), 6))),
+
+    // asymmetric containment pairs (quote/boilerplate-inclusion signal):
+    // one intersection count per unordered pair via the shingle inverted
+    // index, both directions emitted with their own denominator
+    "d_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(t(s, dir, "documents"), threshold = 0.4)
+        .withColumn("containment", round(col("containment"), 6))),
+
+    // Gopher quality-rule filters: rowwise metrics + 0/1 rule flags +
+    // conjunctive keep — shuffle-free corpus scan
+    "d_gopher_rules" -> ((s, dir) =>
+      TextAnalysis.gopherRules(t(s, dir, "documents"))),
+
+    // BM25 retrieval: top-5 docs per probe term (k1=1.2, b=0.75); probe
+    // filter precedes the tf shuffle, df/corpus-stats broadcast, top-k is
+    // the bounded-heap aggregate — rank order pinned by round-then-tiebreak
+    "d_bm25_top" -> ((s, dir) =>
+      TextAnalysis.bm25TopDocs(t(s, dir, "documents"),
+        Seq("spark", "join", "window"), k = 5)),
+
     // BPE vocabulary induction: 6 merge rules learned over the corpus — per
     // iteration one pair-count shuffle (vocabulary-sized after partial agg)
     // + a 1-row driver argmax + a rowwise codegen'd greedy merge pass
@@ -1474,6 +1501,25 @@ object SparkEntry {
   )
 
   // =========================================================================
+
+  /** All-pairs 3-gram Jaccard oracle over `documents` — gates BOTH
+    * d_ngram_pairs (full inverted index) and d_ngram_pairs_prefix (prefix
+    * filter + galloping verify): one semantics, two physical plans. */
+  private val ngramPairsOracle: String =
+    """WITH sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(1, greatest(len(toks) - 2, 1) + 1),
+      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+      |  FROM (SELECT doc_id,
+      |          string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+      |        FROM documents)
+      |  WHERE len(toks) >= 3)
+      |SELECT x.doc_id AS a, y.doc_id AS b,
+      |       round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) /
+      |             (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))), 6) AS jaccard
+      |FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+      |WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) /
+      |      (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) >= 0.1""".stripMargin
 
   /** DuckDB SQL for `steps` unrolled Lloyd iterations over the embeddings
     * table (dim-64), mirroring the Pregel KMeans exactly: init = coords of the
@@ -2952,6 +2998,89 @@ object SparkEntry {
         |            ELSE 0 END AS BIGINT) AS shared_ppm
         |FROM documents d LEFT JOIN per USING (doc_id)""".stripMargin,
 
+    // containment: same 3-gram shingle CTE family as d_ngram_pairs; both
+    // directions of each intersecting pair with per-side denominators
+    "d_containment" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(toks) - 2, 1) + 1),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+        |  FROM (SELECT doc_id,
+        |          string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |        FROM documents)
+        |  WHERE len(toks) >= 3),
+        |c AS (
+        |  SELECT x.doc_id AS a, y.doc_id AS b,
+        |         len(list_intersect(x.s, y.s)) AS common,
+        |         len(x.s) AS sza, len(y.s) AS szb
+        |  FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+        |  WHERE len(list_intersect(x.s, y.s)) > 0)
+        |SELECT src, dst, round(containment, 6) AS containment FROM (
+        |  SELECT a AS src, b AS dst, CAST(common AS DOUBLE) / sza AS containment FROM c
+        |  UNION ALL
+        |  SELECT b AS src, a AS dst, CAST(common AS DOUBLE) / szb AS containment FROM c)
+        |WHERE containment >= 0.4""".stripMargin,
+
+    // Gopher rules: rowwise metric + flag replay (symbol hits = '#' chars
+    // + non-overlapping '...' runs + unicode ellipses)
+    "d_gopher_rules" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_words,
+        |    length(trim(text)) AS chars,
+        |    string_split_regex(lower(trim(text)), '\s+') AS toks,
+        |    length(trim(text)) - length(replace(trim(text), '#', '')) AS hashes,
+        |    (length(trim(text)) - length(replace(trim(text), '...', ''))) / 3 AS dotell,
+        |    length(trim(text)) - length(replace(trim(text), '…', '')) AS uniell
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+        |    round(CASE WHEN n_words > 0
+        |      THEN (chars - (n_words - 1)) * 1.0 / n_words ELSE 0 END, 6) AS mean_word_len,
+        |    round(CASE WHEN n_words > 0
+        |      THEN len(list_filter(toks, w -> regexp_matches(w, '[a-z]'))) * 1.0 / n_words
+        |      ELSE 0 END, 6) AS frac_alpha,
+        |    round(CASE WHEN n_words > 0
+        |      THEN (hashes + dotell + uniell) * 1.0 / n_words ELSE 0 END, 6) AS symbol_ratio,
+        |    CAST(CASE WHEN n_words > 0 THEN len(list_intersect(list_distinct(toks),
+        |      ['the','be','to','of','and','that','have','with'])) ELSE 0 END AS BIGINT) AS stop_hits
+        |  FROM m)
+        |SELECT *,
+        |  CAST(ok_words + ok_mwl + ok_symbol + ok_alpha + ok_stop = 5 AS INTEGER) AS keep
+        |FROM (SELECT *,
+        |  CAST(n_words BETWEEN 50 AND 100000 AS INTEGER) AS ok_words,
+        |  CAST(mean_word_len BETWEEN 3.0 AND 10.0 AS INTEGER) AS ok_mwl,
+        |  CAST(symbol_ratio < 0.1 AS INTEGER) AS ok_symbol,
+        |  CAST(frac_alpha > 0.8 AS INTEGER) AS ok_alpha,
+        |  CAST(stop_hits >= 2 AS INTEGER) AS ok_stop
+        |  FROM r)""".stripMargin,
+
+    // BM25: DuckDB replays the same rounded-score-then-doc_id ranking
+    "d_bm25_top" ->
+      """WITH dl AS (
+        |  SELECT doc_id,
+        |         CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+        |              ELSE len(string_split_regex(trim(text), '\s+')) END AS dl
+        |  FROM documents),
+        |stats AS (SELECT count(*) AS n, avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+        |tk AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tk
+        |       WHERE term IN ('spark', 'join', 'window') GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT term, doc_id,
+        |         round(ln(1 + (n - df + 0.5) / (df + 0.5)) *
+        |               (tf * 2.2) /
+        |               (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS bm25
+        |  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats)
+        |SELECT term, doc_id, bm25, rank FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY term ORDER BY bm25 DESC, doc_id) AS rank
+        |  FROM scored) WHERE rank <= 5""".stripMargin,
+
     "d_bpe_merges" -> bpeOracleSql(6),
 
     "d_bpe_tokens" -> bpeOracleSql(6, Some {
@@ -3047,21 +3176,11 @@ object SparkEntry {
          |  FROM w)
          |WHERE rn <= ceil(0.2 * (SELECT count(*) FROM documents))""".stripMargin,
 
-    "d_ngram_pairs" ->
-      """WITH sh AS (
-        |  SELECT doc_id, list_distinct(list_transform(
-        |    range(1, greatest(len(toks) - 2, 1) + 1),
-        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
-        |  FROM (SELECT doc_id,
-        |          string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
-        |        FROM documents)
-        |  WHERE len(toks) >= 3)
-        |SELECT x.doc_id AS a, y.doc_id AS b,
-        |       round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) /
-        |             (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))), 6) AS jaccard
-        |FROM sh x JOIN sh y ON x.doc_id < y.doc_id
-        |WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) /
-        |      (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) >= 0.1""".stripMargin,
+    "d_ngram_pairs" -> ngramPairsOracle,
+
+    // the prefix-filtered join is output-identical by construction — the
+    // SAME all-pairs oracle gates it (plan differs, result must not)
+    "d_ngram_pairs_prefix" -> ngramPairsOracle,
 
     "e_knn_top1" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

@@ -478,6 +478,92 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Prefix-filtered n-gram Jaccard pair join (PPJoin-family, Xiao et al.
+    * 2008; Chaudhuri et al. 2006): same output as [[ngramJaccardPairs]] —
+    * every unordered pair with Jaccard ≥ `threshold` — but the inverted
+    * index holds only each document's PREFIX under a global shingle order
+    * (document frequency ascending, hash tiebreak), length
+    * `|S| − ⌈t·|S|⌉ + 1`. Any pair with J ≥ t must share a prefix shingle,
+    * so the candidate set shrinks from Σ df² over ALL shingles (the full
+    * index join, dominated by common shingles) to Σ df² over RARE prefix
+    * shingles — at corpus scale this is the difference between a quadratic
+    * blowup on boilerplate n-grams and a near-linear candidate stream.
+    * Candidates are then verified EXACTLY with the codegen'd galloping
+    * sorted-intersection kernel over the full (sorted, hashed) shingle
+    * arrays — per-row work bounded by document length, no second shuffle
+    * of the corpus. The ⌈·⌉ is computed as `floor(t·|S| − 1e−9)` (one
+    * element longer at exact-integer boundaries — extra candidates, never
+    * missed ones, and FP rounding at a power boundary can't drop a pair).
+    *
+    * Both the df ranking and the verify join reuse one shingled scan
+    * (persisted); skew note: a prefix shingle's df is ≤ the rarest-first
+    * cutoff by construction, so no single inverted-index key explodes. */
+  def ngramJaccardPairsPrefix(docs: DataFrame, idCol: String = "doc_id",
+                              textCol: String = "text", shingleLen: Int = 3,
+                              threshold: Double = 0.1): DataFrame = {
+    val sh = shingled(spread(docs), idCol, textCol, shingleLen)
+      .filter(size(col("sh")) >= 1)
+      .select(col("id"),
+        sort_array(transform(col("sh"), g => xxhash64(g))).as("hs"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val inv = sh.select(col("id"), explode(col("hs")).as("g"))
+    val dfreq = inv.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    // per-doc global ordering (df asc, hash asc) → prefix of the rarest
+    val pref = inv.join(dfreq, "g")
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("g")))).as("o"))
+      .select(col("id"), expr(
+        s"slice(o, 1, greatest(size(o) - greatest(CAST(floor($threshold * size(o) - 1e-9) AS INT), 0), 1))").as("p"))
+      .select(col("id"), expr("transform(p, x -> x.g)").as("pg"))
+    val cand = pref.select(col("id").as("a"), explode(col("pg")).as("g"))
+      .join(pref.select(col("id").as("b"), explode(col("pg")).as("g")), Seq("g"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    // exact verify: galloping intersection over the full sorted shingle arrays
+    cand
+      .join(sh.select(col("id").as("a"), col("hs").as("hsA")), Seq("a"))
+      .join(sh.select(col("id").as("b"), col("hs").as("hsB")), Seq("b"))
+      .select(col("a"), col("b"),
+        graft.functions.GraphSetExpressions
+          .sortedIntersectCount(col("hsA"), col("hsB")).cast("long").as("common"),
+        size(col("hsA")).cast("long").as("szA"), size(col("hsB")).cast("long").as("szB"))
+      .select(col("a"), col("b"),
+        (col("common").cast("double") / (col("szA") + col("szB") - col("common")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Asymmetric shingle-containment pairs: for every ordered pair (src, dst),
+    * `containment = |S_src ∩ S_dst| / |S_src|` — the quote/subset-duplication
+    * signal Jaccard misses (a short doc fully contained in a long one has low
+    * Jaccard but containment 1.0; this is how boilerplate inclusion and
+    * near-verbatim quoting are found in web-corpus curation). Same
+    * inverted-index shape as [[ngramJaccardPairs]]: the intersection count is
+    * computed once per unordered pair (hash-join on shingle hash, combinable
+    * count), then emitted in both directions with each side's own
+    * denominator. Pairs sharing no shingle never materialize. */
+  def containmentPairs(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text", shingleLen: Int = 3,
+                       threshold: Double = 0.5): DataFrame = {
+    val sh = shingled(spread(docs), idCol, textCol, shingleLen)
+      .filter(size(col("sh")) >= 1)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sizes = sh.select(col("id"), size(col("sh")).as("sz"))
+    val inv = sh.select(col("id"), explode(col("sh")).as("g"))
+      .select(col("id"), xxhash64(col("g")).as("g"))
+    val common = inv.toDF("a", "g").join(inv.toDF("b", "g"), Seq("g"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("common"))
+    val both = common
+      .join(sizes.toDF("a", "szA"), Seq("a"))
+      .join(sizes.toDF("b", "szB"), Seq("b"))
+    val ab = both.select(col("a").as("src"), col("b").as("dst"),
+      (col("common").cast("double") / col("szA")).as("containment"))
+    val ba = both.select(col("b").as("src"), col("a").as("dst"),
+      (col("common").cast("double") / col("szB")).as("containment"))
+    ab.union(ba).filter(col("containment") >= threshold)
+  }
+
   /** Brute-force exact n-gram Jaccard dedup (all-pairs within LSH buckets is
     * the scale path; this is the small-data oracle-friendly variant). */
   def ngramJaccard(df: DataFrame, idCol: String = "doc_id", textCol: String = "text",

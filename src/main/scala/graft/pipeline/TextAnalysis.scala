@@ -447,6 +447,83 @@ object TextAnalysis {
       .join(top2, Seq(idCol), "left")
       .join(dup3, Seq(idCol), "left")
   }
+
+  /** Gopher-style document-quality rule filters (Rae et al. 2021, §A1.1):
+    * per-doc rule metrics and 0/1 flags — word-count bounds, mean-word-length
+    * bounds, symbol-to-word ratio (# and ellipses), alphabetic-word fraction,
+    * required-stopword hits — plus the conjunctive `keep`. Entirely rowwise
+    * (codegen'd string/array expressions) — a 100 TB corpus scan with NO
+    * shuffle; flags are ints and ratios are rounded to 6 dp so the frame is
+    * reproducible across engines. */
+  def gopherRules(df: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val t = trim(col(textCol))
+    val toks = wsTokens(lower(t))
+    val n = tokenCount(col(textCol)).cast("double")
+    val chars = length(t).cast("double")
+    val required = typedLit(Seq("the", "be", "to", "of", "and",
+      "that", "have", "with"))
+    val hashCount = chars - length(regexp_replace(t, "#", ""))
+    val dotEll = (chars - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3
+    val uniEll = chars - length(regexp_replace(t, "…", ""))
+    val flag = (c: Column) => when(c, lit(1)).otherwise(lit(0)).cast("int")
+    df.select(
+      col(idCol),
+      n.cast("long").as("n_words"),
+      round(when(n > 0, (chars - (n - 1)) / n).otherwise(lit(0.0)), 6)
+        .as("mean_word_len"),
+      round(when(n > 0, size(filter(toks, w => w.rlike("[a-z]"))) / n)
+        .otherwise(lit(0.0)), 6).as("frac_alpha"),
+      round(when(n > 0, (hashCount + dotEll + uniEll) / n)
+        .otherwise(lit(0.0)), 6).as("symbol_ratio"),
+      when(n > 0, size(array_intersect(array_distinct(toks), required)))
+        .otherwise(lit(0)).cast("long").as("stop_hits"))
+      .withColumn("ok_words", flag(col("n_words").between(50, 100000)))
+      .withColumn("ok_mwl", flag(col("mean_word_len").between(3.0, 10.0)))
+      .withColumn("ok_symbol", flag(col("symbol_ratio") < 0.1))
+      .withColumn("ok_alpha", flag(col("frac_alpha") > 0.8))
+      .withColumn("ok_stop", flag(col("stop_hits") >= 2))
+      .withColumn("keep", flag(
+        col("ok_words") + col("ok_mwl") + col("ok_symbol") +
+          col("ok_alpha") + col("ok_stop") === 5))
+  }
+
+  /** BM25 retrieval ranking: the top-`k` documents per probe term, scored
+    * with Robertson/Spärck-Jones BM25 (`idf · tf·(k1+1) / (tf + k1·(1−b +
+    * b·dl/avgdl))`, `idf = ln(1 + (N−df+0.5)/(df+0.5))`). Scores are rounded
+    * to 6 dp BEFORE ranking (ties → doc_id ascending) so the ordering is
+    * reproducible across engines. Returns (term, doc_id, bm25, rank).
+    *
+    * Scale shape: the probe-term filter runs BEFORE the tf aggregation —
+    * only matching (doc, term) tokens ever shuffle, so corpus volume is a
+    * scan, not a shuffle; per-doc length rides through the tf groupBy as a
+    * `max` (constant per doc — no join back to the corpus); df and the
+    * (N, avgdl) scalars are broadcast; top-k per term is the bounded-heap
+    * aggregate (O(k) state, map-side combinable), never a global sort. */
+  def bm25TopDocs(df: DataFrame, terms: Seq[String], k: Int = 5,
+                  k1: Double = 1.2, b: Double = 0.75,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = Dedup.spread(df).select(
+      col(idCol).as("doc_id"),
+      tokenCount(col(textCol)).cast("double").as("dl"),
+      explode(wsTokens(lower(trim(col(textCol))))).as("term"))
+      .filter(col("term").isInCollection(terms))
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = df.agg(count(lit(1)).as("n"),
+      avg(tokenCount(col(textCol))).as("avgdl"))
+    val scored = tf.join(broadcast(dfreq), "term").crossJoin(broadcast(stats))
+      .withColumn("bm25", round(
+        log(lit(1.0) +
+          (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+        (col("tf") * lit(k1 + 1.0)) /
+        (col("tf") + lit(k1) *
+          (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))), 6))
+    Curation.topKRanked(scored.select(col("term"), col("doc_id"),
+        col("bm25")), "term", "bm25", "doc_id", k)
+      .select(col("term"), col("doc_id"), col("bm25"), col("rank"))
+  }
 }
 
 /** Minimal per-language stopword profiles (public common-word lists). */

@@ -1448,6 +1448,68 @@ class PipelineSpec extends SparkSpec {
     assert(out(5L)._2 === Some(1000000L))
   }
 
+  test("ngramJaccardPairsPrefix ≡ full inverted-index join on boilerplate-heavy docs") {
+    val rnd = new scala.util.Random(20260814L)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val boiler = "subscribe to our newsletter for updates today"
+    val docs = (0L until 40L).map { i =>
+      val body = Seq.fill(4 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size)))
+      val text = if (i % 3 == 0) boiler + " " + body.mkString(" ")
+                 else body.mkString(" ")
+      (i, text)
+    }.toDF("doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("a"), col("b"), round(col("jaccard"), 6).as("j"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    val full = canon(Dedup.ngramJaccardPairs(docs, threshold = 0.3))
+    val pref = canon(Dedup.ngramJaccardPairsPrefix(docs, threshold = 0.3))
+    assert(pref === full)
+    assert(full.nonEmpty) // the boilerplate docs must actually pair up
+  }
+
+  test("containmentPairs: subset doc scores 1.0 toward its superset, asymmetric back") {
+    // doc 1's 3-gram shingles are a strict subset of doc 0's; doc 2 disjoint
+    val docs = Seq(
+      (0L, "a b c d e f g h"), // shingles: abc bcd cde def efg fgh (6)
+      (1L, "a b c d e"),       // shingles: abc bcd cde (3) — all in doc 0
+      (2L, "x y z w v")
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, threshold = 0.1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got((1L, 0L)) === 1.0)           // subset fully contained
+    assert(got((0L, 1L)) === 0.5)           // 3/6 the other way
+    assert(!got.contains((2L, 0L)) && !got.contains((0L, 2L))) // no shared shingle
+  }
+
+  test("bm25TopDocs: tf raises score within a doc-length class; probe filter only") {
+    val docs = Seq(
+      (0L, "q q q a b c"),  // tf(q)=3
+      (1L, "q a b c d e"),  // tf(q)=1, same length
+      (2L, "a b c d e f")   // no probe term — must not appear
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.bm25TopDocs(docs, Seq("q"), k = 5).collect()
+    assert(rows.forall(_.getString(0) == "q"))
+    val byDoc = rows.map(r => r.getLong(1) -> (r.getDouble(2), r.getInt(3))).toMap
+    assert(!byDoc.contains(2L))
+    assert(byDoc(0L)._1 > byDoc(1L)._1)     // higher tf, equal dl → higher score
+    assert(byDoc(0L)._2 == 1 && byDoc(1L)._2 == 2)
+  }
+
+  test("gopherRules: each rule flips on its own metric; keep is the conjunction") {
+    val good = ("word " * 30 + "the of and that " + "alpha beta gamma delta " * 4).trim
+    val docs = Seq(
+      (0L, good),                            // passes everything
+      (1L, "short doc the of"),              // fails word count
+      (2L, good + " " + "##### ##### ##### ##### ##### ##### #####")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRules(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(0L).getAs[Int]("keep") == 1)
+    assert(got(1L).getAs[Int]("ok_words") == 0 && got(1L).getAs[Int]("keep") == 0)
+    assert(got(2L).getAs[Int]("ok_symbol") == 0 && got(2L).getAs[Int]("keep") == 0)
+    assert(got(0L).getAs[Long]("stop_hits") >= 2)
+  }
+
   test("topGramSignals ≡ driver-side reference on random small-vocab docs") {
     val rnd = new scala.util.Random(20260813L)
     val vocab = Vector("aa", "bb", "cc", "dd")

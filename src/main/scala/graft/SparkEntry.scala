@@ -817,6 +817,12 @@ object SparkEntry {
     "d_top_grams" -> ((s, dir) =>
       TextAnalysis.topGramSignals(t(s, dir, "documents"))),
 
+    // exact duplicated-span coverage (ExactSubstr analog): 16-token sliding
+    // windows, corpus-wide fp occurrence counts, per-doc interval-union of
+    // duplicated spans — what a span-removal dedup pass would delete
+    "d_span_coverage" -> ((s, dir) =>
+      Dedup.spanCoverage(t(s, dir, "documents"), spanTokens = 16)),
+
     // prefix-filtered similarity join (PPJoin-family): identical output to
     // d_ngram_pairs, but the inverted index holds only each doc's
     // rarest-first prefix — the 100 TB plan (boilerplate shingles never
@@ -1019,6 +1025,25 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
       Ann.bruteForceKnn(emb, emb, 1).select(col("query_id"), col("nbr_id"))
+    }),
+
+    // exact kNN GRAPH (query set = corpus) via the block-nested-loop join —
+    // no corpus broadcast; per-tile bounded-heap partials merge to global
+    // top-3 (ids+rank gated; sim omitted — engines' FP formulas differ)
+    "e_knn_graph" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      Ann.knnGraphBlocked(emb, k = 3, blocks = 8)
+        .select(col("query_id"), col("nbr_id"), col("rank"))
+    }),
+
+    // mutual-kNN connected components: reciprocated kNN edges → WCC —
+    // embedding clustering composed from the ANN + graph halves of the
+    // library (oracle replays knn + mutuality + recursive min-label)
+    "e_knn_mutual_cc" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      Ann.mutualKnnComponents(emb, k = 3, blocks = 8)
     }),
 
     "e_knn_ivf" -> ((s, dir) => {
@@ -2998,6 +3023,33 @@ object SparkEntry {
         |            ELSE 0 END AS BIGINT) AS shared_ppm
         |FROM documents d LEFT JOIN per USING (doc_id)""".stripMargin,
 
+    // duplicated-span coverage: window strings replayed literally (Spark
+    // counts their xxhash64 — identical counts absent collision, the
+    // family-wide convention); same interval-union window arithmetic
+    "d_span_coverage" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents),
+        |base AS (SELECT doc_id, toks,
+        |           CASE WHEN toks IS NULL THEN 0 ELSE len(toks) END AS n_tokens FROM tk),
+        |w AS (SELECT doc_id, unnest(list_transform(range(1, n_tokens - 14),
+        |        i -> {'pos': i, 'win': array_to_string(toks[i:i+15], ' ')})) AS s
+        |      FROM base WHERE n_tokens >= 16),
+        |w2 AS (SELECT doc_id, s.pos AS pos, s.win AS win FROM w),
+        |c AS (SELECT win FROM w2 GROUP BY win HAVING count(*) >= 2),
+        |d AS (SELECT doc_id, pos FROM w2 JOIN c USING (win)),
+        |u AS (SELECT doc_id, pos,
+        |        max(pos + 15) OVER (PARTITION BY doc_id ORDER BY pos
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |      FROM d),
+        |per AS (SELECT doc_id, sum(CASE WHEN prev_end IS NULL THEN 16
+        |          ELSE greatest(0, least(16, pos + 15 - prev_end)) END) AS dup_tokens
+        |        FROM u GROUP BY doc_id)
+        |SELECT b.doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |       CAST(coalesce(dup_tokens, 0) AS BIGINT) AS dup_tokens,
+        |       CAST(coalesce(dup_tokens, 0) * 1000000 // greatest(n_tokens, 1) AS BIGINT) AS dup_ppm
+        |FROM base b LEFT JOIN per USING (doc_id)""".stripMargin,
+
     // containment: same 3-gram shingle CTE family as d_ngram_pairs; both
     // directions of each intersecting pair with per-side denominators
     "d_containment" ->
@@ -3193,6 +3245,42 @@ object SparkEntry {
         |  SELECT query_id, nbr_id,
         |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id) AS rn
         |  FROM sims) WHERE rn = 1""".stripMargin,
+
+    "e_knn_graph" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |sims AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+        |         list_dot_product(q.e, c.e) /
+        |         (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))) AS sim
+        |  FROM v q JOIN v c ON q.vec_id <> c.vec_id)
+        |SELECT query_id, nbr_id, rank FROM (
+        |  SELECT query_id, nbr_id,
+        |         CAST(row_number() OVER (
+        |           PARTITION BY query_id ORDER BY sim DESC, nbr_id) AS INTEGER) AS rank
+        |  FROM sims) WHERE rank <= 3""".stripMargin,
+
+    "e_knn_mutual_cc" ->
+      """WITH RECURSIVE
+        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |sims AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+        |         list_dot_product(q.e, c.e) /
+        |         (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))) AS sim
+        |  FROM v q JOIN v c ON q.vec_id <> c.vec_id),
+        |knn AS (
+        |  SELECT query_id, nbr_id FROM (
+        |    SELECT query_id, nbr_id, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY sim DESC, nbr_id) AS rn
+        |    FROM sims) WHERE rn <= 3),
+        |e AS (
+        |  SELECT a.query_id AS src, a.nbr_id AS dst
+        |  FROM knn a JOIN knn b
+        |    ON a.query_id = b.nbr_id AND a.nbr_id = b.query_id),
+        |r(id, lab) AS (
+        |  SELECT vec_id, vec_id FROM embeddings
+        |  UNION
+        |  SELECT e.dst, r.lab FROM r JOIN e ON e.src = r.id)
+        |SELECT id, min(lab) AS value FROM r GROUP BY id""".stripMargin,
 
     "g_kmeans_clusters" -> kmeansOracleSql(k = 4, steps = 8),
 

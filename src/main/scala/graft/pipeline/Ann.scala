@@ -96,6 +96,57 @@ object Ann {
     }
   }
 
+  /** Full k-NN GRAPH over a corpus — every vector's `k` nearest others —
+    * WITHOUT broadcasting the corpus (the [[bruteForceKnn]] precondition that
+    * breaks first at scale: a kNN graph's "query set" IS the corpus).
+    * Block-nested-loop join: vectors are hashed into `blocks` buckets; the
+    * query side is replicated once per bucket (communication O(B·n), tunable)
+    * and equi-joined on the bucket id, so each task scores one bounded
+    * |corpus|/B tile — never an unpartitioned cartesian. Per-tile top-k
+    * partials come from the bounded-heap aggregate's map-side combine
+    * (O(k) state per query per partition) and merge into the global top-k in
+    * one shuffle of n·B·k partial rows. At 1000 executors, raise `blocks` so
+    * a tile fits in memory; total work stays the same O(n²) dot products —
+    * this is the exact-graph baseline the IVF/PQ paths approximate. */
+  def knnGraphBlocked(corpus: DataFrame, k: Int, blocks: Int = 8,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val v = corpus.select(col(idCol).as("id"),
+      l2normalize(col(vecCol)).cast("array<double>").as("v"))
+    val blockIds = corpus.sparkSession.range(0, blocks)
+      .select(col("id").cast("int").as("cb"))
+    val q = v.select(col("id").as("query_id"), col("v").as("qv"))
+      .crossJoin(broadcast(blockIds))
+    val c = v.select(col("id").as("nbr_id"), col("v").as("cv"),
+      pmod(xxhash64(col("id")), lit(blocks)).cast("int").as("cb"))
+    val scored = q.join(c, Seq("cb"))
+      .filter(col("query_id") =!= col("nbr_id"))
+      .select(col("query_id"), col("nbr_id"),
+        vdot(col("qv"), col("cv")).as("sim"))
+    Curation.topKRanked(scored, "query_id", "sim", "nbr_id", k)
+      .select(col("query_id"), col("nbr_id"), col("sim"), col("rank"))
+  }
+
+  /** Mutual-kNN clustering: connected components over the UNDIRECTED graph
+    * whose edges are RECIPROCATED kNN links (a ∈ knn(b) ∧ b ∈ knn(a)) — the
+    * classic density-robust grouping for embedding-space corpus exploration
+    * (mutuality prunes hub-induced chains that plain kNN-CC would merge).
+    * Graph from [[knnGraphBlocked]]; mutuality via a self left-semi join on
+    * the reversed pair; components from the library's own WCC (min-label
+    * frontier Pregel). Returns (id, value = component min id) over ALL
+    * vectors — isolated ones stay singleton components. */
+  def mutualKnnComponents(corpus: DataFrame, k: Int, blocks: Int = 8,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame = {
+    val ed = knnGraphBlocked(corpus, k, blocks, idCol, vecCol)
+      .select(col("query_id").as("a"), col("nbr_id").as("b"))
+    val mutual = ed
+      .join(ed.select(col("b").as("a"), col("a").as("b")), Seq("a", "b"), "left_semi")
+      .filter(col("a") < col("b"))
+      .select(col("a").as("src"), col("b").as("dst"), lit(1L).as("value"))
+    val verts = corpus.select(col(idCol).as("id"), col(idCol).as("value"))
+    graft.algos.GraphAlgorithms.wcc(graft.core.KGraph(verts, mutual))
+  }
+
   /** Train `nlist` centroids with `iters` Lloyd iterations (k-means over the
     * embedding column; deterministic hash-based init). Returns
     * (centroid_id, centroid array<double>). Centroid count is small — this is

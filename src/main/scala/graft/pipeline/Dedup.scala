@@ -478,6 +478,53 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Exact duplicated-span coverage (the ExactSubstr signal of Lee et al.
+    * 2022, "Deduplicating Training Data Makes Language Models Better",
+    * re-expressed relationally — no suffix array): every sliding
+    * `spanTokens`-token window is fingerprinted; a window whose fingerprint
+    * occurs ≥ 2 times anywhere in the corpus (cross-doc or self-repetition)
+    * is a duplicated span; per doc we report how many token positions fall
+    * under the UNION of its duplicated spans (`dup_tokens`, plus ppm) — the
+    * quantity a span-removal pass would delete. Returns
+    * (doc_id, n_tokens, dup_tokens, dup_ppm).
+    *
+    * Scale shape: windows are emitted rowwise (one codegen'd pass, ~1
+    * window per token); the global occurrence count is a combinable
+    * hash-groupBy on the 8-byte fingerprint; the count≥2 filter runs
+    * BEFORE the join back, so only duplicated windows re-shuffle; the
+    * interval-union is a per-doc window over pos — sort groups bounded by
+    * a single document's length, never corpus-sized. */
+  def spanCoverage(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text", spanTokens: Int = 16): DataFrame = {
+    val L = spanTokens
+    val base = spread(docs).select(col(idCol).as("doc_id"),
+        normTokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        coalesce(size(col("toks")), lit(0)).as("n_tokens"))
+    val wins = base.filter(col("n_tokens") >= L)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), col("n_tokens") - (L - 1)),
+          i => xxhash64(concat_ws(" ", slice(col("toks"), i, lit(L))))))
+          .as(Seq("pos", "fp")))
+    val counts = wins.groupBy(col("fp")).agg(count(lit(1)).as("cnt"))
+    val dup = wins.join(counts.filter(col("cnt") >= 2).select(col("fp")), "fp")
+    import org.apache.spark.sql.expressions.Window
+    val before = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val per = dup
+      .withColumn("prev_end", max(col("pos") + (L - 1)).over(before))
+      .withColumn("c", when(col("prev_end").isNull, lit(L))
+        .otherwise(greatest(lit(0), least(lit(L),
+          col("pos") + (L - 1) - col("prev_end")))))
+      .groupBy(col("doc_id")).agg(sum(col("c")).as("dup_tokens"))
+    base.select(col("doc_id"), col("n_tokens"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).cast("long").as("dup_tokens"))
+      .withColumn("dup_ppm",
+        expr("CAST(dup_tokens * 1000000 DIV greatest(n_tokens, 1) AS BIGINT)"))
+  }
+
   /** Prefix-filtered n-gram Jaccard pair join (PPJoin-family, Xiao et al.
     * 2008; Chaudhuri et al. 2006): same output as [[ngramJaccardPairs]] —
     * every unordered pair with Jaccard ≥ `threshold` — but the inverted

@@ -1448,6 +1448,44 @@ class PipelineSpec extends SparkSpec {
     assert(out(5L)._2 === Some(1000000L))
   }
 
+  test("knnGraphBlocked ≡ bruteForceKnn for any block count; mutual-CC clusters") {
+    val rnd = new scala.util.Random(20260814L)
+    // two tight clusters around orthogonal-ish centers + one outlier
+    def jitter(c: Array[Double]) = c.map(_ + rnd.nextGaussian() * 0.01)
+    val c1 = Array(1.0, 0.0, 0.0, 0.2); val c2 = Array(0.0, 1.0, 0.2, 0.0)
+    val vecs = (0L until 8L).map(i => (i, jitter(c1))) ++
+      (8L until 16L).map(i => (i, jitter(c2))) ++ Seq((16L, Array(0.0, 0.0, -1.0, 0.0)))
+    val df = vecs.toDF("vec_id", "embedding").repartition(5)
+    def canon(d: org.apache.spark.sql.DataFrame) = d
+      .select("query_id", "nbr_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted
+    val brute = canon(Ann.bruteForceKnn(df, df, 3))
+    for (blocks <- Seq(1, 3, 8))
+      assert(canon(Ann.knnGraphBlocked(df, 3, blocks = blocks)) === brute,
+        s"blocks=$blocks")
+    val comps = Ann.mutualKnnComponents(df, 3, blocks = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // components never bridge the two clusters or reach the outlier
+    assert((0L until 8L).map(comps).forall(_ < 8L))
+    assert((8L until 16L).map(comps).forall(l => l >= 8L && l < 16L))
+    assert(comps(16L) === 16L)                          // outlier: singleton
+  }
+
+  test("spanCoverage: interval union over overlapping + self-repeated spans") {
+    val docs = Seq(
+      (0L, "a b c d e f"),             // window 'a b c d' shared with doc 1
+      (1L, "a b c d x y"),
+      (2L, "p q r s t p q r s t"),     // self-repetition covers everything
+      (3L, "u v w")                    // too short for any window
+    ).toDF("doc_id", "text")
+    val got = Dedup.spanCoverage(docs, spanTokens = 4).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(0L) === ((6L, 4L, 666666L)))   // [1..4] of 6 tokens
+    assert(got(1L) === ((6L, 4L, 666666L)))
+    assert(got(2L) === ((10L, 10L, 1000000L))) // [1..5]∪[6..10] merges to all
+    assert(got(3L) === ((3L, 0L, 0L)))
+  }
+
   test("ngramJaccardPairsPrefix ≡ full inverted-index join on boilerplate-heavy docs") {
     val rnd = new scala.util.Random(20260814L)
     val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")

@@ -1027,6 +1027,16 @@ object SparkEntry {
       Ann.bruteForceKnn(emb, emb, 1).select(col("query_id"), col("nbr_id"))
     }),
 
+    // SQ8 scalar-quantized ANN: corpus dequantized from 8-bit codes,
+    // queries full-precision (asymmetric distance); oracle replays the
+    // identical round/step arithmetic from SQL-side per-dim min/max
+    "e_knn_sq8" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      Ann.sq8Knn(emb, emb, k = 3)
+        .select(col("query_id"), col("nbr_id"), col("rank"))
+    }),
+
     // exact kNN GRAPH (query set = corpus) via the block-nested-loop join —
     // no corpus broadcast; per-tile bounded-heap partials merge to global
     // top-3 (ids+rank gated; sim omitted — engines' FP formulas differ)
@@ -3245,6 +3255,29 @@ object SparkEntry {
         |  SELECT query_id, nbr_id,
         |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id) AS rn
         |  FROM sims) WHERE rn = 1""".stripMargin,
+
+    "e_knn_sq8" ->
+      """WITH v AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |pts AS (SELECT vec_id, r.i AS i, e[r.i] AS x FROM v, range(1, 65) r(i)),
+        |s AS (SELECT i, min(x) AS lo, (max(x) - min(x)) / 255.0 AS step
+        |      FROM pts GROUP BY i),
+        |sa AS (SELECT list(lo ORDER BY i) AS los, list(step ORDER BY i) AS steps FROM s),
+        |rec AS MATERIALIZED (
+        |  SELECT vec_id, list_transform(range(1, 65), i ->
+        |    CASE WHEN steps[i] > 0
+        |         THEN round((e[i] - los[i]) / steps[i]) * steps[i] + los[i]
+        |         ELSE los[i] END) AS e2
+        |  FROM v CROSS JOIN sa),
+        |sims AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+        |         list_dot_product(q.e, c.e2) /
+        |         (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e2, c.e2))) AS sim
+        |  FROM v q JOIN rec c ON q.vec_id <> c.vec_id)
+        |SELECT query_id, nbr_id, rank FROM (
+        |  SELECT query_id, nbr_id,
+        |         CAST(row_number() OVER (
+        |           PARTITION BY query_id ORDER BY sim DESC, nbr_id) AS INTEGER) AS rank
+        |  FROM sims) WHERE rank <= 3""".stripMargin,
 
     "e_knn_graph" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

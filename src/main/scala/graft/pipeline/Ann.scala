@@ -96,6 +96,52 @@ object Ann {
     }
   }
 
+  /** Per-dimension SQ8 (scalar 8-bit) quantizer bounds: (lo, step) arrays
+    * with `step = (hi − lo)/255` from the corpus min/max of each dimension.
+    * One combinable posexplode + groupBy pass; the result is `dim` rows —
+    * collected once and broadcast as literals into the encode/decode
+    * expressions (same broadcast-basis shape as the PCA projection). */
+  def sq8Train(corpus: DataFrame, vecCol: String = "embedding"): (Array[Double], Array[Double]) = {
+    val stats = corpus
+      .select(posexplode(col(vecCol).cast("array<double>")).as(Seq("i", "x")))
+      .groupBy(col("i")).agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      .orderBy(col("i")).collect()
+    (stats.map(_.getDouble(1)),
+      stats.map(r => (r.getDouble(2) - r.getDouble(1)) / 255.0))
+  }
+
+  /** SQ8 encode: `code[i] = round((x[i] − lo[i]) / step[i])` ∈ [0, 255] as
+    * array<int> — 4× (8× vs double) memory compression for ANN state, the
+    * standard faiss `SQ8` trade. Rowwise codegen'd zip_with chain over the
+    * broadcast bounds; constant dimensions (step 0) encode as 0. */
+  def sq8Encode(vectors: DataFrame, los: Array[Double], steps: Array[Double],
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val lo = typedLit(los.toSeq); val st = typedLit(steps.toSeq)
+    vectors.select(col(idCol),
+      zip_with(
+        zip_with(col(vecCol).cast("array<double>"), lo, (x, l) => x - l),
+        st, (d, s) => when(s > 0, round(d / s)).otherwise(lit(0.0)).cast("int"))
+        .as("code"))
+  }
+
+  /** SQ8 asymmetric kNN: corpus vectors are dequantized from their 8-bit
+    * codes (`lo + code·step`), queries stay full-precision — the accuracy-
+    * preserving direction (only one side carries quantization error).
+    * Search itself is delegated to [[bruteForceKnn]] over the reconstructed
+    * corpus; at graph scale feed the reconstruction into
+    * [[knnGraphBlocked]] instead. */
+  def sq8Knn(corpus: DataFrame, queries: DataFrame, k: Int,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val (los, steps) = sq8Train(corpus, vecCol)
+    val lo = typedLit(los.toSeq); val st = typedLit(steps.toSeq)
+    val recon = sq8Encode(corpus, los, steps, idCol, vecCol)
+      .select(col(idCol),
+        zip_with(
+          zip_with(col("code").cast("array<double>"), st, (c, s) => c * s),
+          lo, (y, l) => y + l).as(vecCol))
+    bruteForceKnn(recon, queries, k, idCol, vecCol)
+  }
+
   /** Full k-NN GRAPH over a corpus — every vector's `k` nearest others —
     * WITHOUT broadcasting the corpus (the [[bruteForceKnn]] precondition that
     * breaks first at scale: a kNN graph's "query set" IS the corpus).

@@ -1448,6 +1448,31 @@ class PipelineSpec extends SparkSpec {
     assert(out(5L)._2 === Some(1000000L))
   }
 
+  test("sq8: dequantization error ≤ step/2 per dim; top-1 matches exact search") {
+    val rnd = new scala.util.Random(20260814L)
+    val vecs = (0L until 30L).map(i => (i, Array.fill(8)(rnd.nextGaussian())))
+    val df = vecs.toDF("vec_id", "embedding").repartition(4)
+    val (los, steps) = Ann.sq8Train(df)
+    val codes = Ann.sq8Encode(df, los, steps).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    vecs.foreach { case (id, x) =>
+      val c = codes(id)
+      assert(c.forall(v => v >= 0 && v <= 255))
+      x.indices.foreach { i =>
+        val recon = los(i) + c(i) * steps(i)
+        assert(math.abs(recon - x(i)) <= steps(i) / 2 + 1e-12,
+          s"vec $id dim $i: recon=$recon x=${x(i)} step=${steps(i)}")
+      }
+    }
+    // well-separated gaussians: 8-bit quantization must not flip top-1
+    val exact = Ann.bruteForceKnn(df, df, 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sq8 = Ann.sq8Knn(df, df, 1).collect()
+      .filter(_.getInt(3) == 1).map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val agree = exact.keys.count(q => sq8(q) == exact(q))
+    assert(agree >= 28, s"top-1 agreement $agree/30")
+  }
+
   test("knnGraphBlocked ≡ bruteForceKnn for any block count; mutual-CC clusters") {
     val rnd = new scala.util.Random(20260814L)
     // two tight clusters around orthogonal-ish centers + one outlier

@@ -817,6 +817,34 @@ object SparkEntry {
     "d_top_grams" -> ((s, dir) =>
       TextAnalysis.topGramSignals(t(s, dir, "documents"))),
 
+    // cross-source duplication matrix: exact-dup pair counts per source
+    // pair, closed-form from per-(fp, source) counts — never pair expansion
+    "d_dup_matrix" -> ((s, dir) =>
+      Dedup.crossSourceDupMatrix(t(s, dir, "documents"))),
+
+    // corpus-level boilerplate leaderboard: top-20 3-grams by occurrence —
+    // combinable counts + TakeOrderedAndProject (no vocabulary sort)
+    "d_global_grams" -> ((s, dir) =>
+      TextAnalysis.globalTopGrams(t(s, dir, "documents"), n = 3, k = 20)),
+
+    // JSONL sink→source roundtrip: per-source count + char volume + XOR'd
+    // Poly64 content fingerprints must survive the format cycle (oracle
+    // computes the same summary straight from parquet)
+    "d_jsonl_roundtrip" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val path = "/tmp/graft_io/documents_jsonl"
+      graft.core.GraphIO.writeJsonl(docs, path)
+      roundtripSummary(graft.core.GraphIO.readJsonl(s, path, docs.schema))
+    }),
+
+    // CSV sink→source roundtrip (quote/escape-lossless text), same gate
+    "d_csv_roundtrip" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val path = "/tmp/graft_io/documents_csv"
+      graft.core.GraphIO.writeCsv(docs, path)
+      roundtripSummary(graft.core.GraphIO.readCsv(s, path, docs.schema))
+    }),
+
     // exact duplicated-span coverage (ExactSubstr analog): 16-token sliding
     // windows, corpus-wide fp occurrence counts, per-doc interval-union of
     // duplicated spans — what a span-removal dedup pass would delete
@@ -1536,6 +1564,34 @@ object SparkEntry {
   )
 
   // =========================================================================
+
+  /** Per-source roundtrip summary: count + char volume + XOR'd Poly64
+    * fingerprints of `doc_id:text` — the lossless-format gate for the
+    * JSONL/CSV sink→source cycles (any dropped/mutated row or character
+    * flips the XOR). */
+  private def roundtripSummary(df: DataFrame): DataFrame =
+    df.select(col("source"), col("n_chars"),
+        graft.functions.Poly64.mix64(graft.functions.Poly64.poly64(
+          concat_ws(":", col("doc_id"), coalesce(col("text"), lit(""))))).as("h"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"),
+        expr("bit_xor(h)").as("content_fp"))
+
+  /** The roundtrip oracle computes [[roundtripSummary]] straight from the
+    * parquet — the format cycle must be invisible to it. */
+  private lazy val docRoundtripOracle: String =
+    s"""WITH ks AS (SELECT source, n_chars,
+       |       CAST(doc_id AS VARCHAR) || ':' || coalesce(text, '') AS k FROM documents),
+       |hs AS (SELECT source, n_chars, ${sqlPoly("cps", 1125899906842597L, 1099511628211L)} AS u
+       |       FROM (SELECT source, n_chars, list_transform(range(1, length(k) + 1),
+       |                    j -> CAST(unicode(k[j]) AS HUGEINT)) AS cps FROM ks)),
+       |m1 AS (SELECT source, n_chars, (${sqlXorShr("u", 33)} * 6364136223846793005) % $U64 AS u FROM hs),
+       |m2 AS (SELECT source, n_chars, (${sqlXorShr("u", 29)} * 2685821657736338717) % $U64 AS u FROM m1),
+       |m3 AS (SELECT source, n_chars, ${sqlXorShr("u", 32)} AS u FROM m2),
+       |b AS (SELECT source, n_chars, ${sqlU2S("u")} AS h FROM m3)
+       |SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars,
+       |       bit_xor(h) AS content_fp
+       |FROM b GROUP BY source""".stripMargin
 
   /** All-pairs 3-gram Jaccard oracle over `documents` — gates BOTH
     * d_ngram_pairs (full inverted index) and d_ngram_pairs_prefix (prefix
@@ -3032,6 +3088,37 @@ object SparkEntry {
         |            THEN (coalesce(n_shared, 0) * 1000000) // n_shingles
         |            ELSE 0 END AS BIGINT) AS shared_ppm
         |FROM documents d LEFT JOIN per USING (doc_id)""".stripMargin,
+
+    // dup matrix: group key replayed as the normalized string itself
+    // (Spark groups on its Poly64 fingerprint — identical partition absent
+    // collision, the family-wide convention)
+    "d_dup_matrix" ->
+      """WITH g AS (
+        |  SELECT regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS k,
+        |         source, count(*) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |x AS (
+        |  SELECT a.source AS src_a, b.source AS src_b, a.c * b.c AS p
+        |  FROM g a JOIN g b ON a.k = b.k AND a.source < b.source
+        |  UNION ALL
+        |  SELECT source, source, c * (c - 1) // 2 FROM g)
+        |SELECT src_a, src_b, CAST(sum(p) AS BIGINT) AS n_pairs
+        |FROM x GROUP BY 1, 2 HAVING sum(p) > 0""".stripMargin,
+
+    "d_global_grams" ->
+      """WITH tk AS (
+        |  SELECT string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |g AS (SELECT unnest(list_transform(range(1, len(toks) - 1),
+        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
+        |      FROM tk WHERE len(toks) >= 3),
+        |c AS (SELECT gram, count(*) AS cnt FROM g GROUP BY 1)
+        |SELECT gram, CAST(cnt AS BIGINT) AS cnt FROM (
+        |  SELECT gram, cnt, row_number() OVER (ORDER BY cnt DESC, gram) AS rn FROM c)
+        |WHERE rn <= 20""".stripMargin,
+
+    "d_jsonl_roundtrip" -> docRoundtripOracle,
+
+    "d_csv_roundtrip" -> docRoundtripOracle,
 
     // duplicated-span coverage: window strings replayed literally (Spark
     // counts their xxhash64 — identical counts absent collision, the

@@ -112,4 +112,39 @@ object GraphIO {
   /** Load a graph previously saved with `saveBucketed`. */
   def loadBucketed(spark: SparkSession, name: String): KGraph =
     KGraph(spark.table(s"${name}_vertices"), spark.table(s"${name}_edges"))
+
+  // --- Generic row-frame sources/sinks (JSONL / CSV) -----------------------
+  // Interchange formats for corpus frames (documents, events, …). Reads take
+  // an EXPLICIT schema: inference is a corpus-scale anti-pattern — it costs a
+  // full extra scan and can silently widen types between runs.
+
+  /** Write any frame as JSON-lines (one object per row, splittable). */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** Read JSON-lines with an explicit schema (no inference pass). */
+  def readJsonl(spark: SparkSession, path: String,
+                schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** Write any frame as headered CSV; quote/escape set for lossless text
+    * columns (embedded commas/quotes survive the roundtrip). */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite")
+      .option("header", "true").option("quote", "\"").option("escape", "\"")
+      // the writer TRIMS cell whitespace by default — losslessness first
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .csv(path)
+
+  /** Read headered CSV with an explicit schema. `emptyValue`/`nullValue` are
+    * left at Spark defaults — an empty text field reads back as null, which
+    * callers normalize with coalesce (the roundtrip gate does). */
+  def readCsv(spark: SparkSession, path: String,
+              schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema)
+      .option("header", "true").option("quote", "\"").option("escape", "\"")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .csv(path)
 }

@@ -478,6 +478,30 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Cross-source duplication matrix: for every source pair (src_a ≤ src_b),
+    * how many EXACT-duplicate document pairs span them — the "where is my
+    * duplication coming from" diagnostic that decides which feeds to
+    * de-prioritize. Counting is closed-form over per-(fingerprint, source)
+    * counts (cross pairs = c_a·c_b, within = C(c,2)) — the duplicate-group
+    * join never expands to individual pairs, so a pathological million-copy
+    * document costs one row per source, not 10¹² pair rows. */
+  def crossSourceDupMatrix(docs: DataFrame, idCol: String = "doc_id",
+                           textCol: String = "text",
+                           srcCol: String = "source"): DataFrame = {
+    val g = spread(docs)
+      .select(TextAnalysis.fingerprint(col(textCol)).as("fp"), col(srcCol).as("src"))
+      .groupBy(col("fp"), col("src")).agg(count(lit(1)).as("c"))
+    val cross = g.toDF("fp", "src_a", "ca")
+      .join(g.toDF("fp", "src_b", "cb"), Seq("fp"))
+      .filter(col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"), (col("ca") * col("cb")).as("p"))
+    val within = g.select(col("src").as("src_a"), col("src").as("src_b"),
+      expr("c * (c - 1) DIV 2").as("p"))
+    cross.unionByName(within)
+      .groupBy(col("src_a"), col("src_b")).agg(sum(col("p")).as("n_pairs"))
+      .filter(col("n_pairs") > 0)
+  }
+
   /** Exact duplicated-span coverage (the ExactSubstr signal of Lee et al.
     * 2022, "Deduplicating Training Data Makes Language Models Better",
     * re-expressed relationally — no suffix array): every sliding

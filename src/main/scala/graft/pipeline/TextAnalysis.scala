@@ -448,6 +448,26 @@ object TextAnalysis {
       .join(dup3, Seq(idCol), "left")
   }
 
+  /** Corpus-level top-`k` word n-grams by total occurrences (ties → gram
+    * ascending) — the boilerplate/meme leaderboard over the whole corpus.
+    * Occurrence counts are a combinable hash-groupBy (map-side partials
+    * absorb each document's repeats before the shuffle); the final top-k is
+    * `orderBy.limit(k)`, which Spark plans as TakeOrderedAndProject —
+    * per-partition bounded heaps merged on the driver, NEVER a global sort
+    * of the vocabulary. */
+  def globalTopGrams(docs: DataFrame, n: Int = 3, k: Int = 20,
+                     textCol: String = "text"): DataFrame = {
+    val toks = wsTokens(lower(trim(col(textCol))))
+    Dedup.spread(docs)
+      .select(explode(when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n))))).otherwise(
+        array().cast("array<string>"))).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("gram").asc)
+      .limit(k)
+  }
+
   /** Gopher-style document-quality rule filters (Rae et al. 2021, §A1.1):
     * per-doc rule metrics and 0/1 flags — word-count bounds, mean-word-length
     * bounds, symbol-to-word ratio (# and ellipses), alphabetic-word fraction,

@@ -1448,6 +1448,53 @@ class PipelineSpec extends SparkSpec {
     assert(out(5L)._2 === Some(1000000L))
   }
 
+  test("crossSourceDupMatrix: closed-form pair counts, no singleton rows") {
+    val docs = Seq(
+      (0L, "dup one", "sA"), (1L, "dup one", "sA"), (2L, "dup one", "sB"),
+      (3L, "dup two", "sB"), (4L, "dup two", "sC"),
+      (5L, "unique", "sA")
+    ).toDF("doc_id", "text", "source")
+    val got = Dedup.crossSourceDupMatrix(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === Map(
+      ("sA", "sA") -> 1L,   // C(2,2) within sA for "dup one"
+      ("sA", "sB") -> 2L,   // 2×1 across for "dup one"
+      ("sB", "sC") -> 1L))  // 1×1 across for "dup two"
+  }
+
+  test("JSONL and CSV roundtrips are lossless for hostile text") {
+    import graft.core.GraphIO
+    val docs = Seq(
+      (0L, "plain words here", "en", "s0", 16L),
+      (1L, "comma, \"quoted\" and 'single'", "en", "s0", 28L),
+      (2L, "unicode …—naïve 東京 emoji é", "und", "s1", 25L),
+      (3L, "trailing spaces   ", "en", "s1", 18L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "text", "lang", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .sortBy(_._1)
+    val expect = rows(docs)
+    GraphIO.writeJsonl(docs, "/tmp/graft_io_spec/jsonl")
+    assert(rows(GraphIO.readJsonl(spark, "/tmp/graft_io_spec/jsonl", docs.schema)) === expect)
+    GraphIO.writeCsv(docs, "/tmp/graft_io_spec/csv")
+    assert(rows(GraphIO.readCsv(spark, "/tmp/graft_io_spec/csv", docs.schema)) === expect)
+  }
+
+  test("globalTopGrams: occurrence-weighted counts, (cnt desc, gram asc) cutoff") {
+    val docs = Seq(
+      (0L, "x y z x y z x y z"),  // 'x y z' ×3 (overlapping occurrences)
+      (1L, "a b c a b c"),        // 'a b c' ×2
+      (2L, "m n o")               // several singles
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.globalTopGrams(docs, n = 3, k = 3).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(got.head === ("x y z" -> 3L))
+    assert(got(1) === ("a b c" -> 2L))
+    // count-2 tie broken lexicographically: 'a b c' < 'y z x' < 'z x y'
+    assert(got(2) === ("y z x" -> 2L))
+  }
+
   test("sq8: dequantization error ≤ step/2 per dim; top-1 matches exact search") {
     val rnd = new scala.util.Random(20260814L)
     val vecs = (0L until 30L).map(i => (i, Array.fill(8)(rnd.nextGaussian())))

@@ -845,6 +845,39 @@ object SparkEntry {
       roundtripSummary(graft.core.GraphIO.readCsv(s, path, docs.schema))
     }),
 
+    // ORC sink→source roundtrip (self-describing columnar), same gate
+    "d_orc_roundtrip" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val path = "/tmp/graft_io/documents_orc"
+      graft.core.GraphIO.writeOrc(docs, path)
+      roundtripSummary(graft.core.GraphIO.readOrc(s, path))
+    }),
+
+    // multi-policy dedup funnel: docs/tokens surviving each policy — the
+    // one-glance comparison of exact, near-dup-cluster, and span-removal
+    // aggressiveness over the same corpus
+    "d_dedup_report" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val ntok = docs.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      def row(policy: String, kept: DataFrame) =
+        kept.join(ntok, "doc_id")
+          .agg(count(lit(1)).as("docs_kept"), sum(col("n_tokens")).as("tokens_kept"))
+          .select(lit(policy).as("policy"), col("docs_kept"), col("tokens_kept"))
+      val raw = ntok
+        .agg(count(lit(1)).as("docs_kept"), sum(col("n_tokens")).as("tokens_kept"))
+        .select(lit("raw").as("policy"), col("docs_kept"), col("tokens_kept"))
+      val exact = row("exact", Dedup.firstSeen(docs).select(col("doc_id")))
+      val mh = row("minhash", Dedup.minHashKeepBest(docs, threshold = 0.5,
+        poly = true).select(col("doc_id")))
+      val span = Dedup.spanCoverage(docs, spanTokens = 16)
+        .agg(sum(when(col("n_tokens") > col("dup_tokens"), 1L).otherwise(0L))
+          .as("docs_kept"),
+          sum(col("n_tokens") - col("dup_tokens")).as("tokens_kept"))
+        .select(lit("span16").as("policy"), col("docs_kept"), col("tokens_kept"))
+      raw.unionByName(exact).unionByName(mh).unionByName(span)
+    }),
+
     // exact duplicated-span coverage (ExactSubstr analog): 16-token sliding
     // windows, corpus-wide fp occurrence counts, per-doc interval-union of
     // duplicated spans — what a span-removal dedup pass would delete
@@ -1886,6 +1919,60 @@ object SparkEntry {
          |       r.n_members
          |FROM j JOIN r ON j.rep = r.rep AND j.n_chars = r.kept_chars
          |GROUP BY r.rep, r.kept_chars, r.n_members""".stripMargin
+  }
+
+  /** Dedup-funnel oracle: splices the minhash cluster oracle (threshold 0.5,
+    * the d_minhash_retain configuration) and appends exact / span16 policy
+    * CTEs; one UNION ALL row per policy. Span CTEs reuse the minhash `tk`
+    * (both sides tokenize with the same normalization). */
+  private def dedupReportOracleSql: String = {
+    val base = minhashOracleSql(threshold = 0.5)
+    val tail = "SELECT a AS doc_id, min(b) AS rep FROM reach GROUP BY a"
+    require(base.endsWith(tail), "cluster oracle tail changed")
+    base.dropRight(tail.length).stripSuffix("\n") + ",\n" +
+      s"""cl AS ($tail),
+         |ntok AS (
+         |  SELECT doc_id, CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+         |    ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+         |  FROM documents),
+         |mh_best AS (
+         |  SELECT rep, max(n_chars) AS kc
+         |  FROM cl JOIN documents USING (doc_id) GROUP BY rep),
+         |mh_kept AS (
+         |  SELECT min(d.doc_id) AS doc_id
+         |  FROM cl JOIN documents d USING (doc_id)
+         |  JOIN mh_best b ON cl.rep = b.rep AND d.n_chars = b.kc
+         |  GROUP BY cl.rep),
+         |ex_kept AS (
+         |  SELECT min(doc_id) AS doc_id FROM (
+         |    SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS k
+         |    FROM documents) GROUP BY k),
+         |sw AS (SELECT doc_id, unnest(list_transform(range(1, len(tk) - 14),
+         |        i -> {'pos': i, 'win': array_to_string(tk[i:i+15], ' ')})) AS s
+         |       FROM tk WHERE len(tk) >= 16),
+         |sw2 AS (SELECT doc_id, s.pos AS pos, s.win AS win FROM sw),
+         |sc AS (SELECT win FROM sw2 GROUP BY win HAVING count(*) >= 2),
+         |sd AS (SELECT doc_id, pos FROM sw2 JOIN sc USING (win)),
+         |su AS (SELECT doc_id, pos,
+         |        max(pos + 15) OVER (PARTITION BY doc_id ORDER BY pos
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+         |       FROM sd),
+         |sper AS (SELECT doc_id, sum(CASE WHEN prev_end IS NULL THEN 16
+         |           ELSE greatest(0, least(16, pos + 15 - prev_end)) END) AS dup
+         |         FROM su GROUP BY doc_id),
+         |sall AS (SELECT t.doc_id, len(t.tk) AS n_tokens, coalesce(p.dup, 0) AS dup
+         |         FROM tk t LEFT JOIN sper p USING (doc_id))
+         |SELECT 'raw' AS policy, count(*) AS docs_kept,
+         |       CAST(sum(n_tokens) AS BIGINT) AS tokens_kept FROM ntok
+         |UNION ALL
+         |SELECT 'exact', count(*), CAST(sum(n_tokens) AS BIGINT)
+         |FROM ex_kept JOIN ntok USING (doc_id)
+         |UNION ALL
+         |SELECT 'minhash', count(*), CAST(sum(n_tokens) AS BIGINT)
+         |FROM mh_kept JOIN ntok USING (doc_id)
+         |UNION ALL
+         |SELECT 'span16', count(*) FILTER (WHERE n_tokens > dup),
+         |       CAST(sum(n_tokens - dup) AS BIGINT) FROM sall""".stripMargin
   }
 
   // ---- Poly64 / mod-2^64 arithmetic helpers for the LSH-pipeline oracles ---
@@ -3119,6 +3206,10 @@ object SparkEntry {
     "d_jsonl_roundtrip" -> docRoundtripOracle,
 
     "d_csv_roundtrip" -> docRoundtripOracle,
+
+    "d_orc_roundtrip" -> docRoundtripOracle,
+
+    "d_dedup_report" -> dedupReportOracleSql,
 
     // duplicated-span coverage: window strings replayed literally (Spark
     // counts their xxhash64 — identical counts absent collision, the

@@ -127,6 +127,15 @@ object GraphIO {
                 schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** Write any frame as ORC (columnar interchange with Hive-side readers;
+    * schema travels with the file — reads need no explicit schema). */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  /** Read ORC (self-describing schema). */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Write any frame as headered CSV; quote/escape set for lossless text
     * columns (embedded commas/quotes survive the roundtrip). */
   def writeCsv(df: DataFrame, path: String): Unit =

@@ -1524,6 +1524,26 @@ object SparkEntry {
           coalesce(col("n"), lit(0L)).as("n_errors"))
     }),
 
+    // interval-overlap join: 30-min purchase windows × 10-min view windows
+    // per user — bin-replicated equi-join with a canonical-bin dedup guard,
+    // never an inequality-only nested loop
+    "ev_overlap" -> ((s, dir) => {
+      val ev = events(s, dir).withColumn("us", unix_micros(col("ts")))
+      val w30 = 30L * 60 * 1000000; val w10 = 10L * 60 * 1000000
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("us").as("ps"), (col("us") + w30).as("pe"))
+      val v = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"),
+          col("us").as("vs"), (col("us") + w10).as("ve"))
+      val pairs = Events.intervalOverlapJoin(p, v, "ps", "pe", "vs", "ve",
+        binWidth = w30, keyCols = Seq("user_id"))
+      p.join(pairs.groupBy(col("purchase_id")).agg(count(lit(1)).as("n")),
+          Seq("purchase_id"), "left")
+        .select(col("purchase_id"), col("user_id"),
+          coalesce(col("n"), lit(0L)).as("n_views"))
+    }),
+
     // as-of join: each purchase ↔ the user's most recent prior-or-equal
     // click value (temporal feature attachment; DuckDB ASOF JOIN oracle)
     "ev_asof" -> ((s, dir) => {
@@ -3713,6 +3733,18 @@ object SparkEntry {
         |SELECT p.purchase_id, p.user_id, count(e.event_id) AS n_errors
         |FROM p LEFT JOIN e ON p.user_id = e.user_id
         |  AND e.us >= p.us AND e.us <= p.us + 1800000000
+        |GROUP BY 1, 2""".stripMargin,
+
+    "ev_overlap" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type,
+        |              epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |p AS (SELECT event_id AS purchase_id, user_id, us AS ps,
+        |             us + 1800000000 AS pe FROM ev WHERE event_type = 'purchase'),
+        |v AS (SELECT event_id AS view_id, user_id, us AS vs,
+        |             us + 600000000 AS ve FROM ev WHERE event_type = 'view')
+        |SELECT p.purchase_id, p.user_id, count(v.view_id) AS n_views
+        |FROM p LEFT JOIN v ON p.user_id = v.user_id
+        |  AND p.ps <= v.ve AND v.vs <= p.pe
         |GROUP BY 1, 2""".stripMargin,
 
     "ev_asof" ->

@@ -239,6 +239,36 @@ object Events {
       .drop("_bin")
   }
 
+  /** Interval-OVERLAP join: pairs whose inclusive ranges [lStart, lEnd] and
+    * [rStart, rEnd] intersect — the interval×interval generalization of
+    * [[rangeJoin]] (concurrent-session detection, window co-occurrence).
+    * Both sides replicate into the fixed-width bins they touch and meet in
+    * an equi-join on (keys, bin) — never an inequality-only join, which
+    * Spark would plan as a nested loop. A multi-bin pair would match once
+    * per shared bin; the canonical-bin guard `bin == max(lBin₀, rBin₀)`
+    * (the first bin BOTH touch — floor is monotone, so it's the bin of
+    * `max(lStart, rStart)`, inside both ranges whenever they overlap)
+    * keeps exactly one copy without a distinct. Replication factor =
+    * interval span / binWidth — size binWidth to the typical span. */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame,
+                          lStart: String, lEnd: String,
+                          rStart: String, rEnd: String,
+                          binWidth: Long, keyCols: Seq[String] = Nil): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val l = left.filter(col(lEnd) >= col(lStart))
+      .withColumn("_lb0", floor(col(lStart) / binWidth).cast("long"))
+      .withColumn("_bin", explode(sequence(col("_lb0"),
+        floor(col(lEnd) / binWidth).cast("long"))))
+    val r = right.filter(col(rEnd) >= col(rStart))
+      .withColumn("_rb0", floor(col(rStart) / binWidth).cast("long"))
+      .withColumn("_bin", explode(sequence(col("_rb0"),
+        floor(col(rEnd) / binWidth).cast("long"))))
+    l.join(r, (keyCols :+ "_bin").toSeq)
+      .filter(col("_bin") === greatest(col("_lb0"), col("_rb0")))
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
+      .drop("_bin", "_lb0", "_rb0")
+  }
+
   /** Cohort retention: users are cohorted by the DAY of their first event;
     * a (cohort_day, day_offset) cell counts the cohort's users active
     * day_offset days later (distinct users, offset ≥ 0). Returns

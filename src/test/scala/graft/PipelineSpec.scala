@@ -1448,6 +1448,31 @@ class PipelineSpec extends SparkSpec {
     assert(out(5L)._2 === Some(1000000L))
   }
 
+  test("intervalOverlapJoin ≡ naive overlap predicate, one row per pair") {
+    val rnd = new scala.util.Random(20260814L)
+    val left = (0L until 60L).map { i =>
+      val s = rnd.nextInt(1000).toLong; (i, i % 3, s, s + rnd.nextInt(200).toLong)
+    }
+    val right = (100L until 160L).map { i =>
+      val s = rnd.nextInt(1000).toLong; (i, i % 3, s, s + rnd.nextInt(50).toLong)
+    }
+    val l = left.toDF("lid", "k", "ls", "le")
+    val r = right.toDF("rid", "k", "rs", "re")
+    val naive = (for {
+      (li, lk, ls, le) <- left; (ri, rk, rs, re) <- right
+      if lk == rk && ls <= re && rs <= le
+    } yield (li, ri)).sorted
+    // bin width much smaller than spans → heavy multi-bin replication;
+    // the canonical-bin guard must still emit each pair exactly once
+    for (bw <- Seq(7L, 64L, 1000L)) {
+      val got = Events.intervalOverlapJoin(l, r, "ls", "le", "rs", "re",
+          binWidth = bw, keyCols = Seq("k"))
+        .select(col("lid"), col("rid")).collect()
+        .map(x => (x.getLong(0), x.getLong(1))).sorted
+      assert(got === naive, s"binWidth=$bw")
+    }
+  }
+
   test("crossSourceDupMatrix: closed-form pair counts, no singleton rows") {
     val docs = Seq(
       (0L, "dup one", "sA"), (1L, "dup one", "sA"), (2L, "dup one", "sB"),

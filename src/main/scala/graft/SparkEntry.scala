@@ -1558,6 +1558,21 @@ object SparkEntry {
           col("asof_value").as("click_cents"))
     }),
 
+    // FORWARD as-of: each purchase ↔ the user's EARLIEST at-or-after click
+    // value (time-reversed reuse of the backward machinery; DuckDB native
+    // forward-ASOF oracle)
+    "ev_asof_fwd" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(cents(col("value"))).as("click_cents"))
+      Events.asofJoinForward(purchases, clicks, "user_id", "ts", "click_cents")
+        .select(col("event_id"), col("user_id"),
+          col("asof_value").as("click_cents"))
+    }),
+
     // the hot-key-hardened as-of plan (daily time chunks + boundary
     // carry-over): must be row-identical to ev_asof — same DuckDB native
     // ASOF oracle gates both
@@ -3755,6 +3770,15 @@ object SparkEntry {
         |      FROM ev WHERE event_type = 'click' GROUP BY 1, 2)
         |SELECT p.event_id, p.user_id, c.click_cents
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
+
+    "ev_asof_fwd" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |p AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts,
+        |             max(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS click_cents
+        |      FROM ev WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT p.event_id, p.user_id, c.click_cents
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts <= c.ts""".stripMargin,
 
     "ev_asof_chunked" ->
       """WITH ev AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value FROM events),

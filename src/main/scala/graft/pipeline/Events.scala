@@ -139,6 +139,30 @@ object Events {
     }
   }
 
+  /** FORWARD as-of join: each left row gets the right side's EARLIEST value
+    * at-or-after its timestamp (the "next event" direction — time-to-next-
+    * action features, forward label attachment). Implemented by time
+    * reversal: backward-asof over negated epoch micros is exactly
+    * forward-asof over ts (`last −ts' ≤ −ts` ⇔ `first ts' ≥ ts`), and the
+    * right-before-left tie order keeps the at-or-EQUAL match — so the whole
+    * [[asofJoin]] machinery (single interleaved union + one window pass,
+    * NULL-value preservation, optional hot-key chunking) is reused, not
+    * duplicated. `chunk` receives the NEGATED micros; pass a monotonic
+    * function of that (e.g. floor division) for the same bounded-sort
+    * guarantees. */
+  def asofJoinForward(left: DataFrame, right: DataFrame,
+                      keyCol: String, tsCol: String, valueCol: String,
+                      asofCol: String = "asof_value",
+                      chunk: Option[Column => Column] = None): DataFrame = {
+    require(!left.columns.contains("_negts") && !right.columns.contains("_negts"),
+      "asofJoinForward reserves column _negts")
+    val l = left.withColumn("_negts", -unix_micros(col(tsCol)))
+    val r = right.select(col(keyCol), (-unix_micros(col(tsCol))).as("_negts"),
+      col(valueCol))
+    asofJoin(l, r, keyCol, "_negts", valueCol, asofCol, chunk)
+      .drop("_negts")
+  }
+
   /** Gap-based sessionization: appends `session_seq` — the running count of
     * session BREAKS (first event of the key, or a gap > `gapMicros` since
     * the previous event) per key in (ts, tie) order. Grouping by

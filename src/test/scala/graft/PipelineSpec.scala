@@ -1448,6 +1448,21 @@ class PipelineSpec extends SparkSpec {
     assert(out(5L)._2 === Some(1000000L))
   }
 
+  test("asofJoinForward: earliest at-or-after value, NULL when none follows") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val left = Seq((1L, 7L, ts(100)), (2L, 7L, ts(250)), (3L, 7L, ts(900)),
+      (4L, 8L, ts(100))).toDF("id", "k", "ts")
+    val right = Seq((7L, ts(250), 25L), (7L, ts(400), 40L), (7L, ts(50), 5L))
+      .toDF("k", "ts", "v")
+    val got = Events.asofJoinForward(left, right, "k", "ts", "v").collect()
+      .map(r => r.getLong(0) -> Option(r.get(3)).map(_.toString.toLong)).toMap
+    assert(got(1L) === Some(25L))  // next at 250
+    assert(got(2L) === Some(25L))  // at-or-EQUAL ties match
+    assert(got(3L) === None)       // nothing follows 900
+    assert(got(4L) === None)       // other key never leaks
+  }
+
   test("intervalOverlapJoin ≡ naive overlap predicate, one row per pair") {
     val rnd = new scala.util.Random(20260814L)
     val left = (0L until 60L).map { i =>

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.algos.GraphAlgorithms
 import graft.core.KGraph
 import graft.core.KGraph.EdgeDirection
-import graft.pipeline.{Ann, Curation, Dedup, Events, LinAlg, Multimodal, Sketches, TextAnalysis}
+import graft.pipeline.{Ann, Curation, Dedup, Events, Layout, LinAlg, Multimodal, Sketches, TextAnalysis}
 
 /**
  * Driver contract: every implemented operator from SURVEY.md §2 is exposed as
@@ -1018,6 +1018,22 @@ object SparkEntry {
       TextAnalysis.lmScore(t(s, dir, "documents"))
         .select(col("doc_id"), col("n_tokens"), col("lm_micro_total"))),
 
+    // document-local unigram entropy (degenerate-repetition signal); gated
+    // on the exact integer micro-nat total, same discipline as d_lm_score
+    "d_entropy" -> ((s, dir) =>
+      TextAnalysis.unigramEntropy(t(s, dir, "documents"))),
+
+    // exact edit-distance similarity join (Ed-Join count filtering: rare
+    // positional q-gram prefixes → candidates, thresholded levenshtein
+    // verify) — finds the planted near-identical pairs without an all-pairs
+    // product
+    "d_edit_pairs" -> ((s, dir) =>
+      Dedup.editDistancePairs(t(s, dir, "documents"), maxDist = 8, q = 5)),
+
+    // one-scan ROLLUP corpus profile: (source, lang) cells + marginals
+    "d_profile_rollup" -> ((s, dir) =>
+      Curation.corpusProfile(t(s, dir, "documents"), "source", "lang")),
+
     // corpus stats: per-language vocabulary size + token volume (exact
     // distinct — the oracle-checkable baseline; approx_count_distinct is the
     // sketch path at 100 TB)
@@ -1483,6 +1499,24 @@ object SparkEntry {
       events(s, dir)
         .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
         .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_cents"))),
+
+    // recency-decayed per-user value: binary-weight EWMA over the last 16
+    // events — integer-exact (micro-unit floor + BIGINT weighted fold)
+    "ev_decay" -> ((s, dir) =>
+      Events.decayedValue(events(s, dir), window = 16)),
+
+    // Z-order layout assignment over orders (price × order-day): Morton
+    // interleave of fixed-bound buckets + shift-derived target file id —
+    // the multi-dimensional data-skipping layout, bit-exact vs SQL
+    "ev_zorder" -> ((s, dir) =>
+      Layout.zorderAssign(
+        t(s, dir, "orders")
+          .withColumn("o_day",
+            datediff(col("o_orderdate").cast("date"), lit("1992-01-01").cast("date"))),
+        "o_totalprice", 0.0, 600000.0, "o_day", 0.0, 2560.0,
+        bits = 8, fileBits = 4)
+        .select(col("o_orderkey"), col("xb"), col("yb"),
+          col("morton"), col("file_id"))),
 
     // semi-structured props column: JSON path extraction feeding an aggregate
     // (get_json_object is codegen'd; the JSON never leaves the scan stage)
@@ -3721,6 +3755,62 @@ object SparkEntry {
         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
         |       CAST(sum(lpm) AS BIGINT) AS lm_micro_total
         |FROM lp GROUP BY 1""".stripMargin,
+
+    "d_entropy" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n FROM tf GROUP BY 1)
+        |SELECT tf.doc_id, CAST(max(n) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CAST(round(tf * ln(CAST(n AS DOUBLE) / tf) * 1000000) AS BIGINT)) AS BIGINT)
+        |    AS ent_micro_total
+        |FROM tf JOIN tot USING (doc_id) GROUP BY 1""".stripMargin,
+
+    "d_edit_pairs" ->
+      """SELECT a.doc_id AS src, b.doc_id AS dst,
+        |       CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev
+        |FROM documents a JOIN documents b
+        |  ON a.doc_id < b.doc_id
+        | AND abs(length(a.text) - length(b.text)) <= 8
+        |WHERE levenshtein(a.text, b.text) <= 8""".stripMargin,
+
+    "d_profile_rollup" ->
+      """SELECT coalesce(source, 'ALL') AS source, coalesce(lang, 'ALL') AS lang,
+        |       CAST(GROUPING(source) * 2 + GROUPING(lang) AS BIGINT) AS gid,
+        |       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY ROLLUP(source, lang)""".stripMargin,
+
+    "ev_decay" ->
+      """WITH ev AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |            FROM events),
+        |r AS (SELECT user_id, value,
+        |        row_number() OVER (PARTITION BY user_id
+        |                           ORDER BY ts DESC, event_id DESC) AS rnk
+        |      FROM ev),
+        |w AS (SELECT user_id,
+        |        CAST(floor(value * 1000000) AS BIGINT)
+        |          * (CAST(1 AS BIGINT) << (16 - rnk)) AS term
+        |      FROM r WHERE rnk <= 16)
+        |SELECT user_id, count(*) AS n_window,
+        |       CAST(sum(term) AS BIGINT) AS decay_num,
+        |       (CAST(1 AS BIGINT) << 16)
+        |         - (CAST(1 AS BIGINT) << (16 - CAST(count(*) AS INT))) AS decay_den
+        |FROM w GROUP BY 1""".stripMargin,
+
+    "ev_zorder" -> {
+      val interleave = (0 until 8).map(i =>
+        s"(((xb >> $i) & 1) << ${2 * i}) | (((yb >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" | ")
+      s"""WITH b AS (
+         |  SELECT o_orderkey,
+         |    CAST(least(greatest(floor(o_totalprice * 256 / 600000), 0), 255) AS BIGINT) AS xb,
+         |    CAST(least(greatest(floor(CAST(date_diff('day', DATE '1992-01-01',
+         |      CAST(o_orderdate AS DATE)) AS DOUBLE) * 256 / 2560), 0), 255) AS BIGINT) AS yb
+         |  FROM orders),
+         |m AS (SELECT o_orderkey, xb, yb, CAST($interleave AS BIGINT) AS morton FROM b)
+         |SELECT o_orderkey, xb, yb, morton, morton >> 12 AS file_id FROM m""".stripMargin
+    },
 
     "d_vocab" ->
       """SELECT lang, count(DISTINCT tok) AS vocab, count(*) AS n_tokens

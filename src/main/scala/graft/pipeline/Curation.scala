@@ -257,6 +257,25 @@ object Curation {
    * a #groups-row relation, where single-partition windows are free.
    * Returns (groupCol, n_docs, w, alloc).
    */
+  /** Multi-level corpus profile in one scan: ROLLUP over (dim1, dim2) —
+    * per-(dim1, dim2) cell, per-dim1 subtotal, grand total — the standard
+    * corpus-composition report (docs + chars by source and language, with
+    * every marginal) that otherwise costs three separate aggregations.
+    * Catalyst expands the rollup into a single partial→final aggregate over
+    * the grouping-set-expanded stream, so the input is read ONCE at any
+    * scale. NULL grouping placeholders are coalesced to 'ALL' and the
+    * grouping_id bit vector (dim1 = high bit) rides along so consumers can
+    * distinguish a real NULL-valued group from a subtotal row. */
+  def corpusProfile(df: DataFrame, dim1: String, dim2: String,
+                    charCol: String = "n_chars"): DataFrame =
+    df.rollup(col(dim1), col(dim2))
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n_docs"),
+        sum(col(charCol)).cast("long").as("sum_chars"))
+      .select(coalesce(col(dim1), lit("ALL")).as(dim1),
+        coalesce(col(dim2), lit("ALL")).as(dim2),
+        col("gid"), col("n_docs"), col("sum_chars"))
+
   def temperatureMix(df: DataFrame, groupCol: String, budget: Long): DataFrame = {
     require(budget >= 0, s"budget must be >= 0, got $budget")
     val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_docs"))

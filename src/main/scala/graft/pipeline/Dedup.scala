@@ -650,6 +650,85 @@ object Dedup {
     clustersFromPairs(df.select(col(idCol).as("id")), pairs)
   }
 
+  /** Exact edit-distance similarity join (Ed-Join-family count filtering,
+    * Xiao/Wang/Lin 2008): every unordered pair with
+    * `levenshtein(a, b) ≤ maxDist`, found WITHOUT an all-pairs product.
+    *
+    * Filter argument: one edit operation destroys at most `q` of a string's
+    * positional character q-grams, so `lev(a,b) ≤ k` implies the multiset
+    * difference `|G(a) ∖ G(b)| ≤ q·k` — if NONE of any `q·k+1`-element
+    * subset of `G(a)` occurs in `G(b)`, the pair cannot qualify. We take
+    * each document's `q·k+1` RAREST grams (document-frequency ascending —
+    * any subset is sound; the rarest one is the selective one) and join that
+    * prefix against the full gram index: every qualifying pair must collide
+    * on at least one prefix gram. Multiset semantics come from occurrence
+    * numbering — gram key = hash(gram, occurrence#), so `aaa…` can't
+    * over-match (hash collisions only ever ADD candidates, never drop one).
+    * Candidates then pass the `|len(a)−len(b)| ≤ k` length filter and are
+    * verified with the thresholded native `levenshtein(l, r, k)` — the DP
+    * early-exits past k, so verify cost per candidate is O(k·len), not
+    * O(len²).
+    *
+    * Strings shorter than `q` have no grams and bypass the filter through a
+    * broadcast length-band join (any partner is ≤ q−1+k chars — a corpus's
+    * sub-q-gram slice is vanishingly small and the band bound keeps it so).
+    *
+    * Scale shape: gram index and df ranking are linear scans + hash
+    * aggregates; the candidate join keys on rare grams only (a prefix
+    * gram's df is minimal for its doc by construction), so no inverted-
+    * index key explodes the way boilerplate n-grams do in the full-index
+    * join. Returns (src, dst, lev), src < dst. */
+  def editDistancePairs(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text", maxDist: Int = 8,
+                        q: Int = 5): DataFrame = {
+    require(maxDist >= 0, "maxDist must be non-negative")
+    require(q >= 1, "q-gram length must be positive")
+    val base = spread(docs)
+      .select(col(idCol).as("id"), col(textCol).as("txt"))
+      .withColumn("len", length(col("txt")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val prefLen = q * maxDist + 1
+    // positional-multiset gram index: key = hash(gram, occurrence#)
+    val multiset = base.filter(col("len") >= q)
+      .select(col("id"), explode(expr(
+        s"transform(sequence(1, len - ${q - 1}), i -> substring(txt, i, $q))")).as("g"))
+      .groupBy(col("id"), col("g")).agg(count(lit(1)).as("c"))
+      .select(col("id"), explode(expr(
+        "transform(sequence(1, CAST(c AS INT)), o -> xxhash64(g, o))")).as("h"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dfreq = multiset.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val pref = multiset.join(dfreq, "h")
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("o"))
+      .select(col("id"),
+        expr(s"transform(slice(o, 1, $prefLen), x -> x.h)").as("ph"))
+    val gramCand = pref.select(col("id").as("a"), explode(col("ph")).as("h"))
+      .join(multiset.select(col("id").as("b"), col("h")), Seq("h"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    // sub-q-gram strings: tiny by the length-band bound — broadcast join
+    val shorts = base.filter(col("len") < q)
+      .select(col("id").as("a"), col("len").as("lenA"))
+    val shortCand = broadcast(shorts)
+      .join(base.select(col("id").as("b"), col("len").as("lenB")),
+        col("a") =!= col("b") &&
+          abs(col("lenA") - col("lenB")) <= maxDist)
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    gramCand.union(shortCand).distinct()
+      .join(base.select(col("id").as("a"), col("txt").as("ta"),
+        col("len").as("lenA")), Seq("a"))
+      .join(base.select(col("id").as("b"), col("txt").as("tb"),
+        col("len").as("lenB")), Seq("b"))
+      .filter(abs(col("lenA") - col("lenB")) <= maxDist)
+      .select(col("a").as("src"), col("b").as("dst"),
+        levenshtein(col("ta"), col("tb"), maxDist).cast("long").as("lev"))
+      .filter(col("lev") >= 0 && col("lev") <= maxDist)
+  }
+
   // -------------------------------------------------------------------------
   // SimHash
   // -------------------------------------------------------------------------

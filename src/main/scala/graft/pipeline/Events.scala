@@ -247,6 +247,46 @@ object Events {
     * the typical interval length (an interval spans ~len/binWidth bins).
     * Intervals with `end < start` are dropped. Column names of the two
     * inputs must be disjoint apart from `keyCols`. */
+  /** Exponentially-decayed per-key value (α = 1/2), the recency-weighted
+    * feature aggregate: over each key's most recent `window` events
+    * (timestamp desc, `idCol` desc tiebreak), the newest event carries
+    * weight 2^(window−1), the next 2^(window−2), … — i.e. EWMA with a
+    * binary decay factor, truncated to a fixed horizon. Binary weights make
+    * the whole computation INTEGER-exact: values quantize to micro-units
+    * via floor (floor, not cast — double→int casts round in some engines
+    * and truncate in others), the weighted sum is a BIGINT fold
+    * (order-independent, hash-stable across engines and shuffles), and the
+    * normalizing denominator Σ 2^(window−j) = 2^window − 2^(window−m) rides
+    * along unreduced so no cross-engine division-semantics hazard exists.
+    * Returns (keyCol, n_window, decay_num, decay_den); the decayed average
+    * is decay_num / decay_den / 1e6 — a presentation step, by design not
+    * computed here.
+    *
+    * Scale: one row_number window per key (hot-key note: the rank prunes to
+    * `window` rows per key immediately, so the downstream aggregate is
+    * bounded; the window sort itself is the same per-key sort every
+    * sessionization pays — chunk via [[sessionize]]'s machinery if a key is
+    * genuinely pathological) then a combinable groupBy. */
+  def decayedValue(events: DataFrame, keyCol: String = "user_id",
+                   tsCol: String = "ts", valueCol: String = "value",
+                   idCol: String = "event_id", window: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(window >= 1 && window <= 40, "window must be in [1, 40]")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).desc, col(idCol).desc)
+    events
+      .withColumn("_rnk", row_number().over(w))
+      .filter(col("_rnk") <= window)
+      .withColumn("_vmu", floor(col(valueCol) * lit(1e6)).cast("long"))
+      .withColumn("_wt", expr(s"shiftleft(CAST(1 AS BIGINT), $window - _rnk)"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_window"),
+        sum(col("_vmu") * col("_wt")).as("decay_num"))
+      .withColumn("decay_den", expr(
+        s"shiftleft(CAST(1 AS BIGINT), $window) - " +
+          s"shiftleft(CAST(1 AS BIGINT), $window - CAST(n_window AS INT))"))
+  }
+
   def rangeJoin(points: DataFrame, intervals: DataFrame,
                 ptCol: String, startCol: String, endCol: String,
                 binWidth: Long, keyCols: Seq[String] = Nil): DataFrame = {

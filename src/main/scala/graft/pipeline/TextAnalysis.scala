@@ -233,6 +233,36 @@ object TextAnalysis {
         round((sum(col("_lpm")) / 1e6) / sum(col("tf")), 6).as("lm_score"))
   }
 
+  /** Per-document unigram (token) entropy — the "information density"
+    * quality signal: H = Σ_t (tf/n)·ln(n/tf) over the document's own token
+    * distribution. Near-zero entropy flags degenerate repetition (a page of
+    * one token); the corpus-typical band separates prose from keyword-stuffed
+    * or machine-generated noise. Complements [[lmScore]] (which scores
+    * against the CORPUS distribution) with a purely document-local signal.
+    *
+    * Cross-engine discipline as in [[lmScore]]: per-term contributions
+    * quantize to integer micro-nats BEFORE the sum (`round(tf·ln(n/tf)·1e6)`
+    * as BIGINT — note the quantized quantity is n·H's term, so the total is
+    * exact under long addition and hash-stable across engines/shuffle
+    * orders). Returns (idCol, n_tokens, ent_micro_total); H itself is
+    * ent_micro_total / 1e6 / n_tokens — presentation, not computed here.
+    *
+    * Scale: tokenize → (doc, term) count → per-doc total (combinable) →
+    * hash-join back — two shuffles on doc_id/term keys, no windows. */
+  def unigramEntropy(df: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    val tf = Dedup.spread(df).select(col(idCol).as("doc_id"),
+        explode(wsTokens(lower(trim(col(textCol))))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val totals = tf.groupBy("doc_id").agg(sum(col("tf")).as("n"))
+    tf.join(totals, "doc_id")
+      .withColumn("_em", round(col("tf") * log(
+        col("n").cast("double") / col("tf")) * 1e6).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).cast("long").as("n_tokens"),
+        sum(col("_em")).as("ent_micro_total"))
+  }
+
   /** Sequence packing: assign documents to fixed-token-budget bins by
     * contiguous fill over a deterministic order (orderCol asc) — doc d goes
     * to bin `floor(tokens_before_d / budget)`, so bins are dense, the

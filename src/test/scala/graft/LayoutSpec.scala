@@ -1,0 +1,185 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Curation, Dedup, Events, Layout, TextAnalysis}
+
+import scala.util.Random
+
+/** Z-order layout, edit-distance join, decayed values, entropy, rollup
+  * profile (round-6 additions). */
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- Morton / Z-order ---------------------------------------------------
+
+  test("mortonCode matches a bit-interleave reference on random buckets") {
+    val rnd = new Random(7)
+    val pts = Seq.fill(200)((rnd.nextInt(256).toLong, rnd.nextInt(256).toLong))
+    def ref(x: Long, y: Long): Long =
+      (0 until 8).foldLeft(0L) { (a, i) =>
+        a | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+      }
+    val got = pts.toDF("x", "y")
+      .select(col("x"), col("y"), Layout.mortonCode(col("x"), col("y"), 8).as("m"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    pts.foreach { case (x, y) => assert(got((x, y)) === ref(x, y)) }
+  }
+
+  test("bucketize clamps out-of-range values to edge buckets") {
+    val got = Seq(-5.0, 0.0, 99.9, 100.0, 250.0).toDF("v")
+      .select(Layout.bucketize(col("v"), 0.0, 100.0, 4).as("b"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(0L, 0L, 15L, 15L, 15L))
+  }
+
+  test("zorderAssign file_id is the morton prefix; z-clustered layout has " +
+    "tighter per-partition bounding boxes than insertion order") {
+    val rnd = new Random(11)
+    val rows = Seq.tabulate(4096)(i =>
+      (i.toLong, rnd.nextDouble() * 1000.0, rnd.nextDouble() * 1000.0))
+    val df = rows.toDF("id", "x", "y")
+    val z = Layout.zorderAssign(df, "x", 0.0, 1000.0, "y", 0.0, 1000.0,
+      bits = 8, fileBits = 4)
+    val bad = z.filter(col("file_id") =!= shiftright(col("morton"), 12)).count()
+    assert(bad === 0L)
+    assert(z.agg(countDistinct(col("file_id"))).first().getLong(0) === 16L)
+
+    def avgBoxArea(parts: org.apache.spark.sql.DataFrame): Double = {
+      val boxes = parts
+        .groupBy(spark_partition_id().as("p"))
+        .agg((max(col("x")) - min(col("x"))).as("dx"),
+          (max(col("y")) - min(col("y"))).as("dy"))
+        .select(avg(col("dx") * col("dy"))).first().getDouble(0)
+      boxes
+    }
+    val zClustered = avgBoxArea(Layout.clusterWrite(z, "morton", 16))
+    val naive = avgBoxArea(df.repartitionByRange(16, col("id")))
+    // 16 z-tiles of a uniform square have ~1/16 the area each; insertion
+    // order is uncorrelated with (x, y) so its boxes span the whole square.
+    assert(zClustered < naive / 4.0,
+      s"z-order boxes not tighter: $zClustered vs $naive")
+  }
+
+  // ---- edit-distance similarity join --------------------------------------
+
+  private def mutate(s: String, edits: Int, rnd: Random): String = {
+    var cur = s
+    (0 until edits).foreach { _ =>
+      val i = rnd.nextInt(math.max(cur.length, 1))
+      rnd.nextInt(3) match {
+        case 0 if cur.nonEmpty => cur = cur.take(i) + cur.drop(i + 1) // del
+        case 1 => cur = cur.take(i) + ('a' + rnd.nextInt(26)).toChar + cur.drop(i) // ins
+        case _ if cur.nonEmpty =>
+          cur = cur.take(i) + ('a' + rnd.nextInt(26)).toChar + cur.drop(i + 1) // sub
+        case _ => cur = cur + "x"
+      }
+    }
+    cur
+  }
+
+  test("editDistancePairs equals brute force on planted mutations") {
+    val rnd = new Random(42)
+    val alphabet = "abcdefg"
+    val bases = Seq.tabulate(40)(_ =>
+      Seq.fill(60 + rnd.nextInt(60))(alphabet(rnd.nextInt(alphabet.length))).mkString)
+    // plant near-dups at 1..6 edits, plus unrelated strings
+    val docs = bases.zipWithIndex.flatMap { case (b, i) =>
+      val near = if (i % 3 == 0) Seq(mutate(b, 1 + rnd.nextInt(6), rnd)) else Nil
+      b +: near
+    }.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    val df = docs.toDF("doc_id", "text")
+    val k = 6
+    val got = Dedup.editDistancePairs(df, maxDist = k, q = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = df.toDF("a", "ta")
+      .crossJoin(df.toDF("b", "tb")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"), levenshtein(col("ta"), col("tb")).cast("long").as("lev"))
+      .filter(col("lev") <= k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(brute.nonEmpty, "fixture must plant qualifying pairs")
+    assert(got === brute)
+  }
+
+  test("editDistancePairs handles repeated-gram multisets and sub-q strings") {
+    // aaaa… strings exercise occurrence numbering; 2-char strings bypass the
+    // gram filter entirely (len < q) through the broadcast short-path
+    val docs = Seq(
+      (0L, "aaaaaaaaaaaa"), (1L, "aaaaaaaaaaa"), // lev 1, heavy gram repeats
+      (2L, "ab"), (3L, "ac"), (4L, "abcd"),      // shorts: lev(2,3)=1, lev(2,4)=2
+      (5L, "zzzzzzzzzzzzzzzzzzzz")
+    ).toDF("doc_id", "text")
+    val got = Dedup.editDistancePairs(docs, maxDist = 2, q = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = docs.toDF("a", "ta")
+      .crossJoin(docs.toDF("b", "tb")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"), levenshtein(col("ta"), col("tb")).cast("long").as("lev"))
+      .filter(col("lev") <= 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === brute)
+    assert(got.contains((0L, 1L, 1L)) && got.contains((2L, 3L, 1L)))
+  }
+
+  // ---- decayed value ------------------------------------------------------
+
+  test("decayedValue matches a sequential reference; partial windows exact") {
+    val rnd = new Random(3)
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val events = (0 until 300).map { i =>
+      (i.toLong, new java.sql.Timestamp(ts0.getTime + rnd.nextInt(100000) * 1000L),
+        (i % 7).toLong, rnd.nextDouble() * 400.0)
+    }
+    val df = events.toDF("event_id", "ts", "user_id", "value")
+    val w = 16
+    val got = Events.decayedValue(df, window = w)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    events.groupBy(_._3).foreach { case (user, evs) =>
+      val recent = evs.sortBy(e => (-e._2.getTime, -e._1)).take(w)
+      val m = recent.length
+      val num = recent.zipWithIndex.map { case (e, j) =>
+        math.floor(e._4 * 1e6).toLong * (1L << (w - 1 - j))
+      }.sum
+      val den = (1L << w) - (1L << (w - m))
+      assert(got(user) === ((m.toLong, num, den)), s"user $user")
+    }
+  }
+
+  // ---- entropy ------------------------------------------------------------
+
+  test("unigramEntropy matches an exact micro-nat reference") {
+    val docs = Seq(
+      (0L, "a a a a"),                    // zero entropy
+      (1L, "a b c d"),                    // max entropy: n·ln(n)
+      (2L, "x x y z z z")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramEntropy(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def ref(toks: Seq[String]): (Long, Long) = {
+      val n = toks.length
+      val total = toks.groupBy(identity).values.map { g =>
+        math.round(g.length * math.log(n.toDouble / g.length) * 1e6)
+      }.sum
+      (n.toLong, total)
+    }
+    assert(got(0L) === ref(Seq("a", "a", "a", "a")))
+    assert(got(0L)._2 === 0L)
+    assert(got(1L) === ref(Seq("a", "b", "c", "d")))
+    assert(got(2L) === ref(Seq("x", "x", "y", "z", "z", "z")))
+  }
+
+  // ---- rollup profile -----------------------------------------------------
+
+  test("corpusProfile rollup equals the three separate aggregates") {
+    val docs = Seq(
+      (0L, "web", "en", 100L), (1L, "web", "fr", 50L), (2L, "web", "en", 70L),
+      (3L, "book", "en", 200L), (4L, "book", "de", 90L)
+    ).toDF("doc_id", "source", "lang", "n_chars")
+    val got = Curation.corpusProfile(docs, "source", "lang")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)) ->
+        (r.getLong(3), r.getLong(4))).toMap
+    assert(got(("web", "en", 0L)) === ((2L, 170L)))
+    assert(got(("web", "ALL", 1L)) === ((3L, 220L)))
+    assert(got(("book", "ALL", 1L)) === ((2L, 290L)))
+    assert(got(("ALL", "ALL", 3L)) === ((5L, 510L)))
+    assert(got.size === 4 + 2 + 1) // cells + per-source + grand total
+  }
+}

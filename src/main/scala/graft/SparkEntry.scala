@@ -1505,6 +1505,17 @@ object SparkEntry {
     "ev_decay" -> ((s, dir) =>
       Events.decayedValue(events(s, dir), window = 16)),
 
+    // per-user 2σ outliers decided in exact integer algebra (micro-unit
+    // quantization + decimal(38) cross-multiplied variance test — zero FP,
+    // so the flag set is bit-identical across engines and shuffle orders)
+    "ev_outliers" -> ((s, dir) =>
+      Events.outliers(events(s, dir), sigmas = 2)),
+
+    // per-label per-dimension embedding moment profile (drift-monitoring
+    // building block): floor-quantized micro-unit sums, BIGINT-exact
+    "e_label_profile" -> ((s, dir) =>
+      LinAlg.groupDimProfile(t(s, dir, "embeddings"), "label", "embedding")),
+
     // Z-order layout assignment over orders (price × order-day): Morton
     // interleave of fixed-bound buckets + shift-derived target file id —
     // the multi-dimensional data-skipping layout, bit-exact vs SQL
@@ -3797,6 +3808,28 @@ object SparkEntry {
         |       (CAST(1 AS BIGINT) << 16)
         |         - (CAST(1 AS BIGINT) << (16 - CAST(count(*) AS INT))) AS decay_den
         |FROM w GROUP BY 1""".stripMargin,
+
+    "ev_outliers" ->
+      """WITH ev AS (SELECT event_id, user_id,
+        |              CAST(floor(value * 1000000) AS BIGINT) AS vmu FROM events),
+        |st AS (SELECT user_id, count(*) AS n,
+        |         sum(CAST(vmu AS HUGEINT)) AS s,
+        |         sum(CAST(vmu AS HUGEINT) * CAST(vmu AS HUGEINT)) AS ss
+        |       FROM ev GROUP BY 1)
+        |SELECT e.event_id, e.user_id, e.vmu
+        |FROM ev e JOIN st USING (user_id)
+        |WHERE n >= 2
+        |  AND (CAST(n AS HUGEINT) * e.vmu - s) * (CAST(n AS HUGEINT) * e.vmu - s)
+        |      > 4 * (CAST(n AS HUGEINT) * ss - s * s)""".stripMargin,
+
+    "e_label_profile" ->
+      """WITH x AS (
+        |  SELECT label, unnest(range(0, len(embedding))) AS dim, embedding
+        |  FROM embeddings)
+        |SELECT label, CAST(dim AS BIGINT) AS dim, count(*) AS n,
+        |  CAST(sum(CAST(floor(CAST(embedding[CAST(dim AS INT) + 1] AS DOUBLE)
+        |    * 1000000) AS BIGINT)) AS BIGINT) AS sum_micro
+        |FROM x GROUP BY 1, 2""".stripMargin,
 
     "ev_zorder" -> {
       val interleave = (0 until 8).map(i =>

@@ -287,6 +287,41 @@ object Events {
           s"shiftleft(CAST(1 AS BIGINT), $window - CAST(n_window AS INT))"))
   }
 
+  /** Per-key σ-outlier detection with ZERO floating point: flags events
+    * whose value deviates from their key's mean by more than `sigmas`
+    * standard deviations, decided entirely in exact integer algebra so the
+    * flag set is bit-identical across engines, shuffle orders, and reruns
+    * (the property a reproducible data-quality gate needs — a double
+    * variance accumulation is none of those). The test
+    * `|x − μ| > c·σ`, with μ = S/n and population σ² = (n·SS − S²)/n²,
+    * cross-multiplies by n² into `(n·x − S)² > c²·(n·SS − S²)`: every
+    * factor an integer once values quantize to micro-units. Products reach
+    * ~10²⁵ for million-row keys, so the squares are computed in
+    * decimal(38,0) (Spark) / HUGEINT (the SQL oracle side) — still exact.
+    *
+    * Returns the flagged events only: (idCol, keyCol, vmu). Keys with a
+    * single event have σ undefined and flag nothing. Scale: one combinable
+    * groupBy for (n, S, SS) + a hash join back — no windows, no sort. */
+  def outliers(events: DataFrame, keyCol: String = "user_id",
+               valueCol: String = "value", idCol: String = "event_id",
+               sigmas: Int = 2): DataFrame = {
+    require(sigmas >= 1, "sigmas must be positive")
+    val c2 = sigmas.toLong * sigmas
+    val withV = events.withColumn("vmu",
+      floor(col(valueCol) * lit(1e6)).cast("long"))
+    val stats = withV.groupBy(col(keyCol)).agg(
+      count(lit(1)).as("n"),
+      sum(col("vmu").cast("decimal(38,0)")).as("s"),
+      sum((col("vmu").cast("decimal(38,0)") *
+        col("vmu").cast("decimal(38,0)"))).as("ss"))
+    withV.join(stats, keyCol)
+      .filter(col("n") >= 2)
+      .withColumn("_dev", col("n").cast("decimal(38,0)") * col("vmu").cast("decimal(38,0)") - col("s"))
+      .withColumn("_var_n2", col("n").cast("decimal(38,0)") * col("ss") - col("s") * col("s"))
+      .filter(col("_dev") * col("_dev") > lit(c2) * col("_var_n2"))
+      .select(col(idCol), col(keyCol), col("vmu"))
+  }
+
   def rangeJoin(points: DataFrame, intervals: DataFrame,
                 ptCol: String, startCol: String, endCol: String,
                 binWidth: Long, keyCols: Seq[String] = Nil): DataFrame = {

@@ -76,6 +76,21 @@ object LinAlg {
   /** Upper-triangle second-moment ("Gram") matrix as rows
     * (i, j, s_micro) with 1-based i ≤ j — the exact integer sums, suitable
     * for a cross-engine hash gate. */
+  /** Per-group, per-dimension integer moment profile: (groupCol, dim, n,
+    * sum_micro) with each component floor-quantized to micro-units before a
+    * BIGINT fold — the exact, engine-portable building block for embedding
+    * drift monitoring (compare a delta batch's profile against the base:
+    * mean shift per dimension = Δ(sum_micro/n), computed downstream where
+    * presentation precision is someone else's problem). One posexplode +
+    * one combinable groupBy — a narrow map then a hash shuffle on
+    * (group, dim); no per-row UDF, no matrix library. */
+  def groupDimProfile(df: DataFrame, groupCol: String,
+                      vecCol: String): DataFrame =
+    df.select(col(groupCol), posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .groupBy(col(groupCol), col("dim").cast("long").as("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("x").cast("double") * lit(1e6)).cast("long")).as("sum_micro"))
+
   def gramMatrix(df: DataFrame, vecCol: String): DataFrame = {
     val st = moments(df, vecCol)
     val d = st.sums.length

@@ -143,6 +143,56 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  // ---- integer-exact outliers ---------------------------------------------
+
+  test("outliers matches a BigInt reference; single-event keys flag nothing") {
+    val rnd = new Random(5)
+    val events = (0 until 400).map { i =>
+      val user = (i % 9).toLong
+      // mostly tight values with occasional large spikes
+      val v = if (rnd.nextInt(20) == 0) 3000.0 + rnd.nextDouble() * 2000.0
+              else 100.0 + rnd.nextDouble() * 10.0
+      (i.toLong, user, v)
+    } :+ ((400L, 99L, 42.0)) // singleton key
+    val df = events.toDF("event_id", "user_id", "value")
+    val got = graft.pipeline.Events.outliers(df, sigmas = 2)
+      .collect().map(_.getLong(0)).toSet
+    val ref = events.groupBy(_._2).flatMap { case (_, evs) =>
+      if (evs.length < 2) Nil
+      else {
+        val vmu = evs.map(e => (e._1, BigInt(math.floor(e._3 * 1e6).toLong)))
+        val n = BigInt(evs.length)
+        val s = vmu.map(_._2).sum
+        val ss = vmu.map(v => v._2 * v._2).sum
+        vmu.filter { case (_, x) =>
+          val dev = n * x - s
+          dev * dev > 4 * (n * ss - s * s)
+        }.map(_._1)
+      }
+    }.toSet
+    assert(ref.nonEmpty, "fixture must plant outliers")
+    assert(got === ref)
+    assert(!got.contains(400L))
+  }
+
+  // ---- per-group dimension profile ----------------------------------------
+
+  test("groupDimProfile sums floor-quantized components exactly per (group, dim)") {
+    val vecs = Seq(
+      (0, Array(0.5f, -1.25f, 2.0f)),
+      (0, Array(1.5f, 0.75f, -0.5f)),
+      (1, Array(-0.1f, 0.0f, 3.25f))
+    ).toDF("label", "embedding")
+    val got = graft.pipeline.LinAlg.groupDimProfile(vecs, "label", "embedding")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    def mu(f: Float): Long = math.floor(f.toDouble * 1e6).toLong
+    assert(got((0, 0L)) === ((2L, mu(0.5f) + mu(1.5f))))
+    assert(got((0, 1L)) === ((2L, mu(-1.25f) + mu(0.75f))))
+    assert(got((0, 2L)) === ((2L, mu(2.0f) + mu(-0.5f))))
+    assert(got((1, 2L)) === ((1L, mu(3.25f))))
+    assert(got.size === 6)
+  }
+
   // ---- entropy ------------------------------------------------------------
 
   test("unigramEntropy matches an exact micro-nat reference") {

@@ -1034,6 +1034,16 @@ object SparkEntry {
     "d_profile_rollup" -> ((s, dir) =>
       Curation.corpusProfile(t(s, dir, "documents"), "source", "lang")),
 
+    // cross-split near-dup leakage: hash splits × minhash clusters — the
+    // train/test contamination check (empty = clean; here the planted
+    // near-dups leak by construction)
+    "d_split_leakage" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Curation.splitLeakage(
+        Curation.hashSplit(docs).select(col("doc_id"), col("split")),
+        Dedup.minHashLSH(docs, threshold = 0.5, poly = true).toDF("doc_id", "rep"))
+    }),
+
     // corpus stats: per-language vocabulary size + token volume (exact
     // distinct — the oracle-checkable baseline; approx_count_distinct is the
     // sketch path at 100 TB)
@@ -1529,6 +1539,18 @@ object SparkEntry {
         .select(col("o_orderkey"), col("xb"), col("yb"),
           col("morton"), col("file_id"))),
 
+    // per-file zone maps over the Z-ordered assignment: the externalized
+    // min/max pruning metadata a 100 TB scan planner skips files with
+    "ev_zone_maps" -> ((s, dir) =>
+      Layout.zoneMaps(
+        Layout.zorderAssign(
+          t(s, dir, "orders")
+            .withColumn("o_day",
+              datediff(col("o_orderdate").cast("date"), lit("1992-01-01").cast("date"))),
+          "o_totalprice", 0.0, 600000.0, "o_day", 0.0, 2560.0,
+          bits = 8, fileBits = 4),
+        "file_id", Seq("xb", "yb", "morton"))),
+
     // semi-structured props column: JSON path extraction feeding an aggregate
     // (get_json_object is codegen'd; the JSON never leaves the scan stage)
     "ev_props_agg" -> ((s, dir) =>
@@ -1986,6 +2008,33 @@ object SparkEntry {
     * retention policy (max n_chars per cluster, ties → min doc_id) — the
     * oracle for Dedup.minHashKeepBest / simHashKeepBest. Swaps the cluster
     * query's final SELECT for the retention tail. */
+  /** Cross-split leakage oracle: splices the minhash cluster oracle with the
+    * d_split hash-assignment CTEs, then counts straddling pairs per split
+    * pair (mirrors [[graft.pipeline.Curation.splitLeakage]]). */
+  private def splitLeakageOracleSql: String = {
+    val base = minhashOracleSql(threshold = 0.5)
+    val tail = "SELECT a AS doc_id, min(b) AS rep FROM reach GROUP BY a"
+    require(base.endsWith(tail), "cluster oracle tail changed")
+    base.dropRight(tail.length).stripSuffix("\n") + ",\n" +
+      s"""cl AS ($tail),
+         |ksl AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS k FROM documents),
+         |hsl AS (SELECT doc_id, ${sqlPoly("cps", 1125899906842597L, 1099511628211L)} AS u
+         |        FROM (SELECT doc_id, list_transform(range(1, length(k) + 1),
+         |                     j -> CAST(unicode(k[j]) AS HUGEINT)) AS cps FROM ksl)),
+         |mm1 AS (SELECT doc_id, (${sqlXorShr("u", 33)} * 6364136223846793005) % $U64 AS u FROM hsl),
+         |mm2 AS (SELECT doc_id, (${sqlXorShr("u", 29)} * 2685821657736338717) % $U64 AS u FROM mm1),
+         |mm3 AS (SELECT doc_id, ${sqlXorShr("u", 32)} AS u FROM mm2),
+         |spl AS (SELECT doc_id, CASE WHEN (u // 2) % 1000 < 900 THEN 'train'
+         |          WHEN (u // 2) % 1000 < 950 THEN 'valid' ELSE 'test' END AS split FROM mm3),
+         |jl AS (SELECT cl.rep, spl.split FROM cl JOIN spl USING (doc_id)),
+         |pcl AS (SELECT rep, split, count(*) AS n FROM jl GROUP BY 1, 2)
+         |SELECT x.split AS split_a, y.split AS split_b,
+         |       CAST(sum(x.n * y.n) AS BIGINT) AS n_pairs,
+         |       count(*) AS n_clusters
+         |FROM pcl x JOIN pcl y ON x.rep = y.rep AND x.split < y.split
+         |GROUP BY 1, 2""".stripMargin
+  }
+
   private def retainOracleSql(base: String): String = {
     val finalSelect = "SELECT a AS doc_id, min(b) AS rep FROM reach GROUP BY a"
     require(base.endsWith(finalSelect), "cluster oracle tail changed")
@@ -3808,6 +3857,26 @@ object SparkEntry {
         |       (CAST(1 AS BIGINT) << 16)
         |         - (CAST(1 AS BIGINT) << (16 - CAST(count(*) AS INT))) AS decay_den
         |FROM w GROUP BY 1""".stripMargin,
+
+    "d_split_leakage" -> splitLeakageOracleSql,
+
+    "ev_zone_maps" -> {
+      val interleave = (0 until 8).map(i =>
+        s"(((xb >> $i) & 1) << ${2 * i}) | (((yb >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" | ")
+      s"""WITH b AS (
+         |  SELECT o_orderkey,
+         |    CAST(least(greatest(floor(o_totalprice * 256 / 600000), 0), 255) AS BIGINT) AS xb,
+         |    CAST(least(greatest(floor(CAST(date_diff('day', DATE '1992-01-01',
+         |      CAST(o_orderdate AS DATE)) AS DOUBLE) * 256 / 2560), 0), 255) AS BIGINT) AS yb
+         |  FROM orders),
+         |m AS (SELECT o_orderkey, xb, yb, CAST($interleave AS BIGINT) AS morton FROM b)
+         |SELECT morton >> 12 AS file_id, count(*) AS n,
+         |       min(xb) AS xb_min, max(xb) AS xb_max,
+         |       min(yb) AS yb_min, max(yb) AS yb_max,
+         |       min(morton) AS morton_min, max(morton) AS morton_max
+         |FROM m GROUP BY 1""".stripMargin
+    },
 
     "ev_outliers" ->
       """WITH ev AS (SELECT event_id, user_id,

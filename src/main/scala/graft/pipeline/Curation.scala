@@ -257,6 +257,30 @@ object Curation {
    * a #groups-row relation, where single-partition windows are free.
    * Returns (groupCol, n_docs, w, alloc).
    */
+  /** Cross-split near-duplicate leakage report — the check every
+    * train/valid/test pipeline owes its evaluation: a near-dup pair with one
+    * member in train and one in test silently inflates benchmark scores, and
+    * hash-based splitting does nothing to prevent it (membership is per-doc,
+    * duplicates are per-CONTENT). Joins a split assignment (idCol, split)
+    * with a dedup clustering (idCol, rep) and counts, per unordered split
+    * pair, the leaking pairs Σ_cluster n_a·n_b and the clusters that leak.
+    * Empty output = clean splits.
+    *
+    * Scale: per-(cluster, split) counts are one combinable aggregate; the
+    * pair expansion self-joins THOSE counts (≤ |splits| rows per cluster),
+    * never the documents. Returns (split_a, split_b, n_pairs, n_clusters). */
+  def splitLeakage(assignments: DataFrame, clusters: DataFrame): DataFrame = {
+    val j = clusters.toDF("id", "rep")
+      .join(assignments.toDF("id", "split"), "id")
+    val pc = j.groupBy(col("rep"), col("split")).agg(count(lit(1)).as("n"))
+    pc.select(col("rep"), col("split").as("split_a"), col("n").as("na"))
+      .join(pc.select(col("rep"), col("split").as("split_b"), col("n").as("nb")), "rep")
+      .filter(col("split_a") < col("split_b"))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(sum(col("na") * col("nb")).cast("long").as("n_pairs"),
+        count(lit(1)).as("n_clusters"))
+  }
+
   /** Multi-level corpus profile in one scan: ROLLUP over (dim1, dim2) —
     * per-(dim1, dim2) cell, per-dim1 subtotal, grand total — the standard
     * corpus-composition report (docs + chars by source and language, with

@@ -66,6 +66,20 @@ object Layout {
       .withColumn("file_id", shiftright(col("morton"), 2 * bits - fileBits))
   }
 
+  /** Zone-map table for a file assignment: per file, row count and min/max
+    * of each listed column — exactly the metadata a scan planner prunes
+    * with (parquet row-group stats, externalized). Over a Z-ordered
+    * assignment the boxes are provably small: with `fileBits` = 2f, a file
+    * fixes the top f bits of BOTH dimensions, so each range spans at most
+    * 2^(bits−f) buckets. One combinable aggregate; emit it after every
+    * ingest batch and the skipping index is always current. */
+  def zoneMaps(df: DataFrame, fileCol: String, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column to profile")
+    val aggs = count(lit(1)).as("n") +: cols.flatMap(c =>
+      Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max")))
+    df.groupBy(col(fileCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Physically cluster by an existing morton column: range-shuffle into
     * `numFiles` output partitions and sort within each so parquet row-group
     * min/max stats are tight on BOTH interleaved dimensions. The shuffle is

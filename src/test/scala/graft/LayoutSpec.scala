@@ -216,6 +216,52 @@ class LayoutSpec extends SparkSpec {
     assert(got(2L) === ref(Seq("x", "x", "y", "z", "z", "z")))
   }
 
+  // ---- split leakage ------------------------------------------------------
+
+  test("splitLeakage counts straddling pairs per split pair") {
+    val assignments = Seq(
+      (0L, "train"), (1L, "test"), (2L, "train"), (3L, "valid"),
+      (4L, "train"), (5L, "train"), (6L, "test")
+    ).toDF("doc_id", "split")
+    // cluster A = {0,1,2} (train,test,train), B = {3,4} (valid,train),
+    // C = {5} singleton, D = {6} singleton
+    val clusters = Seq(
+      (0L, 0L), (1L, 0L), (2L, 0L), (3L, 3L), (4L, 3L), (5L, 5L), (6L, 6L)
+    ).toDF("doc_id", "rep")
+    val got = Curation.splitLeakage(assignments, clusters)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // A: 2 train × 1 test = 2 pairs; B: 1 train × 1 valid = 1 pair
+    assert(got(("test", "train")) === ((2L, 1L)))
+    assert(got(("train", "valid")) === ((1L, 1L)))
+    assert(got.size === 2)
+  }
+
+  test("splitLeakage is empty when no cluster straddles splits") {
+    val assignments = Seq((0L, "train"), (1L, "train"), (2L, "test"))
+      .toDF("doc_id", "split")
+    val clusters = Seq((0L, 0L), (1L, 0L), (2L, 2L)).toDF("doc_id", "rep")
+    assert(Curation.splitLeakage(assignments, clusters).count() === 0L)
+  }
+
+  // ---- zone maps ----------------------------------------------------------
+
+  test("zoneMaps boxes respect the Z-tile bound: each file spans at most " +
+    "2^(bits-f) buckets per dimension") {
+    val rnd = new Random(13)
+    val df = Seq.tabulate(2000)(i =>
+      (i.toLong, rnd.nextDouble() * 1000.0, rnd.nextDouble() * 1000.0))
+      .toDF("id", "x", "y")
+    val z = Layout.zorderAssign(df, "x", 0.0, 1000.0, "y", 0.0, 1000.0,
+      bits = 8, fileBits = 4)
+    val zm = Layout.zoneMaps(z, "file_id", Seq("xb", "yb"))
+    val bad = zm.filter(
+      col("xb_max") - col("xb_min") >= 64 || col("yb_max") - col("yb_min") >= 64)
+      .count()
+    assert(bad === 0L)
+    assert(zm.agg(sum(col("n"))).first().getLong(0) === 2000L)
+  }
+
   // ---- rollup profile -----------------------------------------------------
 
   test("corpusProfile rollup equals the three separate aggregates") {

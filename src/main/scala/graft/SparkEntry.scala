@@ -1023,6 +1023,11 @@ object SparkEntry {
     "d_entropy" -> ((s, dir) =>
       TextAnalysis.unigramEntropy(t(s, dir, "documents"))),
 
+    // document-level token co-occurrence with PMI in integer micro-nats —
+    // collocation mining over distinct-token sets, support-thresholded
+    "d_cooccur" -> ((s, dir) =>
+      TextAnalysis.cooccurrence(t(s, dir, "documents"), minSupport = 5)),
+
     // exact edit-distance similarity join (Ed-Join count filtering: rare
     // positional q-gram prefixes → candidates, thresholded levenshtein
     // verify) — finds the planted near-identical pairs without an all-pairs
@@ -1150,6 +1155,19 @@ object SparkEntry {
       // cell assignment, nprobe search) is DuckDB-oracle-checkable
       Ann.ivfKnn(emb, emb, 3, nlist = 16, nprobe = 4, iters = 2, hashInit = false)
         .select(col("query_id"), col("nbr_id"), col("rank"))
+    }),
+
+    // recall@k of the nprobe=4 IVF search against exhaustive search (probe
+    // every cell = brute force minus self) — the ANN quality report as
+    // exact per-query integers
+    "e_knn_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val approx = Ann.ivfKnn(emb, emb, 3, nlist = 16, nprobe = 4, iters = 2,
+        hashInit = false).select(col("query_id"), col("nbr_id"))
+      val exact = Ann.ivfKnn(emb, emb, 3, nlist = 16, nprobe = 16, iters = 2,
+        hashInit = false).select(col("query_id"), col("nbr_id"))
+      Ann.recallAtK(exact, approx)
     }),
 
     // incremental IVF maintenance: train + index 80% of the vectors, fold
@@ -2008,6 +2026,43 @@ object SparkEntry {
     * retention policy (max n_chars per cluster, ties → min doc_id) — the
     * oracle for Dedup.minHashKeepBest / simHashKeepBest. Swaps the cluster
     * query's final SELECT for the retention tail. */
+  /** Recall@k oracle: one Lloyd prefix, then BOTH rankings from a single
+    * all-cells similarity relation — the exact top-k is the nprobe = nlist
+    * ranking (probing every cell IS brute force, minus self), the
+    * approximate one restricts candidates to each query's `nprobe` nearest
+    * cells (`crn`) before ranking. Mirrors
+    * [[graft.pipeline.Ann.recallAtK]] over two [[graft.pipeline.Ann.ivfKnn]]
+    * runs that differ only in nprobe. */
+  private def knnRecallOracleSql(nlist: Int, nprobe: Int, iters: Int,
+                                 k: Int, dim: Int = 64): String = {
+    val sb = new StringBuilder
+    sb ++= lloydCellsSqlPrefix(nlist, iters, dim, "TRUE")
+    sb ++= s""",
+       |qpr AS MATERIALIZED (SELECT id AS query_id, cl AS cell,
+       |  row_number() OVER (PARTITION BY id ORDER BY dd, cl) AS crn FROM fd),
+       |cnd AS MATERIALIZED (SELECT q.query_id, c.id AS nbr_id, q.crn
+       |        FROM qpr q JOIN ca c ON q.cell = c.cell AND q.query_id <> c.id),
+       |sm AS MATERIALIZED (SELECT cnd.query_id, cnd.nbr_id, cnd.crn,
+       |  CASE WHEN sqrt(list_dot_product(qv.e, qv.e)) > 0
+       |        AND sqrt(list_dot_product(cv.e, cv.e)) > 0
+       |       THEN list_dot_product(qv.e, cv.e) /
+       |            (sqrt(list_dot_product(qv.e, qv.e)) * sqrt(list_dot_product(cv.e, cv.e)))
+       |       ELSE 0.0 END AS sim
+       |  FROM cnd JOIN v qv ON qv.id = cnd.query_id JOIN v cv ON cv.id = cnd.nbr_id),
+       |ex AS (SELECT query_id, nbr_id FROM (
+       |  SELECT query_id, nbr_id,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id) AS rnk
+       |  FROM sm) WHERE rnk <= $k),
+       |ap AS (SELECT query_id, nbr_id FROM (
+       |  SELECT query_id, nbr_id,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id) AS rnk
+       |  FROM sm WHERE crn <= $nprobe) WHERE rnk <= $k)
+       |SELECT e.query_id, count(a.nbr_id) AS hits, count(*) AS k
+       |FROM ex e LEFT JOIN ap a ON e.query_id = a.query_id AND e.nbr_id = a.nbr_id
+       |GROUP BY 1""".stripMargin
+    sb.toString
+  }
+
   /** Cross-split leakage oracle: splices the minhash cluster oracle with the
     * d_split hash-assignment CTEs, then counts straddling pairs per split
     * pair (mirrors [[graft.pipeline.Curation.splitLeakage]]). */
@@ -3859,6 +3914,24 @@ object SparkEntry {
         |FROM w GROUP BY 1""".stripMargin,
 
     "d_split_leakage" -> splitLeakageOracleSql,
+
+    "e_knn_recall" -> knnRecallOracleSql(nlist = 16, nprobe = 4, iters = 2, k = 3),
+
+    "d_cooccur" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(list_sort(list_distinct(
+        |    string_split_regex(lower(trim(text)), '\s+')))[1:1000]) AS t
+        |  FROM documents),
+        |tot AS (SELECT count(*) AS n_docs FROM documents),
+        |dfq AS (SELECT t, count(*) AS df FROM tk GROUP BY 1),
+        |pr AS (SELECT a.t AS t1, b.t AS t2, count(*) AS n_pair
+        |       FROM tk a JOIN tk b ON a.doc_id = b.doc_id AND a.t < b.t
+        |       GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT t1, t2, CAST(n_pair AS BIGINT) AS n_pair,
+        |  CAST(round(ln(CAST(n_pair * n_docs AS DOUBLE) /
+        |    CAST(d1.df * d2.df AS DOUBLE)) * 1000000) AS BIGINT) AS pmi_micro
+        |FROM pr JOIN dfq d1 ON pr.t1 = d1.t JOIN dfq d2 ON pr.t2 = d2.t
+        |CROSS JOIN tot""".stripMargin,
 
     "ev_zone_maps" -> {
       val interleave = (0 until 8).map(i =>

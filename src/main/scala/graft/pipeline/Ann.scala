@@ -248,6 +248,20 @@ object Ann {
 
   /** IVF approximate top-k: index = assign corpus to cells; query probes its
     * `nprobe` nearest cells only. */
+  /** Recall@k report: fraction of the EXACT top-k each approximate search
+    * recovered, per query — the number that justifies (or indicts) an ANN
+    * configuration before it ships. Both inputs are (query_id, nbr_id)
+    * result sets; output is (query_id, hits, k) with hits = |exact ∩
+    * approx| and k = |exact| for that query — exact integers, so the report
+    * hash-gates across engines (a ratio would not). Aggregate recall =
+    * Σhits/Σk, computed downstream. Scale: one hash join on the RESULT
+    * frames (|Q|·k rows), independent of corpus size. */
+  def recallAtK(exact: DataFrame, approx: DataFrame): DataFrame =
+    exact.join(approx.withColumn("hit", lit(1)), Seq("query_id", "nbr_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("hits"),
+        count(lit(1)).as("k"))
+
   def ivfKnn(corpus: DataFrame, queries: DataFrame, k: Int,
              nlist: Int = 64, nprobe: Int = 8, iters: Int = 3,
              idCol: String = "vec_id", vecCol: String = "embedding",

@@ -233,6 +233,49 @@ object TextAnalysis {
         round((sum(col("_lpm")) / 1e6) / sum(col("tf")), 6).as("lm_score"))
   }
 
+  /** Token co-occurrence pairs with pointwise mutual information — the
+    * corpus-association statistic behind collocation mining, topic seeds,
+    * and word-vector objectives: for token pair (t1, t2),
+    * `pmi = ln(n_pair·N / (df1·df2))` over DOCUMENT-level co-occurrence
+    * (each doc contributes its distinct-token set once). Returns
+    * (t1, t2, n_pair, pmi_micro) for pairs in ≥ `minSupport` docs, t1 < t2,
+    * pmi quantized to integer micro-nats (the [[lmScore]] cross-engine
+    * discipline; the exact integer counts ride along).
+    *
+    * Scale: the pair expansion is per-doc quadratic in DISTINCT tokens, so
+    * `maxVocabPerDoc` hard-caps it (sorted-prefix truncation — a
+    * deterministic pure function of the doc, so reruns and engines agree);
+    * beyond the cap a document's tail vocabulary is rare by Zipf and
+    * contributes little mass to any frequent pair. Counts and document
+    * frequencies are combinable aggregates; the df join keys on single
+    * tokens (probe-side skew only — hot tokens are exactly the ones AQE
+    * handles). */
+  def cooccurrence(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text", minSupport: Int = 2,
+                   maxVocabPerDoc: Int = 1000): DataFrame = {
+    require(minSupport >= 1 && maxVocabPerDoc >= 2, "bad parameters")
+    val toks = Dedup.spread(docs)
+      .select(col(idCol).as("id"),
+        explode(expr(
+          s"slice(array_sort(array_distinct(split(lower(trim($textCol)), '\\\\s+'))), 1, $maxVocabPerDoc)"))
+          .as("t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = docs.agg(count(lit(1)).as("n_docs"))
+    val dfreq = toks.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val pairs = toks.toDF("id", "t1").join(toks.toDF("id", "t2"), "id")
+      .filter(col("t1") < col("t2"))
+      .groupBy(col("t1"), col("t2")).agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minSupport)
+    pairs
+      .join(dfreq.toDF("t1", "df1"), "t1")
+      .join(dfreq.toDF("t2", "df2"), "t2")
+      .crossJoin(broadcast(totals))
+      .select(col("t1"), col("t2"), col("n_pair").cast("long").as("n_pair"),
+        round(log((col("n_pair") * col("n_docs")).cast("double") /
+          (col("df1") * col("df2")).cast("double")) * 1e6).cast("long")
+          .as("pmi_micro"))
+  }
+
   /** Per-document unigram (token) entropy — the "information density"
     * quality signal: H = Σ_t (tf/n)·ln(n/tf) over the document's own token
     * distribution. Near-zero entropy flags degenerate repetition (a page of

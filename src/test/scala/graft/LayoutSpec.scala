@@ -216,6 +216,59 @@ class LayoutSpec extends SparkSpec {
     assert(got(2L) === ref(Seq("x", "x", "y", "z", "z", "z")))
   }
 
+  // ---- recall report ------------------------------------------------------
+
+  test("recallAtK counts exact-result hits per query, including zero-hit queries") {
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L), (2L, 22L))
+      .toDF("query_id", "nbr_id")
+    val approx = Seq((1L, 10L), (1L, 12L), (1L, 99L), (2L, 30L), (2L, 31L), (2L, 32L))
+      .toDF("query_id", "nbr_id")
+    val got = graft.pipeline.Ann.recallAtK(exact, approx)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L) === ((2L, 3L)))
+    assert(got(2L) === ((0L, 3L)))
+  }
+
+  test("ivfKnn probing all cells equals itself restricted: recall 1.0") {
+    val rnd = new Random(17)
+    val emb = Seq.tabulate(60)(i =>
+      (i.toLong, Array.fill(8)(rnd.nextDouble() * 2 - 1))).toDF("vec_id", "embedding")
+    val full = graft.pipeline.Ann.ivfKnn(emb, emb, 2, nlist = 4, nprobe = 4,
+      iters = 2, hashInit = false).select(col("query_id"), col("nbr_id"))
+    val rec = graft.pipeline.Ann.recallAtK(full, full)
+    assert(rec.filter(col("hits") =!= col("k")).count() === 0L)
+    assert(rec.count() === 60L)
+  }
+
+  // ---- co-occurrence / PMI ------------------------------------------------
+
+  test("cooccurrence matches an exact reference incl. PMI micro-nats") {
+    val docs = Seq(
+      (0L, "spark scala data"), (1L, "spark data"), (2L, "spark scala"),
+      (3L, "rust tokio"), (4L, "spark data lake")
+    ).toDF("doc_id", "text")
+    val got = graft.pipeline.TextAnalysis.cooccurrence(docs, minSupport = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val n = 5.0
+    def pmi(np: Long, d1: Long, d2: Long): Long =
+      math.round(math.log(np * n / (d1.toDouble * d2)) * 1e6)
+    // df: spark=4, data=3, scala=2, lake=1, rust=1, tokio=1
+    assert(got(("data", "spark")) === ((3L, pmi(3, 3, 4))))
+    assert(got(("scala", "spark")) === ((2L, pmi(2, 2, 4))))
+    assert(!got.contains(("data", "scala"))) // support 1 < minSupport
+    assert(got.size === 2)
+  }
+
+  test("cooccurrence caps per-doc vocabulary deterministically") {
+    val wide = (0 until 50).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((0L, wide), (1L, wide)).toDF("doc_id", "text")
+    // cap at 10 distinct tokens → C(10,2)=45 pairs, all support 2
+    val got = graft.pipeline.TextAnalysis.cooccurrence(docs, minSupport = 2,
+      maxVocabPerDoc = 10)
+    assert(got.count() === 45L)
+  }
+
   // ---- split leakage ------------------------------------------------------
 
   test("splitLeakage counts straddling pairs per split pair") {

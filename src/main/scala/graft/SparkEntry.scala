@@ -853,6 +853,16 @@ object SparkEntry {
       roundtripSummary(graft.core.GraphIO.readOrc(s, path))
     }),
 
+    // Hive-partitioned layout roundtrip: write partitionBy(lang), read the
+    // tree back — the partition cycle must be invisible to the content
+    // fingerprint (the pruning behavior itself is plan-spec'd)
+    "d_partitioned_roundtrip" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val path = "/tmp/graft_io/documents_bylang"
+      graft.core.GraphIO.writePartitioned(docs, path, "lang")
+      roundtripSummary(graft.core.GraphIO.readPartitioned(s, path))
+    }),
+
     // multi-policy dedup funnel: docs/tokens surviving each policy — the
     // one-glance comparison of exact, near-dup-cluster, and span-removal
     // aggressiveness over the same corpus
@@ -1038,6 +1048,31 @@ object SparkEntry {
     // one-scan ROLLUP corpus profile: (source, lang) cells + marginals
     "d_profile_rollup" -> ((s, dir) =>
       Curation.corpusProfile(t(s, dir, "documents"), "source", "lang")),
+
+    // edit-distance dedup clusters: WCC over the exact lev<=8 pair graph —
+    // the fifth gated clustering policy (exact/minhash/simhash/semantic/edit)
+    "d_edit_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.clustersFromPairs(docs.select(col("doc_id").as("id")),
+        Dedup.editDistancePairs(docs, maxDist = 8, q = 5))
+        .toDF("doc_id", "rep")
+    }),
+
+    // snapshot diff between two deterministic corpus versions (drop 'test'
+    // docs vs drop 'valid' docs + mutate 'de' texts): added/removed/changed
+    // by Poly64 content fingerprint — the incremental-ingest audit
+    "d_snapshot_diff" -> ((s, dir) => {
+      val split = Curation.hashSplit(t(s, dir, "documents"))
+      val fp = (d: DataFrame) => d.select(col("doc_id"),
+        graft.functions.Poly64.poly64(
+          regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fp"))
+      val v1 = split.filter(col("split") =!= "test")
+      val v2 = split.filter(col("split") =!= "valid")
+        .withColumn("text", when(col("lang") === "de",
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      Curation.snapshotDiff(fp(v1), fp(v2))
+        .filter(col("status") =!= "unchanged")
+    }),
 
     // cross-split near-dup leakage: hash splits × minhash clusters — the
     // train/test contamination check (empty = clean; here the planted
@@ -1538,6 +1573,11 @@ object SparkEntry {
     // so the flag set is bit-identical across engines and shuffle orders)
     "ev_outliers" -> ((s, dir) =>
       Events.outliers(events(s, dir), sigmas = 2)),
+
+    // robust median/MAD outliers (heavy-tail-safe): exact rank-based
+    // medians via bucket-histogram selection, all integer micro-units
+    "ev_robust_outliers" -> ((s, dir) =>
+      Events.robustOutliers(events(s, dir), k = 3)),
 
     // per-label per-dimension embedding moment profile (drift-monitoring
     // building block): floor-quantized micro-unit sums, BIGINT-exact
@@ -3393,6 +3433,8 @@ object SparkEntry {
 
     "d_orc_roundtrip" -> docRoundtripOracle,
 
+    "d_partitioned_roundtrip" -> docRoundtripOracle,
+
     "d_dedup_report" -> dedupReportOracleSql,
 
     // duplicated-span coverage: window strings replayed literally (Spark
@@ -3914,6 +3956,74 @@ object SparkEntry {
         |FROM w GROUP BY 1""".stripMargin,
 
     "d_split_leakage" -> splitLeakageOracleSql,
+
+    "d_edit_clusters" ->
+      """WITH RECURSIVE
+        |p AS (SELECT a.doc_id AS a, b.doc_id AS b
+        |      FROM documents a JOIN documents b
+        |        ON a.doc_id < b.doc_id
+        |       AND abs(length(a.text) - length(b.text)) <= 8
+        |      WHERE levenshtein(a.text, b.text) <= 8),
+        |sym AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+        |reach(a, b) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
+        |SELECT a AS doc_id, min(b) AS rep FROM reach GROUP BY a""".stripMargin,
+
+    "d_snapshot_diff" -> {
+      def fpSql(textExpr: String): String = {
+        val norm = s"regexp_replace(lower(trim($textExpr)), '\\s+', ' ', 'g')"
+        s"""(SELECT doc_id, ${sqlU2S(sqlPoly("cps", 1125899906842597L, 1099511628211L))} AS fp
+           | FROM (SELECT doc_id, list_transform(range(1, length(nt) + 1),
+           |         j -> CAST(unicode(nt[j]) AS HUGEINT)) AS cps
+           |       FROM (SELECT doc_id, $norm AS nt FROM vv)))""".stripMargin
+      }
+      s"""WITH ks AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS k FROM documents),
+         |hs AS (SELECT doc_id, ${sqlPoly("cps", 1125899906842597L, 1099511628211L)} AS u
+         |       FROM (SELECT doc_id, list_transform(range(1, length(k) + 1),
+         |                    j -> CAST(unicode(k[j]) AS HUGEINT)) AS cps FROM ks)),
+         |m1 AS (SELECT doc_id, (${sqlXorShr("u", 33)} * 6364136223846793005) % $U64 AS u FROM hs),
+         |m2 AS (SELECT doc_id, (${sqlXorShr("u", 29)} * 2685821657736338717) % $U64 AS u FROM m1),
+         |m3 AS (SELECT doc_id, ${sqlXorShr("u", 32)} AS u FROM m2),
+         |spl AS (SELECT doc_id, CASE WHEN (u // 2) % 1000 < 900 THEN 'train'
+         |          WHEN (u // 2) % 1000 < 950 THEN 'valid' ELSE 'test' END AS split FROM m3),
+         |f1 AS (SELECT * FROM (WITH vv AS (
+         |         SELECT d.doc_id, d.text FROM documents d JOIN spl USING (doc_id)
+         |         WHERE spl.split <> 'test')
+         |       SELECT * FROM ${fpSql("text")} x)),
+         |f2 AS (SELECT * FROM (WITH vv AS (
+         |         SELECT d.doc_id,
+         |                CASE WHEN d.lang = 'de' THEN d.text || ' v2' ELSE d.text END AS text
+         |         FROM documents d JOIN spl USING (doc_id)
+         |         WHERE spl.split <> 'valid')
+         |       SELECT * FROM ${fpSql("text")} x))
+         |SELECT coalesce(f1.doc_id, f2.doc_id) AS doc_id,
+         |       CASE WHEN f1.doc_id IS NULL THEN 'added'
+         |            WHEN f2.doc_id IS NULL THEN 'removed'
+         |            WHEN f1.fp <> f2.fp THEN 'changed'
+         |            ELSE 'unchanged' END AS status
+         |FROM f1 FULL OUTER JOIN f2 ON f1.doc_id = f2.doc_id
+         |WHERE NOT (f1.doc_id IS NOT NULL AND f2.doc_id IS NOT NULL AND f1.fp = f2.fp)""".stripMargin
+    },
+
+    "ev_robust_outliers" ->
+      """WITH ev AS (SELECT event_id, user_id,
+        |              CAST(floor(value * 1000000) AS BIGINT) AS vmu FROM events),
+        |r1 AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY vmu) AS rn,
+        |              count(*) OVER (PARTITION BY user_id) AS n FROM ev),
+        |med AS (SELECT user_id, vmu AS med_mu FROM r1
+        |        WHERE rn = greatest(1, CAST(ceil(0.5 * n) AS BIGINT))),
+        |d AS (SELECT e.event_id, e.user_id, e.vmu, m.med_mu,
+        |             abs(e.vmu - m.med_mu) AS dev
+        |      FROM ev e JOIN med m USING (user_id)),
+        |r2 AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY dev) AS rn,
+        |              count(*) OVER (PARTITION BY user_id) AS n FROM d),
+        |mad AS (SELECT user_id, dev AS mad_mu FROM r2
+        |        WHERE rn = greatest(1, CAST(ceil(0.5 * n) AS BIGINT)))
+        |SELECT d.event_id, d.user_id, d.vmu, d.med_mu, m.mad_mu
+        |FROM d JOIN mad m USING (user_id)
+        |WHERE d.dev > 3 * m.mad_mu""".stripMargin,
 
     "e_knn_recall" -> knnRecallOracleSql(nlist = 16, nprobe = 4, iters = 2, k = 3),
 

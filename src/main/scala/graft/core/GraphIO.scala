@@ -136,6 +136,22 @@ object GraphIO {
   def readOrc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 
+  /** Hive-style partitioned parquet write: one directory per distinct value
+    * combination of `cols`. At 100 TB this is the coarsest and cheapest
+    * pruning layer — a filter on a partition column never opens the other
+    * directories at all (PartitionFilters in the scan, before row-group
+    * stats even apply) — so low-cardinality dimensions every query filters
+    * on (language, source, date) belong here, and high-cardinality ones do
+    * not (a million directories of one file each is a listing bottleneck,
+    * not a layout). */
+  def writePartitioned(df: DataFrame, path: String, cols: String*): Unit =
+    df.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
+
+  /** Read a partitioned parquet tree (partition columns recovered from
+    * directory names). */
+  def readPartitioned(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
   /** Write any frame as headered CSV; quote/escape set for lossless text
     * columns (embedded commas/quotes survive the roundtrip). */
   def writeCsv(df: DataFrame, path: String): Unit =

@@ -183,13 +183,19 @@ object Ann {
   def mutualKnnComponents(corpus: DataFrame, k: Int, blocks: Int = 8,
                           idCol: String = "vec_id",
                           vecCol: String = "embedding"): DataFrame = {
+    // localCheckpoint: the graph feeds BOTH sides of the mutuality
+    // self-join and then an iterative WCC — without truncation the full
+    // blocked kNN recomputes once per reference
     val ed = knnGraphBlocked(corpus, k, blocks, idCol, vecCol)
       .select(col("query_id").as("a"), col("nbr_id").as("b"))
+      .localCheckpoint(true)
     val mutual = ed
       .join(ed.select(col("b").as("a"), col("a").as("b")), Seq("a", "b"), "left_semi")
       .filter(col("a") < col("b"))
       .select(col("a").as("src"), col("b").as("dst"), lit(1L).as("value"))
+      .localCheckpoint(true)
     val verts = corpus.select(col(idCol).as("id"), col(idCol).as("value"))
+      .localCheckpoint(true)
     graft.algos.GraphAlgorithms.wcc(graft.core.KGraph(verts, mutual))
   }
 

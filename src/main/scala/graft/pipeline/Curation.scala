@@ -257,6 +257,26 @@ object Curation {
    * a #groups-row relation, where single-partition windows are free.
    * Returns (groupCol, n_docs, w, alloc).
    */
+  /** Snapshot diff by content fingerprint: classifies every id across two
+    * corpus snapshots as added / removed / changed / unchanged — the
+    * incremental-ingest primitive (what must a downstream index or dedup
+    * structure reprocess?) and the audit primitive (what did this refresh
+    * actually touch?). Inputs are (idCol, fpCol) projections; pass a
+    * deterministic content hash (e.g. Poly64 over normalized text) so
+    * "changed" means the CONTENT moved, not that a row was rewritten
+    * byte-identically. One full-outer hash join on id — shuffle on the id
+    * key at any scale, no windows. */
+  def snapshotDiff(v1: DataFrame, v2: DataFrame, idCol: String = "doc_id",
+                   fpCol: String = "fp"): DataFrame =
+    v1.select(col(idCol).as("_id"), col(fpCol).as("_fp1"))
+      .join(v2.select(col(idCol).as("_id"), col(fpCol).as("_fp2")),
+        Seq("_id"), "full_outer")
+      .select(col("_id").as(idCol),
+        when(col("_fp1").isNull, "added")
+          .when(col("_fp2").isNull, "removed")
+          .when(col("_fp1") =!= col("_fp2"), "changed")
+          .otherwise("unchanged").as("status"))
+
   /** Cross-split near-duplicate leakage report — the check every
     * train/valid/test pipeline owes its evaluation: a near-dup pair with one
     * member in train and one in test silently inflates benchmark scores, and

@@ -655,19 +655,21 @@ object Dedup {
     * `levenshtein(a, b) ≤ maxDist`, found WITHOUT an all-pairs product.
     *
     * Filter argument: one edit operation destroys at most `q` of a string's
-    * positional character q-grams, so `lev(a,b) ≤ k` implies the multiset
-    * difference `|G(a) ∖ G(b)| ≤ q·k` — if NONE of any `q·k+1`-element
-    * subset of `G(a)` occurs in `G(b)`, the pair cannot qualify. We take
-    * each document's `q·k+1` RAREST grams (document-frequency ascending —
-    * any subset is sound; the rarest one is the selective one) and join that
-    * prefix against the full gram index: every qualifying pair must collide
-    * on at least one prefix gram. Multiset semantics come from occurrence
+    * positional character q-grams and creates at most `q` in the result, so
+    * `lev(a,b) ≤ k` bounds BOTH multiset differences by `q·k`:
+    * `|G(a) ∩ G(b)| ≥ max(|G(a)|, |G(b)|) − q·k`. By the sorted-prefix
+    * lemma (Chaudhuri et al. 2006), under ANY shared total order the two
+    * `q·k+1`-element prefixes must then intersect — so the candidate join
+    * is PREFIX × PREFIX, never prefix × full index (the full-index probe is
+    * the difference between Σ df over rare grams and Σ df over everything).
+    * We order by document frequency ascending so the prefixes hold each
+    * document's rarest grams. Multiset semantics come from occurrence
     * numbering — gram key = hash(gram, occurrence#), so `aaa…` can't
     * over-match (hash collisions only ever ADD candidates, never drop one).
-    * Candidates then pass the `|len(a)−len(b)| ≤ k` length filter and are
-    * verified with the thresholded native `levenshtein(l, r, k)` — the DP
-    * early-exits past k, so verify cost per candidate is O(k·len), not
-    * O(len²).
+    * The `|len(a)−len(b)| ≤ k` length filter runs INSIDE the candidate join
+    * (before the dedup shuffle), and survivors are verified with the
+    * thresholded native `levenshtein(l, r, k)` — the DP early-exits past k,
+    * so verify cost per candidate is O(k·len), not O(len²).
     *
     * Strings shorter than `q` have no grams and bypass the filter through a
     * broadcast length-band join (any partner is ≤ q−1+k chars — a corpus's
@@ -688,13 +690,15 @@ object Dedup {
       .withColumn("len", length(col("txt")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val prefLen = q * maxDist + 1
-    // positional-multiset gram index: key = hash(gram, occurrence#)
+    // positional-multiset gram index: key = hash(hash(gram), occurrence#).
+    // Grams hash to longs BEFORE the (id, gram) shuffle — the exchange
+    // carries 8-byte keys, never q-char strings.
     val multiset = base.filter(col("len") >= q)
       .select(col("id"), explode(expr(
-        s"transform(sequence(1, len - ${q - 1}), i -> substring(txt, i, $q))")).as("g"))
-      .groupBy(col("id"), col("g")).agg(count(lit(1)).as("c"))
+        s"transform(sequence(1, len - ${q - 1}), i -> xxhash64(substring(txt, i, $q)))")).as("gh"))
+      .groupBy(col("id"), col("gh")).agg(count(lit(1)).as("c"))
       .select(col("id"), explode(expr(
-        "transform(sequence(1, CAST(c AS INT)), o -> xxhash64(g, o))")).as("h"))
+        "transform(sequence(1, CAST(c AS INT)), o -> xxhash64(gh, o))")).as("h"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val dfreq = multiset.groupBy(col("h")).agg(count(lit(1)).as("df"))
     val pref = multiset.join(dfreq, "h")
@@ -702,11 +706,14 @@ object Dedup {
       .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("o"))
       .select(col("id"),
         expr(s"transform(slice(o, 1, $prefLen), x -> x.h)").as("ph"))
-    val gramCand = pref.select(col("id").as("a"), explode(col("ph")).as("h"))
-      .join(multiset.select(col("id").as("b"), col("h")), Seq("h"))
-      .filter(col("a") =!= col("b"))
-      .select(least(col("a"), col("b")).as("a"),
-        greatest(col("a"), col("b")).as("b"))
+      .join(base.select(col("id"), col("len")), Seq("id"))
+    val prefExpl = pref
+      .select(col("id"), col("len"), explode(col("ph")).as("h"))
+    val gramCand = prefExpl.toDF("a", "lenA", "h")
+      .join(prefExpl.toDF("b", "lenB", "h"), Seq("h"))
+      .filter(col("a") < col("b") &&
+        abs(col("lenA") - col("lenB")) <= maxDist)
+      .select(col("a"), col("b"))
       .distinct()
     // sub-q-gram strings: tiny by the length-band bound — broadcast join
     val shorts = base.filter(col("len") < q)

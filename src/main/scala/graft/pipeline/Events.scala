@@ -322,6 +322,39 @@ object Events {
       .select(col(idCol), col(keyCol), col("vmu"))
   }
 
+  /** Robust per-key outliers (median/MAD): flags events with
+    * `|x − med| > k·MAD`, the heavy-tail-safe alternative to [[outliers]] —
+    * a single extreme spike inflates mean AND σ (masking itself), but moves
+    * the median and the median absolute deviation not at all. Everything
+    * runs in micro-unit integer space with EXACT medians (value at rank
+    * `max(1, ⌈n/2⌉)` — interpolation-free, so the flag set is engine- and
+    * shuffle-order-exact like [[outliers]]'s). MAD = 0 (at least half the
+    * key's values identical) degenerates to flagging ANY deviation from
+    * the median — the textbook behavior, deterministic.
+    *
+    * Scale: both medians go through
+    * [[Curation.exactQuantilesPerGroup]]'s bucket-histogram rank selection
+    * — only candidate-bucket rows are ever window-sorted, so a hot key
+    * costs a bounded sort group, not an n·log n partition sort. Returns
+    * flagged events only: (idCol, keyCol, vmu, med_mu, mad_mu). */
+  def robustOutliers(events: DataFrame, keyCol: String = "user_id",
+                     valueCol: String = "value", idCol: String = "event_id",
+                     k: Int = 3): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val withV = events.withColumn("vmu",
+      floor(col(valueCol) * lit(1e6)).cast("long"))
+    val med = Curation.exactQuantilesPerGroup(withV, keyCol, "vmu", Seq(0.5))
+      .select(col(keyCol).as("_gk"), col("value").cast("long").as("med_mu"))
+    val withDev = withV.withColumn("_gk", col(keyCol).cast("string"))
+      .join(med, "_gk")
+      .withColumn("dev", abs(col("vmu") - col("med_mu")))
+    val mad = Curation.exactQuantilesPerGroup(withDev, "_gk", "dev", Seq(0.5))
+      .select(col("_gk"), col("value").cast("long").as("mad_mu"))
+    withDev.join(mad, "_gk")
+      .filter(col("dev") > lit(k.toLong) * col("mad_mu"))
+      .select(col(idCol), col(keyCol), col("vmu"), col("med_mu"), col("mad_mu"))
+  }
+
   def rangeJoin(points: DataFrame, intervals: DataFrame,
                 ptCol: String, startCol: String, endCol: String,
                 binWidth: Long, keyCols: Seq[String] = Nil): DataFrame = {
@@ -383,6 +416,55 @@ object Events {
       .distinct()
       .groupBy(col("cohort_day"), col("day_offset"))
       .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Per-key buffer for [[decayedValueStream]]: the `window` most recent
+    * (tsMicros, eventId, vmu) triples, newest first. */
+  case class DecayBuffer(buf: Seq[(Long, Long, Long)])
+
+  /** One refreshed decayed aggregate emitted by [[decayedValueStream]]. */
+  case class DecayRow(user_id: Long, n_window: Long,
+                      decay_num: Long, decay_den: Long)
+
+  /** Online maintenance of [[decayedValue]]: per key, keep the `window`
+    * most recent events in state (merge each micro-batch, truncate — the
+    * top-`window` of everything seen is preserved by merge-then-truncate
+    * because the kept set only ever grows newer) and emit the refreshed
+    * integer-exact aggregate per updated key per batch. Arrival order is
+    * irrelevant: after any batch, the emitted row equals the BATCH
+    * [[decayedValue]] over all events delivered so far — the property the
+    * spec pins against shuffled logs. State is O(window) per key, no
+    * timeout needed. Run with OutputMode.Update. */
+  def decayedValueStream(events: DataFrame, keyCol: String = "user_id",
+                         tsCol: String = "ts", valueCol: String = "value",
+                         idCol: String = "event_id",
+                         window: Int = 16): org.apache.spark.sql.Dataset[DecayRow] = {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    require(window >= 1 && window <= 40, "window must be in [1, 40]")
+    val spark = events.sparkSession
+    import spark.implicits._
+    def micros(t: java.sql.Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    val typed = events
+      .select(col(keyCol).cast("long"), col(tsCol),
+        col(idCol).cast("long"), col(valueCol).cast("double"))
+      .as[(Long, java.sql.Timestamp, Long, Double)]
+    typed.groupByKey(_._1)
+      .mapGroupsWithState[DecayBuffer, DecayRow](GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, Double)],
+         state: org.apache.spark.sql.streaming.GroupState[DecayBuffer]) =>
+          var buf = state.getOption.map(_.buf.toVector).getOrElse(Vector.empty)
+          rows.foreach { case (_, t, id, v) =>
+            buf = buf :+ ((micros(t), id, math.floor(v * 1e6).toLong))
+          }
+          buf = buf.sortBy(e => (-e._1, -e._2)).take(window)
+          state.update(DecayBuffer(buf))
+          val m = buf.length
+          val num = buf.zipWithIndex.map { case (e, j) =>
+            e._3 * (1L << (window - 1 - j))
+          }.sum
+          DecayRow(user, m, num, (1L << window) - (1L << (window - m)))
+      }
   }
 
   /** Open-session state for [[sessionizeStream]]: disjoint (startMicros,

@@ -193,6 +193,43 @@ class LayoutSpec extends SparkSpec {
     assert(got.size === 6)
   }
 
+  // ---- robust outliers ----------------------------------------------------
+
+  test("robustOutliers matches a rank-median reference; spike cannot mask itself") {
+    val rnd = new Random(23)
+    val events = (0 until 300).map { i =>
+      val user = (i % 5).toLong
+      val v = if (i % 37 == 0) 5000.0 + rnd.nextDouble() * 100 else 50.0 + rnd.nextDouble() * 5
+      (i.toLong, user, v)
+    }
+    val df = events.toDF("event_id", "user_id", "value")
+    val got = graft.pipeline.Events.robustOutliers(df, k = 3)
+      .collect().map(_.getLong(0)).toSet
+    val ref = events.groupBy(_._2).flatMap { case (_, evs) =>
+      def medianOf(xs: Seq[Long]): Long = {
+        val s = xs.sorted
+        s(math.max(1, math.ceil(0.5 * s.length).toInt) - 1)
+      }
+      val vmu = evs.map(e => (e._1, math.floor(e._3 * 1e6).toLong))
+      val med = medianOf(vmu.map(_._2))
+      val mad = medianOf(vmu.map(v => math.abs(v._2 - med)))
+      vmu.filter(v => math.abs(v._2 - med) > 3L * mad).map(_._1)
+    }.toSet
+    assert(ref.nonEmpty, "fixture must plant spikes")
+    assert(got === ref)
+  }
+
+  // ---- snapshot diff ------------------------------------------------------
+
+  test("snapshotDiff classifies added/removed/changed/unchanged") {
+    val v1 = Seq((0L, 10L), (1L, 11L), (2L, 12L)).toDF("doc_id", "fp")
+    val v2 = Seq((1L, 11L), (2L, 99L), (3L, 13L)).toDF("doc_id", "fp")
+    val got = Curation.snapshotDiff(v1, v2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(0L -> "removed", 1L -> "unchanged",
+      2L -> "changed", 3L -> "added"))
+  }
+
   // ---- entropy ------------------------------------------------------------
 
   test("unigramEntropy matches an exact micro-nat reference") {
@@ -313,6 +350,25 @@ class LayoutSpec extends SparkSpec {
       .count()
     assert(bad === 0L)
     assert(zm.agg(sum(col("n"))).first().getLong(0) === 2000L)
+  }
+
+  // ---- partitioned layout -------------------------------------------------
+
+  test("partitioned write prunes non-matching partitions at the scan") {
+    val docs = Seq(
+      (0L, "alpha", "en"), (1L, "beta", "fr"), (2L, "gamma", "en"),
+      (3L, "delta", "de"), (4L, "epsilon", "fr")
+    ).toDF("doc_id", "text", "lang")
+    val path = "/tmp/graft_io/spec_bylang"
+    graft.core.GraphIO.writePartitioned(docs, path, "lang")
+    val filtered = graft.core.GraphIO.readPartitioned(spark, path)
+      .filter(col("lang") === "en")
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("lang"),
+      s"expected partition pruning in plan:\n$plan")
+    assert(filtered.count() === 2L)
+    // the partition cycle loses nothing
+    assert(graft.core.GraphIO.readPartitioned(spark, path).count() === 5L)
   }
 
   // ---- rollup profile -----------------------------------------------------

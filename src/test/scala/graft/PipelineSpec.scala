@@ -1235,6 +1235,39 @@ class PipelineSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("decayedValueStream ≡ batch decayedValue after shuffled micro-batches") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(31)
+    val base = 1700000000000L
+    val rows = (0 until 240).map { i =>
+      ((i % 4).toLong, new Timestamp(base + rnd.nextInt(86400).toLong * 1000),
+        i.toLong, rnd.nextDouble() * 300.0)
+    }
+    val input = MemoryStream[(Long, Timestamp, Long, Double)]
+    val events = input.toDF().toDF("user_id", "ts", "event_id", "value")
+    val q = Events.decayedValueStream(events, window = 16).writeStream
+      .outputMode("update").format("memory").queryName("decay_out").start()
+    // three shuffled micro-batches: the final emission per key must equal
+    // the batch aggregate over EVERYTHING, whatever the arrival order
+    val shuffled = rnd.shuffle(rows)
+    shuffled.grouped(80).foreach { g => input.addData(g: _*); q.processAllAvailable() }
+    val table = spark.table("decay_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    q.stop()
+    // memory sink appends each update; keep the LAST row per key
+    val got = table.zipWithIndex.groupBy(_._1._1).map { case (u, rs) =>
+      u -> rs.maxBy(_._2)._1
+    }.map { case (u, r) => u -> (r._2, r._3, r._4) }
+    val expect = Events.decayedValue(
+        rows.toDF("user_id", "ts", "event_id", "value"), window = 16)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(expect.size === 4)
+    assert(got === expect)
+  }
+
   test("rangeJoin matches points to containing intervals across bin boundaries") {
     val pts = Seq((1L, 5L), (2L, 10L), (3L, 99L), (4L, 250L))
       .toDF("pid", "p")

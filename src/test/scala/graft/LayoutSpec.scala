@@ -352,6 +352,50 @@ class LayoutSpec extends SparkSpec {
     assert(zm.agg(sum(col("n"))).first().getLong(0) === 2000L)
   }
 
+  // ---- streaming zone-map maintenance ------------------------------------
+
+  test("streaming ingest: per-batch zone maps merge into a live skipping index") {
+    // foreachBatch maintenance loop for the Z-order layout: each micro-batch
+    // assigns morton/file ids (a pure function — appends land in the same
+    // file partitions), emits its per-file zone map, and the accumulated
+    // state keeps min-of-mins / max-of-maxes / summed counts. After any
+    // number of batches the live index equals the zone maps of the union —
+    // so the skipping metadata never needs a rescan under ingest.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rnd = new Random(41)
+    val rows = Seq.tabulate(3000)(i =>
+      (i.toLong, rnd.nextDouble() * 1000.0, rnd.nextDouble() * 1000.0))
+    var state = Map.empty[Long, (Long, Long, Long, Long, Long)] // n, xmin, xmax, ymin, ymax
+    val input = MemoryStream[(Long, Double, Double)]
+    val q = input.toDF().toDF("id", "x", "y").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val z = Layout.zorderAssign(batch, "x", 0.0, 1000.0, "y", 0.0, 1000.0,
+          bits = 8, fileBits = 4)
+        Layout.zoneMaps(z, "file_id", Seq("xb", "yb")).collect().foreach { r =>
+          val f = r.getLong(0)
+          val add = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+          state = state.updated(f, state.get(f) match {
+            case None => add
+            case Some((n, a, b, c, d)) =>
+              (n + add._1, math.min(a, add._2), math.max(b, add._3),
+                math.min(c, add._4), math.max(d, add._5))
+          })
+        }
+        ()
+      }.start()
+    rows.grouped(1000).foreach { g => input.addData(g: _*); q.processAllAvailable() }
+    q.stop()
+    val expect = Layout.zoneMaps(
+        Layout.zorderAssign(rows.toDF("id", "x", "y"), "x", 0.0, 1000.0,
+          "y", 0.0, 1000.0, bits = 8, fileBits = 4),
+        "file_id", Seq("xb", "yb"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(expect.size === 16)
+    assert(state === expect)
+  }
+
   // ---- partitioned layout -------------------------------------------------
 
   test("partitioned write prunes non-matching partitions at the scan") {

@@ -141,6 +141,81 @@ object Multimodal {
       } finally in.close()
     }
 
+    /** DCT perceptual hash (pHash, the classic robust image fingerprint):
+      * area-averaged 32×32 luma grid → 2D DCT-II → the 63 low-frequency
+      * coefficients of the top-left 8×8 block (DC excluded — it carries
+      * only global brightness) → bit set where the coefficient exceeds
+      * their median. Sign-pattern-of-low-frequencies is what survives
+      * re-encoding, resampling, and brightness/contrast scaling — the
+      * transformations that defeat byte-exact and average-hash dedup.
+      * O(32³) per image, deterministic: same pixels → same 64-bit hash. */
+    def dctPHash(payload: Array[Byte]): Option[Long] = {
+      val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val N = 32
+        val w = img.getWidth; val h = img.getHeight
+        val acc = Array.ofDim[Double](N, N)
+        val cnt = Array.ofDim[Int](N, N)
+        var y = 0
+        while (y < h) {
+          val gy = math.min(N - 1, y * N / h)
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val luma = 0.299 * ((rgb >> 16) & 0xFF) +
+              0.587 * ((rgb >> 8) & 0xFF) + 0.114 * (rgb & 0xFF)
+            val gx = math.min(N - 1, x * N / w)
+            acc(gy)(gx) += luma; cnt(gy)(gx) += 1
+            x += 1
+          }
+          y += 1
+        }
+        var i = 0
+        while (i < N) {
+          var j = 0
+          while (j < N) {
+            if (cnt(i)(j) > 0) acc(i)(j) /= cnt(i)(j)
+            j += 1
+          }
+          i += 1
+        }
+        val cos = Array.tabulate(8, N)((k, n) =>
+          math.cos(math.Pi * (n + 0.5) * k / N))
+        // rows then columns; only the first 8 frequencies are ever read
+        val rowDct = Array.ofDim[Double](8, N)
+        var u = 0
+        while (u < 8) {
+          var j = 0
+          while (j < N) {
+            var s = 0.0; var n = 0
+            while (n < N) { s += acc(n)(j) * cos(u)(n); n += 1 }
+            rowDct(u)(j) = s; j += 1
+          }
+          u += 1
+        }
+        val coef = new Array[Double](63)
+        var idx = 0
+        u = 0
+        while (u < 8) {
+          var v = 0
+          while (v < 8) {
+            if (u != 0 || v != 0) {
+              var s = 0.0; var n = 0
+              while (n < N) { s += rowDct(u)(n) * cos(v)(n); n += 1 }
+              coef(idx) = s; idx += 1
+            }
+            v += 1
+          }
+          u += 1
+        }
+        val med = coef.sorted.apply(31)
+        var ph = 0L; var b = 0
+        while (b < 63) { if (coef(b) > med) ph |= (1L << b); b += 1 }
+        Some(ph)
+      }
+    }
+
     /** Encode a deterministic RGB test pattern as a real PNG. */
     def encodePng(id: Long, w: Int, h: Int): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(
@@ -192,6 +267,44 @@ object Multimodal {
     media.filter(_.meta.mediaType == "image").mapPartitions { it =>
       it.flatMap(r => Codecs.decodeImage(r.id, r.payload))
     }
+  }
+
+  /** Per-image DCT perceptual hashes: (id, phash64). Decode batches per
+    * partition like [[imageFeatures]]; undecodable payloads drop. */
+  def imageDctHashes(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(_.meta.mediaType == "image").mapPartitions { it =>
+      it.flatMap(r => Codecs.dctPHash(r.payload).map(h => (r.id, h)))
+    }.toDF("id", "phash64")
+  }
+
+  /** Perceptual near-duplicate image clusters: pHash Hamming ≤ `maxHamming`
+    * pairs → connected components. Candidate generation is the pigeonhole
+    * band trick (maxHamming+1 bit-bands of the 64-bit hash — any pair
+    * within the budget collides on at least one untouched band), so the
+    * only join is an equi-join on (band, band_bits): no all-pairs product
+    * at any corpus size, same shape as the SimHash text machinery.
+    * Verification is a codegen'd `bit_count(xor)`. Returns (id, rep). */
+  def nearDupImages(media: Dataset[MediaRecord], maxHamming: Int = 6): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 32, "maxHamming out of range")
+    val hashes = imageDctHashes(media).localCheckpoint(true)
+    val bands = maxHamming + 1
+    val width = (64 + bands - 1) / bands
+    val chunks = hashes.select(col("id"), col("phash64"),
+      posexplode(expr(s"transform(sequence(0, ${bands - 1}), " +
+        s"i -> (phash64 >> (i * $width)) & ${(1L << math.min(width, 63)) - 1})")))
+      .select(col("id"), col("phash64"), col("pos").as("band"), col("col").as("bits"))
+    val cand = chunks.select(col("id").as("a"), col("phash64").as("ha"),
+        col("band"), col("bits"))
+      .join(chunks.select(col("id").as("b"), col("phash64").as("hb"),
+        col("band"), col("bits")), Seq("band", "bits"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("ha"), col("hb")).distinct()
+    val pairs = cand
+      .filter(expr(s"bit_count(ha ^ hb) <= $maxHamming"))
+      .select(col("a").as("src"), col("b").as("dst"),
+        expr("CAST(bit_count(ha ^ hb) AS DOUBLE)").as("value"))
+    Dedup.clustersFromPairs(hashes.select(col("id")), pairs)
   }
 
   /** Resize plan: pure-metadata transform (target dims + scale factor) — runs

@@ -633,6 +633,58 @@ class PipelineSpec extends SparkSpec {
     assert(fsp.forall(row => row.getLong(2) % 1000L === 0L))
   }
 
+  test("multimodal: DCT pHash survives perturbation; nearDupImages clusters variants") {
+    import spark.implicits._
+    import java.io.ByteArrayOutputStream
+    // perturbations of a real PNG: single-pixel change and brightness scale
+    def perturb(payload: Array[Byte], dim: Double, poke: Boolean): Array[Byte] = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      val out = new java.awt.image.BufferedImage(
+        img.getWidth, img.getHeight, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        def s(c: Int) = math.min(255, (c * dim).toInt)
+        out.setRGB(x, y, (s((rgb >> 16) & 0xFF) << 16) |
+          (s((rgb >> 8) & 0xFF) << 8) | s(rgb & 0xFF))
+      }
+      if (poke) out.setRGB(3, 3, 0xFFFFFF)
+      val bos = new ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      bos.toByteArray
+    }
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val origs = (0 until 4).map { i =>
+      (i * 10L, Multimodal.Codecs.encodePng(i * 997L + 3, 64, 48))
+    }
+    val variants = origs.flatMap { case (id, p) =>
+      Seq((id, p),
+        (id + 1, perturb(p, 1.0, poke = true)),   // one-pixel poke
+        (id + 2, perturb(p, 0.8, poke = false)))  // brightness scale
+    }
+    val hashes = variants.map { case (id, p) =>
+      id -> Multimodal.Codecs.dctPHash(p).get
+    }.toMap
+    origs.foreach { case (id, _) =>
+      assert(hamming(hashes(id), hashes(id + 1)) <= 6, s"poke drifted too far for $id")
+      assert(hamming(hashes(id), hashes(id + 2)) <= 6, s"brightness drifted too far for $id")
+    }
+    // distinct patterns are far apart
+    for (a <- origs; b <- origs if a._1 < b._1)
+      assert(hamming(hashes(a._1), hashes(b._1)) > 6,
+        s"patterns ${a._1}/${b._1} collide")
+    val media = variants.map { case (id, p) =>
+      Multimodal.MediaRecord(id, p, Multimodal.MediaMeta("image", "png", 64, 48, 0, 0L))
+    }.toDS()
+    val clusters = Multimodal.nearDupImages(media, maxHamming = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    origs.foreach { case (id, _) =>
+      assert(clusters(id + 1) === clusters(id) && clusters(id + 2) === clusters(id),
+        s"variants of $id not clustered")
+    }
+    assert(clusters.values.toSet.size === 4)
+  }
+
   test("ShingleExpression matches the declarative HOF formulation") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

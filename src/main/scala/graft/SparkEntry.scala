@@ -419,6 +419,11 @@ object SparkEntry {
       s.range(1).select(lit(n).as("n_triangles"))
     }),
 
+    // k-core peel on the co-purchase graph (k=80: ~7% of vertices cascade
+    // out over ~6 rounds at these SFs — the loop genuinely iterates)
+    "g_kcore" -> ((s, dir) =>
+      GraphAlgorithms.kCore(coPurchaseGraph(s, dir).edges, k = 80)),
+
     "g_join_vertices" -> ((s, dir) => {
       val perSupplier = t(s, dir, "lineitem")
         .groupBy(col("l_suppkey").as("id")).agg(count(lit(1)).as("cnt"))
@@ -2691,6 +2696,23 @@ object SparkEntry {
          |LEFT JOIN common ON common.u = e.a AND common.v = e.b
          |JOIN deg du ON du.n = e.a
          |JOIN deg dv ON dv.n = e.b""".stripMargin,
+
+    "g_kcore" -> {
+      val rounds = 10 // fixpoint reached in ~6 at sf0.01/sf0.1; extra rounds are no-ops
+      val sb = new StringBuilder
+      sb ++= s"WITH e0 AS MATERIALIZED ($sqlCoPurchaseEdges)"
+      for (r <- 1 to rounds) sb ++= s""",
+        |v$r AS MATERIALIZED (SELECT id FROM (
+        |  SELECT a AS id FROM e${r - 1} UNION ALL SELECT b FROM e${r - 1})
+        |  GROUP BY id HAVING count(*) >= 80),
+        |e$r AS MATERIALIZED (SELECT e.a, e.b FROM e${r - 1} e
+        |  JOIN v$r x ON e.a = x.id JOIN v$r y ON e.b = y.id)""".stripMargin
+      sb ++= s"""
+        |SELECT id, count(*) AS degree FROM (
+        |  SELECT a AS id FROM e$rounds UNION ALL SELECT b FROM e$rounds)
+        |GROUP BY id""".stripMargin
+      sb.toString
+    },
 
     "g_lcc" ->
       s"""WITH e AS ($sqlCoPurchaseEdges),

@@ -671,4 +671,38 @@ object GraphAlgorithms {
         when(col("value") > 0, -log2(col("value"))).otherwise(lit(Double.MaxValue)))
     else sim
   }
+
+  /** k-core: the maximal subgraph where every vertex keeps degree ≥ k —
+    * the standard graph-density peel (community cores, nucleus
+    * decomposition, spam/bot filtering). Iterative peeling on CANONICAL
+    * undirected edges (src < dst, each edge once): drop sub-k vertices,
+    * drop their edges, repeat to fixpoint. Peeling is monotone (the
+    * surviving edge set only shrinks), so the loop terminates in at most
+    * |V| rounds and in practice a handful — each round is one combinable
+    * degree aggregate plus two semi-joins, with a `localCheckpoint` cut so
+    * round r's plan never replays rounds 1..r−1 (the same discipline as
+    * every other iterative loop here). Returns the core's (id, degree). */
+  def kCore(edges: DataFrame, k: Int, maxIter: Int = 100): DataFrame = {
+    require(k >= 1, "k must be positive")
+    var e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    var n = e.count()
+    var iter = 0
+    var done = n == 0L
+    while (!done && iter < maxIter) {
+      val keep = e.select(col("src").as("id"))
+        .unionAll(e.select(col("dst").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select(col("id"))
+        .localCheckpoint(true)
+      val e2 = e
+        .join(keep.toDF("src"), Seq("src"), "left_semi")
+        .join(keep.toDF("dst"), Seq("dst"), "left_semi")
+        .localCheckpoint(true)
+      val n2 = e2.count()
+      done = n2 == n || n2 == 0L
+      e = e2; n = n2; iter += 1
+    }
+    e.select(col("src").as("id")).unionAll(e.select(col("dst").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).cast("long").as("degree"))
+  }
 }

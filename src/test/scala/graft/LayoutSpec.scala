@@ -306,6 +306,30 @@ class LayoutSpec extends SparkSpec {
     assert(got.count() === 45L)
   }
 
+  // ---- k-core -------------------------------------------------------------
+
+  test("kCore peels cascades to the exact core; degrees reported in-core") {
+    // 4-clique {1,2,3,4} + pendant path 4-5-6 + triangle {7,8,9} bridged 1-7
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L), // clique
+      (4L, 5L), (5L, 6L),                                         // path
+      (7L, 8L), (7L, 9L), (8L, 9L),                               // triangle
+      (1L, 7L)                                                    // bridge
+    ).toDF("src", "dst")
+    // k=3: 8,9 peel (deg 2) → 7 drops to 1 → peels → bridge gone; the
+    // clique alone survives. Multi-round cascade by construction.
+    val c3 = graft.algos.GraphAlgorithms.kCore(edges, k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c3 === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // k=2: only the pendant path peels; bridge edge stays in-core
+    val c2 = graft.algos.GraphAlgorithms.kCore(edges, k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c2 === Map(1L -> 4L, 2L -> 3L, 3L -> 3L, 4L -> 3L,
+      7L -> 3L, 8L -> 2L, 9L -> 2L))
+    // k above max degree: empty core
+    assert(graft.algos.GraphAlgorithms.kCore(edges, k = 10).count() === 0L)
+  }
+
   // ---- split leakage ------------------------------------------------------
 
   test("splitLeakage counts straddling pairs per split pair") {

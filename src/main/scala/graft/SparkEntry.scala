@@ -810,6 +810,17 @@ object SparkEntry {
           explode(TextAnalysis.wsTokens(lower(trim(col("text"))))).as("tok")),
         "source", "tok", p = 10)),
 
+    // register-merge path gated end-to-end: the max-merged union of the
+    // per-source HLL profiles must equal the global register table —
+    // distinct-over-any-slice-union without rescanning, proven cross-engine
+    "d_hll_union" -> ((s, dir) =>
+      Sketches.mergeHllRegisters(Seq(
+        Sketches.hllRegistersBy(
+          t(s, dir, "documents").select(col("source"),
+            explode(TextAnalysis.wsTokens(lower(trim(col("text"))))).as("tok")),
+          "source", "tok", p = 10).select(col("bucket"), col("r"))))
+        .select(col("bucket"), col("r").cast("int").as("r"))),
+
     // cross-doc repetition coverage: ppm of each doc's distinct 3-gram
     // shingles shared with ≥2 docs — inverted-index join on shingles,
     // doc-frequency combinable before its shuffle
@@ -1583,6 +1594,10 @@ object SparkEntry {
     // medians via bucket-histogram selection, all integer micro-units
     "ev_robust_outliers" -> ((s, dir) =>
       Events.robustOutliers(events(s, dir), k = 3)),
+
+    // per-type equi-width value histogram (fixed bounds, clamped edges)
+    "ev_histogram" -> ((s, dir) =>
+      Events.histogram(events(s, dir), lo = 0.0, hi = 500.0, bits = 5)),
 
     // per-label per-dimension embedding moment profile (drift-monitoring
     // building block): floor-quantized micro-unit sums, BIGINT-exact
@@ -3400,6 +3415,27 @@ object SparkEntry {
          |SELECT source, bucket,
          |       CAST(max(CASE WHEN v = 0 THEN 55 ELSE 55 - length(bin(v)) END) AS INTEGER) AS r
          |FROM rv GROUP BY source, bucket""".stripMargin,
+
+    "d_hll_union" ->
+      s"""WITH tk AS (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+         |            FROM documents),
+         |hs AS (SELECT ${sqlPoly("cps", 1125899906842597L, 1099511628211L)} AS u
+         |       FROM (SELECT list_transform(range(1, length(tok) + 1),
+         |                      j -> CAST(unicode(tok[j]) AS HUGEINT)) AS cps FROM tk)),
+         |m1 AS (SELECT (${sqlXorShr("u", 33)} * 6364136223846793005) % $U64 AS u FROM hs),
+         |m2 AS (SELECT (${sqlXorShr("u", 29)} * 2685821657736338717) % $U64 AS u FROM m1),
+         |m3 AS (SELECT ${sqlXorShr("u", 32)} AS u FROM m2),
+         |rv AS (SELECT CAST(u % 1024 AS BIGINT) AS bucket,
+         |              CAST(u // 1024 AS BIGINT) AS v FROM m3)
+         |SELECT bucket,
+         |       CAST(max(CASE WHEN v = 0 THEN 55 ELSE 55 - length(bin(v)) END) AS INTEGER) AS r
+         |FROM rv GROUP BY bucket""".stripMargin,
+
+    "ev_histogram" ->
+      """SELECT event_type,
+        |       CAST(least(greatest(floor(value * 32 / 500), 0), 31) AS BIGINT) AS bucket,
+        |       count(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     // shared-shingle coverage: distinct 3-gram shingles per doc (same CTE
     // family as the contamination oracles), doc-frequency > 1 ⇒ shared

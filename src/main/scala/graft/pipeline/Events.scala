@@ -322,6 +322,19 @@ object Events {
       .select(col(idCol), col(keyCol), col("vmu"))
   }
 
+  /** Per-group equi-width value histogram: (groupCol, bucket, n) with
+    * fixed declared bounds via [[Layout.bucketize]] (clamped edge buckets,
+    * IEEE-identical arithmetic across engines). One combinable aggregate —
+    * the distribution profile that feeds drift dashboards and the
+    * bucket-histogram quantile machinery alike. */
+  def histogram(events: DataFrame, valueCol: String = "value",
+                groupCol: String = "event_type",
+                lo: Double = 0.0, hi: Double = 500.0,
+                bits: Int = 5): DataFrame =
+    events.groupBy(col(groupCol),
+        Layout.bucketize(col(valueCol), lo, hi, bits).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+
   /** Robust per-key outliers (median/MAD): flags events with
     * `|x − med| > k·MAD`, the heavy-tail-safe alternative to [[outliers]] —
     * a single extreme spike inflates mean AND σ (masking itself), but moves

@@ -141,6 +141,67 @@ object Multimodal {
       } finally in.close()
     }
 
+    /** Spectral fingerprint: per hop frame, the index of the candidate
+      * frequency with the highest Goertzel power — the Shazam-family idea
+      * reduced to its deterministic core (dominant-band sequences survive
+      * amplitude scaling and additive noise where waveform bytes do not).
+      * Same 16-bit-PCM decode contract as [[sampleAudio]]; frames shorter
+      * than 2 samples are dropped. Returns one band index per frame. */
+    def audioFingerprint(payload: Array[Byte], hopMs: Long,
+                         bands: Seq[Double]): Seq[Int] = {
+      require(bands.nonEmpty, "need candidate frequencies")
+      val in = javax.sound.sampled.AudioSystem
+        .getAudioInputStream(new ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        require(fmt.getSampleSizeInBits == 16,
+          s"audioFingerprint supports 16-bit PCM, got ${fmt.getSampleSizeInBits}-bit")
+        val bytes = in.readAllBytes()
+        val channels = fmt.getChannels
+        val frameSize = fmt.getFrameSize
+        val nFrames = bytes.length / frameSize
+        val rate = fmt.getSampleRate.toDouble
+        val hop = math.max(2, (rate * hopMs / 1000.0).toInt)
+        val big = fmt.isBigEndian
+        def sample(frame: Int): Double = {
+          var s = 0.0; var c = 0
+          while (c < channels) {
+            val o = frame * frameSize + c * 2
+            val v =
+              if (big) ((bytes(o) << 8) | (bytes(o + 1) & 0xFF)).toShort
+              else ((bytes(o + 1) << 8) | (bytes(o) & 0xFF)).toShort
+            s += v / 32768.0; c += 1
+          }
+          s / channels
+        }
+        // Goertzel per band per frame: power at frequency f over the hop
+        val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+        var start = 0
+        while (start + 2 <= nFrames) {
+          val end = math.min(start + hop, nFrames)
+          var best = 0; var bestP = -1.0
+          var bi = 0
+          while (bi < bands.length) {
+            val w = 2.0 * math.Pi * bands(bi) / rate
+            val coeff = 2.0 * math.cos(w)
+            var s0 = 0.0; var s1 = 0.0; var s2 = 0.0
+            var f = start
+            while (f < end) {
+              s0 = sample(f) + coeff * s1 - s2
+              s2 = s1; s1 = s0
+              f += 1
+            }
+            val p = s1 * s1 + s2 * s2 - coeff * s1 * s2
+            if (p > bestP) { bestP = p; best = bi }
+            bi += 1
+          }
+          out += best
+          start += hop
+        }
+        out.toSeq
+      } finally in.close()
+    }
+
     /** DCT perceptual hash (pHash, the classic robust image fingerprint):
       * area-averaged 32×32 luma grid → 2D DCT-II → the 63 low-frequency
       * coefficients of the top-left 8×8 block (DC excluded — it carries
@@ -267,6 +328,31 @@ object Multimodal {
     media.filter(_.meta.mediaType == "image").mapPartitions { it =>
       it.flatMap(r => Codecs.decodeImage(r.id, r.payload))
     }
+  }
+
+  /** Per-audio spectral fingerprints: (id, fp = dominant-band sequence).
+    * Decode batches per partition; non-audio and undecodable rows drop. */
+  def audioFingerprints(media: Dataset[MediaRecord], hopMs: Long = 250L,
+                        bands: Seq[Double] = (0 until 10).map(i => 220.0 + i * 110.0))
+      : DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(_.meta.mediaType == "audio").mapPartitions { it =>
+      it.flatMap { r =>
+        scala.util.Try(Codecs.audioFingerprint(r.payload, hopMs, bands))
+          .toOption.map(fp => (r.id, fp))
+      }
+    }.toDF("id", "fp")
+  }
+
+  /** Spectral near-duplicate audio groups: exact match on the dominant-band
+    * sequence (amplitude-invariant, noise-robust — the bytes differ, the
+    * fingerprint doesn't). One hash groupBy on the sequence; smallest id
+    * represents. Returns (id, rep). */
+  def nearDupAudio(media: Dataset[MediaRecord], hopMs: Long = 250L): DataFrame = {
+    val fp = audioFingerprints(media, hopMs)
+    fp.groupBy(col("fp")).agg(min(col("id")).as("rep"),
+        collect_list(col("id")).as("ids"))
+      .select(explode(col("ids")).as("id"), col("rep"))
   }
 
   /** Per-image DCT perceptual hashes: (id, phash64). Decode batches per

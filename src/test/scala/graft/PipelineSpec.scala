@@ -685,6 +685,50 @@ class PipelineSpec extends SparkSpec {
     assert(clusters.values.toSet.size === 4)
   }
 
+  test("multimodal: Goertzel fingerprints are amplitude- and noise-invariant") {
+    import spark.implicits._
+    // same tone at different amplitudes + additive noise → same fingerprint;
+    // different tones → different fingerprints
+    def tone(freq: Double, durMs: Long, amp: Double, noiseSeed: Int): Array[Byte] = {
+      val sr = 8000
+      val n = (sr * durMs / 1000L).toInt
+      val rnd = new scala.util.Random(noiseSeed)
+      val pcm = new Array[Byte](n * 2)
+      for (i <- 0 until n) {
+        val noise = if (noiseSeed == 0) 0.0 else (rnd.nextDouble() - 0.5) * 0.1
+        val v = ((math.sin(2 * math.Pi * freq * i / sr) * amp + noise) * 16384)
+          .max(-32768).min(32767).toShort
+        pcm(2 * i) = (v & 0xFF).toByte
+        pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(sr.toFloat, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val bands = (0 until 10).map(i => 220.0 + i * 110.0)
+    val clean = Multimodal.Codecs.audioFingerprint(tone(440.0, 600, 0.9, 0), 250, bands)
+    val quiet = Multimodal.Codecs.audioFingerprint(tone(440.0, 600, 0.2, 0), 250, bands)
+    val noisy = Multimodal.Codecs.audioFingerprint(tone(440.0, 600, 0.9, 7), 250, bands)
+    val other = Multimodal.Codecs.audioFingerprint(tone(880.0, 600, 0.9, 0), 250, bands)
+    assert(clean.nonEmpty && clean.forall(_ === 2)) // 440 Hz = band index 2
+    assert(quiet === clean && noisy === clean)
+    assert(other != clean)
+    assert(other.forall(_ === 6)) // 880 Hz = band index 6
+    // operator end-to-end: variants group together, distinct tones apart
+    val media = Seq(
+      Multimodal.MediaRecord(0L, tone(440.0, 600, 0.9, 0), Multimodal.MediaMeta("audio", "wav", 0, 0, 8000, 600L)),
+      Multimodal.MediaRecord(1L, tone(440.0, 600, 0.3, 3), Multimodal.MediaMeta("audio", "wav", 0, 0, 8000, 600L)),
+      Multimodal.MediaRecord(2L, tone(660.0, 600, 0.9, 0), Multimodal.MediaMeta("audio", "wav", 0, 0, 8000, 600L))
+    ).toDS()
+    val groups = Multimodal.nearDupAudio(media, hopMs = 250L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(groups(0L) === 0L && groups(1L) === 0L && groups(2L) === 2L)
+  }
+
   test("ShingleExpression matches the declarative HOF formulation") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

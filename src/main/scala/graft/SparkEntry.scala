@@ -1599,6 +1599,20 @@ object SparkEntry {
     "ev_histogram" -> ((s, dir) =>
       Events.histogram(events(s, dir), lo = 0.0, hi = 500.0, bits = 5)),
 
+    // funnel latency profile: exact quantiles of first-view → first-purchase
+    // time per converting user (micros; bucket-histogram rank selection, no
+    // global sort)
+    "ev_conversion_time" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val s1 = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val deltas = ev.filter(col("event_type") === "purchase")
+        .join(s1, "user_id").filter(col("ts") > col("t1"))
+        .groupBy(col("user_id"), col("t1")).agg(min(col("ts")).as("t2"))
+        .select((unix_micros(col("t2")) - unix_micros(col("t1"))).as("delta_us"))
+      Curation.exactQuantiles(deltas, "delta_us", Seq(0.25, 0.5, 0.9))
+    }),
+
     // per-label per-dimension embedding moment profile (drift-monitoring
     // building block): floor-quantized micro-unit sums, BIGINT-exact
     "e_label_profile" -> ((s, dir) =>
@@ -3430,6 +3444,20 @@ object SparkEntry {
          |SELECT bucket,
          |       CAST(max(CASE WHEN v = 0 THEN 55 ELSE 55 - length(bin(v)) END) AS INTEGER) AS r
          |FROM rv GROUP BY bucket""".stripMargin,
+
+    "ev_conversion_time" ->
+      """WITH ev AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |s1 AS (SELECT user_id, min(ts) AS t1 FROM ev WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(s1.t1) AS t1, min(e.ts) AS t2
+        |       FROM ev e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.ts > s1.t1 GROUP BY 1),
+        |d AS (SELECT CAST(epoch_us(t2) - epoch_us(t1) AS DOUBLE) AS val,
+        |             row_number() OVER (ORDER BY epoch_us(t2) - epoch_us(t1)) AS rnk
+        |      FROM s2),
+        |n AS (SELECT count(*) AS n FROM d),
+        |t AS (SELECT p, greatest(1, CAST(ceil(p * n.n) AS BIGINT)) AS rnk
+        |      FROM n, unnest([0.25, 0.5, 0.9]) AS u(p))
+        |SELECT t.p, d.val AS value FROM t JOIN d USING (rnk)""".stripMargin,
 
     "ev_histogram" ->
       """SELECT event_type,

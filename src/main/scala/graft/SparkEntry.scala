@@ -424,6 +424,11 @@ object SparkEntry {
     "g_kcore" -> ((s, dir) =>
       GraphAlgorithms.kCore(coPurchaseGraph(s, dir).edges, k = 80)),
 
+    // k-truss peel (edge-support ≥ k−2): k=9 removes ~80-90% of edges over
+    // 4-11 rounds at these SFs — the galloping-intersection support loop
+    "g_ktruss" -> ((s, dir) =>
+      GraphAlgorithms.kTruss(coPurchaseGraph(s, dir).edges, k = 9)),
+
     "g_join_vertices" -> ((s, dir) => {
       val perSupplier = t(s, dir, "lineitem")
         .groupBy(col("l_suppkey").as("id")).agg(count(lit(1)).as("cnt"))
@@ -2740,6 +2745,34 @@ object SparkEntry {
         |SELECT id, count(*) AS degree FROM (
         |  SELECT a AS id FROM e$rounds UNION ALL SELECT b FROM e$rounds)
         |GROUP BY id""".stripMargin
+      sb.toString
+    },
+
+    "g_ktruss" -> {
+      // fixpoint at round 11 (sf0.01) / 4 (sf0.1) for k=9; 20 rounds of
+      // margin against testdata regeneration — converged rounds are no-ops
+      val rounds = 20
+      val sb = new StringBuilder
+      sb ++= s"WITH e0 AS MATERIALIZED ($sqlCoPurchaseEdges)"
+      for (r <- 1 to rounds) sb ++= s""",
+        |adj$r AS MATERIALIZED (SELECT a AS u, b AS v FROM e${r - 1}
+        |  UNION ALL SELECT b, a FROM e${r - 1}),
+        |e$r AS MATERIALIZED (
+        |  SELECT e.a, e.b FROM e${r - 1} e JOIN (
+        |    SELECT e.a, e.b, count(*) AS s FROM e${r - 1} e
+        |    JOIN adj$r x ON x.u = e.a
+        |    JOIN adj$r y ON y.u = e.b AND y.v = x.v
+        |    GROUP BY 1, 2) t USING (a, b)
+        |  WHERE t.s >= 7)""".stripMargin
+      sb ++= s"""
+        |SELECT e.a AS src, e.b AS dst, CAST(t.s AS BIGINT) AS support
+        |FROM e$rounds e JOIN (
+        |  SELECT e.a, e.b, count(*) AS s FROM e$rounds e
+        |  JOIN (SELECT a AS u, b AS v FROM e$rounds
+        |        UNION ALL SELECT b, a FROM e$rounds) x ON x.u = e.a
+        |  JOIN (SELECT a AS u, b AS v FROM e$rounds
+        |        UNION ALL SELECT b, a FROM e$rounds) y ON y.u = e.b AND y.v = x.v
+        |  GROUP BY 1, 2) t USING (a, b)""".stripMargin
       sb.toString
     },
 

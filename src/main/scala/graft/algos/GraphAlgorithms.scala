@@ -682,6 +682,43 @@ object GraphAlgorithms {
     * degree aggregate plus two semi-joins, with a `localCheckpoint` cut so
     * round r's plan never replays rounds 1..r−1 (the same discipline as
     * every other iterative loop here). Returns the core's (id, degree). */
+  /** k-truss: the maximal subgraph where every EDGE sits in ≥ k−2
+    * triangles — the edge-level density peel (stronger than k-core:
+    * cohesion through shared neighbors, not raw degree; the standard
+    * community-core primitive). Iterative: per round, rebuild sorted
+    * adjacency from surviving canonical edges (src < dst, each edge once),
+    * compute each edge's support with the codegen'd galloping
+    * sorted-intersection kernel — per-edge work bounded by endpoint
+    * degrees, never a wedge enumeration — and drop edges below k−2.
+    * Monotone, so it terminates; rounds are data-bounded. Returns the
+    * truss edges with their converged support (src, dst, support). */
+  def kTruss(edges: DataFrame, k: Int, maxIter: Int = 100): DataFrame = {
+    require(k >= 3, "k must be at least 3")
+    val intersect = graft.functions.GraphSetExpressions.sortedIntersectCount _
+    def support(e: DataFrame): DataFrame = {
+      val adj = e.select(col("src").as("id"), col("dst").as("nbr"))
+        .unionAll(e.select(col("dst").as("id"), col("src").as("nbr")))
+        .groupBy(col("id")).agg(sort_array(collect_list(col("nbr"))).as("adj"))
+        .localCheckpoint(true)
+      e.join(adj.toDF("src", "adjA"), Seq("src"))
+        .join(adj.toDF("dst", "adjB"), Seq("dst"))
+        .select(col("src"), col("dst"),
+          intersect(col("adjA"), col("adjB")).cast("long").as("support"))
+    }
+    var e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    var n = e.count()
+    var iter = 0
+    var done = n == 0L
+    while (!done && iter < maxIter) {
+      val e2 = support(e).filter(col("support") >= k - 2)
+        .select(col("src"), col("dst")).localCheckpoint(true)
+      val n2 = e2.count()
+      done = n2 == n || n2 == 0L
+      e = e2; n = n2; iter += 1
+    }
+    support(e).filter(col("support") >= k - 2)
+  }
+
   def kCore(edges: DataFrame, k: Int, maxIter: Int = 100): DataFrame = {
     require(k >= 1, "k must be positive")
     var e = edges.select(col("src"), col("dst")).localCheckpoint(true)

@@ -330,6 +330,29 @@ class LayoutSpec extends SparkSpec {
     assert(graft.algos.GraphAlgorithms.kCore(edges, k = 10).count() === 0L)
   }
 
+  test("kTruss keeps exactly the edges with enough triangle support") {
+    // 4-clique {1,2,3,4} (every edge support 2) + triangle {4,5,6} (support
+    // 1 each) + pendant 6-7 (support 0)
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (4L, 6L), (5L, 6L),
+      (6L, 7L)
+    ).toDF("src", "dst")
+    // k=4 (support >= 2): the clique alone survives; the triangle's edges
+    // have support 1 and cascade out, the pendant immediately
+    val t4 = graft.algos.GraphAlgorithms.kTruss(edges, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(t4.keySet === Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)))
+    assert(t4.values.forall(_ === 2L))
+    // k=3 (support >= 1): clique + triangle survive, pendant peels
+    val t3 = graft.algos.GraphAlgorithms.kTruss(edges, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(t3 === Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (4L, 6L), (5L, 6L)))
+    // k high: everything peels
+    assert(graft.algos.GraphAlgorithms.kTruss(edges, k = 5).count() === 0L)
+  }
+
   // ---- split leakage ------------------------------------------------------
 
   test("splitLeakage counts straddling pairs per split pair") {

@@ -429,6 +429,11 @@ object SparkEntry {
     "g_ktruss" -> ((s, dir) =>
       GraphAlgorithms.kTruss(coPurchaseGraph(s, dir).edges, k = 9)),
 
+    // exact-distance-2 neighborhood sizes on the customer tree (the
+    // friend-of-friend feature: N(N(v)) minus N(v) minus v)
+    "g_two_hop" -> ((s, dir) =>
+      GraphAlgorithms.twoHopNeighborCounts(treeGraph(s, dir))),
+
     "g_join_vertices" -> ((s, dir) => {
       val perSupplier = t(s, dir, "lineitem")
         .groupBy(col("l_suppkey").as("id")).agg(count(lit(1)).as("cnt"))
@@ -2747,6 +2752,15 @@ object SparkEntry {
         |GROUP BY id""".stripMargin
       sb.toString
     },
+
+    "g_two_hop" ->
+      s"""WITH e AS (SELECT src, dst FROM ($sqlTreeEdges)),
+        |adj AS (SELECT src AS v, dst AS m FROM e UNION ALL SELECT dst, src FROM e),
+        |two AS (SELECT DISTINCT a.v, b.m AS u
+        |        FROM adj a JOIN adj b ON a.m = b.v WHERE a.v <> b.m),
+        |res AS (SELECT t.v, t.u FROM two t
+        |        WHERE NOT EXISTS (SELECT 1 FROM adj d WHERE d.v = t.v AND d.m = t.u))
+        |SELECT v AS id, count(*) AS n2 FROM res GROUP BY 1""".stripMargin,
 
     "g_ktruss" -> {
       // fixpoint at round 11 (sf0.01) / 4 (sf0.1) for k=9; 20 rounds of

@@ -682,6 +682,26 @@ object GraphAlgorithms {
     * degree aggregate plus two semi-joins, with a `localCheckpoint` cut so
     * round r's plan never replays rounds 1..r−1 (the same discipline as
     * every other iterative loop here). Returns the core's (id, degree). */
+  /** Exact-distance-2 neighborhood sizes: for each vertex, the number of
+    * vertices reachable in exactly two hops (N(N(v)) minus N(v) minus v) —
+    * the friend-of-friend feature behind triadic-closure link prediction
+    * and 2-hop expansion sizing. One adjacency self-join + distinct + an
+    * anti-join against direct edges — all hash shuffles on vertex keys;
+    * the intermediate is Σ deg² rows, the same wedge volume the triangle
+    * family bounds with hub-splitting when degrees are extreme. Vertices
+    * with an empty 2-hop set emit no row. */
+  def twoHopNeighborCounts(g: KGraph): DataFrame = {
+    val adj = g.edges.select(col("src").as("v"), col("dst").as("m"))
+      .unionAll(g.edges.select(col("dst").as("v"), col("src").as("m")))
+    adj.toDF("v", "m")
+      .join(adj.toDF("m", "u"), Seq("m"))
+      .filter(col("v") =!= col("u"))
+      .select(col("v"), col("u")).distinct()
+      .join(adj.toDF("v", "u"), Seq("v", "u"), "left_anti")
+      .groupBy(col("v").as("id")).agg(count(lit(1)).as("n2"))
+      .select(col("id"), col("n2"))
+  }
+
   /** k-truss: the maximal subgraph where every EDGE sits in ≥ k−2
     * triangles — the edge-level density peel (stronger than k-core:
     * cohesion through shared neighbors, not raw degree; the standard

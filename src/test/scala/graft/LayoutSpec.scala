@@ -330,6 +330,20 @@ class LayoutSpec extends SparkSpec {
     assert(graft.algos.GraphAlgorithms.kCore(edges, k = 10).count() === 0L)
   }
 
+  test("twoHopNeighborCounts: exactly-distance-2 sets on a known graph") {
+    // path 1-2-3-4-5 plus triangle 3-6, 4-6
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (3L, 6L), (4L, 6L))
+      .toDF("src", "dst").withColumn("value", lit(1.0))
+    val g = graft.core.KGraph(
+      Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L), (5L, 5L), (6L, 6L)).toDF("id", "value"),
+      edges)
+    val got = graft.algos.GraphAlgorithms.twoHopNeighborCounts(g)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // by hand: N2(1)={3}, N2(2)={4,6}, N2(3)={1,5}, N2(4)={2}, N2(5)={3,6},
+    // N2(6)={2,5}  (6 is adjacent to both 3 and 4, so neither counts)
+    assert(got === Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L, 5L -> 2L, 6L -> 2L))
+  }
+
   test("kTruss keeps exactly the edges with enough triangle support") {
     // 4-clique {1,2,3,4} (every edge support 2) + triangle {4,5,6} (support
     // 1 each) + pendant 6-7 (support 0)

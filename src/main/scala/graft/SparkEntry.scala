@@ -947,6 +947,36 @@ object SparkEntry {
       TextAnalysis.bm25TopDocs(t(s, dir, "documents"),
         Seq("spark", "join", "window"), k = 5)),
 
+    // hybrid retrieval: BM25 (per-term micro-quantized, summed per doc) and
+    // dense cosine vs vec 0's embedding, top-50 each, fused by reciprocal
+    // rank — integer-exact fusion, no score calibration
+    "d_hybrid_rrf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val lex = TextAnalysis.bm25TopDocs(t(s, dir, "documents"),
+          Seq("spark", "join", "window"), k = 1000000)
+        .withColumn("m", expr("CAST(round(bm25 * 1000000) AS BIGINT)"))
+        .groupBy(col("doc_id")).agg(sum(col("m")).as("score"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id"))))
+        .filter(col("rank") <= 50)
+        .select(col("doc_id").as("id"), col("rank"))
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val qv = emb.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      def dot(x: String, y: String) =
+        expr(s"aggregate(zip_with($x, $y, (p, q) -> p * q), 0D, (acc, z) -> acc + z)")
+      val dense = emb.crossJoin(broadcast(qv))
+        .withColumn("cos", dot("v", "qv") /
+          (sqrt(dot("v", "v")) * sqrt(dot("qv", "qv"))))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("cos").desc, col("vec_id"))))
+        .filter(col("rank") <= 50)
+        .select(col("vec_id").as("id"), col("rank"))
+      Ann.rrfFuse(lex, dense)
+        .select(col("id").as("doc_id"), col("rank_a").as("lex_rank"),
+          col("rank_b").as("dense_rank"), col("rrf_micro"))
+    }),
+
     // BPE vocabulary induction: 6 merge rules learned over the corpus — per
     // iteration one pair-count shuffle (vocabulary-sized after partial agg)
     // + a 1-row driver argmax + a rowwise codegen'd greedy merge pass
@@ -3682,6 +3712,46 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (
         |    PARTITION BY term ORDER BY bm25 DESC, doc_id) AS rank
         |  FROM scored) WHERE rank <= 5""".stripMargin,
+
+    "d_hybrid_rrf" ->
+      """WITH dl AS (
+        |  SELECT doc_id,
+        |         CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+        |              ELSE len(string_split_regex(trim(text), '\s+')) END AS dl
+        |  FROM documents),
+        |stats AS (SELECT count(*) AS n, avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+        |tk AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tk
+        |       WHERE term IN ('spark', 'join', 'window') GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT term, doc_id,
+        |         round(ln(1 + (n - df + 0.5) / (df + 0.5)) *
+        |               (tf * 2.2) /
+        |               (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS bm25
+        |  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats),
+        |lexs AS (SELECT doc_id, sum(CAST(round(bm25 * 1000000) AS BIGINT)) AS score
+        |         FROM scored GROUP BY 1),
+        |lex AS (SELECT doc_id AS id, rank_a FROM (
+        |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank_a
+        |  FROM lexs) WHERE rank_a <= 50),
+        |v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |qv AS (SELECT e AS q FROM v WHERE id = 0),
+        |dn AS (SELECT v.id,
+        |         list_dot_product(v.e, qv.q) /
+        |         (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(qv.q, qv.q))) AS cos
+        |       FROM v, qv),
+        |den AS (SELECT id, rank_b FROM (
+        |  SELECT id, row_number() OVER (ORDER BY cos DESC, id) AS rank_b FROM dn)
+        |  WHERE rank_b <= 50)
+        |SELECT coalesce(l.id, d.id) AS doc_id,
+        |       coalesce(l.rank_a, 0) AS lex_rank,
+        |       coalesce(d.rank_b, 0) AS dense_rank,
+        |       coalesce(1000000 // (60 + l.rank_a), 0)
+        |         + coalesce(1000000 // (60 + d.rank_b), 0) AS rrf_micro
+        |FROM lex l FULL OUTER JOIN den d ON l.id = d.id""".stripMargin,
 
     "d_bpe_merges" -> bpeOracleSql(6),
 

@@ -268,6 +268,25 @@ object Ann {
       .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("hits"),
         count(lit(1)).as("k"))
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009) — THE standard hybrid
+    * retrieval combiner: each ranking contributes 1/(c + rank) per doc, so
+    * scores from incommensurable systems (BM25 vs cosine) fuse without any
+    * scale calibration. Computed in exact integer micro-units
+    * (`1e6 DIV (c + rank)`) so the fused score is engine- and
+    * order-exact. Inputs are (id, rank) frames; absent ranks contribute 0
+    * and surface as rank 0. One full-outer hash join on id. */
+  def rrfFuse(a: DataFrame, b: DataFrame, c: Int = 60): DataFrame = {
+    require(c >= 1, "rrf constant must be positive")
+    a.select(col("id"), col("rank").cast("long").as("rank_a"))
+      .join(b.select(col("id"), col("rank").cast("long").as("rank_b")),
+        Seq("id"), "full_outer")
+      .select(col("id"),
+        coalesce(col("rank_a"), lit(0L)).as("rank_a"),
+        coalesce(col("rank_b"), lit(0L)).as("rank_b"),
+        (coalesce(expr(s"1000000 DIV ($c + rank_a)"), lit(0L)) +
+          coalesce(expr(s"1000000 DIV ($c + rank_b)"), lit(0L))).as("rrf_micro"))
+  }
+
   def ivfKnn(corpus: DataFrame, queries: DataFrame, k: Int,
              nlist: Int = 64, nprobe: Int = 8, iters: Int = 3,
              idCol: String = "vec_id", vecCol: String = "embedding",

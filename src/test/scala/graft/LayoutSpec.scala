@@ -277,6 +277,19 @@ class LayoutSpec extends SparkSpec {
     assert(rec.count() === 60L)
   }
 
+  test("rrfFuse: integer reciprocal-rank fusion, absent ranks contribute 0") {
+    val lex = Seq((10L, 1L), (11L, 2L), (12L, 3L)).toDF("id", "rank")
+    val dense = Seq((11L, 1L), (13L, 2L)).toDF("id", "rank")
+    val got = graft.pipeline.Ann.rrfFuse(lex, dense)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(10L) === ((1L, 0L, 1000000L / 61)))
+    assert(got(11L) === ((2L, 1L, 1000000L / 62 + 1000000L / 61)))
+    assert(got(12L) === ((3L, 0L, 1000000L / 63)))
+    assert(got(13L) === ((0L, 2L, 1000000L / 62)))
+    // doc in both lists outranks single-list docs at comparable positions
+    assert(got(11L)._3 > got(10L)._3)
+  }
+
   // ---- co-occurrence / PMI ------------------------------------------------
 
   test("cooccurrence matches an exact reference incl. PMI micro-nats") {

@@ -175,6 +175,49 @@ object SparkEntry {
     cachedNeighborhood(s, dir, "skewHub1e5", assumeCanonical = true)(
       skewHub1e5(s, dir))
 
+  /** 4096-degree-hub star+path for the EXACT 2-hop skew drill. Exact
+    * distance-2 output is intrinsically Θ(D²) per D-degree hub (every hub
+    * neighbor owes ≥ D−1 distance-2 vertices), so a 10⁵ hub would make the
+    * ANSWER 10¹⁰ values — no algorithm escapes that; the drill instead uses
+    * a 4·10³ hub with a LOW split cap (256 → 16 bucket partials) so the
+    * full bucketed candidate pipeline (aligned hub partials, salted level-1
+    * dedup, galloping direct-neighbor subtraction) runs end to end while
+    * the answer stays 1.7·10⁷ values. */
+  private val SkewTwoHopN = 4097L
+  private def skewTwoHopGraph(s: SparkSession, dir: String): KGraph =
+    cachedGraph(s, dir, "skewTwoHop") {
+      val star = s.range(2L, SkewTwoHopN + 1)
+        .select(lit(1L).as("src"), col("id").as("dst"))
+      val path = s.range(2L, SkewTwoHopN)
+        .select(col("id").as("src"), (col("id") + 1).as("dst"))
+      KGraph.fromEdges(
+        star.unionByName(path).withColumn("value", lit(1.0)), id => id)
+    }
+
+  /** 10⁵-degree-hub truss drill graph: star (1,c) for c ∈ 2..100001, path
+    * (c,c+1), skip chords (c,c+2), and an 11-clique on 2..12. k=11 peels
+    * everything but hub+clique — path edges (support ≤ 3+ε), skips (2),
+    * star spokes to non-clique vertices (4) all drop in round 1; the
+    * surviving 12-clique (hub ∪ clique, every edge support 10) is the
+    * fixpoint. The hub splits at the PRODUCTION cap (8192 → 16 buckets),
+    * so round 1's support computation runs the aligned-bucket partial
+    * path on a 10⁵-degree vertex. */
+  private def skewTrussGraph(s: SparkSession, dir: String): KGraph =
+    cachedGraph(s, dir, "skewTruss") {
+      val star = s.range(2L, SkewHubN + 1)
+        .select(lit(1L).as("src"), col("id").as("dst"))
+      val path = s.range(2L, SkewHubN)
+        .select(col("id").as("src"), (col("id") + 1).as("dst"))
+      val skip = s.range(2L, SkewHubN - 1)
+        .select(col("id").as("src"), (col("id") + 2).as("dst"))
+      val clique = s.range(2L, 13L).select(col("id").as("src"))
+        .join(s.range(2L, 13L).select(col("id").as("dst")),
+          col("src") < col("dst"))
+      KGraph.fromEdges(
+        star.unionByName(path).unionByName(skip).unionByName(clique)
+          .withColumn("value", lit(1.0)), id => id)
+    }
+
   /** customer star clusters: c → c - c%100 for c%100 ≠ 0; weight 1. */
   private def starGraph(s: SparkSession, dir: String): KGraph =
     cachedGraph(s, dir, "star") {
@@ -433,6 +476,22 @@ object SparkEntry {
     // friend-of-friend feature: N(N(v)) minus N(v) minus v)
     "g_two_hop" -> ((s, dir) =>
       GraphAlgorithms.twoHopNeighborCounts(treeGraph(s, dir))),
+
+    // 2-hop skew drill: 4096-degree hub, split cap 256 → 16 aligned bucket
+    // partials; candidates travel as arrays through salted dedup partials
+    // and the direct-neighbor subtraction runs the galloping intersect
+    // against the hub's bucketed adjacency (see skewTwoHopGraph's doc for
+    // why exact 2-hop cannot gate at 10⁵ degree: the ANSWER is Θ(D²))
+    "g_skew_two_hop" -> ((s, dir) =>
+      GraphAlgorithms.twoHopNeighborCounts(
+        GraphAlgorithms.prepareNeighborhood(skewTwoHopGraph(s, dir),
+          hubDegreeCap = 256, assumeCanonical = true))),
+
+    // k-truss skew drill: 10⁵-degree hub at the production cap; round 1
+    // computes every edge's support through the aligned-bucket partial
+    // intersections, peeling 3·10⁵ edges down to the hub+clique 12-clique
+    "g_skew_ktruss" -> ((s, dir) =>
+      GraphAlgorithms.kTruss(skewTrussGraph(s, dir).edges, k = 11)),
 
     "g_join_vertices" -> ((s, dir) => {
       val perSupplier = t(s, dir, "lineitem")
@@ -706,19 +765,13 @@ object SparkEntry {
 
     // chunk-level dedup: CDC chunk fingerprints as the join key — docs
     // sharing ≥1 content-defined chunk of ≥16 code points, via the same
-    // inverted-index shape as d_ngram_pairs (never O(n²) text compares)
-    "d_cdc_dedup" -> ((s, dir) => {
-      val ch = t(s, dir, "documents")
-        .select(col("doc_id"),
-          explode(graft.functions.Poly64.cdcChunkInfoCol(col("text"))).as("c"))
-        .filter(col("c.chunk_len") >= 16)
-        .select(col("doc_id"), col("c.chunk_fp").as("fp"))
-        .distinct()
-      ch.as("x").join(ch.as("y"),
-          col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
-        .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-        .agg(count(lit(1)).as("shared"))
-    }),
+    // inverted-index shape as d_ngram_pairs (never O(n²) text compares),
+    // with the hot-fingerprint df-cap (boilerplate chunks shared by > maxDf
+    // docs are dropped from the index — the stop-shingle treatment; the
+    // oracle applies the identical HAVING cut)
+    "d_cdc_dedup" -> ((s, dir) =>
+      Dedup.cdcChunkPairs(t(s, dir, "documents"), minChunkLen = 16,
+        maxDf = 1024)),
 
     // winsorized quality normalization: clip at the exact p05/p95 —
     // exactQuantiles composing as broadcast thresholds (2-value control
@@ -2795,6 +2848,34 @@ object SparkEntry {
         |        WHERE NOT EXISTS (SELECT 1 FROM adj d WHERE d.v = t.v AND d.m = t.u))
         |SELECT v AS id, count(*) AS n2 FROM res GROUP BY 1""".stripMargin,
 
+    // honest recompute over the same synthetic star+path edge set (1.7·10⁷
+    // wedges — fine in DuckDB at this drill size)
+    "g_skew_two_hop" ->
+      """WITH e AS (
+        |  SELECT CAST(1 AS BIGINT) AS src, i AS dst FROM range(2, 4098) t(i)
+        |  UNION ALL
+        |  SELECT i, i + 1 FROM range(2, 4097) t(i)),
+        |adj AS (SELECT src AS v, dst AS m FROM e UNION ALL SELECT dst, src FROM e),
+        |two AS (SELECT DISTINCT a.v, b.m AS u
+        |        FROM adj a JOIN adj b ON a.m = b.v WHERE a.v <> b.m),
+        |res AS (SELECT t.v, t.u FROM two t
+        |        WHERE NOT EXISTS (SELECT 1 FROM adj d WHERE d.v = t.v AND d.m = t.u))
+        |SELECT v AS id, count(*) AS n2 FROM res GROUP BY 1""".stripMargin,
+
+    // closed form (an honest DuckDB recompute would enumerate 10¹⁰ wedges
+    // through the 10⁵-degree hub — the same reason g_skew_lcc/jaccard/adamic
+    // gate on closed forms). Derivation: round 1 supports are
+    //   clique edge (u,v ⊂ 2..12): ≥ {hub} ∪ 9 clique commons = 10 ≥ 9 keep
+    //   star spoke (1,c), c ∉ clique: |N(c)\{1}| ≤ 4 < 9 drop
+    //   path (c,c+1): commons ⊆ {1, c−1, c+2} ≤ 3 < 9 drop (path edges
+    //     inside 2..12 are clique duplicates, merged by canonicalization)
+    //   skip (c,c+2): commons {1, c+1} = 2 < 9 drop
+    // leaving hub ∪ clique = a 12-clique, where every edge's support is
+    // exactly 10 ≥ k−2 = 9: the fixpoint.
+    "g_skew_ktruss" ->
+      """SELECT a.i AS src, b.i AS dst, CAST(10 AS BIGINT) AS support
+        |FROM range(1, 13) a(i) JOIN range(1, 13) b(i) ON a.i < b.i""".stripMargin,
+
     "g_ktruss" -> {
       // fixpoint at round 11 (sf0.01) / 4 (sf0.1) for k=9; 20 rounds of
       // margin against testdata regeneration — converged rounds are no-ops
@@ -3305,9 +3386,12 @@ object SparkEntry {
          |                          hi := bs2[j]))) AS c FROM cl),
          |keep AS (SELECT DISTINCT doc_id,
          |           ${sqlU2S(sqlPoly(chunkCps, 1125899906842597L, 1099511628211L))} AS fp
-         |         FROM ch WHERE c.hi - c.lo >= 16)
+         |         FROM ch WHERE c.hi - c.lo >= 16),
+         |kept AS (SELECT k.doc_id, k.fp FROM keep k
+         |         JOIN (SELECT fp FROM keep GROUP BY fp HAVING count(*) <= 1024) ok
+         |           USING (fp))
          |SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS shared
-         |FROM keep x JOIN keep y ON x.fp = y.fp AND x.doc_id < y.doc_id
+         |FROM kept x JOIN kept y ON x.fp = y.fp AND x.doc_id < y.doc_id
          |GROUP BY 1, 2""".stripMargin
     },
 

@@ -34,6 +34,21 @@ object GraphAlgorithms {
   private def cp(df: DataFrame): DataFrame = df.localCheckpoint(true)
   private def cpLazy(df: DataFrame): DataFrame = df.localCheckpoint(false)
 
+  /** Stats barrier for LOOP-carried checkpoints. localCheckpoint cuts the
+    * execution lineage but carries the origin plan's size ESTIMATE onto the
+    * new leaf; size-only estimation multiplies child sizes at each join, so
+    * a loop whose round-r+1 plan joins k relations derived from round r's
+    * checkpoint grows the carried BigInt to k^r digits — at k ≈ 15 (the
+    * k-truss support plan) the PLANNER stalls for minutes in BigInteger
+    * multiplication by round ~6 (observed: single-core Toom-Cook grind in
+    * `canBroadcastBySize`, zero tasks). Wrapping the loop variable resets
+    * the estimate to the constant default, making per-round planning cost
+    * flat; broadcast decisions inside the loops don't regress because the
+    * adjacency/degree joins carry explicit count-based hints
+    * (adjSide/degSide). See org.apache.spark.sql.graft.StatsBarrier. */
+  private def barrier(df: DataFrame): DataFrame =
+    org.apache.spark.sql.graft.StatsBarrier.freshLeaf(df)
+
   /** Both-direction edge list (src,dst[,value]) for undirected propagation. */
   private def bidir(edges: DataFrame, withValue: Boolean): DataFrame = {
     val fwd = if (withValue) edges.select(col("src"), col("dst"), col("value"))
@@ -56,12 +71,12 @@ object GraphAlgorithms {
   private val convergenceCheckEvery = 2
   private def frontierLoop(init: DataFrame, maxIterations: Int,
                            activePred: Column)(step: DataFrame => DataFrame): DataFrame = {
-    var state = cp(init)
+    var state = barrier(cp(init))
     var pending: List[DataFrame] = Nil
     var iter = 0
     var active = 1L
     while (active > 0 && iter < maxIterations) {
-      val newState = cpLazy(step(state))
+      val newState = barrier(cpLazy(step(state)))
       iter += 1
       if (iter % convergenceCheckEvery == 0 || iter >= maxIterations) {
         active = newState.filter(activePred).count()
@@ -140,7 +155,7 @@ object GraphAlgorithms {
           struct(col("hi").as("a"), col("m").as("b")))).as("p"))
         .select(greatest(col("p.a"), col("p.b")).as("hi"), least(col("p.a"), col("p.b")).as("lo"))
         .filter(col("hi") =!= col("lo")).distinct()
-      val newE = cp(ss)
+      val newE = barrier(cp(ss))
       val cur = stats(newE)
       done = cur == prev
       prev = cur
@@ -436,10 +451,19 @@ object GraphAlgorithms {
     * it. */
   def prepareNeighborhood(g: KGraph,
                           hubDegreeCap: Int = HubDegreeCap,
-                          assumeCanonical: Boolean = false): UndirectedNeighborhood = {
+                          assumeCanonical: Boolean = false): UndirectedNeighborhood =
+    prepareNeighborhoodFromEdges(g.edges, hubDegreeCap, assumeCanonical)
+
+  /** [[prepareNeighborhood]] over a bare (src, dst) edge frame — the entry
+    * point for callers without a KGraph (kTruss rebuilds this per peel
+    * round from its surviving edge set). */
+  private[graft] def prepareNeighborhoodFromEdges(
+      edges: DataFrame,
+      hubDegreeCap: Int = HubDegreeCap,
+      assumeCanonical: Boolean = false): UndirectedNeighborhood = {
     val e = cp(
-      if (assumeCanonical) g.edges.select(col("src").as("a"), col("dst").as("b"))
-      else canonicalEdges(g.edges))
+      if (assumeCanonical) edges.select(col("src").as("a"), col("dst").as("b"))
+      else canonicalEdges(edges))
     val bd = bidir(e.select(col("a").as("src"), col("b").as("dst")), withValue = false)
     // canonical edges are distinct, so bidir rows are too: count = degree
     val hubs = cp(bd.groupBy(col("src")).agg(count(lit(1)).as("deg"))
@@ -672,6 +696,128 @@ object GraphAlgorithms {
     else sim
   }
 
+  private lazy val logger = org.slf4j.LoggerFactory.getLogger("graft.algos.GraphAlgorithms")
+
+  /** Salt modulus for [[twoHopNeighborCounts]]'s first-level distinct
+    * partials: contributions are grouped by (vertex, salt) before the
+    * per-vertex merge, so a vertex adjacent to a mega-hub never funnels its
+    * whole candidate stream through one aggregation key. */
+  private[graft] val TwoHopSalt = 32
+
+  /** The keyed contribution relation behind [[twoHopNeighborCounts]],
+    * exposed for the skew spec: one row per (undirected edge (v, m)) ×
+    * (adjacency row of the MIDDLE m) carrying m's neighbor array (hub
+    * middles contribute their B(m) bucket partials, non-hubs one whole
+    * array) with v itself removed, salted by s = h(m, bucket) mod
+    * [[TwoHopSalt]] so a hub middle's bucket rows spread across level-1
+    * keys instead of piling on one. */
+  private[graft] def twoHopContrib(p: UndirectedNeighborhood): DataFrame = {
+    val bd = bidir(p.e.select(col("a").as("src"), col("b").as("dst")),
+      withValue = false).toDF("v", "m")
+    bd.join(adjSide(p.adj.select(col("src").as("m"), col("bucket"), col("nbrs")),
+        p.eCount), Seq("m"))
+      .select(col("v"),
+        pmod(xxhash64(col("m"), col("bucket")), lit(TwoHopSalt.toLong))
+          .cast("int").as("s"),
+        array_remove(col("nbrs"), col("v")).as("cand"))
+  }
+
+  /** Exact-distance-2 neighborhood sizes: for each vertex, the number of
+    * vertices reachable in exactly two hops (N(N(v)) minus N(v) minus v) —
+    * the friend-of-friend feature behind triadic-closure link prediction
+    * and 2-hop expansion sizing. Self-loops and duplicate edges are ignored
+    * (undirected simple-graph semantics, like the rest of the
+    * intersection family). Vertices with an empty 2-hop set emit no row.
+    *
+    * Scale shape: exact 2-hop output is intrinsically Θ(Σ deg²) — every
+    * neighbor of a degree-D hub has ≥ D−1 distance-2 vertices — so no
+    * algorithm avoids that VALUE volume; what this formulation avoids is
+    * materializing it as individual wedge ROWS through a shuffle and
+    * funneling any one vertex's stream through a single key. Candidates
+    * travel as the prepared neighborhood's (hub-bucketed) adjacency
+    * ARRAYS: (1) each undirected edge (v, m) picks up the middle m's
+    * adjacency rows (≈ HubDegreeCap values per row at any degree, since
+    * hubs are degree-proportionally bucketed); (2) level-1 dedup partials
+    * group by (v, salt) — per-key input ≤ rows(v)/TwoHopSalt array rows;
+    * (3) the per-vertex merge unions ≤ TwoHopSalt pre-deduped partials, so
+    * its input is ≤ TwoHopSalt × |result set(v)| — proportional to the
+    * answer it must emit; (4) direct neighbors are subtracted with the
+    * codegen'd galloping intersect against v's own (bucketed) adjacency —
+    * disjoint partials, counts sum — instead of re-exploding the distinct
+    * set into an anti-join. */
+  def twoHopNeighborCounts(g: KGraph): DataFrame =
+    twoHopNeighborCounts(prepareNeighborhood(g))
+
+  def twoHopNeighborCounts(p: UndirectedNeighborhood): DataFrame = {
+    val lvl1 = twoHopContrib(p)
+      .groupBy(col("v"), col("s"))
+      .agg(array_distinct(flatten(collect_list(col("cand")))).as("part"))
+    val lvl2 = lvl1.groupBy(col("v"))
+      .agg(array_sort(array_distinct(flatten(collect_list(col("part"))))).as("two"))
+    // |two \ N(v)|: per adjacency-bucket partial intersect counts sum
+    // (buckets partition N(v)); `two` excludes v by construction
+    val cnt = graft.functions.GraphSetExpressions
+      .sortedIntersectCount(col("two"), col("nbrs"))
+    lvl2.join(adjSide(p.adj.withColumnRenamed("src", "v"), p.eCount), Seq("v"))
+      .groupBy(col("v"))
+      .agg((max(size(col("two"))).cast("long") - sum(cnt.cast("long"))).as("n2"))
+      .filter(col("n2") > 0)
+      .select(col("v").as("id"), col("n2"))
+  }
+
+  /** k-truss: the maximal subgraph where every EDGE sits in ≥ k−2
+    * triangles — the edge-level density peel (stronger than k-core:
+    * cohesion through shared neighbors, not raw degree; the standard
+    * community-core primitive). Iterative: per round, rebuild the prepared
+    * neighborhood (canonical edges + per-vertex sorted adjacency, HUB-SPLIT
+    * at `hubDegreeCap` exactly like the triangle family) from the surviving
+    * edges, compute each edge's support as the sum of its aligned-bucket
+    * partial intersections (codegen'd galloping kernel — per-row work
+    * bounded by ≈ cap-sized partials, never a monolithic hub array or a
+    * wedge enumeration), and drop edges below k−2. Monotone, so it
+    * terminates; rounds are data-bounded, each cut with localCheckpoint.
+    * Input is canonicalized (undirected simple graph: self-loops dropped,
+    * duplicates merged); returns the truss edges with their converged
+    * support as (src, dst, support) with src < dst. Logs a warning if
+    * `maxIter` exhausts before the fixpoint — the result is then only an
+    * upper bound on the k-truss. */
+  def kTruss(edges: DataFrame, k: Int, maxIter: Int = 100,
+             hubDegreeCap: Int = HubDegreeCap): DataFrame = {
+    require(k >= 3, "k must be at least 3")
+    val cnt = graft.functions.GraphSetExpressions
+      .sortedIntersectCount(col("na"), col("nb"))
+    // support per canonical edge over the CURRENT edge set; hub edges carry
+    // several aligned-bucket rows whose partial counts sum, and a
+    // filtered mixed-edge expansion can emit zero rows for an edge with a
+    // provably-empty intersection — the left join owes it support 0.
+    def support(eCanon: DataFrame): DataFrame = {
+      val p = prepareNeighborhoodFromEdges(
+        eCanon.select(col("a").as("src"), col("b").as("dst")),
+        hubDegreeCap, assumeCanonical = true)
+      val sup = edgeAdjacency(p)
+        .groupBy(col("a"), col("b")).agg(sum(cnt.cast("long")).as("support"))
+      p.e.join(sup, Seq("a", "b"), "left_outer")
+        .select(col("a"), col("b"),
+          coalesce(col("support"), lit(0L)).as("support"))
+    }
+    var e = barrier(cp(canonicalEdges(edges)))
+    var n = e.count()
+    var iter = 0
+    var done = n == 0L
+    while (!done && iter < maxIter) {
+      val e2 = barrier(cp(support(e).filter(col("support") >= k - 2)
+        .select(col("a"), col("b"))))
+      val n2 = e2.count()
+      done = n2 == n || n2 == 0L
+      e = e2; n = n2; iter += 1
+    }
+    if (!done)
+      logger.warn(s"kTruss(k=$k) exhausted maxIter=$maxIter before convergence; " +
+        "the returned edge set may still contain sub-truss edges")
+    support(e).filter(col("support") >= k - 2)
+      .select(col("a").as("src"), col("b").as("dst"), col("support"))
+  }
+
   /** k-core: the maximal subgraph where every vertex keeps degree ≥ k —
     * the standard graph-density peel (community cores, nucleus
     * decomposition, spam/bot filtering). Iterative peeling on CANONICAL
@@ -681,64 +827,9 @@ object GraphAlgorithms {
     * |V| rounds and in practice a handful — each round is one combinable
     * degree aggregate plus two semi-joins, with a `localCheckpoint` cut so
     * round r's plan never replays rounds 1..r−1 (the same discipline as
-    * every other iterative loop here). Returns the core's (id, degree). */
-  /** Exact-distance-2 neighborhood sizes: for each vertex, the number of
-    * vertices reachable in exactly two hops (N(N(v)) minus N(v) minus v) —
-    * the friend-of-friend feature behind triadic-closure link prediction
-    * and 2-hop expansion sizing. One adjacency self-join + distinct + an
-    * anti-join against direct edges — all hash shuffles on vertex keys;
-    * the intermediate is Σ deg² rows, the same wedge volume the triangle
-    * family bounds with hub-splitting when degrees are extreme. Vertices
-    * with an empty 2-hop set emit no row. */
-  def twoHopNeighborCounts(g: KGraph): DataFrame = {
-    val adj = g.edges.select(col("src").as("v"), col("dst").as("m"))
-      .unionAll(g.edges.select(col("dst").as("v"), col("src").as("m")))
-    adj.toDF("v", "m")
-      .join(adj.toDF("m", "u"), Seq("m"))
-      .filter(col("v") =!= col("u"))
-      .select(col("v"), col("u")).distinct()
-      .join(adj.toDF("v", "u"), Seq("v", "u"), "left_anti")
-      .groupBy(col("v").as("id")).agg(count(lit(1)).as("n2"))
-      .select(col("id"), col("n2"))
-  }
-
-  /** k-truss: the maximal subgraph where every EDGE sits in ≥ k−2
-    * triangles — the edge-level density peel (stronger than k-core:
-    * cohesion through shared neighbors, not raw degree; the standard
-    * community-core primitive). Iterative: per round, rebuild sorted
-    * adjacency from surviving canonical edges (src < dst, each edge once),
-    * compute each edge's support with the codegen'd galloping
-    * sorted-intersection kernel — per-edge work bounded by endpoint
-    * degrees, never a wedge enumeration — and drop edges below k−2.
-    * Monotone, so it terminates; rounds are data-bounded. Returns the
-    * truss edges with their converged support (src, dst, support). */
-  def kTruss(edges: DataFrame, k: Int, maxIter: Int = 100): DataFrame = {
-    require(k >= 3, "k must be at least 3")
-    val intersect = graft.functions.GraphSetExpressions.sortedIntersectCount _
-    def support(e: DataFrame): DataFrame = {
-      val adj = e.select(col("src").as("id"), col("dst").as("nbr"))
-        .unionAll(e.select(col("dst").as("id"), col("src").as("nbr")))
-        .groupBy(col("id")).agg(sort_array(collect_list(col("nbr"))).as("adj"))
-        .localCheckpoint(true)
-      e.join(adj.toDF("src", "adjA"), Seq("src"))
-        .join(adj.toDF("dst", "adjB"), Seq("dst"))
-        .select(col("src"), col("dst"),
-          intersect(col("adjA"), col("adjB")).cast("long").as("support"))
-    }
-    var e = edges.select(col("src"), col("dst")).localCheckpoint(true)
-    var n = e.count()
-    var iter = 0
-    var done = n == 0L
-    while (!done && iter < maxIter) {
-      val e2 = support(e).filter(col("support") >= k - 2)
-        .select(col("src"), col("dst")).localCheckpoint(true)
-      val n2 = e2.count()
-      done = n2 == n || n2 == 0L
-      e = e2; n = n2; iter += 1
-    }
-    support(e).filter(col("support") >= k - 2)
-  }
-
+    * every other iterative loop here). Returns the core's (id, degree).
+    * Logs a warning if `maxIter` exhausts before the fixpoint — the result
+    * may then still contain sub-k vertices. */
   def kCore(edges: DataFrame, k: Int, maxIter: Int = 100): DataFrame = {
     require(k >= 1, "k must be positive")
     var e = edges.select(col("src"), col("dst")).localCheckpoint(true)
@@ -759,6 +850,9 @@ object GraphAlgorithms {
       done = n2 == n || n2 == 0L
       e = e2; n = n2; iter += 1
     }
+    if (!done)
+      logger.warn(s"kCore(k=$k) exhausted maxIter=$maxIter before convergence; " +
+        "the returned vertex set may still contain sub-k vertices")
     e.select(col("src").as("id")).unionAll(e.select(col("dst").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).cast("long").as("degree"))
   }

@@ -252,8 +252,6 @@ object Ann {
       .agg(min(struct(col("d2"), col("centroid_id"))).as("_m"))
       .select(col("id"), col("_m.centroid_id").as("cell"))
 
-  /** IVF approximate top-k: index = assign corpus to cells; query probes its
-    * `nprobe` nearest cells only. */
   /** Recall@k report: fraction of the EXACT top-k each approximate search
     * recovered, per query — the number that justifies (or indicts) an ANN
     * configuration before it ships. Both inputs are (query_id, nbr_id)
@@ -287,6 +285,8 @@ object Ann {
           coalesce(expr(s"1000000 DIV ($c + rank_b)"), lit(0L))).as("rrf_micro"))
   }
 
+  /** IVF approximate top-k: index = assign corpus to cells; query probes its
+    * `nprobe` nearest cells only. */
   def ivfKnn(corpus: DataFrame, queries: DataFrame, k: Int,
              nlist: Int = 64, nprobe: Int = 8, iters: Int = 3,
              idCol: String = "vec_id", vecCol: String = "embedding",

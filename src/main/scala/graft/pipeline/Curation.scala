@@ -236,27 +236,6 @@ object Curation {
 
   // ---- mixture + split assignment -----------------------------------------
 
-  /**
-   * Temperature-based domain mixing (α = 1/2): per-group sampling quotas
-   * proportional to √n_d — the standard "flatten the domain distribution"
-   * rule multilingual/multi-source training mixes use (raw proportional
-   * sampling drowns small domains; uniform ignores size entirely; √n is
-   * the classic compromise, e.g. multilingual BERT's exponent-smoothed
-   * sampling). All integer-exact, so the allocation is reproducible
-   * bit-for-bit on any engine:
-   *
-   *   - w_d = isqrt(n_d): floor(√·) in doubles then a ±1 integer
-   *     correction, so the result is the true integer sqrt regardless of
-   *     FP rounding;
-   *   - a_d = ⌊B·w_d / Σw⌋ plus largest-remainder top-up (remainder DESC,
-   *     group ASC), so Σa_d = B exactly — quota sums never drift off the
-   *     token budget.
-   *
-   * The group column is a bounded profiling dimension (domains, languages,
-   * sources): everything after the one corpus-scan count aggregate runs on
-   * a #groups-row relation, where single-partition windows are free.
-   * Returns (groupCol, n_docs, w, alloc).
-   */
   /** Snapshot diff by content fingerprint: classifies every id across two
     * corpus snapshots as added / removed / changed / unchanged — the
     * incremental-ingest primitive (what must a downstream index or dedup
@@ -320,6 +299,27 @@ object Curation {
         coalesce(col(dim2), lit("ALL")).as(dim2),
         col("gid"), col("n_docs"), col("sum_chars"))
 
+  /**
+   * Temperature-based domain mixing (α = 1/2): per-group sampling quotas
+   * proportional to √n_d — the standard "flatten the domain distribution"
+   * rule multilingual/multi-source training mixes use (raw proportional
+   * sampling drowns small domains; uniform ignores size entirely; √n is
+   * the classic compromise, e.g. multilingual BERT's exponent-smoothed
+   * sampling). All integer-exact, so the allocation is reproducible
+   * bit-for-bit on any engine:
+   *
+   *   - w_d = isqrt(n_d): floor(√·) in doubles then a ±1 integer
+   *     correction, so the result is the true integer sqrt regardless of
+   *     FP rounding;
+   *   - a_d = ⌊B·w_d / Σw⌋ plus largest-remainder top-up (remainder DESC,
+   *     group ASC), so Σa_d = B exactly — quota sums never drift off the
+   *     token budget.
+   *
+   * The group column is a bounded profiling dimension (domains, languages,
+   * sources): everything after the one corpus-scan count aggregate runs on
+   * a #groups-row relation, where single-partition windows are free.
+   * Returns (groupCol, n_docs, w, alloc).
+   */
   def temperatureMix(df: DataFrame, groupCol: String, budget: Long): DataFrame = {
     require(budget >= 0, s"budget must be >= 0, got $budget")
     val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_docs"))

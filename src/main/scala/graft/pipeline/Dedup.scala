@@ -1130,4 +1130,45 @@ object Dedup {
       .filter(col("_ord") === col("_w"))
       .select(col("_id"), col("_pos"), col("_line"))
   }
+
+  // -------------------------------------------------------------------------
+  // CDC chunk-fingerprint dedup candidates
+  // -------------------------------------------------------------------------
+
+  /** Chunk-level near-dup candidate pairs: documents sharing ≥ 1
+    * content-defined chunk (Rabin-style rolling-hash boundaries, so the
+    * shared-span detection is insertion-stable) of ≥ `minChunkLen` code
+    * points. Same inverted-index shape as the n-gram pipeline — pairs come
+    * from an equi-join on the chunk fingerprint, never an O(n²) text
+    * compare.
+    *
+    * `maxDf` is the HOT-FINGERPRINT cap, the exact analog of the n-gram
+    * pipeline's stop-shingle cut: a boilerplate chunk (license header,
+    * nav bar) shared by B documents would otherwise emit B² candidate
+    * pairs through the self-join — the one unbounded blowup this index
+    * shape admits. Fingerprints with document frequency > maxDf are
+    * dropped from the index BEFORE the join, bounding any fingerprint's
+    * contribution to maxDf² pairs; a boilerplate chunk is definitionally
+    * not dedup evidence, exactly as a stop-shingle is not similarity
+    * evidence. Returns (a, b, shared) with a < b, shared = number of
+    * co-occurring (non-hot) chunk fingerprints. */
+  def cdcChunkPairs(docs: DataFrame, textCol: String = "text",
+                    idCol: String = "doc_id", minChunkLen: Int = 16,
+                    maxDf: Int = 1024): DataFrame = {
+    require(minChunkLen >= 1, "minChunkLen must be positive")
+    require(maxDf >= 2, "maxDf must be at least 2 (a pair needs df 2)")
+    val ch = docs
+      .select(col(idCol),
+        explode(graft.functions.Poly64.cdcChunkInfoCol(col(textCol))).as("c"))
+      .filter(col("c.chunk_len") >= minChunkLen)
+      .select(col(idCol), col("c.chunk_fp").as("fp"))
+      .distinct()
+    val hot = ch.groupBy(col("fp")).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") > maxDf).select(col("fp"))
+    val kept = ch.join(hot, Seq("fp"), "left_anti")
+    kept.as("x").join(kept.as("y"),
+        col("x.fp") === col("y.fp") && col(s"x.$idCol") < col(s"y.$idCol"))
+      .groupBy(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"))
+      .agg(count(lit(1)).as("shared"))
+  }
 }

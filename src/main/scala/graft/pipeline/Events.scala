@@ -235,18 +235,6 @@ object Events {
     }
   }
 
-  /** Range join: points ⋈ intervals where `startCol ≤ ptCol ≤ endCol`
-    * (optionally also equi-joined on `keyCols`). Spark plans a raw
-    * inequality join as a nested-loop product; this formulation BUCKETIZES —
-    * intervals explode to the fixed-width bins they span, points map to one
-    * bin, and the join is an equi-join on (keys, bin) followed by the exact
-    * range filter. Each (point, interval) match arises in exactly the
-    * point's bin, so no dedup pass is needed.
-    *
-    * `binWidth` trades explode factor for join selectivity: pick it near
-    * the typical interval length (an interval spans ~len/binWidth bins).
-    * Intervals with `end < start` are dropped. Column names of the two
-    * inputs must be disjoint apart from `keyCols`. */
   /** Exponentially-decayed per-key value (α = 1/2), the recency-weighted
     * feature aggregate: over each key's most recent `window` events
     * (timestamp desc, `idCol` desc tiebreak), the newest event carries
@@ -271,7 +259,10 @@ object Events {
                    tsCol: String = "ts", valueCol: String = "value",
                    idCol: String = "event_id", window: Int = 16): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(window >= 1 && window <= 40, "window must be in [1, 40]")
+    // window ≤ 32 keeps vmu · 2^(window−1) inside BIGINT for any |value| up
+    // to ~4.2·10³ (micro-quantized: 2^63 / 1e6 / 2^31); window = 40 would
+    // silently wrap under non-ANSI arithmetic at |value| ≈ 16.
+    require(window >= 1 && window <= 32, "window must be in [1, 32]")
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol).desc, col(idCol).desc)
     events
@@ -368,6 +359,18 @@ object Events {
       .select(col(idCol), col(keyCol), col("vmu"), col("med_mu"), col("mad_mu"))
   }
 
+  /** Range join: points ⋈ intervals where `startCol ≤ ptCol ≤ endCol`
+    * (optionally also equi-joined on `keyCols`). Spark plans a raw
+    * inequality join as a nested-loop product; this formulation BUCKETIZES —
+    * intervals explode to the fixed-width bins they span, points map to one
+    * bin, and the join is an equi-join on (keys, bin) followed by the exact
+    * range filter. Each (point, interval) match arises in exactly the
+    * point's bin, so no dedup pass is needed.
+    *
+    * `binWidth` trades explode factor for join selectivity: pick it near
+    * the typical interval length (an interval spans ~len/binWidth bins).
+    * Intervals with `end < start` are dropped. Column names of the two
+    * inputs must be disjoint apart from `keyCols`. */
   def rangeJoin(points: DataFrame, intervals: DataFrame,
                 ptCol: String, startCol: String, endCol: String,
                 binWidth: Long, keyCols: Seq[String] = Nil): DataFrame = {
@@ -453,7 +456,8 @@ object Events {
                          idCol: String = "event_id",
                          window: Int = 16): org.apache.spark.sql.Dataset[DecayRow] = {
     import org.apache.spark.sql.streaming.GroupStateTimeout
-    require(window >= 1 && window <= 40, "window must be in [1, 40]")
+    // same Long-overflow bound as the batch decayedValue
+    require(window >= 1 && window <= 32, "window must be in [1, 32]")
     val spark = events.sparkSession
     import spark.implicits._
     def micros(t: java.sql.Timestamp): Long =

@@ -73,9 +73,6 @@ object LinAlg {
     vecs.select(new Moments().toColumn).head()
   }
 
-  /** Upper-triangle second-moment ("Gram") matrix as rows
-    * (i, j, s_micro) with 1-based i ≤ j — the exact integer sums, suitable
-    * for a cross-engine hash gate. */
   /** Per-group, per-dimension integer moment profile: (groupCol, dim, n,
     * sum_micro) with each component floor-quantized to micro-units before a
     * BIGINT fold — the exact, engine-portable building block for embedding
@@ -91,6 +88,9 @@ object LinAlg {
       .agg(count(lit(1)).as("n"),
         sum(floor(col("x").cast("double") * lit(1e6)).cast("long")).as("sum_micro"))
 
+  /** Upper-triangle second-moment ("Gram") matrix as rows
+    * (i, j, s_micro) with 1-based i ≤ j — the exact integer sums, suitable
+    * for a cross-engine hash gate. */
   def gramMatrix(df: DataFrame, vecCol: String): DataFrame = {
     val st = moments(df, vecCol)
     val d = st.sums.length

@@ -127,6 +127,79 @@ class SkewSpec extends SparkSpec {
       GraphAlgorithms.globalTriangleCount(full))
   }
 
+  test("hub-split twoHopNeighborCounts ≡ unsplit ≡ brute force on star+ring") {
+    val n = 600
+    val g = starRing(n)
+    val split = GraphAlgorithms.prepareNeighborhood(g, hubDegreeCap = 64)
+    val whole = GraphAlgorithms.prepareNeighborhood(g, hubDegreeCap = Int.MaxValue)
+    assert(split.hubCount === 1L)
+    val gotSplit = collectMap(GraphAlgorithms.twoHopNeighborCounts(split))
+    val gotWhole = collectMap(GraphAlgorithms.twoHopNeighborCounts(whole))
+    assert(gotSplit === gotWhole)
+    // brute force over Scala sets: exactly-2-hop = N(N(v)) \ N(v) \ {v}
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+      .withDefaultValue(Set.empty)
+    g.edges.select(col("src"), col("dst")).collect().foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      adj(a) = adj(a) + b; adj(b) = adj(b) + a
+    }
+    val brute = adj.keys.map { v =>
+      v -> (adj(v).flatMap(adj) -- adj(v) - v).size.toLong
+    }.filter(_._2 > 0).toMap
+    assert(gotSplit === brute)
+  }
+
+  test("2·10⁴-degree hub: two-hop level-1 dedup keys are salt-bounded") {
+    // The straggler unit for the 2-hop candidate pipeline is the LEVEL-1
+    // dedup key (v, salt): a hub MIDDLE's bucket rows must spread across
+    // the salt space instead of funneling one key, and no key's row count
+    // may grow with the hub degree beyond rows(v)/salt.
+    val n = 20001 // hub degree 2·10⁴ → 128 buckets at cap 256
+    val p = GraphAlgorithms.prepareNeighborhood(starRing(n), hubDegreeCap = 256)
+    assert(p.hubCount === 1L)
+    // every ring vertex receives the hub's 128 bucket rows + 2 ring rows;
+    // per (v, salt) key that is ≤ ceil(130/32) + collision slack
+    val perKey = GraphAlgorithms.twoHopContrib(p)
+      .filter(col("v") =!= 1L)
+      .groupBy(col("v"), col("s")).count()
+      .agg(max(col("count")), min(col("count"))).head()
+    assert(perKey.getLong(0) <= 16L,
+      s"level-1 straggler key: max=${perKey.getLong(0)} rows")
+    // the hub's own contributions (600+ small middles) also stay spread
+    val hubKeys = GraphAlgorithms.twoHopContrib(p)
+      .filter(col("v") === 1L)
+      .groupBy(col("s")).count().collect().map(_.getLong(1))
+    assert(hubKeys.length === GraphAlgorithms.TwoHopSalt)
+    assert(hubKeys.max <= 2 * hubKeys.sorted.apply(hubKeys.length / 2),
+      s"hub-vertex salt skew: max=${hubKeys.max}")
+  }
+
+  /** Mini version of the g_skew_ktruss drill graph: star (1,c) 2..n, path,
+    * skip chords, 11-clique on 2..12. */
+  private def trussDrill(n: Int): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val star = (2 to n).map(c => (1L, c.toLong))
+    val path = (2 until n).map(c => (c.toLong, c + 1L))
+    val skip = (2 until n - 1).map(c => (c.toLong, c + 2L))
+    val clique = for (u <- 2 to 12; v <- u + 1 to 12) yield (u.toLong, v.toLong)
+    (star ++ path ++ skip ++ clique).toDF("src", "dst")
+  }
+
+  test("hub-split kTruss ≡ unsplit; fixpoint = hub∪clique 12-clique") {
+    val edges = trussDrill(600) // hub degree 599 > cap 64 → bucketed support
+    val split = GraphAlgorithms.kTruss(edges, k = 11, hubDegreeCap = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val whole = GraphAlgorithms.kTruss(edges, k = 11, hubDegreeCap = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(split === whole)
+    // closed form: every pair within {1..12}, support 10
+    val expect = (for (u <- 1L to 12L; v <- u + 1 to 12L) yield (u, v) -> 10L).toMap
+    assert(split === expect)
+    // and the peel genuinely engaged the hub-bucket machinery
+    val p = GraphAlgorithms.prepareNeighborhoodFromEdges(edges, hubDegreeCap = 64)
+    assert(p.hubCount === 1L)
+  }
+
   test("saltedPairs ≡ direct pair expansion (chunked mega-groups included)") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

@@ -312,6 +312,28 @@ object SparkEntry {
 
   // =========================================================================
 
+  /** Named materialization thunks for the SHARED prep the query set
+    * memoizes (derived graphs + prepared neighborhoods). Bench runs these
+    * BEFORE the timed query loop and reports each as its own `prep:<name>`
+    * entry, so a `g_*` query's number is the query's own cost — not
+    * whichever query happened to touch a cold cache first. (BENCH_r06's
+    * g_skew_adamic read 32 s in the driver artifact vs 1.5 s warm in
+    * isolation purely because it paid the 10⁵-hub graph build + dynamic
+    * bucket prep for the whole skew family.) Each thunk is idempotent: it
+    * just forces the memoizing getter, whose builders localCheckpoint
+    * eagerly. */
+  def sharedPrep: Seq[(String, (SparkSession, String) => Unit)] = Seq(
+    "supplierPart" -> ((s, d) => { supplierPartGraph(s, d); () }),
+    "coPurchase" -> ((s, d) => { coPurchaseGraph(s, d); () }),
+    "coPurchaseNbr" -> ((s, d) => { coPurchaseNbr(s, d); () }),
+    "tree" -> ((s, d) => { treeGraph(s, d); () }),
+    "star" -> ((s, d) => { starGraph(s, d); () }),
+    "skewHub" -> ((s, d) => { skewHubGraph(s, d); () }),
+    "skewHub1e5" -> ((s, d) => { skewHub1e5(s, d); () }),
+    "skewHub1e5Nbr" -> ((s, d) => { skewHub1e5Nbr(s, d); () }),
+    "skewTwoHop" -> ((s, d) => { skewTwoHopGraph(s, d); () }),
+    "skewTruss" -> ((s, d) => { skewTrussGraph(s, d); () }))
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q2_revenue_by_nation")(spark, "/root/testdata/sf0.001")

@@ -389,8 +389,6 @@ object Dedup {
     spark.table(s"${name}_clusters")
   }
 
-  /** Exact n-gram Jaccard similarity for given candidate pairs (a, b):
-    * |S(a)∩S(b)| / |S(a)∪S(b)| over word shingles. */
   /** End-to-end near-dup curation: MinHash+LSH clusters, then the retention
     * policy of [[exactKeepBest]] applied per CLUSTER — keep the largest
     * member (ties → smallest id). Returns (idCol, kept_chars, n_members),
@@ -429,6 +427,8 @@ object Dedup {
       .select((-col("_m.ni")).as(idCol), col("_m.c").as("kept_chars"),
         col("n_members"))
 
+  /** Exact n-gram Jaccard similarity for given candidate pairs (a, b):
+    * |S(a)∩S(b)| / |S(a)∪S(b)| over word shingles. */
   def ngramJaccardVerify(docs: DataFrame, pairs: DataFrame,
                          idCol: String = "doc_id", textCol: String = "text",
                          shingleLen: Int = 3): DataFrame = {

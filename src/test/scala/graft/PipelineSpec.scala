@@ -1808,4 +1808,32 @@ class PipelineSpec extends SparkSpec {
       assert(got(id)._2 === dup3, s"doc $id dup3 ppm, text='$text'")
     }
   }
+
+  test("cdcChunkPairs df-cap drops a planted boilerplate chunk's pair blowup") {
+    // 100 docs that are pure copies of one boilerplate text B (every chunk
+    // fingerprint df = 100) + one genuine near-dup pair sharing text C.
+    val boiler = "STANDARD LICENSE HEADER do not remove 0123456789 abcdefghij"
+    val near = "the quick brown fox jumps over the lazy dog twice 9876543210"
+    val docs = ((1L to 100L).map(i => (i, boiler)) ++
+      Seq((2001L, near), (2002L, near))).toDF("doc_id", "text")
+    // sanity: both fixtures yield ≥1 chunk long enough to index
+    val fps = docs.select(col("doc_id"),
+        explode(graft.functions.Poly64.cdcChunkInfoCol(col("text"))).as("c"))
+      .filter(col("c.chunk_len") >= 16).groupBy(col("doc_id")).count()
+    assert(fps.filter(col("doc_id") === 1L).head().getLong(1) >= 1)
+    assert(fps.filter(col("doc_id") === 2001L).head().getLong(1) >= 1)
+
+    // capped at 10: the df-100 boilerplate fingerprints leave the index —
+    // none of the 100·99/2 boilerplate pairs materialize; the df-2 pair does
+    val capped = Dedup.cdcChunkPairs(docs, minChunkLen = 16, maxDf = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(capped.keySet === Set((2001L, 2002L)))
+    assert(capped((2001L, 2002L)) >= 1L)
+
+    // cap above the planted df: the blowup is real (the hazard the cap
+    // exists for) — all 4950 boilerplate pairs plus the genuine pair
+    val uncapped = Dedup.cdcChunkPairs(docs, minChunkLen = 16, maxDf = 1000)
+      .count()
+    assert(uncapped === 100L * 99 / 2 + 1)
+  }
 }

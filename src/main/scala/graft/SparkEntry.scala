@@ -1026,27 +1026,26 @@ object SparkEntry {
     // dense cosine vs vec 0's embedding, top-50 each, fused by reciprocal
     // rank — integer-exact fusion, no score calibration
     "d_hybrid_rrf" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val lex = TextAnalysis.bm25TopDocs(t(s, dir, "documents"),
-          Seq("spark", "join", "window"), k = 1000000)
-        .withColumn("m", expr("CAST(round(bm25 * 1000000) AS BIGINT)"))
-        .groupBy(col("doc_id")).agg(sum(col("m")).as("score"))
-        .withColumn("rank", row_number().over(
-          Window.orderBy(col("score").desc, col("doc_id"))))
-        .filter(col("rank") <= 50)
-        .select(col("doc_id").as("id"), col("rank"))
+      // both arms rank via Ann.rankTopK (TakeOrdered partial top-k +
+      // bounded 50-row rank assignment) — NO unpartitioned WindowExec:
+      // the old row_number().over(Window.orderBy(...)) single-tasked the
+      // whole scored corpus (PlanAuditSpec pins the window-free plan)
+      val lex = Ann.rankTopK(
+        TextAnalysis.bm25TopDocs(t(s, dir, "documents"),
+            Seq("spark", "join", "window"), k = 1000000)
+          .withColumn("m", expr("CAST(round(bm25 * 1000000) AS BIGINT)"))
+          .groupBy(col("doc_id")).agg(sum(col("m")).as("score")),
+        "score", "doc_id", k = 50)
       val emb = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       val qv = emb.filter(col("vec_id") === 0).select(col("v").as("qv"))
       def dot(x: String, y: String) =
         expr(s"aggregate(zip_with($x, $y, (p, q) -> p * q), 0D, (acc, z) -> acc + z)")
-      val dense = emb.crossJoin(broadcast(qv))
-        .withColumn("cos", dot("v", "qv") /
-          (sqrt(dot("v", "v")) * sqrt(dot("qv", "qv"))))
-        .withColumn("rank", row_number().over(
-          Window.orderBy(col("cos").desc, col("vec_id"))))
-        .filter(col("rank") <= 50)
-        .select(col("vec_id").as("id"), col("rank"))
+      val dense = Ann.rankTopK(
+        emb.crossJoin(broadcast(qv))
+          .withColumn("cos", dot("v", "qv") /
+            (sqrt(dot("v", "v")) * sqrt(dot("qv", "qv")))),
+        "cos", "vec_id", k = 50)
       Ann.rrfFuse(lex, dense)
         .select(col("id").as("doc_id"), col("rank_a").as("lex_rank"),
           col("rank_b").as("dense_rank"), col("rrf_micro"))

@@ -768,54 +768,158 @@ object GraphAlgorithms {
   /** k-truss: the maximal subgraph where every EDGE sits in ≥ k−2
     * triangles — the edge-level density peel (stronger than k-core:
     * cohesion through shared neighbors, not raw degree; the standard
-    * community-core primitive). Iterative: per round, rebuild the prepared
-    * neighborhood (canonical edges + per-vertex sorted adjacency, HUB-SPLIT
-    * at `hubDegreeCap` exactly like the triangle family) from the surviving
-    * edges, compute each edge's support as the sum of its aligned-bucket
-    * partial intersections (codegen'd galloping kernel — per-row work
-    * bounded by ≈ cap-sized partials, never a monolithic hub array or a
-    * wedge enumeration), and drop edges below k−2. Monotone, so it
-    * terminates; rounds are data-bounded, each cut with localCheckpoint.
-    * Input is canonicalized (undirected simple graph: self-loops dropped,
-    * duplicates merged); returns the truss edges with their converged
-    * support as (src, dst, support) with src < dst. Logs a warning if
-    * `maxIter` exhausts before the fixpoint — the result is then only an
-    * upper bound on the k-truss. */
+    * community-core primitive). Peeling is INCREMENTAL in the tail rounds:
+    *
+    *  - a round that drops ≥ `rebuildFraction` of the edges recomputes
+    *    every support from a rebuilt prepared neighborhood (canonical
+    *    edges + per-vertex sorted adjacency, HUB-SPLIT at `hubDegreeCap`
+    *    exactly like the triangle family): each edge's support is the sum
+    *    of its aligned-bucket partial intersections (codegen'd galloping
+    *    kernel — never a monolithic hub array or a wedge enumeration);
+    *  - a round that drops only a sliver (the typical long tail of a peel)
+    *    instead enumerates the triangles DESTROYED by the dropped edges —
+    *    witnesses w ∈ N(a) ∩ N(b) per removed edge (a,b) via the same
+    *    aligned-bucket machinery, validated against the current edge set
+    *    (the retained adjacency may be a stale superset from the last
+    *    rebuild), deduped as sorted vertex triples — and decrements the
+    *    supports of each destroyed triangle's surviving edges. Work is
+    *    proportional to the REMOVED edges and their triangles, not the
+    *    surviving graph, and convergence (no edge below k−2) is detected
+    *    from the maintained support column with no final sweep at all.
+    *
+    * Monotone, so it terminates; rounds are data-bounded, each cut with
+    * localCheckpoint. Input is canonicalized (undirected simple graph:
+    * self-loops dropped, duplicates merged); returns the truss edges with
+    * their converged support as (src, dst, support) with src < dst. Logs a
+    * warning if `maxIter` exhausts before the fixpoint — the result is
+    * then only an upper bound on the k-truss. */
   def kTruss(edges: DataFrame, k: Int, maxIter: Int = 100,
-             hubDegreeCap: Int = HubDegreeCap): DataFrame = {
+             hubDegreeCap: Int = HubDegreeCap,
+             rebuildFraction: Double = 0.05): DataFrame = {
     require(k >= 3, "k must be at least 3")
+    require(rebuildFraction >= 0.0 && rebuildFraction <= 1.0,
+      "rebuildFraction must be in [0, 1]")
     val cnt = graft.functions.GraphSetExpressions
       .sortedIntersectCount(col("na"), col("nb"))
-    // support per canonical edge over the CURRENT edge set; hub edges carry
-    // several aligned-bucket rows whose partial counts sum, and a
-    // filtered mixed-edge expansion can emit zero rows for an edge with a
+    val inter = graft.functions.GraphSetExpressions
+      .sortedIntersect(col("na"), col("nb"))
+    // support per canonical edge over p's edge set; hub edges carry several
+    // aligned-bucket rows whose partial counts sum, and a filtered
+    // mixed-edge expansion can emit zero rows for an edge with a
     // provably-empty intersection — the left join owes it support 0.
-    def support(eCanon: DataFrame): DataFrame = {
-      val p = prepareNeighborhoodFromEdges(
-        eCanon.select(col("a").as("src"), col("b").as("dst")),
-        hubDegreeCap, assumeCanonical = true)
+    def supportOf(p: UndirectedNeighborhood): DataFrame = {
       val sup = edgeAdjacency(p)
         .groupBy(col("a"), col("b")).agg(sum(cnt.cast("long")).as("support"))
       p.e.join(sup, Seq("a", "b"), "left_outer")
         .select(col("a"), col("b"),
           coalesce(col("support"), lit(0L)).as("support"))
     }
-    var e = barrier(cp(canonicalEdges(edges)))
-    var n = e.count()
-    var iter = 0
-    var done = n == 0L
-    while (!done && iter < maxIter) {
-      val e2 = barrier(cp(support(e).filter(col("support") >= k - 2)
-        .select(col("a"), col("b"))))
-      val n2 = e2.count()
-      done = n2 == n || n2 == 0L
-      e = e2; n = n2; iter += 1
+    def prep(eCanon: DataFrame): UndirectedNeighborhood =
+      prepareNeighborhoodFromEdges(
+        eCanon.select(col("a").as("src"), col("b").as("dst")),
+        hubDegreeCap, assumeCanonical = true)
+    // Supports of `surv` after deleting `removed`, given exact supports
+    // (w.r.t. surv ∪ removed = prev) on both frames. `p`'s adjacency may be
+    // a SUPERSET of prev (stale since the last rebuild): witness candidates
+    // are therefore validated by requiring both non-removed legs in prev.
+    // Each destroyed triangle is counted once (distinct sorted triple, so a
+    // triangle losing 2–3 edges in one round can't double-decrement) and
+    // decrements only its surviving edges.
+    // `validate = false` is sound ONLY when p was built from exactly `prev`
+    // (then w ∈ N_p(a) ∩ N_p(b) already implies both legs are in prev —
+    // the semi-joins would keep every row).
+    def decremented(p: UndirectedNeighborhood, removed: DataFrame,
+                    prev: DataFrame, surv: DataFrame,
+                    validate: Boolean): DataFrame = {
+      val witnesses = edgeAdjacency(p.copy(e = removed.select(col("a"), col("b"))))
+        .select(col("a"), col("b"), explode(inter).as("w"))
+      val prevE = prev.select(col("a").as("pa"), col("b").as("pb"))
+      val valid = if (!validate) witnesses else witnesses
+        .join(prevE, least(col("a"), col("w")) === col("pa") &&
+          greatest(col("a"), col("w")) === col("pb"), "left_semi")
+        .join(prevE, least(col("b"), col("w")) === col("pa") &&
+          greatest(col("b"), col("w")) === col("pb"), "left_semi")
+      val tri = valid
+        .select(array_sort(array(col("a"), col("b"), col("w"))).as("t"))
+        .distinct()
+        .select(col("t").getItem(0).as("x"), col("t").getItem(1).as("y"),
+          col("t").getItem(2).as("z"))
+      val delta = tri.select(explode(array(
+          struct(col("x").as("a"), col("y").as("b")),
+          struct(col("x").as("a"), col("z").as("b")),
+          struct(col("y").as("a"), col("z").as("b")))).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("dec"))
+      surv.join(delta, Seq("a", "b"), "left_outer")
+        .select(col("a"), col("b"),
+          (col("support") - coalesce(col("dec"), lit(0L))).as("support"))
     }
-    if (!done)
+    val dbg = sys.env.contains("GRAFT_TRUSS_DEBUG")
+    var e = barrier(cp(canonicalEdges(edges)))   // (a, b): the current set
+    var n = e.count()
+    var p: UndirectedNeighborhood = null
+    // When non-null: cp'd (a, b, support), EXACT within the current set —
+    // the peel then proceeds by decrement alone (tail regime). When null,
+    // the next round is a full sweep: prep + support + filter in ONE fused
+    // materialization (only survivors are ever written), exactly the
+    // big-round plan the pre-incremental version used.
+    var supExact: DataFrame = null
+    var iter = 0
+    var result: DataFrame = null
+    while (result == null && iter < maxIter) {
+      val t0 = System.nanoTime()
+      var mode = ""
+      if (supExact != null) {
+        val removed = supExact.filter(col("support") < k - 2)
+        val nR = removed.count()
+        if (nR == 0L) { result = supExact; mode = "converged" }
+        else {
+          val surv = supExact.filter(col("support") >= k - 2)
+          if (nR >= rebuildFraction * n) {
+            // burst of removals: fall back to a full sweep next round
+            e = surv.select(col("a"), col("b")); supExact = null
+            mode = "fallback"
+          } else {
+            supExact = barrier(cp(decremented(p, removed, supExact, surv,
+              validate = true)))
+            e = supExact.select(col("a"), col("b"))
+            mode = "incremental"
+          }
+          n -= nR
+        }
+      } else {
+        p = prep(e)
+        val f = barrier(cp(supportOf(p).filter(col("support") >= k - 2)))
+        val n2 = f.count()
+        if (n2 == n) { result = f; mode = "converged" } // incl. n == 0
+        else if (n2 == 0L) { result = f; mode = "empty" }
+        else if (n - n2 < rebuildFraction * n) {
+          // the peel entered its long tail: recover EXACT supports for the
+          // survivors with one decrement pass (f's supports are w.r.t. the
+          // pre-filter set), then peel incrementally from here on
+          val removed = e.join(f, Seq("a", "b"), "left_anti")
+          supExact = barrier(cp(decremented(p, removed, e, f, validate = false)))
+          e = supExact.select(col("a"), col("b")); n = n2
+          mode = "full->incremental"
+        } else {
+          e = f.select(col("a"), col("b")); n = n2
+          mode = "full"
+        }
+      }
+      if (dbg) println(f"[ktruss] round=$iter mode=$mode e=$n " +
+        f"t=${(System.nanoTime() - t0) / 1e9}%.2f s")
+      iter += 1
+    }
+    if (result == null) {
       logger.warn(s"kTruss(k=$k) exhausted maxIter=$maxIter before convergence; " +
         "the returned edge set may still contain sub-truss edges")
-    support(e).filter(col("support") >= k - 2)
-      .select(col("a").as("src"), col("b").as("dst"), col("support"))
+      // pre-incremental exhaustion semantics: supports w.r.t. the final
+      // edge set, filtered once more
+      result =
+        if (supExact != null) supExact.filter(col("support") >= k - 2)
+        else supportOf(prep(e)).filter(col("support") >= k - 2)
+    }
+    result.select(col("a").as("src"), col("b").as("dst"), col("support"))
   }
 
   /** k-core: the maximal subgraph where every vertex keeps degree ≥ k —

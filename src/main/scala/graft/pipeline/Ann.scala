@@ -285,6 +285,33 @@ object Ann {
           coalesce(expr(s"1000000 DIV ($c + rank_b)"), lit(0L))).as("rrf_micro"))
   }
 
+  /** Global top-k with dense 1..k ranks, WITHOUT a global window. An
+    * unpartitioned `row_number().over(Window.orderBy(...))` forces the whole
+    * scored corpus into ONE task (Spark's `WindowExec: No Partition Defined`
+    * warning) — a single-task sort of the corpus at 100 TB. Instead:
+    * `orderBy(...).limit(k)` plans as TakeOrderedAndProject — every partition
+    * keeps a bounded k-row heap, the driver merges ≤ k rows per partition —
+    * then ranks are assigned by sorting the ≤ k survivors inside one
+    * `sort_array(collect_list(...))` + `posexplode`. Zero WindowExec nodes in
+    * the plan; only ever k rows cross the final single-partition boundary.
+    *
+    * Ordering is (score DESC, id ASC) — the retrieval tie-break used by every
+    * ranked arm here — implemented as an ascending struct sort on
+    * (-score, id), so `score` must be numeric (negation-safe: bigint micro
+    * scores, finite doubles). Output: (id, rank) with rank 1..k, the shape
+    * [[rrfFuse]] consumes. */
+  def rankTopK(scored: DataFrame, scoreCol: String, idCol: String,
+               k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    scored
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+      .limit(k)
+      .agg(sort_array(collect_list(struct(
+        negate(col(scoreCol)).as("ns"), col(idCol).as("id")))).as("top"))
+      .select(posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("s.id").as("id"), (col("pos") + 1).cast("long").as("rank"))
+  }
+
   /** IVF approximate top-k: index = assign corpus to cells; query probes its
     * `nprobe` nearest cells only. */
   def ivfKnn(corpus: DataFrame, queries: DataFrame, k: Int,

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Window => LWindow}
+import org.apache.spark.sql.functions._
+import graft.pipeline.Ann
+
+/** Plan-shape audits: queries whose SCALE story depends on the plan NOT
+  * containing a particular operator get that absence asserted here, so a
+  * refactor that quietly reintroduces e.g. a global unpartitioned window
+  * (single-task sort of the corpus at 100 TB) fails the suite instead of
+  * the next cluster run. */
+class PlanAuditSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def windowNodes(plan: LogicalPlan): Seq[LWindow] =
+    plan.collect { case w: LWindow => w }
+
+  test("rankTopK matches window-based ranking, ties broken by id asc") {
+    val scored = Seq(
+      (10L, 5.0), (11L, 7.0), (12L, 5.0), (13L, 9.0), (14L, 7.0),
+      (15L, 1.0), (16L, 9.0), (17L, 3.0)).toDF("doc_id", "score")
+    val got = Ann.rankTopK(scored, "score", "doc_id", k = 5)
+      .orderBy("rank").as[(Long, Long)].collect().toSeq
+    // score desc, id asc: 13(9) 16(9) 11(7) 14(7) 10(5)
+    assert(got === Seq((13L, 1L), (16L, 2L), (11L, 3L), (14L, 4L), (10L, 5L)))
+  }
+
+  test("rankTopK with k larger than input ranks every row") {
+    val scored = Seq((1L, 2.0), (2L, 8.0)).toDF("doc_id", "score")
+    val got = Ann.rankTopK(scored, "score", "doc_id", k = 50)
+      .orderBy("rank").as[(Long, Long)].collect().toSeq
+    assert(got === Seq((2L, 1L), (1L, 2L)))
+  }
+
+  test("rankTopK plans as TakeOrdered with zero Window nodes") {
+    val scored = spark.range(1000)
+      .select(col("id").as("doc_id"), (col("id") % 97).cast("double").as("score"))
+    val ranked = Ann.rankTopK(scored, "score", "doc_id", k = 50)
+    assert(windowNodes(ranked.queryExecution.optimizedPlan).isEmpty,
+      "rankTopK must not plan a Window")
+    assert(ranked.queryExecution.sparkPlan.toString.contains("TakeOrderedAndProject"),
+      "rankTopK's limit must plan as TakeOrderedAndProject (parallel partial top-k)")
+  }
+
+  test("d_hybrid_rrf plan contains no unpartitioned Window (scale audit)") {
+    val df = SparkEntry.queries("d_hybrid_rrf")(spark, "/root/testdata/sf0.001")
+    val wins = windowNodes(df.queryExecution.optimizedPlan)
+    val unpartitioned = wins.filter(_.partitionSpec.isEmpty)
+    assert(unpartitioned.isEmpty,
+      s"d_hybrid_rrf has ${unpartitioned.size} global window(s) — single-task sort at scale")
+    assert(wins.isEmpty, "d_hybrid_rrf should be entirely window-free")
+    assert(df.queryExecution.sparkPlan.toString.contains("TakeOrderedAndProject"))
+    // and it still returns fused rows
+    assert(df.count() > 0)
+  }
+}

@@ -216,4 +216,26 @@ class SkewSpec extends SparkSpec {
     }.groupBy(identity).map { case (k, v) => k -> v.length }
     assert(got === expected)
   }
+
+  test("incremental kTruss peel ≡ full-recompute peel (random graphs)") {
+    import spark.implicits._
+    // dense-ish random graphs so peel rounds cascade (removals destroy
+    // triangles that push further edges below threshold)
+    for (seed <- Seq(7, 23); k <- Seq(3, 4, 5)) {
+      val rnd = new scala.util.Random(seed)
+      val nv = 40
+      val edges = (for {
+        u <- 1 to nv; v <- u + 1 to nv
+        if rnd.nextDouble() < 0.18
+      } yield (u.toLong, v.toLong)).toDF("src", "dst")
+      def run(frac: Double) =
+        GraphAlgorithms.kTruss(edges, k, rebuildFraction = frac)
+          .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val full = run(0.0)          // every round a full support sweep
+      val incr = run(1.0)          // maximally incremental (decrement-only tail)
+      val default = run(0.05)
+      assert(incr === full, s"seed=$seed k=$k incremental != full")
+      assert(default === full, s"seed=$seed k=$k default policy != full")
+    }
+  }
 }

@@ -80,11 +80,15 @@ object SparkEntry {
     .empty[(Int, String, String), GraphAlgorithms.UndirectedNeighborhood]
 
   private def cachedNeighborhood(s: SparkSession, dir: String, key: String,
-                                 assumeCanonical: Boolean = false)
+                                 assumeCanonical: Boolean = false,
+                                 hubDegreeCap: Int = GraphAlgorithms.HubDegreeCap)
                                 (g: => KGraph): GraphAlgorithms.UndirectedNeighborhood =
+    // cap is part of the key: the same graph prepared at two caps is two
+    // different (differently bucketed) materializations
     nbrCache.getOrElseUpdate(
-      (System.identityHashCode(s.sparkContext), dir, key),
-      GraphAlgorithms.prepareNeighborhood(g, assumeCanonical = assumeCanonical))
+      (System.identityHashCode(s.sparkContext), dir, s"$key#cap=$hubDegreeCap"),
+      GraphAlgorithms.prepareNeighborhood(g, hubDegreeCap = hubDegreeCap,
+        assumeCanonical = assumeCanonical))
 
   private def coPurchaseNbr(s: SparkSession, dir: String) =
     // saltedPairs emits src<dst from sorted arrays and the builder dedups —
@@ -184,6 +188,11 @@ object SparkEntry {
     * dedup, galloping direct-neighbor subtraction) runs end to end while
     * the answer stays 1.7·10⁷ values. */
   private val SkewTwoHopN = 4097L
+  private def skewTwoHopNbr(s: SparkSession, dir: String) =
+    // star + path ranges are canonical and disjoint; the LOW cap (256) is
+    // the drill's point — see skewTwoHopGraph's doc
+    cachedNeighborhood(s, dir, "skewTwoHop", assumeCanonical = true,
+      hubDegreeCap = 256)(skewTwoHopGraph(s, dir))
   private def skewTwoHopGraph(s: SparkSession, dir: String): KGraph =
     cachedGraph(s, dir, "skewTwoHop") {
       val star = s.range(2L, SkewTwoHopN + 1)
@@ -332,6 +341,7 @@ object SparkEntry {
     "skewHub1e5" -> ((s, d) => { skewHub1e5(s, d); () }),
     "skewHub1e5Nbr" -> ((s, d) => { skewHub1e5Nbr(s, d); () }),
     "skewTwoHop" -> ((s, d) => { skewTwoHopGraph(s, d); () }),
+    "skewTwoHopNbr" -> ((s, d) => { skewTwoHopNbr(s, d); () }),
     "skewTruss" -> ((s, d) => { skewTrussGraph(s, d); () }))
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
@@ -505,9 +515,7 @@ object SparkEntry {
     // against the hub's bucketed adjacency (see skewTwoHopGraph's doc for
     // why exact 2-hop cannot gate at 10⁵ degree: the ANSWER is Θ(D²))
     "g_skew_two_hop" -> ((s, dir) =>
-      GraphAlgorithms.twoHopNeighborCounts(
-        GraphAlgorithms.prepareNeighborhood(skewTwoHopGraph(s, dir),
-          hubDegreeCap = 256, assumeCanonical = true))),
+      GraphAlgorithms.twoHopNeighborCounts(skewTwoHopNbr(s, dir))),
 
     // k-truss skew drill: 10⁵-degree hub at the production cap; round 1
     // computes every edge's support through the aligned-bucket partial

@@ -722,6 +722,13 @@ object GraphAlgorithms {
         array_remove(col("nbrs"), col("v")).as("cand"))
   }
 
+  /** Default cap on the per-vertex candidate VOLUME (Σ deg(middle), an
+    * upper bound on the merged distinct buffer) above which
+    * [[twoHopNeighborCounts]] routes a vertex to the row-based tail: 2²²
+    * values ≈ 32 MB of longs per aggregation buffer, comfortably inside an
+    * executor's task memory. */
+  private[graft] val TwoHopMaxCandidateVolume: Long = 1L << 22
+
   /** Exact-distance-2 neighborhood sizes: for each vertex, the number of
     * vertices reachable in exactly two hops (N(N(v)) minus N(v) minus v) —
     * the friend-of-friend feature behind triadic-closure link prediction
@@ -744,25 +751,70 @@ object GraphAlgorithms {
     * answer it must emit; (4) direct neighbors are subtracted with the
     * codegen'd galloping intersect against v's own (bucketed) adjacency —
     * disjoint partials, counts sum — instead of re-exploding the distinct
-    * set into an anti-join. */
+    * set into an anti-join.
+    *
+    * Memory bound: step (3) holds one vertex's whole 2-hop set in a single
+    * aggregation buffer. That is fine up to millions of values, but on a
+    * power-law graph a mega-hub's 2-hop set can reach |V| — so any vertex
+    * whose candidate volume BOUND (Σ deg(middle), computed from degrees
+    * before any array moves) exceeds `maxCandidateVolume` is instead
+    * routed to a row-based tail: explode its candidates to (v, c) rows,
+    * shuffle-distinct (spreads across tasks and spills instead of
+    * buffering), anti-join direct neighbors, count. Same exact answer, no
+    * single-buffer dependence on the answer size; the row tail costs one
+    * extra shuffle proportional to THOSE vertices' candidate volume, which
+    * is why it is reserved for the vertices that need it. */
   def twoHopNeighborCounts(g: KGraph): DataFrame =
     twoHopNeighborCounts(prepareNeighborhood(g))
 
-  def twoHopNeighborCounts(p: UndirectedNeighborhood): DataFrame = {
-    val lvl1 = twoHopContrib(p)
-      .groupBy(col("v"), col("s"))
-      .agg(array_distinct(flatten(collect_list(col("cand")))).as("part"))
-    val lvl2 = lvl1.groupBy(col("v"))
-      .agg(array_sort(array_distinct(flatten(collect_list(col("part"))))).as("two"))
-    // |two \ N(v)|: per adjacency-bucket partial intersect counts sum
-    // (buckets partition N(v)); `two` excludes v by construction
-    val cnt = graft.functions.GraphSetExpressions
-      .sortedIntersectCount(col("two"), col("nbrs"))
-    lvl2.join(adjSide(p.adj.withColumnRenamed("src", "v"), p.eCount), Seq("v"))
-      .groupBy(col("v"))
-      .agg((max(size(col("two"))).cast("long") - sum(cnt.cast("long"))).as("n2"))
-      .filter(col("n2") > 0)
-      .select(col("v").as("id"), col("n2"))
+  def twoHopNeighborCounts(p: UndirectedNeighborhood): DataFrame =
+    twoHopNeighborCounts(p, TwoHopMaxCandidateVolume)
+
+  def twoHopNeighborCounts(p: UndirectedNeighborhood,
+                           maxCandidateVolume: Long): DataFrame = {
+    require(maxCandidateVolume > 0, "maxCandidateVolume must be positive")
+    val bd = bidir(p.e.select(col("a").as("src"), col("b").as("dst")),
+      withValue = false).toDF("v", "m")
+    // degree-derived volume bound — cheap (no adjacency arrays touched)
+    val oversize = bd
+      .join(degSide(p.degrees.select(col("src").as("m"), col("deg")), p.eCount),
+        Seq("m"))
+      .groupBy(col("v")).agg(sum(col("deg")).as("ub"))
+      .filter(col("ub") > maxCandidateVolume)
+      .select(col("v"))
+    val nOversize = oversize.count()
+
+    def arrayTail(contrib: DataFrame): DataFrame = {
+      val lvl1 = contrib
+        .groupBy(col("v"), col("s"))
+        .agg(array_distinct(flatten(collect_list(col("cand")))).as("part"))
+      val lvl2 = lvl1.groupBy(col("v"))
+        .agg(array_sort(array_distinct(flatten(collect_list(col("part"))))).as("two"))
+      // |two \ N(v)|: per adjacency-bucket partial intersect counts sum
+      // (buckets partition N(v)); `two` excludes v by construction
+      val cnt = graft.functions.GraphSetExpressions
+        .sortedIntersectCount(col("two"), col("nbrs"))
+      lvl2.join(adjSide(p.adj.withColumnRenamed("src", "v"), p.eCount), Seq("v"))
+        .groupBy(col("v"))
+        .agg((max(size(col("two"))).cast("long") - sum(cnt.cast("long"))).as("n2"))
+        .filter(col("n2") > 0)
+        .select(col("v").as("id"), col("n2"))
+    }
+
+    if (nOversize == 0L) arrayTail(twoHopContrib(p))
+    else {
+      val big = broadcast(oversize)
+      val contrib = twoHopContrib(p)
+      val small = arrayTail(contrib.join(big, Seq("v"), "left_anti"))
+      // row-based tail: distinct candidates spread over (v, c) shuffle keys
+      val rows = contrib.join(big, Seq("v"), "left_semi")
+        .select(col("v"), explode(col("cand")).as("c"))
+        .distinct() // cand already excludes v itself
+        .join(bd.select(col("v"), col("m").as("c")), Seq("v", "c"), "left_anti")
+        .groupBy(col("v")).agg(count(lit(1)).cast("long").as("n2"))
+        .select(col("v").as("id"), col("n2"))
+      small.unionByName(rows)
+    }
   }
 
   /** k-truss: the maximal subgraph where every EDGE sits in ≥ k−2

@@ -254,7 +254,14 @@ object Events {
     * `window` rows per key immediately, so the downstream aggregate is
     * bounded; the window sort itself is the same per-key sort every
     * sessionization pays — chunk via [[sessionize]]'s machinery if a key is
-    * genuinely pathological) then a combinable groupBy. */
+    * genuinely pathological) then a combinable groupBy.
+    *
+    * BEHAVIOR CHANGE (round 7): the `window` upper bound tightened from 40
+    * to 32 — a Long-overflow fix: vmu · 2^(window−1) leaves BIGINT range at
+    * window = 40 for |value| ≈ 16 and wraps silently under non-ANSI
+    * arithmetic. Callers that passed 33..40 (and were silently at risk)
+    * now get an IllegalArgumentException; split the horizon or rescale
+    * values instead. Same change applies to [[decayedValueStream]]. */
   def decayedValue(events: DataFrame, keyCol: String = "user_id",
                    tsCol: String = "ts", valueCol: String = "value",
                    idCol: String = "event_id", window: Int = 16): DataFrame = {

@@ -28,6 +28,14 @@ import org.apache.spark.sql.classic.{Dataset => ClassicDataset}
  * irrelevant in the loops that use this barrier: every broadcastable
  * join there carries an explicit `broadcast()`/`shuffle_hash` hint
  * decided from exact counts (`adjSide`/`degSide`).
+ *
+ * VERSION PIN: this is written against Spark 4.x's `private[sql]` class
+ * layout (`org.apache.spark.sql.classic.Dataset`,
+ * `internalCreateDataFrame`), and it deliberately discards constraints
+ * and output ordering along with the stats (harmless for the hint-driven
+ * loops that call it). `StatsBarrierSpec` asserts the major version and
+ * the stats-reset behavior so a Spark upgrade fails loudly in the suite,
+ * not silently at runtime.
  */
 object StatsBarrier {
 

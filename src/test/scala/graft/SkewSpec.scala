@@ -149,6 +149,19 @@ class SkewSpec extends SparkSpec {
     assert(gotSplit === brute)
   }
 
+  test("twoHopNeighborCounts row-based tail ≡ array tail (forced + mixed split)") {
+    val g = starRing(600)
+    val p = GraphAlgorithms.prepareNeighborhood(g, hubDegreeCap = 64)
+    val arrayPath = collectMap(GraphAlgorithms.twoHopNeighborCounts(p))
+    // volume bound 1: EVERY vertex oversize → pure row-based tail
+    val allRows = collectMap(GraphAlgorithms.twoHopNeighborCounts(p, 1L))
+    assert(allRows === arrayPath)
+    // mixed: only the hub (candidate volume ≈ Σ deg(ring) ≈ 3·599) oversize,
+    // ring vertices (volume ≈ deg(hub) + 2·3 ≈ 605) stay on the array tail
+    val mixed = collectMap(GraphAlgorithms.twoHopNeighborCounts(p, 1000L))
+    assert(mixed === arrayPath)
+  }
+
   test("2·10⁴-degree hub: two-hop level-1 dedup keys are salt-bounded") {
     // The straggler unit for the 2-hop candidate pipeline is the LEVEL-1
     // dedup key (v, salt): a hub MIDDLE's bucket rows must spread across

@@ -314,26 +314,56 @@ object TextAnalysis {
     * document (the standard best-effort packing trade-off; exact first-fit
     * is inherently sequential). Returns the input plus (n_tokens, pack_id).
     *
-    * Scale: pass `shardCol` for any real corpus. With it, the running-sum
-    * window partitions by the shard key — a hash shuffle plus
-    * partition-local sorts, each shard packed independently and in
-    * parallel; pack identity is the composite (shard, pack_id), with
-    * `pack_id` dense within its shard. Without it, the window is global:
-    * one range sort whose running sum funnels the whole corpus through a
-    * single reducer task — correct, but only for small corpora. */
+    * Scale: with `shardCol`, the running-sum window partitions by the
+    * shard key — a hash shuffle plus partition-local sorts, each shard
+    * packed independently and in parallel; pack identity is the composite
+    * (shard, pack_id), with `pack_id` dense within its shard. WITHOUT it,
+    * the same global assignment is computed as a distributed two-phase
+    * prefix sum (never a global single-reducer window): range-partition on
+    * `orderCol`, per-partition running sums in parallel, then one window
+    * over the PARTITION-COUNT-sized per-partition totals (tens to
+    * thousands of rows, independent of corpus size) yields the offsets
+    * that are broadcast back. Identical output to a global running-sum
+    * window whenever `orderCol` is unique (ties may land either way under
+    * both formulations — keep the order key unique, as any reproducible
+    * packing requires). */
   def packBins(df: DataFrame, budget: Int, textCol: String = "text",
                orderCol: String = "doc_id",
                shardCol: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(budget > 0, "budget must be positive")
-    val w = (shardCol match {
-      case Some(s) => Window.partitionBy(col(s)).orderBy(col(orderCol))
-      case None    => Window.orderBy(col(orderCol))
-    }).rowsBetween(Window.unboundedPreceding, -1)
-    df.withColumn("n_tokens", tokenCount(col(textCol)))
-      .withColumn("pack_id",
-        floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / budget)
-          .cast("long"))
+    shardCol match {
+      case Some(s) =>
+        val w = Window.partitionBy(col(s)).orderBy(col(orderCol))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        df.withColumn("n_tokens", tokenCount(col(textCol)))
+          .withColumn("pack_id",
+            floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / budget)
+              .cast("long"))
+      case None =>
+        // both branches below hang off the SAME range exchange (Catalyst's
+        // ReuseExchange dedupes it), and _pid is the post-exchange
+        // partition index, identical in both
+        val ranged = df.withColumn("n_tokens", tokenCount(col(textCol)))
+          .repartitionByRange(col(orderCol))
+          .withColumn("_pid", spark_partition_id())
+        val wLocal = Window.partitionBy(col("_pid")).orderBy(col(orderCol))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wOffsets = Window.orderBy(col("_pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = ranged.groupBy(col("_pid"))
+          .agg(sum(col("n_tokens")).as("_ptotal"))
+          .withColumn("_offset",
+            coalesce(sum(col("_ptotal")).over(wOffsets), lit(0L)))
+          .select(col("_pid"), col("_offset"))
+        ranged
+          .withColumn("_local",
+            coalesce(sum(col("n_tokens")).over(wLocal), lit(0L)))
+          .join(broadcast(offsets), Seq("_pid"))
+          .withColumn("pack_id",
+            floor((col("_offset") + col("_local")) / budget).cast("long"))
+          .drop("_pid", "_local", "_offset")
+    }
   }
 
   /** 64-bit content fingerprint of normalized text (case-folded, whitespace

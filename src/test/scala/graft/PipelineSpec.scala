@@ -1066,6 +1066,34 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("packBins unsharded: distributed prefix sum ≡ sequential reference; " +
+       "no corpus-sized global window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val d = (1L to 257L).map(i => (i, ("w " * (i % 11 + 1).toInt).trim))
+      .toDF("doc_id", "text").repartition(7) // scrambled input partitioning
+    val packed = TextAnalysis.packBins(d, budget = 23)
+    val got = packed.select("doc_id", "pack_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // sequential reference: running token sum in doc_id order
+    var run = 0L
+    val expect = (1L to 257L).map { i =>
+      val toks = (i % 11 + 1)
+      val bin = run / 23
+      run += toks
+      i -> bin
+    }.toMap
+    assert(got === expect)
+    // plan: the corpus-side running sum is partitioned (by _pid); the only
+    // UNPARTITIONED window runs over the per-partition totals AGGREGATE
+    // (partition-count rows), never the corpus
+    val wins = packed.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.size === 2, s"expected 2 windows, got ${wins.size}")
+    val (global, local) = wins.partition(_.partitionSpec.isEmpty)
+    assert(global.size === 1 && local.size === 1)
+    assert(global.head.collectFirst { case a: Aggregate => a }.nonEmpty,
+      "global window must consume the per-partition totals aggregate")
+  }
+
   test("packBins sharded: packs each shard independently, no global window") {
     val d = (1L to 30L).map(i =>
       (i, s"s${i % 3}", ("w " * (i % 7 + 1).toInt).trim))

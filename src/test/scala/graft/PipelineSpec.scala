@@ -946,6 +946,57 @@ class PipelineSpec extends SparkSpec {
     assert(inc.contains(21L -> 1L)) // batch-2 doc joined the base cluster
   }
 
+  test("snapshotDiff delta → appendToLshIndex ≡ full recompute over the union") {
+    // the CDC-style maintenance composition: fingerprint two corpus
+    // snapshots, let snapshotDiff pick out what actually needs indexing
+    // (added + changed — unchanged docs cost nothing), commit that delta
+    // into the persisted LSH index, and the on-disk clusters must equal a
+    // full recompute. Changed docs enter as new VERSIONS (version-qualified
+    // id): the index is append-only, so the ingest contract for a changed
+    // doc is "index the new version under a fresh id", exactly how an
+    // immutable content store hands versions downstream.
+    val v1 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "original second document about breeze linear algebra internals"),
+      (3L, "completely different content about database engines and query planning"),
+      (4L, "entirely standalone text that matches nothing else in the corpus")
+    ).toDF("doc_id", "text")
+    val v2 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      // changed: now a near-dup of doc 3's family
+      (2L, "completely different content about database engines and query optimization"),
+      (3L, "completely different content about database engines and query planning"),
+      (4L, "entirely standalone text that matches nothing else in the corpus"),
+      // added: near-dup of doc 1
+      (6L, "the quick brown fox jumps over the lazy dog near the river bank yesterday")
+    ).toDF("doc_id", "text")
+    Dedup.saveLshIndex(v1, "dlsh", threshold = 0.4, buckets = 4)
+    val fp1 = v1.select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+    val fp2 = v2.select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+    val dirty = Curation.snapshotDiff(fp1, fp2)
+      .filter(col("status").isin("added", "changed"))
+    // delta = v2's text for every dirty id, version-qualified for changed
+    val delta = v2.join(dirty, Seq("doc_id"), "left_semi")
+      .join(fp1.select(col("doc_id")), Seq("doc_id"), "left_semi") // changed
+      .select((col("doc_id") + 1000L).as("doc_id"), col("text"))
+      .unionByName(
+        v2.join(dirty, Seq("doc_id"), "left_semi")
+          .join(fp1.select(col("doc_id")), Seq("doc_id"), "left_anti") // added
+          .select(col("doc_id"), col("text")))
+    assert(delta.select("doc_id").collect().map(_.getLong(0)).toSet
+      === Set(1002L, 6L)) // exactly the changed + added docs, nothing else
+    Dedup.appendToLshIndex(spark, "dlsh", delta, threshold = 0.4)
+    val inc = spark.table("dlsh_clusters")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val full = Dedup.minHashLSH(v1.unionByName(delta), threshold = 0.4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(inc === full)
+    // the changed doc's new version clustered with doc 3's family, and the
+    // added doc joined doc 1's cluster — the cross-snapshot merges happened
+    assert(inc.contains(1002L -> 3L))
+    assert(inc.contains(6L -> 1L))
+  }
+
   test("incremental LSH fails fast on build-parameter mismatch") {
     // index built by the previous test with (3, 64, 16, 0.4, false): any
     // divergent parameter would silently join garbage — must throw instead

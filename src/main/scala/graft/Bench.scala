@@ -61,10 +61,23 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
     failed.foreach(f => Console.err.println(s"[bench] FAILED $f"))
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // millisecond precision: full double precision tripled the line length
+    // and overflowed the driver's stdout-tail capture, leaving the artifact
+    // unparseable (BENCH_r07 "parsed": null)
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // ...and persist the identical JSON as a file so the full per-query map
+    // stays machine-readable even if the stdout tail truncates
+    try {
+      val w = new java.io.PrintWriter("BENCH_FULL.json")
+      try w.println(line) finally w.close()
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -782,7 +782,6 @@ object GraphAlgorithms {
       .groupBy(col("v")).agg(sum(col("deg")).as("ub"))
       .filter(col("ub") > maxCandidateVolume)
       .select(col("v"))
-    val nOversize = oversize.count()
 
     def arrayTail(contrib: DataFrame): DataFrame = {
       val lvl1 = contrib
@@ -801,20 +800,24 @@ object GraphAlgorithms {
         .select(col("v").as("id"), col("n2"))
     }
 
-    if (nOversize == 0L) arrayTail(twoHopContrib(p))
-    else {
-      val big = broadcast(oversize)
-      val contrib = twoHopContrib(p)
-      val small = arrayTail(contrib.join(big, Seq("v"), "left_anti"))
-      // row-based tail: distinct candidates spread over (v, c) shuffle keys
-      val rows = contrib.join(big, Seq("v"), "left_semi")
-        .select(col("v"), explode(col("cand")).as("c"))
-        .distinct() // cand already excludes v itself
-        .join(bd.select(col("v"), col("m").as("c")), Seq("v", "c"), "left_anti")
-        .groupBy(col("v")).agg(count(lit(1)).cast("long").as("n2"))
-        .select(col("v").as("id"), col("n2"))
-      small.unionByName(rows)
-    }
+    // No driver-side count: `oversize` rides as a BROADCAST side of both
+    // the anti-join (array tail) and the semi-join (row tail). In the
+    // common no-mega-hub case the broadcast is EMPTY and AQE's
+    // empty-relation propagation deletes the row tail (the semi-join's
+    // probe — the whole contrib pipeline — is never executed) and
+    // collapses the anti-join to a pass-through, so the split costs only
+    // the small degree-bound aggregate.
+    val big = broadcast(oversize)
+    val contrib = twoHopContrib(p)
+    val small = arrayTail(contrib.join(big, Seq("v"), "left_anti"))
+    // row-based tail: distinct candidates spread over (v, c) shuffle keys
+    val rows = contrib.join(big, Seq("v"), "left_semi")
+      .select(col("v"), explode(col("cand")).as("c"))
+      .distinct() // cand already excludes v itself
+      .join(bd.select(col("v"), col("m").as("c")), Seq("v", "c"), "left_anti")
+      .groupBy(col("v")).agg(count(lit(1)).cast("long").as("n2"))
+      .select(col("v").as("id"), col("n2"))
+    small.unionByName(rows)
   }
 
   /** k-truss: the maximal subgraph where every EDGE sits in ≥ k−2
@@ -976,40 +979,63 @@ object GraphAlgorithms {
 
   /** k-core: the maximal subgraph where every vertex keeps degree ≥ k —
     * the standard graph-density peel (community cores, nucleus
-    * decomposition, spam/bot filtering). Iterative peeling on CANONICAL
-    * undirected edges (src < dst, each edge once): drop sub-k vertices,
-    * drop their edges, repeat to fixpoint. Peeling is monotone (the
-    * surviving edge set only shrinks), so the loop terminates in at most
-    * |V| rounds and in practice a handful — each round is one combinable
-    * degree aggregate plus two semi-joins, with a `localCheckpoint` cut so
-    * round r's plan never replays rounds 1..r−1 (the same discipline as
-    * every other iterative loop here). Returns the core's (id, degree).
-    * Logs a warning if `maxIter` exhausts before the fixpoint — the result
-    * may then still contain sub-k vertices. */
+    * decomposition, spam/bot filtering). Peeling is DEGREE-DECREMENTAL
+    * (Matula–Beck, adapted to bulk rounds): maintain per-vertex degrees,
+    * and per round subtract from each survivor only the edges it lost to
+    * this round's removed vertices — the edge (u, v) with u dying and v
+    * alive is found by joining the (immutable, materialized-once)
+    * bidirectional edge list against the removed set. Every edge is
+    * charged at most twice over the WHOLE peel (once per endpoint death),
+    * so total work is O(E + V·rounds) instead of the O(E·rounds) of the
+    * naive recompute-degrees-per-round formulation — the difference
+    * between a cheap and an impossible deep cascade at 100 TB. Convergence
+    * (no vertex below k) is read off the maintained degree column with no
+    * final sweep. Per-round frames cut lineage with `localCheckpoint` +
+    * the stats barrier like every iterative loop here. Self-loops count 2
+    * toward their vertex's degree and duplicate edges count each time
+    * (multigraph semantics, matching the degree aggregate this replaces).
+    * Returns the core's (id, degree). Logs a warning if `maxIter`
+    * exhausts before the fixpoint — the result may then still contain
+    * sub-k vertices. */
   def kCore(edges: DataFrame, k: Int, maxIter: Int = 100): DataFrame = {
     require(k >= 1, "k must be positive")
-    var e = edges.select(col("src"), col("dst")).localCheckpoint(true)
-    var n = e.count()
+    val bd = cp(bidir(edges.select(col("src"), col("dst")), withValue = false))
+    var d = barrier(cp(bd.select(col("src").as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("d"))))
     var iter = 0
-    var done = n == 0L
-    while (!done && iter < maxIter) {
-      val keep = e.select(col("src").as("id"))
-        .unionAll(e.select(col("dst").as("id")))
-        .groupBy(col("id")).agg(count(lit(1)).as("d"))
-        .filter(col("d") >= k).select(col("id"))
-        .localCheckpoint(true)
-      val e2 = e
-        .join(keep.toDF("src"), Seq("src"), "left_semi")
-        .join(keep.toDF("dst"), Seq("dst"), "left_semi")
-        .localCheckpoint(true)
-      val n2 = e2.count()
-      done = n2 == n || n2 == 0L
-      e = e2; n = n2; iter += 1
+    var result: DataFrame = null
+    val dbg = sys.env.contains("GRAFT_CORE_DEBUG")
+    while (result == null && iter < maxIter) {
+      val t0 = System.nanoTime()
+      val removed = d.filter(col("d") < k)
+      val nR = removed.count()
+      if (nR == 0L) result = d
+      else {
+        val alive = d.filter(col("d") >= k)
+        val remIds = removed.select(col("id").as("src"))
+        // the removed set is usually a sliver; broadcast it unless huge
+        val remSide =
+          if (nR <= 4000000L) broadcast(remIds) else remIds.hint("shuffle_hash")
+        val dec = bd.join(remSide, Seq("src"))
+          .select(col("dst").as("id"))
+          .groupBy(col("id")).agg(count(lit(1)).as("dec"))
+        d = barrier(cp(alive.join(dec, Seq("id"), "left_outer")
+          .select(col("id"),
+            (col("d") - coalesce(col("dec"), lit(0L))).as("d"))))
+      }
+      if (dbg) println(f"[kcore] round=$iter removed=$nR " +
+        f"t=${(System.nanoTime() - t0) / 1e9}%.2f s")
+      iter += 1
     }
-    if (!done)
+    if (result == null) {
       logger.warn(s"kCore(k=$k) exhausted maxIter=$maxIter before convergence; " +
         "the returned vertex set may still contain sub-k vertices")
-    e.select(col("src").as("id")).unionAll(e.select(col("dst").as("id")))
-      .groupBy(col("id")).agg(count(lit(1)).cast("long").as("degree"))
+      result = d
+    }
+    // deg-0 exclusion only matters on the exhaustion path: a vertex whose
+    // whole neighborhood died has no edges left and the old edge-based
+    // aggregate would not have listed it
+    result.filter(col("d") > 0)
+      .select(col("id"), col("d").cast("long").as("degree"))
   }
 }

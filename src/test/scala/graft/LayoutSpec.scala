@@ -343,6 +343,32 @@ class LayoutSpec extends SparkSpec {
     assert(graft.algos.GraphAlgorithms.kCore(edges, k = 10).count() === 0L)
   }
 
+  test("kCore decremental peel ≡ sequential reference on random graphs") {
+    for (seed <- Seq(5, 42); k <- Seq(2, 3, 4)) {
+      val rnd = new scala.util.Random(seed)
+      val nv = 60
+      val es = (for {
+        u <- 1 to nv; v <- u + 1 to nv
+        if rnd.nextDouble() < 0.08
+      } yield (u.toLong, v.toLong))
+      val got = graft.algos.GraphAlgorithms.kCore(es.toDF("src", "dst"), k)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // sequential peel reference over Scala collections
+      var adj = es.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).toBuffer).toMap
+      var changed = true
+      while (changed) {
+        val dead = adj.collect { case (v, ns) if ns.size < k => v }.toSet
+        changed = dead.nonEmpty
+        adj = adj.collect { case (v, ns) if !dead(v) =>
+          v -> ns.filterNot(dead)
+        }.toMap
+      }
+      val expect = adj.map { case (v, ns) => v -> ns.size.toLong }
+      assert(got === expect, s"seed=$seed k=$k")
+    }
+  }
+
   test("twoHopNeighborCounts: exactly-distance-2 sets on a known graph") {
     // path 1-2-3-4-5 plus triangle 3-6, 4-6
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (3L, 6L), (4L, 6L))

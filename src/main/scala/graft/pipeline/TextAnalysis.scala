@@ -626,11 +626,15 @@ object TextAnalysis {
   def bm25TopDocs(df: DataFrame, terms: Seq[String], k: Int = 5,
                   k1: Double = 1.2, b: Double = 0.75,
                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // probe filter INSIDE the token array (codegen'd HOF), so the explode
+    // only ever materializes matching tokens — a Filter above a Generate
+    // doesn't push through it, and the unfiltered explode is corpus-token-
+    // sized while the filtered one is |matches|-sized
     val toks = Dedup.spread(df).select(
       col(idCol).as("doc_id"),
       tokenCount(col(textCol)).cast("double").as("dl"),
-      explode(wsTokens(lower(trim(col(textCol))))).as("term"))
-      .filter(col("term").isInCollection(terms))
+      explode(filter(wsTokens(lower(trim(col(textCol)))),
+        t => t.isInCollection(terms))).as("term"))
     val tf = toks.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))

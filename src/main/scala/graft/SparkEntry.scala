@@ -1112,6 +1112,21 @@ object SparkEntry {
         length(norm).cast("long").as("n_cp"))
     }),
 
+    // mojibake (UTF-8-decoded-as-Latin-1) detection: planted double-encode
+    // damage on every third doc; the artifact count is the quality signal
+    // normalization can't repair \u2014 rowwise regexp, shuffle-free scan
+    "d_mojibake" -> ((s, dir) => {
+      val pre = substring(col("text"), 1, 16)
+      val raw = when(col("doc_id") % 3 === 0,
+          concat(pre, lit(" \u00e2\u20ac\u0153smart\u00e2\u20ac quotes " +
+            "\u00c3\u00a9t\u00c3\u00a9 \u00ef\u00bf\u00bd")))
+        .when(col("doc_id") % 3 === 1, concat(pre, lit(" clean caf\u00e9 text")))
+        .otherwise(pre)
+      val moji = TextAnalysis.mojibakeSignals(raw)
+      t(s, dir, "documents").select(col("doc_id"), moji.as("moji"),
+        (moji > 0).as("damaged"))
+    }),
+
     // DSIR importance weights: hashed-unigram (Poly64 mod 64) log-ratio of
     // the non-English target slice vs the raw corpus, add-one smoothed,
     // integer micro-nat quantized before the per-doc sum (hash-stable)
@@ -3924,6 +3939,28 @@ object SparkEntry {
          |SELECT doc_id, ${sqlU2S(sqlPoly("cps", 1125899906842597L, 1099511628211L))} AS norm_fp,
          |       CAST(length(t) AS BIGINT) AS n_cp
          |FROM (SELECT doc_id, t, $cps AS cps FROM x)""".stripMargin
+    },
+
+    "d_mojibake" -> {
+      // literals built from codepoints so the Scala→JSON→DuckDB path never
+      // depends on source-file encoding: â=226 €=8364 œ=339 Ã=195 ©=169
+      // ï=239 ¿=191 ½=189 é=233 Â=194
+      val damaged = "' ' || chr(226)||chr(8364)||chr(339) || 'smart' || " +
+        "chr(226)||chr(8364) || ' quotes ' || chr(195)||chr(169) || 't' || " +
+        "chr(195)||chr(169) || ' ' || chr(239)||chr(191)||chr(189)"
+      val clean = "' clean caf' || chr(233) || ' text'"
+      val pat = "chr(195)||'|'||chr(194)||'|'||chr(226)||chr(8364)||'|'||" +
+        "chr(239)||chr(191)||chr(189)"
+      s"""WITH r AS (SELECT doc_id,
+         |  substr(text, 1, 16) || CASE CAST(doc_id % 3 AS INTEGER)
+         |    WHEN 0 THEN $damaged
+         |    WHEN 1 THEN $clean
+         |    ELSE '' END AS raw
+         |  FROM documents)
+         |SELECT doc_id,
+         |       CAST(len(regexp_extract_all(raw, $pat)) AS BIGINT) AS moji,
+         |       len(regexp_extract_all(raw, $pat)) > 0 AS damaged
+         |FROM r""".stripMargin
     },
 
     "d_top_grams" ->

@@ -401,6 +401,15 @@ object TextAnalysis {
    * composes into the corpus scan with no shuffle; the canonical string is
    * then an exact-dedup / groupBy key.
    */
+  /** Mojibake heuristic: count of the classic UTF-8-decoded-as-Latin-1
+    * artifacts ('Ã'/'Â' lead bytes, 'â€' punctuation wrecks, the literal
+    * replacement-char sequence) — a corpus-quality signal that catches
+    * double-encoding damage normalization cannot repair. Alternatives
+    * start with distinct characters, so the count is regex-engine-
+    * portable (no ambiguous alternation). Rowwise, codegen'd. */
+  def mojibakeSignals(text: Column): Column =
+    regexp_count(text, lit("Ã|Â|â€|ï¿½")).cast("long")
+
   def canonicalizeUrl(url: Column, stripWww: Boolean = true): Column = {
     val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val hostport = lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))

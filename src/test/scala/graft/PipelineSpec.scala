@@ -1577,6 +1577,23 @@ class PipelineSpec extends SparkSpec {
 
   // ---- URL canonicalization -----------------------------------------------
 
+  test("mojibakeSignals counts double-encode artifacts; clean text scores 0") {
+    val rows = Seq(
+      (1L, "plain ascii text"),
+      (2L, "proper unicode café straße été"),
+      (3L, "broken Ã©tÃ©"),                    // Ã©tÃ©: 2
+      (4L, "â€œquotedâ€ and Â nbsp"), // â€œ..â€ + Â: 3
+      (5L, "ï¿½ replacement ï¿½")    // ï¿½ ×2
+    ).toDF("id", "t")
+    val got = rows.select(col("id"), TextAnalysis.mojibakeSignals(col("t")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 0L, 2L -> 0L, 3L -> 2L, 4L -> 3L, 5L -> 2L))
+    // null propagates, not zero
+    val n = Seq((6L, null: String)).toDF("id", "t")
+      .select(TextAnalysis.mojibakeSignals(col("t"))).head()
+    assert(n.isNullAt(0))
+  }
+
   test("canonicalizeUrl: golden cases for every normalization rule") {
     val cases = Seq(
       // case fold + www + default port + tracking strip + param sort + fragment

@@ -177,9 +177,12 @@ object Ann {
     * classic density-robust grouping for embedding-space corpus exploration
     * (mutuality prunes hub-induced chains that plain kNN-CC would merge).
     * Graph from [[knnGraphBlocked]]; mutuality via a self left-semi join on
-    * the reversed pair; components from the library's own WCC (min-label
-    * frontier Pregel). Returns (id, value = component min id) over ALL
-    * vectors — isolated ones stay singleton components. */
+    * the reversed pair; components from the library's own log-rounds WCC
+    * (large/small-star contraction — mutual-kNN chains give min-label
+    * propagation its worst case, O(chain length) supersteps, where the
+    * contraction converges in O(log n) rounds). Returns (id, value =
+    * component min id) over ALL vectors — isolated ones stay singleton
+    * components. */
   def mutualKnnComponents(corpus: DataFrame, k: Int, blocks: Int = 8,
                           idCol: String = "vec_id",
                           vecCol: String = "embedding"): DataFrame = {
@@ -196,7 +199,7 @@ object Ann {
       .localCheckpoint(true)
     val verts = corpus.select(col(idCol).as("id"), col(idCol).as("value"))
       .localCheckpoint(true)
-    graft.algos.GraphAlgorithms.wcc(graft.core.KGraph(verts, mutual))
+    graft.algos.GraphAlgorithms.wccLogRounds(graft.core.KGraph(verts, mutual))
   }
 
   /** Train `nlist` centroids with `iters` Lloyd iterations (k-means over the

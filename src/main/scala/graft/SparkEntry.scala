@@ -451,6 +451,14 @@ object SparkEntry {
       GraphAlgorithms.jaccard(coPurchaseNbr(s, dir), conversionEnabled = false)
         .withColumn("value", round(col("value"), 6))),
 
+    // the distance-conversion mode (reference Jaccard.java:191-197:
+    // 1/v − 1, zero-similarity → Double.MAX_VALUE): gated since r8's parity
+    // fix (was −log2(v) — refuted by JaccardTest.java:169, see ParitySpec).
+    // MAX_VALUE capped to 1e6 for a portable display value in the gate.
+    "g_jaccard_dist" -> ((s, dir) =>
+      GraphAlgorithms.jaccard(coPurchaseNbr(s, dir), conversionEnabled = true)
+        .withColumn("value", round(least(col("value"), lit(1000000.0)), 6))),
+
     "g_lcc" -> ((s, dir) =>
       GraphAlgorithms.localClusteringCoefficient(coPurchaseGraph(s, dir), coPurchaseNbr(s, dir))
         .withColumn("value", round(col("value"), 6))),
@@ -2858,6 +2866,25 @@ object SparkEntry {
          |SELECT e.a AS src, e.b AS dst,
          |       round(CAST(coalesce(common.c, 0) AS DOUBLE) /
          |             (du.d + dv.d - coalesce(common.c, 0)), 6) AS value
+         |FROM e
+         |LEFT JOIN common ON common.u = e.a AND common.v = e.b
+         |JOIN deg du ON du.n = e.a
+         |JOIN deg dv ON dv.n = e.b""".stripMargin,
+
+    "g_jaccard_dist" ->
+      s"""WITH e AS ($sqlCoPurchaseEdges),
+         |adj AS (SELECT a AS w, b AS n FROM e UNION ALL SELECT b, a FROM e),
+         |deg AS (SELECT n, count(*) AS d FROM (SELECT a AS n FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+         |common AS (
+         |  SELECT n1.n AS u, n2.n AS v, count(*) AS c
+         |  FROM adj n1 JOIN adj n2 ON n1.w = n2.w AND n1.n < n2.n
+         |  JOIN e ON e.a = n1.n AND e.b = n2.n
+         |  GROUP BY 1, 2)
+         |SELECT e.a AS src, e.b AS dst,
+         |       round(least(CASE WHEN coalesce(common.c, 0) > 0
+         |         THEN 1.0 / (CAST(common.c AS DOUBLE) /
+         |                     (du.d + dv.d - common.c)) - 1.0
+         |         ELSE 1000000.0 END, 1000000.0), 6) AS value
          |FROM e
          |LEFT JOIN common ON common.u = e.a AND common.v = e.b
          |JOIN deg du ON du.n = e.a

@@ -690,9 +690,14 @@ object GraphAlgorithms {
             (col("common").cast("double") /
               (col("degA") + col("degB") - col("common"))).as("value"))
       }
+    // distance conversion = 1/v − 1 with 0 → Double.MaxValue — the
+    // reference's convertToDistance (Jaccard.java:191-197; r8 fix: this
+    // previously used −log2(v), a plausible-but-wrong distance transform
+    // that JaccardTest.java:169's goldens refute — pinned in ParitySpec)
     if (conversionEnabled)
       sim.withColumn("value",
-        when(col("value") > 0, -log2(col("value"))).otherwise(lit(Double.MaxValue)))
+        when(col("value") > 0, lit(1.0) / col("value") - 1.0)
+          .otherwise(lit(Double.MaxValue)))
     else sim
   }
 

@@ -117,6 +117,58 @@ class ParitySpec extends SparkSpec {
     assert(res.aggregates("min.track") === 0L)
   }
 
+  test("jaccard matches JaccardTest goldens, similarity and distance modes") {
+    import spark.implicits._
+    // the reference test graph (JaccardTest.java:68-83): 8 undirected edges
+    // incl. the pendant 5–6 whose jaccard is 0 (no common neighbor)
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 4L), (2L, 5L), (3L, 4L),
+      (4L, 5L), (5L, 6L)).map { case (s, d) => (s, d, 1L) }
+      .toDF("src", "dst", "value")
+    val g = KGraph.fromEdges(e, id => id)
+    def run(conv: Boolean): Map[(Long, Long), Double] =
+      GraphAlgorithms.jaccard(g, conversionEnabled = conv).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // JaccardTest.java:113 (canonical-edge projection of the per-vertex maps)
+    val sim = run(conv = false)
+    val simGold = Map(
+      (1L, 2L) -> 0.2, (1L, 3L) -> 0.25, (1L, 4L) -> 0.4, (2L, 4L) -> 0.4,
+      (2L, 5L) -> 0.2, (3L, 4L) -> 0.2, (4L, 5L) -> 0.16666666666666666,
+      (5L, 6L) -> 0.0)
+    assert(sim.keySet === simGold.keySet)
+    simGold.foreach { case (k, v) => assert(math.abs(sim(k) - v) < 1e-12, k) }
+    // JaccardTest.java:169: distance = 1/v − 1, zero → Double.MAX_VALUE
+    val dist = run(conv = true)
+    val distGold = Map(
+      (1L, 2L) -> 4.0, (1L, 3L) -> 3.0, (1L, 4L) -> 1.5, (2L, 4L) -> 1.5,
+      (2L, 5L) -> 4.0, (3L, 4L) -> 4.0, (4L, 5L) -> 5.0,
+      (5L, 6L) -> Double.MaxValue)
+    assert(dist.keySet === distGold.keySet)
+    distGold.foreach { case (k, v) => assert(math.abs(dist(k) - v) < 1e-12, k) }
+  }
+
+  test("adamic-adar matches AdamicAdarTest goldens, both conversion modes") {
+    import spark.implicits._
+    // the reference test graph (AdamicAdarTest.java:62-76): 7 undirected edges
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 4L), (2L, 5L), (3L, 4L),
+      (4L, 5L)).map { case (s, d) => (s, d, 1L) }.toDF("src", "dst", "value")
+    val g = KGraph.fromEdges(e, id => id)
+    def run(conv: Boolean): Map[(Long, Long), Double] =
+      GraphAlgorithms.adamicAdar(g, conversionEnabled = conv).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // AdamicAdarTest.java:118 (exact, Σ ln(1/deg(common)) — negative)
+    val gold = Map(
+      (1L, 2L) -> -1.3862943611198906, (1L, 3L) -> -1.3862943611198906,
+      (1L, 4L) -> -1.791759469228055, (2L, 4L) -> -1.791759469228055,
+      (2L, 5L) -> -1.3862943611198906, (3L, 4L) -> -1.0986122886681098,
+      (4L, 5L) -> -1.0986122886681098)
+    val aa = run(conv = false)
+    assert(aa.keySet === gold.keySet)
+    gold.foreach { case (k, v) => assert(math.abs(aa(k) - v) < 1e-12, k) }
+    // AdamicAdarTest.java:175 (conversion = ×(−1), AdamicAdar.java:195)
+    val conv = run(conv = true)
+    gold.foreach { case (k, v) => assert(math.abs(conv(k) + v) < 1e-12, k) }
+  }
+
   def sc = spark.sparkContext
 }
 

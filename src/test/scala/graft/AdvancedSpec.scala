@@ -67,6 +67,47 @@ class AdvancedSpec extends SparkSpec {
     assert(got === Map(1L -> 0, 2L -> 0, 3L -> 1, 4L -> 1, 5L -> 1, 6L -> 1, 7L -> 1))
   }
 
+  test("KMeans matches KMeansClusteringTest test2 golden (k=3)") {
+    // KMeansClusteringTest.java:124-131; initial centers = points 1..3
+    val points = Seq(
+      1L -> Vector(2.0, 10.0), 2L -> Vector(2.0, 5.0), 3L -> Vector(8.0, 4.0),
+      4L -> Vector(5.0, 8.0), 5L -> Vector(7.0, 5.0), 6L -> Vector(6.0, 4.0),
+      7L -> Vector(1.0, 2.0), 8L -> Vector(4.0, 9.0))
+    val verts = sc.parallelize(points.map { case (id, c) => (id, KMeansValue(c, 0)) })
+    val e = sc.parallelize(Seq.empty[(Long, (Long, Double))])
+    val cf = new KMeans(k = 3, maxIterations = 100,
+      initialCenters = Some(Seq(Vector(2.0, 10.0), Vector(2.0, 5.0), Vector(8.0, 4.0))))
+    val res = Pregel.run(spark, cf, verts, e, maxIterations = 100)
+    val got = res.vertices.collect().toMap.view.mapValues(_.clusterId).toMap
+    // KMeansClusteringTest.java:175
+    assert(got === Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 0, 5L -> 2, 6L -> 2,
+      7L -> 1, 8L -> 0))
+  }
+
+  test("KMeans matches KMeansClusteringTest test3 golden (3 dims)") {
+    // KMeansClusteringTest.java:183-192; initial centers = points 1..2
+    val points = Seq(
+      1L -> Vector(-4.31568, -0.396959, -6.29507),
+      2L -> Vector(-4.56112, -1.74917, -4.57874),
+      3L -> Vector(4.54508, 0.102845, 6.35385),
+      4L -> Vector(4.87746, -0.832591, 7.06942),
+      5L -> Vector(-5.91254, -0.278006, -4.25934),
+      6L -> Vector(6.95139, 0.120139, 4.89531),
+      7L -> Vector(-6.28538, -0.88527, -4.74988),
+      8L -> Vector(-6.84791, 0.887664, -4.91919),
+      9L -> Vector(7.47117, 1.67911, 6.02221),
+      10L -> Vector(-4.78011, 1.2099, -4.55519))
+    val verts = sc.parallelize(points.map { case (id, c) => (id, KMeansValue(c, 0)) })
+    val e = sc.parallelize(Seq.empty[(Long, (Long, Double))])
+    val cf = new KMeans(k = 2, maxIterations = 100,
+      initialCenters = Some(Seq(points(0)._2, points(1)._2)))
+    val res = Pregel.run(spark, cf, verts, e, maxIterations = 100)
+    val got = res.vertices.collect().toMap.view.mapValues(_.clusterId).toMap
+    // KMeansClusteringTest.java:235
+    assert(got === Map(1L -> 0, 2L -> 0, 3L -> 1, 4L -> 1, 5L -> 0, 6L -> 1,
+      7L -> 0, 8L -> 0, 9L -> 1, 10L -> 0))
+  }
+
   test("SybilRank: trusted seeds rank higher than sybils") {
     // honest region 1-4 (clique-ish), sybil region 5-6, one attack edge
     val edges = Seq(
@@ -82,6 +123,87 @@ class AdvancedSpec extends SparkSpec {
     val honest = (1L to 4L).map(got(_).rank).min
     val sybil = (5L to 6L).map(got(_).rank).max
     assert(honest > sybil, s"honest min $honest should exceed sybil max $sybil")
+  }
+
+  test("SybilRank matches SybilRankTest golden ranks") {
+    // the reference fixture (SybilRankTest.java:68-84): weighted social
+    // graph, trusted seeds {1, 2, 5} (InitVertices:127-138) — note 5 sits in
+    // the sybil-side cut and still converges to rank 0
+    val edges = Seq(
+      (1L, 2L, 5.0), (2L, 4L, 4.0), (4L, 5L, 3.0), (3L, 5L, 3.0),
+      (1L, 3L, 2.0), (3L, 7L, 1.0), (6L, 7L, 3.0), (6L, 9L, 3.0),
+      (8L, 9L, 2.0), (7L, 8L, 3.0))
+    val bidir = edges.flatMap { case (s, d, w) => Seq((s, (d, w)), (d, (s, w))) }
+    val trusted = Set(1L, 2L, 5L)
+    val verts = sc.parallelize(
+      (1L to 9L).map(i => (i, SybilValue(0.0, isTrusted = trusted(i)))))
+    val res = Pregel.run(spark, new SybilRank(), verts, sc.parallelize(bidir),
+      maxIterations = 30)
+    val got = res.vertices.collect().toMap
+    // SybilRankTest.java:119
+    val gold = Map(
+      1L -> 0.2380952380952381, 2L -> 0.23809523809523808,
+      3L -> 0.39285714285714285, 4L -> 0.4047619047619047,
+      5L -> 0.0, 6L -> 0.0, 7L -> 0.0, 8L -> 0.0, 9L -> 0.0)
+    assert(got.keySet === gold.keySet)
+    gold.foreach { case (k, v) =>
+      assert(math.abs(got(k).rank - v) < 1e-12, s"vertex $k: ${got(k).rank} != $v")
+    }
+  }
+
+  test("SemiClustering on the SemiClusteringTest fixture: exact scores, " +
+       "bounded sets, deterministic") {
+    // reference fixture (SemiClusteringTest.java:70-82): 6 undirected
+    // weighted edges; ITERATIONS=10, MAX_CLUSTERS=2, CLUSTER_CAPACITY=2,
+    // default score factor 0.5. The reference's EXACT golden cluster sets
+    // (SemiClusteringTest.java:116) cannot be pinned faithfully: its
+    // ClusterScoreComparator (SemiClustering.java:207-218) returns 1 for
+    // ANY distinct equal-score pair — an asymmetric comparator whose
+    // TreeSet order (and therefore which equal-score cluster the
+    // keep-top-k prune drops) depends on Kafka message-arrival order. The
+    // port uses a consistent total order (score, then vertex set), so we
+    // pin instead: (a) every reported cluster's (score, inner, boundary)
+    // EXACTLY matches the reference's addVertex formula recomputed from
+    // the edge set, (b) the reference test's structural assertions, and
+    // (c) our own deterministic output across runs.
+    val edges = Seq(
+      (1L, 2L, 1.0), (1L, 3L, 1.0), (2L, 3L, 2.0),
+      (3L, 4L, 2.0), (3L, 5L, 1.0), (4L, 5L, 1.0))
+    val w = edges.flatMap { case (s, d, x) => Seq((s, d) -> x, (d, s) -> x) }.toMap
+    val bidir = edges.flatMap { case (s, d, x) => Seq((s, (d, x)), (d, (s, x))) }
+    def run(): Map[Long, Set[(Set[Long], Double, Double, Double)]] = {
+      val verts = sc.parallelize((1L to 5L).map(i => (i, Set.empty[SemiCluster])))
+      val res = Pregel.run(spark,
+        new SemiClustering(iterations = 10, maxClusters = 2, clusterCapacity = 2),
+        verts, sc.parallelize(bidir), maxIterations = 20)
+      res.vertices.collect().toMap.map { case (id, cs) =>
+        id -> cs.map(c => (c.vertices, c.score, c.innerScore, c.boundaryScore))
+      }
+    }
+    val got = run()
+    assert(got.keySet === (1L to 5L).toSet)
+    got.foreach { case (id, clusters) =>
+      assert(clusters.nonEmpty && clusters.size <= 2)
+      clusters.foreach { case (vs, score, inner, boundary) =>
+        assert(vs.contains(id) && vs.size <= 2)
+        // reference formula (SemiClustering.java:244-270): inner = Σ intra
+        // edge weight, boundary = Σ weight of edges leaving the cluster,
+        // score = (inner − 0.5·boundary) / (|C|·(|C|−1)/2); singleton = 0
+        val expInner = (for (a <- vs; b <- vs if a < b) yield w.getOrElse((a, b), 0.0)).sum
+        val expBoundary = vs.toSeq.map(v =>
+          w.collect { case ((s, d), x) if s == v && !vs(d) => x }.sum).sum
+        val expScore = if (vs.size == 1) 0.0
+          else (expInner - 0.5 * expBoundary) / (vs.size * (vs.size - 1) / 2.0)
+        assert(math.abs(inner - expInner) < 1e-12, s"$id inner $vs")
+        assert(math.abs(boundary - expBoundary) < 1e-12, s"$id boundary $vs")
+        assert(math.abs(score - expScore) < 1e-12, s"$id score $vs")
+      }
+    }
+    // reference-agreeing rows where no tie is involved: vertex 5's set is
+    // order-independent and matches SemiClusteringTest.java:116 exactly
+    assert(got(5L) === Set((Set(4L, 5L), -0.5, 1.0, 3.0), (Set(5L), 0.0, 0.0, 2.0)))
+    // deterministic across runs
+    assert(run() === got)
   }
 
   test("SemiClustering produces capacity-bounded scored clusters") {

@@ -43,6 +43,61 @@ class StreamingSpec extends SparkSpec {
     assert(!bad.success)
   }
 
+  test("Candidates matches BipartitenessCheckTest golden two-coloring") {
+    // exact golden (BipartitenessCheckTest.java:57-60): component rooted at
+    // 1 with signs 1=true, 2/3/4=false, 5/7/9=true
+    val bipartiteEdges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (4L, 5L), (4L, 7L), (4L, 9L))
+    val summary = bipartiteEdges.foldLeft(new Candidates(true)) {
+      case (acc, (s, d)) => acc.merge(Candidates.of(s, d))
+    }
+    assert(summary.success)
+    assert(summary.groups.keySet === Set(1L))
+    assert(summary.groups(1L) === Map(
+      1L -> true, 2L -> false, 3L -> false, 4L -> false,
+      5L -> true, 7L -> true, 9L -> true))
+    // non-bipartite fixture (:113-118, triangle 1-2-3) → (false, {})
+    val odd = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 7L), (4L, 1L))
+      .foldLeft(new Candidates(true)) {
+        case (acc, (s, d)) => acc.merge(Candidates.of(s, d))
+      }
+    assert(!odd.success)
+    assert(odd.groups.isEmpty)
+  }
+
+  test("Spanner offer sequence matches SpannerTest golden adjacency (k=3)") {
+    // SpannerTest.java:70-85 edge order; single ordered stream = the
+    // 1-partition case of the reference's order-dependent summary
+    val edges = Seq((1L, 4L), (4L, 7L), (7L, 8L), (4L, 8L), (4L, 5L), (5L, 6L),
+      (2L, 3L), (3L, 4L), (3L, 6L), (8L, 9L), (6L, 8L), (5L, 9L))
+    val g = new AdjacencyListGraph(3)
+    edges.foreach { case (s, d) => g.offer(s, d) }
+    // SpannerTest.java:63
+    val gold = Map(
+      1L -> Set(4L), 2L -> Set(3L), 3L -> Set(2L, 4L), 4L -> Set(1L, 3L, 5L, 7L),
+      5L -> Set(4L, 6L), 6L -> Set(5L, 8L), 7L -> Set(4L, 8L),
+      8L -> Set(6L, 7L, 9L), 9L -> Set(8L))
+    val got = g.edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    assert(got === gold)
+  }
+
+  test("triangle counts match ExactTriangleCountTest goldens") {
+    import spark.implicits._
+    // ExactTriangleCountTest.java:66-74; golden :56-59:
+    // global 4, per-vertex (1,2) (2,2) (3,4) (4,1) (5,1) (6,2)
+    val e = Seq((1L, 2L), (2L, 3L), (2L, 6L), (5L, 6L), (1L, 4L), (5L, 3L),
+      (3L, 4L), (3L, 6L), (1L, 3L)).map { case (s, d) => (s, d, 1L) }
+      .toDF("src", "dst", "value")
+    val global = EdgeStreamOps.triangleCount(e.select("src", "dst"))
+      .head().getLong(0)
+    assert(global === 4L)
+    val g = graft.core.KGraph.fromEdges(e, id => id)
+    val perVertex = graft.algos.GraphAlgorithms.triangleCounts(g)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perVertex === Map(1L -> 2L, 2L -> 2L, 3L -> 4L, 4L -> 1L,
+      5L -> 1L, 6L -> 2L))
+  }
+
   test("AdjacencyListGraph boundedBFS + spanner offer") {
     val g = new AdjacencyListGraph(2)
     g.addEdge(1L, 2L); g.addEdge(2L, 3L)

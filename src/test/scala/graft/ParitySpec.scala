@@ -117,6 +117,26 @@ class ParitySpec extends SparkSpec {
     assert(res.aggregates("min.track") === 0L)
   }
 
+  test("ReverseEdges matches ReverseEdgesTest golden adjacency (two chains)") {
+    // ReverseEdgesTest.java:93-115: two directed chains 0→…→9 and
+    // 10→…→20; after the mutation every vertex's out-adjacency is the
+    // undirected neighborhood (forward target + added reverse edge)
+    val chains = (0L until 9L).map(i => (i, i + 1)) ++
+      (10L until 20L).map(i => (i, i + 1))
+    val verts = sc.parallelize((0L to 20L).map(i => (i, i)))
+    val e = sc.parallelize(chains.map { case (s, d) => (s, (d, 1.0)) })
+    val res = Pregel.run(spark,
+      new graft.algos.compute.BasicAlgorithms.ReverseEdges, verts, e,
+      maxIterations = 10)
+    val adj = res.edges.map { case (s, edge) => (s, edge.target) }
+      .collect().toSeq.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def expect(lo: Long, hi: Long): Map[Long, Set[Long]] =
+      (lo to hi).map { i =>
+        i -> (Seq(i - 1, i + 1).filter(j => j >= lo && j <= hi).map(_.toLong).toSet)
+      }.toMap
+    assert(adj === expect(0L, 9L) ++ expect(10L, 20L))
+  }
+
   test("jaccard matches JaccardTest goldens, similarity and distance modes") {
     import spark.implicits._
     // the reference test graph (JaccardTest.java:68-83): 8 undirected edges

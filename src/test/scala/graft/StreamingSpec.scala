@@ -43,6 +43,17 @@ class StreamingSpec extends SparkSpec {
     assert(!bad.success)
   }
 
+  test("DisjointSet matches streaming ConnectedComponentsTest golden components") {
+    // streaming/library/ConnectedComponentsTest.java:69-74 fixture; golden
+    // :57 "1, 2, 3, 5 / 6, 7 / 8, 9"
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 5L), (6L, 7L), (8L, 9L))
+    val ds = new DisjointSet[Long]
+    edges.foreach { case (s, d) => ds.union(s, d) }
+    val comps = ds.components.toSeq.groupBy(_._2).values
+      .map(_.map(_._1).toSet).toSet
+    assert(comps === Set(Set(1L, 2L, 3L, 5L), Set(6L, 7L), Set(8L, 9L)))
+  }
+
   test("Candidates matches BipartitenessCheckTest golden two-coloring") {
     // exact golden (BipartitenessCheckTest.java:57-60): component rooted at
     // 1 with signs 1=true, 2/3/4=false, 5/7/9=true

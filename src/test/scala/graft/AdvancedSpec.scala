@@ -108,6 +108,38 @@ class AdvancedSpec extends SparkSpec {
       7L -> 0, 8L -> 0, 9L -> 1, 10L -> 0))
   }
 
+  test("KMeans matches KMeansClusteringTest test4 golden (60 points, k=3)") {
+    // KMeansClusteringTest.java:243-325: three planted blobs interleaved in
+    // id order; initial centers = points 1, 11, 12. Golden :347 assigns
+    // every id to cluster (id−1) % 3.
+    val coords = Seq(
+      (-3.78, -42.01), (-45.96, 30.67), (56.37, -46.62), (8.78, -37.95),
+      (-26.95, 43.10), (37.87, -51.30), (-2.61, -30.43), (-23.33, 26.23),
+      (38.19, -36.27), (-13.63, -42.26), (-36.57, 32.63), (50.65, -52.40),
+      (-5.76, -51.83), (-34.43, 42.66), (40.35, -47.14), (-23.40, -48.70),
+      (-29.58, 17.77), (43.08, -61.96), (9.06, -49.26), (-20.13, 44.16),
+      (41.62, -45.84), (5.23, -41.20), (-23.00, 38.15), (44.55, -51.50),
+      (-15.63, -26.81), (-24.33, 22.63), (52.51, -54.75), (-0.04, -39.69),
+      (-32.92, 43.87), (47.99, -36.93), (-7.34, -57.90), (-36.17, 34.74),
+      (51.52, -41.83), (-21.91, -49.01), (-46.68, 46.04), (48.52, -43.67),
+      (-0.20, -36.62), (-27.71, 35.12), (41.29, -42.00), (-9.17, -43.28),
+      (-41.16, 50.66), (49.63, -45.28), (-8.10, -29.83), (-49.38, 38.57),
+      (35.38, -34.90), (-6.51, -55.58), (-38.17, 40.21), (47.47, -45.95),
+      (-17.66, -51.12), (-32.60, 41.13), (40.68, -49.10), (-10.31, -40.69),
+      (-22.05, 42.91), (51.16, -47.58), (-12.42, -57.29), (-17.72, 39.90),
+      (44.57, -41.75), (3.14, -35.46), (-53.73, 32.84), (53.16, -50.16))
+    val points = coords.zipWithIndex.map { case ((x, y), i) =>
+      (i + 1L) -> Vector(x, y) }
+    val verts = sc.parallelize(points.map { case (id, c) => (id, KMeansValue(c, 0)) })
+    val e = sc.parallelize(Seq.empty[(Long, (Long, Double))])
+    val cf = new KMeans(k = 3, maxIterations = 100,
+      initialCenters = Some(Seq(Vector(-3.78, -42.01), Vector(-36.57, 32.63),
+        Vector(50.65, -52.40))))
+    val res = Pregel.run(spark, cf, verts, e, maxIterations = 100)
+    val got = res.vertices.collect().toMap.view.mapValues(_.clusterId).toMap
+    assert(got === points.map { case (id, _) => id -> ((id - 1) % 3).toInt }.toMap)
+  }
+
   test("SybilRank: trusted seeds rank higher than sybils") {
     // honest region 1-4 (clique-ish), sybil region 5-6, one attack edge
     val edges = Seq(

@@ -314,7 +314,21 @@ object Dedup {
                             idCol: String = "doc_id", textCol: String = "text",
                             shingleLen: Int = 3, numHashes: Int = 64,
                             bands: Int = 16, threshold: Double = 0.7,
-                            poly: Boolean = false): DataFrame = {
+                            poly: Boolean = false): DataFrame =
+    incrementalMerge(spark, name, delta, idCol, textCol, shingleLen,
+      numHashes, bands, threshold, poly)._1
+
+  /** [[incrementalMinHashLSH]]'s body, ALSO returning the persisted delta
+    * signatures so [[appendToLshIndex]] reuses them for its index writes
+    * instead of re-shingling and re-hashing the whole delta a second time
+    * (the returned clusters frame is LAZY and references the signatures —
+    * the caller owns the unpersist, after its terminal action). */
+  private def incrementalMerge(spark: org.apache.spark.sql.SparkSession,
+                               name: String, delta: DataFrame,
+                               idCol: String, textCol: String,
+                               shingleLen: Int, numHashes: Int,
+                               bands: Int, threshold: Double,
+                               poly: Boolean): (DataFrame, DataFrame) = {
     val meta = spark.table(s"${name}_meta").head()
     require(meta.getAs[Int]("shingle_len") == shingleLen &&
         meta.getAs[Int]("num_hashes") == numHashes &&
@@ -345,7 +359,7 @@ object Dedup {
       .select(col("id").as("src"), col("rep").as("dst"), lit(1.0).as("value"))
     val allIds = baseClusters.select(col("id"))
       .unionByName(delta.select(col(idCol).as("id")))
-    clustersFromPairs(allIds, verified.unionByName(stars))
+    (clustersFromPairs(allIds, verified.unionByName(stars)), dSigs)
   }
 
   /** COMMIT a delta into the persisted index — the ingest loop's write step,
@@ -368,11 +382,13 @@ object Dedup {
     // eager localCheckpoint, not persist: DROP TABLE cascades cache
     // invalidation to every cached plan REFERENCING the table, so a merely
     // persisted `merged` would be evicted by the clusters replacement below
-    // and recompute from the deleted files; the checkpoint cuts the lineage
-    val merged = incrementalMinHashLSH(spark, name, delta, idCol, textCol,
-        shingleLen, numHashes, bands, threshold, poly)
-      .localCheckpoint(true)
-    val dSigs = signatures(delta, idCol, textCol, shingleLen, numHashes, poly)
+    // and recompute from the deleted files; the checkpoint cuts the lineage.
+    // The merge's persisted delta signatures are REUSED for the index
+    // writes below (one shingle+minhash pass per batch, not two) and
+    // unpersisted at the end.
+    val (mergedLazy, dSigs) = incrementalMerge(spark, name, delta, idCol,
+      textCol, shingleLen, numHashes, bands, threshold, poly)
+    val merged = mergedLazy.localCheckpoint(true)
     bandedBuckets(dSigs, "id", "sig", bands, numHashes / bands, poly)
       .write.mode("append").bucketBy(buckets, "band", "bucket")
       .sortBy("band", "bucket").saveAsTable(s"${name}_bands")
@@ -382,6 +398,7 @@ object Dedup {
     merged.write.mode("overwrite").bucketBy(buckets, "id").sortBy("id")
       .saveAsTable(s"${name}_clusters")
     merged.unpersist()
+    dSigs.unpersist(false)
     // drop stale cached file listings so the NEXT delta's reads see the
     // appended/rewritten state
     Seq("bands", "sigs", "clusters")

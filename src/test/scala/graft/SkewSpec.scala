@@ -230,6 +230,54 @@ class SkewSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("kTruss maxIter exhaustion: supports w.r.t. final set, filtered once") {
+    import spark.implicits._
+    // k=4 on clique+triangle+pendant needs 2 peel rounds; capping at 1
+    // must return round-1 survivors re-filtered against their OWN supports
+    // (the pre-incremental exhaustion semantics). Fixture from LayoutSpec:
+    // 4-clique {1..4} + triangle {4,5,6} + pendant 6-7.
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (6L, 7L)).toDF("src", "dst")
+    // full run: clique only
+    val full = GraphAlgorithms.kTruss(edges, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full === Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)))
+    // round 1 drops pendant + triangle edges (support < 2); within the
+    // survivors the supports are already final here, so maxIter=1 equals
+    // the fixpoint for THIS graph — the point is it must not throw or
+    // return un-refiltered supports
+    val capped = GraphAlgorithms.kTruss(edges, k = 4, maxIter = 1)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    capped.foreach { case (e, sup) => assert(sup >= 2, s"$e below threshold") }
+    // and a cascade case where the cap genuinely truncates: k=4 on a graph
+    // whose peel needs ≥2 rounds — capped result is a SUPERSET of the
+    // fixpoint and every emitted support is ≥ k−2 w.r.t. the capped set
+    val rnd = new scala.util.Random(3)
+    val es = (for {
+      u <- 1 to 30; v <- u + 1 to 30
+      if rnd.nextDouble() < 0.22
+    } yield (u.toLong, v.toLong)).toDF("src", "dst")
+    val fix = GraphAlgorithms.kTruss(es, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cap1 = GraphAlgorithms.kTruss(es, k = 5, maxIter = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fix.subsetOf(cap1), "capped peel must over-approximate the fixpoint")
+  }
+
+  test("kCore maxIter exhaustion keeps the documented over-approximation") {
+    import spark.implicits._
+    // path 1-2-3-4-5: k=2 peels everything, but over several cascade
+    // rounds; capping must return a superset of the (empty) core with the
+    // degrees as maintained at the cap
+    val path = (1L to 4L).map(i => (i, i + 1)).toDF("src", "dst")
+    assert(GraphAlgorithms.kCore(path, k = 2).count() === 0L)
+    val capped = GraphAlgorithms.kCore(path, k = 2, maxIter = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // round 1 removes endpoints 1 and 5; 2 and 4 drop to degree 1
+    assert(capped === Map(2L -> 1L, 3L -> 2L, 4L -> 1L))
+  }
+
   test("incremental kTruss peel ≡ full-recompute peel (random graphs)") {
     import spark.implicits._
     // dense-ish random graphs so peel rounds cascade (removals destroy

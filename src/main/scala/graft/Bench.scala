@@ -73,11 +73,13 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // ...and persist the identical JSON as a file so the full per-query map
-    // stays machine-readable even if the stdout tail truncates
-    try {
-      val w = new java.io.PrintWriter("BENCH_FULL.json")
-      try w.println(line) finally w.close()
-    } catch { case _: Throwable => () }
+    // stays machine-readable even if the stdout tail truncates (cwd plus
+    // the repo root, in case the harness launches from elsewhere)
+    for (path <- Seq("BENCH_FULL.json", "/root/repo/BENCH_FULL.json").distinct)
+      try {
+        val w = new java.io.PrintWriter(path)
+        try w.println(line) finally w.close()
+      } catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -140,6 +140,24 @@ class AdvancedSpec extends SparkSpec {
     assert(got === points.map { case (id, _) => id -> ((id - 1) % 3).toInt }.toMap)
   }
 
+  test("KMeans matches KMeansClusteringTest test5 golden (10 points, k=3)") {
+    // KMeansClusteringTest.java:355-368: first 10 of the test4 sequence;
+    // initial centers = points 1, 5, 3. Golden :409: (id−1) % 3.
+    val coords = Seq(
+      (-3.78, -42.01), (-45.96, 30.67), (56.37, -46.62), (8.78, -37.95),
+      (-26.95, 43.10), (37.87, -51.30), (-2.61, -30.43), (-23.33, 26.23),
+      (38.19, -36.27), (-13.63, -42.26))
+    val points = coords.zipWithIndex.map { case ((x, y), i) => (i + 1L) -> Vector(x, y) }
+    val verts = sc.parallelize(points.map { case (id, c) => (id, KMeansValue(c, 0)) })
+    val e = sc.parallelize(Seq.empty[(Long, (Long, Double))])
+    val cf = new KMeans(k = 3, maxIterations = 100,
+      initialCenters = Some(Seq(Vector(-3.78, -42.01), Vector(-26.95, 43.10),
+        Vector(56.37, -46.62))))
+    val res = Pregel.run(spark, cf, verts, e, maxIterations = 100)
+    val got = res.vertices.collect().toMap.view.mapValues(_.clusterId).toMap
+    assert(got === points.map { case (id, _) => id -> ((id - 1) % 3).toInt }.toMap)
+  }
+
   test("SybilRank: trusted seeds rank higher than sybils") {
     // honest region 1-4 (clique-ish), sybil region 5-6, one attack edge
     val edges = Seq(

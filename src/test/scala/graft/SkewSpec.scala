@@ -299,4 +299,21 @@ class SkewSpec extends SparkSpec {
       assert(default === full, s"seed=$seed k=$k default policy != full")
     }
   }
+
+  test("incremental kTruss ≡ full on a HUB-SPLIT graph (bucketed witnesses)") {
+    // the decrement pass's witness arrays come from the aligned-bucket
+    // expansion; removed edges incident to a split hub carry SEVERAL
+    // bucket rows whose per-bucket intersect arrays are disjoint — that
+    // path never fires on the no-hub random graphs above. Drill graph's
+    // 599-degree hub at cap 64 forces it.
+    val edges = trussDrill(600)
+    def run(frac: Double) =
+      GraphAlgorithms.kTruss(edges, k = 5, hubDegreeCap = 64,
+          rebuildFraction = frac)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val full = run(0.0)
+    val incr = run(1.0)
+    assert(incr === full)
+    assert(full.nonEmpty) // k=5 keeps more than the 12-clique (star+chords)
+  }
 }

@@ -3832,7 +3832,11 @@ object SparkEntry {
         |FROM base b LEFT JOIN per USING (doc_id)""".stripMargin,
 
     // containment: same 3-gram shingle CTE family as d_ngram_pairs; both
-    // directions of each intersecting pair with per-side denominators
+    // directions of each intersecting pair with per-side denominators.
+    // Candidate pairs are restricted to those sharing >=1 RARE shingle
+    // (df <= 1024) — the identical hot-shingle cut the Spark side applies
+    // (Dedup.containmentPairs maxDocFreq); containment values themselves
+    // are exact over the full shingle sets.
     "d_containment" ->
       """WITH sh AS (
         |  SELECT doc_id, list_distinct(list_transform(
@@ -3842,12 +3846,16 @@ object SparkEntry {
         |          string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
         |        FROM documents)
         |  WHERE len(toks) >= 3),
+        |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |rare AS (SELECT doc_id, g FROM ex
+        |         WHERE g IN (SELECT g FROM ex GROUP BY g HAVING count(*) <= 1024)),
+        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |         FROM rare x JOIN rare y USING (g) WHERE x.doc_id < y.doc_id),
         |c AS (
-        |  SELECT x.doc_id AS a, y.doc_id AS b,
+        |  SELECT a, b,
         |         len(list_intersect(x.s, y.s)) AS common,
         |         len(x.s) AS sza, len(y.s) AS szb
-        |  FROM sh x JOIN sh y ON x.doc_id < y.doc_id
-        |  WHERE len(list_intersect(x.s, y.s)) > 0)
+        |  FROM cand JOIN sh x ON x.doc_id = cand.a JOIN sh y ON y.doc_id = cand.b)
         |SELECT src, dst, round(containment, 6) AS containment FROM (
         |  SELECT a AS src, b AS dst, CAST(common AS DOUBLE) / sza AS containment FROM c
         |  UNION ALL

@@ -625,26 +625,49 @@ object Dedup {
     * `containment = |S_src ∩ S_dst| / |S_src|` — the quote/subset-duplication
     * signal Jaccard misses (a short doc fully contained in a long one has low
     * Jaccard but containment 1.0; this is how boilerplate inclusion and
-    * near-verbatim quoting are found in web-corpus curation). Same
-    * inverted-index shape as [[ngramJaccardPairs]]: the intersection count is
-    * computed once per unordered pair (hash-join on shingle hash, combinable
-    * count), then emitted in both directions with each side's own
-    * denominator. Pairs sharing no shingle never materialize. */
+    * near-verbatim quoting are found in web-corpus curation).
+    *
+    * Candidate generation goes through the shingle inverted index RESTRICTED
+    * TO RARE SHINGLES (document frequency ≤ `maxDocFreq`, same guard as
+    * [[ngramJaccardPairs]]' `maxDocFreq` and cdcChunkPairs' chunk cap): a
+    * stop-shingle appearing in df docs would otherwise expand df² candidate
+    * rows — the one quadratic a web corpus reliably manufactures ("the of
+    * the…" 3-grams in 10⁶ docs → 10¹² rows). Survivor pairs are then verified
+    * EXACTLY with the codegen'd galloping sorted-intersection kernel over the
+    * full hashed shingle arrays, so reported containment values are exact —
+    * the cap only affects RECALL, and only for pairs whose ENTIRE shared
+    * shingle set is hot (every common shingle in > maxDocFreq docs): pairs
+    * sharing even one rare shingle are always found. `maxDocFreq ≤ 0`
+    * disables the cap (full inverted index). */
   def containmentPairs(docs: DataFrame, idCol: String = "doc_id",
                        textCol: String = "text", shingleLen: Int = 3,
-                       threshold: Double = 0.5): DataFrame = {
+                       threshold: Double = 0.5,
+                       maxDocFreq: Long = 1024L): DataFrame = {
     val sh = shingled(spread(docs), idCol, textCol, shingleLen)
       .filter(size(col("sh")) >= 1)
+      .select(col("id"),
+        sort_array(transform(col("sh"), g => xxhash64(g))).as("hs"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val sizes = sh.select(col("id"), size(col("sh")).as("sz"))
-    val inv = sh.select(col("id"), explode(col("sh")).as("g"))
-      .select(col("id"), xxhash64(col("g")).as("g"))
-    val common = inv.toDF("a", "g").join(inv.toDF("b", "g"), Seq("g"))
+    val inv = sh.select(col("id"), explode(col("hs")).as("g"))
+    val candIdx =
+      if (maxDocFreq <= 0) inv
+      else {
+        val rare = inv.groupBy(col("g")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDocFreq).select(col("g"))
+        inv.join(rare, Seq("g"), "left_semi").select(col("id"), col("g"))
+      }
+    val cand = candIdx.select(col("id").as("a"), col("g"))
+      .join(candIdx.select(col("id").as("b"), col("g")), Seq("g"))
       .filter(col("a") < col("b"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("common"))
-    val both = common
-      .join(sizes.toDF("a", "szA"), Seq("a"))
-      .join(sizes.toDF("b", "szB"), Seq("b"))
+      .select(col("a"), col("b")).distinct()
+    val both = cand
+      .join(sh.select(col("id").as("a"), col("hs").as("hsA")), Seq("a"))
+      .join(sh.select(col("id").as("b"), col("hs").as("hsB")), Seq("b"))
+      .select(col("a"), col("b"),
+        graft.functions.GraphSetExpressions
+          .sortedIntersectCount(col("hsA"), col("hsB")).cast("long").as("common"),
+        size(col("hsA")).cast("long").as("szA"),
+        size(col("hsB")).cast("long").as("szB"))
     val ab = both.select(col("a").as("src"), col("b").as("dst"),
       (col("common").cast("double") / col("szA")).as("containment"))
     val ba = both.select(col("b").as("src"), col("a").as("dst"),

@@ -1856,6 +1856,33 @@ class PipelineSpec extends SparkSpec {
     assert(!got.contains((2L, 0L)) && !got.contains((0L, 2L))) // no shared shingle
   }
 
+  test("containmentPairs: hot-shingle df-cap bounds candidates but keeps values exact") {
+    // "a b c" (shingle abc) is in ALL four docs → df=4. With maxDocFreq=2
+    // it generates no candidates; docs 0/1 still pair via their rare "d"/"e"
+    // shingles and their containment is EXACT over the full sets (the hot
+    // shingle still counts in the intersection), while docs 2/3 — whose
+    // entire intersection is the hot shingle — are cut.
+    val docs = Seq(
+      (0L, "a b c d e f"),  // abc bcd cde def
+      (1L, "a b c d e"),    // abc bcd cde — subset of doc 0
+      (2L, "a b c x y"),    // abc bcx cxy
+      (3L, "a b c p q")     // abc bcp cpq
+    ).toDF("doc_id", "text")
+    val capped = Dedup.containmentPairs(docs, threshold = 0.1, maxDocFreq = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(capped((1L, 0L)) === 1.0)   // 3/3, exact: hot shingle counted
+    assert(capped((0L, 1L)) === 0.75)  // 3/4
+    assert(!capped.contains((2L, 3L)) && !capped.contains((3L, 2L))) // all-hot cut
+    // doc 2 vs 0/1 shares ONLY abc (hot) → also cut
+    assert(!capped.keys.exists { case (s, d) => s == 2L || d == 2L })
+    // cap disabled → the all-hot pairs come back, values unchanged elsewhere
+    val full = Dedup.containmentPairs(docs, threshold = 0.1, maxDocFreq = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(full((1L, 0L)) === 1.0 && full((0L, 1L)) === 0.75)
+    assert(full((2L, 3L)) === (1.0 / 3) && full((3L, 2L)) === (1.0 / 3))
+    capped.foreach { case (k, v) => assert(full(k) === v) } // cap never changes a value
+  }
+
   test("bm25TopDocs: tf raises score within a doc-length class; probe filter only") {
     val docs = Seq(
       (0L, "q q q a b c"),  // tf(q)=3

@@ -155,6 +155,12 @@ object SparkEntry {
     * O(k²)=5·10⁹ pairs; unsalted, one task materializes all of them. */
   private val SaltChunk = 512
 
+  /** Hot-key document-frequency cap shared by the df-capped pair
+    * generators (d_containment, d_cdc_dedup) AND interpolated into their
+    * DuckDB oracle SQL — one constant so the Spark side and the oracle can
+    * never silently diverge on the cut. */
+  private val HotDfCap = 1024L
+
   /** parts co-occurring in the same order (canonical a<b). Pair generation is
     * a per-order sorted-array expansion (one groupBy + a codegen'd pair
     * expression + explode), not a lineitem self-join — one scan of lineitem
@@ -855,7 +861,7 @@ object SparkEntry {
     // oracle applies the identical HAVING cut)
     "d_cdc_dedup" -> ((s, dir) =>
       Dedup.cdcChunkPairs(t(s, dir, "documents"), minChunkLen = 16,
-        maxDf = 1024)),
+        maxDf = HotDfCap.toInt)),
 
     // winsorized quality normalization: clip at the exact p05/p95 —
     // exactQuantiles composing as broadcast thresholds (2-value control
@@ -1069,7 +1075,8 @@ object SparkEntry {
     // one intersection count per unordered pair via the shingle inverted
     // index, both directions emitted with their own denominator
     "d_containment" -> ((s, dir) =>
-      Dedup.containmentPairs(t(s, dir, "documents"), threshold = 0.4)
+      Dedup.containmentPairs(t(s, dir, "documents"), threshold = 0.4,
+          maxDocFreq = HotDfCap)
         .withColumn("containment", round(col("containment"), 6))),
 
     // Gopher quality-rule filters: rowwise metrics + 0/1 rule flags +
@@ -3505,7 +3512,7 @@ object SparkEntry {
          |           ${sqlU2S(sqlPoly(chunkCps, 1125899906842597L, 1099511628211L))} AS fp
          |         FROM ch WHERE c.hi - c.lo >= 16),
          |kept AS (SELECT k.doc_id, k.fp FROM keep k
-         |         JOIN (SELECT fp FROM keep GROUP BY fp HAVING count(*) <= 1024) ok
+         |         JOIN (SELECT fp FROM keep GROUP BY fp HAVING count(*) <= $HotDfCap) ok
          |           USING (fp))
          |SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS shared
          |FROM kept x JOIN kept y ON x.fp = y.fp AND x.doc_id < y.doc_id
@@ -3834,21 +3841,21 @@ object SparkEntry {
     // containment: same 3-gram shingle CTE family as d_ngram_pairs; both
     // directions of each intersecting pair with per-side denominators.
     // Candidate pairs are restricted to those sharing >=1 RARE shingle
-    // (df <= 1024) — the identical hot-shingle cut the Spark side applies
-    // (Dedup.containmentPairs maxDocFreq); containment values themselves
-    // are exact over the full shingle sets.
+    // (df <= $HotDfCap, interpolated from the SAME constant the Spark query
+    // passes to Dedup.containmentPairs — the cut cannot silently diverge);
+    // containment values themselves are exact over the full shingle sets.
     "d_containment" ->
-      """WITH sh AS (
+      s"""WITH sh AS (
         |  SELECT doc_id, list_distinct(list_transform(
         |    range(1, greatest(len(toks) - 2, 1) + 1),
         |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
         |  FROM (SELECT doc_id,
-        |          string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |          string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
         |        FROM documents)
         |  WHERE len(toks) >= 3),
         |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
         |rare AS (SELECT doc_id, g FROM ex
-        |         WHERE g IN (SELECT g FROM ex GROUP BY g HAVING count(*) <= 1024)),
+        |         WHERE g IN (SELECT g FROM ex GROUP BY g HAVING count(*) <= $HotDfCap)),
         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
         |         FROM rare x JOIN rare y USING (g) WHERE x.doc_id < y.doc_id),
         |c AS (

@@ -734,6 +734,13 @@ object GraphAlgorithms {
     * executor's task memory. */
   private[graft] val TwoHopMaxCandidateVolume: Long = 1L << 22
 
+  /** Max oversize-set row count [[twoHopNeighborCounts]] will still
+    * broadcast (8-byte ids → ~32 MB); beyond it the tail split joins via
+    * shuffle_hash. A degree-D mega-hub pushes all D of its neighbors over
+    * the volume bound, so the oversize set is NOT always tiny — same
+    * rationale as kCore's removed-set side switch. */
+  private[graft] val OversizeBroadcastMax: Long = 4000000L
+
   /** Exact-distance-2 neighborhood sizes: for each vertex, the number of
     * vertices reachable in exactly two hops (N(N(v)) minus N(v) minus v) —
     * the friend-of-friend feature behind triadic-closure link prediction
@@ -805,24 +812,36 @@ object GraphAlgorithms {
         .select(col("v").as("id"), col("n2"))
     }
 
-    // No driver-side count: `oversize` rides as a BROADCAST side of both
-    // the anti-join (array tail) and the semi-join (row tail). In the
-    // common no-mega-hub case the broadcast is EMPTY and AQE's
-    // empty-relation propagation deletes the row tail (the semi-join's
-    // probe — the whole contrib pipeline — is never executed) and
-    // collapses the anti-join to a pass-through, so the split costs only
-    // the small degree-bound aggregate.
-    val big = broadcast(oversize)
+    // Count-gated split (kCore's remSide pattern): the oversize set is
+    // tiny output (only over-threshold vertices) so it is persisted and
+    // counted once on the driver — a control-channel count, not a data
+    // collect. Zero oversize vertices (the common no-mega-hub case) skips
+    // the split entirely — the AQE empty-relation win, made explicit. A
+    // NONZERO count picks the join side by size: a degree-D mega-hub puts
+    // all D of its neighbors over the volume bound, so an unconditional
+    // broadcast could ship a multi-hundred-MB id set to every executor;
+    // past [[OversizeBroadcastMax]] it rides a shuffle_hash instead,
+    // exactly like kCore's removed-set join.
+    val over = oversize.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nOver = over.count()
     val contrib = twoHopContrib(p)
-    val small = arrayTail(contrib.join(big, Seq("v"), "left_anti"))
-    // row-based tail: distinct candidates spread over (v, c) shuffle keys
-    val rows = contrib.join(big, Seq("v"), "left_semi")
-      .select(col("v"), explode(col("cand")).as("c"))
-      .distinct() // cand already excludes v itself
-      .join(bd.select(col("v"), col("m").as("c")), Seq("v", "c"), "left_anti")
-      .groupBy(col("v")).agg(count(lit(1)).cast("long").as("n2"))
-      .select(col("v").as("id"), col("n2"))
-    small.unionByName(rows)
+    if (nOver == 0L) {
+      over.unpersist()
+      arrayTail(contrib)
+    } else {
+      val big =
+        if (nOver <= OversizeBroadcastMax) broadcast(over)
+        else over.hint("shuffle_hash")
+      val small = arrayTail(contrib.join(big, Seq("v"), "left_anti"))
+      // row-based tail: distinct candidates spread over (v, c) shuffle keys
+      val rows = contrib.join(big, Seq("v"), "left_semi")
+        .select(col("v"), explode(col("cand")).as("c"))
+        .distinct() // cand already excludes v itself
+        .join(bd.select(col("v"), col("m").as("c")), Seq("v", "c"), "left_anti")
+        .groupBy(col("v")).agg(count(lit(1)).cast("long").as("n2"))
+        .select(col("v").as("id"), col("n2"))
+      small.unionByName(rows)
+    }
   }
 
   /** k-truss: the maximal subgraph where every EDGE sits in ≥ k−2

@@ -638,11 +638,14 @@ object Dedup {
     * the cap only affects RECALL, and only for pairs whose ENTIRE shared
     * shingle set is hot (every common shingle in > maxDocFreq docs): pairs
     * sharing even one rare shingle are always found. `maxDocFreq ≤ 0`
-    * disables the cap (full inverted index). */
+    * (the default, matching [[ngramJaccardPairs]]: exact semantics unless
+    * the caller opts into the recall cut) disables the cap — ALWAYS pass a
+    * positive cap at web-corpus scale, where the full inverted index is the
+    * df² trap the scaladoc above describes. */
   def containmentPairs(docs: DataFrame, idCol: String = "doc_id",
                        textCol: String = "text", shingleLen: Int = 3,
                        threshold: Double = 0.5,
-                       maxDocFreq: Long = 1024L): DataFrame = {
+                       maxDocFreq: Long = 0L): DataFrame = {
     val sh = shingled(spread(docs), idCol, textCol, shingleLen)
       .filter(size(col("sh")) >= 1)
       .select(col("id"),

@@ -319,14 +319,20 @@ object TextAnalysis {
     * packed independently and in parallel; pack identity is the composite
     * (shard, pack_id), with `pack_id` dense within its shard. WITHOUT it,
     * the same global assignment is computed as a distributed two-phase
-    * prefix sum (never a global single-reducer window): range-partition on
-    * `orderCol`, per-partition running sums in parallel, then one window
-    * over the PARTITION-COUNT-sized per-partition totals (tens to
+    * prefix sum (never a global single-reducer window): bucket rows into
+    * contiguous `orderCol` ranges, per-range running sums in parallel,
+    * then one window over the RANGE-COUNT-sized per-range totals (tens to
     * thousands of rows, independent of corpus size) yields the offsets
-    * that are broadcast back. Identical output to a global running-sum
-    * window whenever `orderCol` is unique (ties may land either way under
-    * both formulations — keep the order key unique, as any reproducible
-    * packing requires). */
+    * that are broadcast back. The range boundaries are sampled ONCE on the
+    * driver and embedded as literals, so the offsets branch and the
+    * local-prefix branch agree on bucket assignment by construction —
+    * never by relying on the optimizer deduplicating a sampled range
+    * exchange (spark_partition_id after repartitionByRange would be
+    * re-sampled per consumer if ReuseExchange ever failed to fire, and the
+    * pack ids would silently diverge). Identical output to a global
+    * running-sum window whenever `orderCol` is unique (ties may land
+    * either way under both formulations — keep the order key unique, as
+    * any reproducible packing requires). */
   def packBins(df: DataFrame, budget: Int, textCol: String = "text",
                orderCol: String = "doc_id",
                shardCol: Option[String] = None): DataFrame = {
@@ -341,22 +347,27 @@ object TextAnalysis {
             floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / budget)
               .cast("long"))
       case None =>
-        // both branches below hang off the SAME range exchange (Catalyst's
-        // ReuseExchange dedupes it), and _pid is the post-exchange
-        // partition index, identical in both
-        val ranged = df.withColumn("n_tokens", tokenCount(col(textCol)))
-          .repartitionByRange(col(orderCol))
-          .withColumn("_pid", spark_partition_id())
+        // _pid is a pure function of (orderCol, driver-literal boundaries):
+        // both consumers below compute it from the SAME literal expression,
+        // so bucket assignment can never diverge between them — no
+        // reliance on ReuseExchange deduplicating a sampled exchange
+        val bounds = rangeBounds(df, orderCol,
+          df.sparkSession.sessionState.conf.numShufflePartitions)
+        val pid = bounds.foldLeft(lit(0)) { (acc, b) =>
+          acc + when(col(orderCol) > lit(b), 1).otherwise(0)
+        }
+        val keyed = df.withColumn("n_tokens", tokenCount(col(textCol)))
+          .withColumn("_pid", pid)
         val wLocal = Window.partitionBy(col("_pid")).orderBy(col(orderCol))
           .rowsBetween(Window.unboundedPreceding, -1)
         val wOffsets = Window.orderBy(col("_pid"))
           .rowsBetween(Window.unboundedPreceding, -1)
-        val offsets = ranged.groupBy(col("_pid"))
+        val offsets = keyed.groupBy(col("_pid"))
           .agg(sum(col("n_tokens")).as("_ptotal"))
           .withColumn("_offset",
             coalesce(sum(col("_ptotal")).over(wOffsets), lit(0L)))
           .select(col("_pid"), col("_offset"))
-        ranged
+        keyed
           .withColumn("_local",
             coalesce(sum(col("n_tokens")).over(wLocal), lit(0L)))
           .join(broadcast(offsets), Seq("_pid"))
@@ -364,6 +375,32 @@ object TextAnalysis {
             floor((col("_offset") + col("_local")) / budget).cast("long"))
           .drop("_pid", "_local", "_offset")
     }
+  }
+
+  /** Sampled range boundaries for `orderCol`, computed once on the driver
+    * (one count + one ~parts×128-row sorted sample, both bounded): at most
+    * `parts - 1` strictly-increasing values splitting the column into
+    * contiguous buckets. The caller embeds these as literals, making bucket
+    * assignment a deterministic row-wise expression — the distributed
+    * prefix sum in [[packBins]] needs both its branches to agree on the
+    * bucketing, and literals agree by construction. Empty when the input is
+    * small enough for one bucket. */
+  private[graft] def rangeBounds(df: DataFrame, orderCol: String,
+                                    parts: Int): Seq[Any] = {
+    if (parts <= 1) return Nil
+    val n = df.count()
+    if (n <= 1) return Nil
+    val sampleSize = math.min(parts.toLong * 128L, 1L << 20)
+    val fraction = math.min(1.0, sampleSize.toDouble * 1.2 / n)
+    val sorted = df.select(col(orderCol)).na.drop()
+      .sample(withReplacement = false, fraction, seed = 0x9e3779b9L)
+      .orderBy(col(orderCol))
+      .collect().map(_.get(0))
+    if (sorted.length <= 1) return Nil
+    val step = sorted.length.toDouble / parts
+    (1 until parts)
+      .map(i => sorted(math.min(sorted.length - 1, (i * step).toInt)))
+      .distinct
   }
 
   /** 64-bit content fingerprint of normalized text (case-folded, whitespace

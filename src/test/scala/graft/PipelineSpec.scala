@@ -1143,6 +1143,31 @@ class PipelineSpec extends SparkSpec {
     assert(global.size === 1 && local.size === 1)
     assert(global.head.collectFirst { case a: Aggregate => a }.nonEmpty,
       "global window must consume the per-partition totals aggregate")
+    // the bucket id must be a pure expression over driver-literal
+    // boundaries — NEVER spark_partition_id after a sampled range
+    // exchange, whose value would depend on ReuseExchange firing (two
+    // independently-sampled exchanges assign different pids and the pack
+    // ids silently diverge)
+    val phys = packed.queryExecution.executedPlan.toString
+    assert(!phys.contains("SPARK_PARTITION_ID"),
+      "pack bucketing must not depend on physical partition ids")
+  }
+
+  test("packBins rangeBounds: strictly increasing literal boundaries, " +
+       "independent of input partitioning") {
+    val d = (1L to 500L).map(i => (i, "w")).toDF("doc_id", "text")
+    val b1 = TextAnalysis.rangeBounds(d.repartition(3), "doc_id", 8)
+      .map(_.asInstanceOf[Long])
+    val b2 = TextAnalysis.rangeBounds(d.repartition(17), "doc_id", 8)
+      .map(_.asInstanceOf[Long])
+    // deterministic across physical layouts (seeded sample over the same
+    // logical rows) and strictly increasing
+    assert(b1 === b2)
+    assert(b1.size > 1 && b1.size <= 7)
+    assert(b1 === b1.sorted && b1.distinct === b1)
+    // degenerate inputs collapse to one bucket, not an error
+    assert(TextAnalysis.rangeBounds(d.limit(1), "doc_id", 8).isEmpty)
+    assert(TextAnalysis.rangeBounds(d, "doc_id", 1).isEmpty)
   }
 
   test("packBins sharded: packs each shard independently, no global window") {

@@ -466,54 +466,134 @@ object TextAnalysis {
 
   /**
    * BPE vocabulary induction (Sennrich et al. 2016): learn `iters` merge
-   * rules over the corpus. Each iteration is one distributed pair-count
-   * (adjacent-symbol pairs, word-boundary pairs excluded, partial-aggregated
-   * groupBy) followed by a driver-side argmax of ONE row (count DESC, then
-   * lexicographic — deterministic), then a rowwise codegen'd merge pass
-   * rewriting every document's symbol sequence greedily left to right.
-   * Returns the merge table (it, lhs, rhs, merged, cnt) — the artifact a
-   * tokenizer consumes.
+   * rules over the corpus. Two regimes, one exact greedy semantics
+   * (argmax by count DESC then lexicographic on lhs, rhs):
    *
-   * Scale shape: per-iteration cost is a corpus scan + a shuffle keyed by
-   * symbol PAIRS (vocabulary-sized, not corpus-sized, after map-side
-   * combine); the state is persisted between iterations so iteration k
-   * never replays the previous k−1 merge passes. Nothing corpus-sized ever
-   * reaches the driver.
+   *   - HOT phase (top pair occurs in ≥ `recountFraction` of documents —
+   *     the first handful of merges, where a delta would touch most rows
+   *     anyway): one distributed pair-count per merge (partial-aggregated
+   *     groupBy, word-boundary pairs excluded) + the rowwise codegen'd
+   *     merge pass. Cheapest possible when the merge rewrites the corpus
+   *     wholesale.
+   *   - INCREMENTAL phase (everything after — permanent, because BPE's
+   *     max pair count is NON-INCREASING: a pair born from merging (l,r)
+   *     occurs at most count(l,r) times): the pair table is materialized
+   *     ONCE at the regime switch and then maintained by deltas. The rows
+   *     a merge actually changes (rowwise filter over the cached state)
+   *     emit their old adjacent pairs at weight −1 and their merged
+   *     sequence's pairs at +1 in a single exploded pass; the persisted
+   *     pair table absorbs the aggregate via a full-outer join
+   *     (vocabulary²-bounded, zero-count rows dropped). Per-merge shuffle
+   *     is proportional to the merged pair's OCCURRENCES, not the corpus —
+   *     the regime the 32k tail merges of a production vocabulary live
+   *     in, where recount-per-merge would pay a full corpus-pair shuffle
+   *     32k times.
+   *
+   * The row-level diff makes the maintained counts EXACTLY the recounted
+   * counts (overlapping occurrences, greedy left-to-right merge order and
+   * the word-boundary exclusion all included by construction), so the
+   * learned table is bit-identical regardless of where the switch lands —
+   * `recountFraction` is a pure performance knob (0 ⇒ always recount,
+   * ≥ 1 ⇒ incremental from merge 1). Returns the merge table
+   * (it, lhs, rhs, merged, cnt) — the artifact a tokenizer consumes.
+   *
+   * Scale shape: loop-carried state and pair table are persisted and
+   * re-wrapped as stats-free leaves per round (StatsBarrier — flat
+   * planning cost to 32k merges); nothing corpus-sized ever reaches the
+   * driver. (At 100 TB one ALSO learns the vocabulary on a bounded sample
+   * and reserves the full corpus for the single [[bpeEncode]] pass — this
+   * loop keeps that choice a sampling decision, not a correctness one.)
    */
-  def bpeLearn(docs: DataFrame, iters: Int, textCol: String = "text"): DataFrame = {
+  def bpeLearn(docs: DataFrame, iters: Int, textCol: String = "text",
+               recountFraction: Double = 0.25): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val spark = docs.sparkSession
     val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
-    var state = docs.filter(col(textCol).isNotNull)
+    def pairsOf(tk: Column): Column =
+      when(size(tk) >= 2, transform(sequence(lit(0), size(tk) - 2),
+        i => struct(element_at(tk, i + 1).as("l"), element_at(tk, i + 2).as("r"))))
+    def pairCounts(st: DataFrame, tkCol: String, w: Long): DataFrame = st
+      .select(explode(pairsOf(col(tkCol))).as("p"))
+      .select(col("p.l").as("l"), col("p.r").as("r"))
+      .filter(!col("l").contains("¶") && !col("r").contains("¶"))
+      .groupBy(col("l"), col("r")).agg((count(lit(1)) * w).as("cnt"))
+    // Weighted adjacent pairs of one symbol column — the single-pass delta
+    // building block (old sequence at −1, merged at +1, one explode).
+    def wpairs(tk: Column, w: Long): Column =
+      when(size(tk) >= 2, transform(sequence(lit(0), size(tk) - 2),
+        i => struct(element_at(tk, i + 1).as("l"),
+          element_at(tk, i + 2).as("r"), lit(w).as("w"))))
+        .otherwise(array().cast("array<struct<l:string,r:string,w:bigint>>"))
+    // Loop-carried frames are persisted+materialized each round, then
+    // re-wrapped as stats-free leaves (StatsBarrier.freshLeaf): without
+    // the leaf re-wrap the full_outer-join chain compounds the analyzed
+    // plan (and its size estimate) per merge — at merge ~30 the planner
+    // dies generating a multi-GB plan string. With it, per-merge planning
+    // cost is flat to 32k merges. unpersist() frees the PREVIOUS round's
+    // cache once the next is materialized (the leaf wraps the cached
+    // scan, so the handle and the leaf share storage).
+    import org.apache.spark.sql.graft.StatsBarrier
+    var stateHandle = docs.filter(col(textCol).isNotNull)
       .select(graft.functions.BpeExpression.charSymbols(norm).as("tk"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val nDocs = stateHandle.count()
+    var state = StatsBarrier.freshLeaf(stateHandle)
+    val hotCut = recountFraction * nDocs
+    var countsHandle: DataFrame = null // null ⇔ still in the HOT phase
+    var counts: DataFrame = null
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
     var it = 1
     var done = false
     while (it <= iters && !done) {
-      val top = state
-        .select(explode(when(size(col("tk")) >= 2,
-          transform(sequence(lit(0), size(col("tk")) - 2),
-            i => struct(element_at(col("tk"), i + 1).as("l"),
-              element_at(col("tk"), i + 2).as("r"))))).as("p"))
-        .select(col("p.l").as("l"), col("p.r").as("r"))
-        .filter(!col("l").contains("¶") && !col("r").contains("¶"))
-        .groupBy(col("l"), col("r")).agg(count(lit(1)).as("cnt"))
+      val top = (if (counts != null) counts else pairCounts(state, "tk", 1L))
         .orderBy(desc("cnt"), asc("l"), asc("r")).limit(1).collect()
       if (top.isEmpty) done = true
       else {
         val (l, r, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((it, l, r, l + r, cnt))
+        if (counts == null && cnt < hotCut) {
+          // regime switch: materialize the pair table once (the ONE
+          // corpus-wide pair shuffle of the incremental phase); this
+          // merge and all later ones update it by delta. Permanent: the
+          // max pair count never rises again.
+          countsHandle = pairCounts(state, "tk", 1L)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          countsHandle.count()
+          counts = StatsBarrier.freshLeaf(countsHandle)
+        }
+        if (counts != null) {
+          // single-pass delta over only the rows the merge changes
+          val delta = state
+            .withColumn("mg",
+              graft.functions.BpeExpression.mergePair(col("tk"), l, r))
+            .filter(size(col("mg")) < size(col("tk")))
+            .select(explode(concat(wpairs(col("tk"), -1L),
+              wpairs(col("mg"), 1L))).as("e"))
+            .select(col("e.l").as("l"), col("e.r").as("r"), col("e.w").as("w"))
+            .filter(!col("l").contains("¶") && !col("r").contains("¶"))
+            .groupBy(col("l"), col("r")).agg(sum(col("w")).as("dw"))
+          val nextCounts = counts.join(delta, Seq("l", "r"), "full_outer")
+            .select(col("l"), col("r"),
+              (coalesce(col("cnt"), lit(0L)) + coalesce(col("dw"), lit(0L))).as("cnt"))
+            .filter(col("cnt") > 0)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          nextCounts.count() // materialize before releasing the parent
+          countsHandle.unpersist()
+          countsHandle = nextCounts
+          counts = StatsBarrier.freshLeaf(nextCounts)
+        }
         val next = state
           .select(graft.functions.BpeExpression.mergePair(col("tk"), l, r).as("tk"))
           .persist(StorageLevel.MEMORY_AND_DISK)
         next.count() // materialize before releasing the parent
-        state.unpersist()
-        state = next
+        stateHandle.unpersist()
+        stateHandle = next
+        state = StatsBarrier.freshLeaf(next)
         it += 1
       }
     }
-    state.unpersist()
+    stateHandle.unpersist()
+    if (countsHandle != null) countsHandle.unpersist()
     import spark.implicits._
     merges.toSeq.toDF("it", "lhs", "rhs", "merged", "cnt")
   }

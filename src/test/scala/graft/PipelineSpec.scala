@@ -1580,6 +1580,24 @@ class PipelineSpec extends SparkSpec {
     assert(got === refBpe(texts, 6))
   }
 
+  test("bpeLearn: recount and incremental regimes are bit-identical " +
+       "(recountFraction is performance-only)") {
+    val rnd = new scala.util.Random(41L)
+    val words = Vector("aba", "bab", "abc", "cab", "bc", "aabb", "ccc", "cba")
+    val texts = (0 until 50).map(_ =>
+      Seq.fill(3 + rnd.nextInt(8))(words(rnd.nextInt(words.size))).mkString(" "))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text").repartition(3)
+    def learn(frac: Double) =
+      TextAnalysis.bpeLearn(df, iters = 10, recountFraction = frac).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+        .sortBy(_._1).toSeq
+    val ref = refBpe(texts, 10)
+    assert(learn(0.0) === ref)    // pure recount (the pre-r10 loop)
+    assert(learn(1e9) === ref)    // incremental from merge 1
+    assert(learn(0.25) === ref)   // the default hybrid switch
+  }
+
   test("bpeEncode reproduces the reference final state, shuffle-free") {
     val rnd = new scala.util.Random(7L)
     val words = Vector("aba", "bab", "abc", "cab")

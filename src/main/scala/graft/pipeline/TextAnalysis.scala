@@ -17,6 +17,14 @@ object TextAnalysis {
   /** Whitespace tokens. */
   def wsTokens(text: Column): Column = split(trim(text), "\\s+")
 
+  /** Attach a ONE-ROW aggregate frame's columns to every row of `df` as
+    * broadcast scalars — the corpus-constants pattern (n_docs, avgdl,
+    * vocabulary totals) behind the TF-IDF / BM25 / LM / PMI scorers: a
+    * broadcast cross join of a single row is a shuffle-free column attach,
+    * never a cartesian blow-up. */
+  private def withScalars(df: DataFrame, scalars: DataFrame): DataFrame =
+    df.crossJoin(broadcast(scalars))
+
   /** Whitespace token count; empty/null-safe. */
   def tokenCount(text: Column): Column =
     when(text.isNull || length(trim(text)) === 0, lit(0))
@@ -102,7 +110,7 @@ object TextAnalysis {
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val total = df.agg(count(lit(1)).as("n_docs"))
-    val scored = tf.join(dfreq, "term").crossJoin(broadcast(total))
+    val scored = withScalars(tf.join(dfreq, "term"), total)
       .withColumn("tfidf",
         round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
     scored.groupBy(col("doc_id"))
@@ -223,7 +231,7 @@ object TextAnalysis {
     // EXACT integer total rides along (`lm_micro_total`) — cross-engine
     // comparisons should use it, since round(double, 6) of the quotient can
     // land on opposite sides of a half boundary between engines.
-    tf.join(model, "term").crossJoin(broadcast(totals))
+    withScalars(tf.join(model, "term"), totals)
       .withColumn("_lpm", round(col("tf") * log(
         (col("cnt") + 1).cast("double") / (col("n_total") + col("n_vocab")))
         * 1e6).cast("long"))
@@ -266,10 +274,9 @@ object TextAnalysis {
       .filter(col("t1") < col("t2"))
       .groupBy(col("t1"), col("t2")).agg(count(lit(1)).as("n_pair"))
       .filter(col("n_pair") >= minSupport)
-    pairs
+    withScalars(pairs
       .join(dfreq.toDF("t1", "df1"), "t1")
-      .join(dfreq.toDF("t2", "df2"), "t2")
-      .crossJoin(broadcast(totals))
+      .join(dfreq.toDF("t2", "df2"), "t2"), totals)
       .select(col("t1"), col("t2"), col("n_pair").cast("long").as("n_pair"),
         round(log((col("n_pair") * col("n_docs")).cast("double") /
           (col("df1") * col("df2")).cast("double")) * 1e6).cast("long")
@@ -766,7 +773,7 @@ object TextAnalysis {
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val stats = df.agg(count(lit(1)).as("n"),
       avg(tokenCount(col(textCol))).as("avgdl"))
-    val scored = tf.join(broadcast(dfreq), "term").crossJoin(broadcast(stats))
+    val scored = withScalars(tf.join(broadcast(dfreq), "term"), stats)
       .withColumn("bm25", round(
         log(lit(1.0) +
           (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *

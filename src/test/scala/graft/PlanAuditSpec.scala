@@ -42,6 +42,34 @@ class PlanAuditSpec extends SparkSpec {
       "rankTopK's limit must plan as TakeOrderedAndProject (parallel partial top-k)")
   }
 
+  test("sweep: no gated query plans an unpartitioned Window over " +
+       "non-aggregated, unbounded input") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, LocalRelation}
+    // An unpartitioned Window moves its whole input into ONE task — fatal
+    // at 100 TB unless the input is already bounded: an Aggregate whose
+    // cardinality is key-bounded (the packBins per-partition-totals
+    // pattern), an explicit limit, or a literal relation. Enforce the
+    // r8 audit's conclusion (true then by inspection) over every gated
+    // query so a refactor reintroducing a corpus-sized global sort fails
+    // the suite, mirroring the NLJ audit in tools/PlanAudit.
+    val dir = "/root/testdata/sf0.001"
+    val offenders = scala.collection.mutable.ListBuffer.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val plan =
+        try fn(spark, dir).queryExecution.optimizedPlan
+        catch { case e: Throwable => fail(s"$name failed to plan: $e") }
+      windowNodes(plan).filter(_.partitionSpec.isEmpty).foreach { w =>
+        val bounded = w.child.collectFirst {
+          case a: Aggregate => a
+          case l: GlobalLimit => l
+        }.nonEmpty || w.child.collectLeaves().forall(_.isInstanceOf[LocalRelation])
+        if (!bounded) offenders += name
+      }
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned data-proportional Window in: ${offenders.distinct.mkString(", ")}")
+  }
+
   test("d_hybrid_rrf plan contains no unpartitioned Window (scale audit)") {
     val df = SparkEntry.queries("d_hybrid_rrf")(spark, "/root/testdata/sf0.001")
     val wins = windowNodes(df.queryExecution.optimizedPlan)

@@ -22,6 +22,34 @@ class StatsBarrierSpec extends SparkSpec {
         "bumping this assertion.")
   }
 
+  test("pinned internal lineage: classic.Dataset cast + " +
+       "internalCreateDataFrame(RDD[InternalRow], StructType, Boolean)") {
+    // freshLeaf does exactly two internal things: casts sql.Dataset to
+    // classic.Dataset (to reach queryExecution.toRdd's InternalRow RDD and
+    // the classic SparkSession), and calls the private[sql]
+    // internalCreateDataFrame. Pin both shapes so a Spark minor bump that
+    // moves either fails HERE with the upgrade path spelled out.
+    val upgrade = "Spark moved the internals StatsBarrier.freshLeaf links " +
+      "against — port freshLeaf to the new location/signature (see the " +
+      "StatsBarrier scaladoc VERSION PIN note) and re-run this suite."
+    val df = Seq((1L, "a")).toDF("id", "s")
+    assert(df.isInstanceOf[org.apache.spark.sql.classic.Dataset[_]],
+      s"sql.Dataset is no longer classic.Dataset at runtime — $upgrade")
+    assert(spark.isInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      s"sql.SparkSession is no longer classic.SparkSession — $upgrade")
+    val m = classOf[org.apache.spark.sql.classic.SparkSession].getMethods
+      .filter(_.getName == "internalCreateDataFrame")
+    assert(m.nonEmpty, s"internalCreateDataFrame is gone — $upgrade")
+    val sigs = m.map(_.getParameterTypes.map(_.getSimpleName).toSeq)
+    assert(sigs.exists(_ == Seq("RDD", "StructType", "boolean")),
+      s"internalCreateDataFrame signature changed (saw ${sigs.mkString("; ")}) — $upgrade")
+    // toRdd must stay an InternalRow RDD — freshLeaf hands it straight back
+    val rdd = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.toRdd
+    assert(rdd.isInstanceOf[org.apache.spark.rdd.RDD[_]],
+      s"queryExecution.toRdd no longer returns an RDD — $upgrade")
+  }
+
   test("freshLeaf preserves rows and schema") {
     val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s")
       .localCheckpoint(true)

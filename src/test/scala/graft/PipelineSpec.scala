@@ -1170,6 +1170,33 @@ class PipelineSpec extends SparkSpec {
     assert(TextAnalysis.rangeBounds(d, "doc_id", 1).isEmpty)
   }
 
+  test("packBins unsharded: pack ids are boundary-invariant (bucket count " +
+       "only shapes the prefix-sum phases, never the output)") {
+    // SCALE.md's claim for the r10 literal-bounds rewrite: WHICH range
+    // boundaries the driver sample picks affects only bucket shapes — the
+    // two-phase prefix sum reassembles the same global running sum for any
+    // bucketing. Vary the bucket count (rangeBounds reads
+    // numShufflePartitions) and pin identical assignments.
+    val d = (1L to 257L).map(i => (i, ("w " * (i % 11 + 1).toInt).trim))
+      .toDF("doc_id", "text").repartition(5)
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    def packed(): Map[Long, Long] =
+      TextAnalysis.packBins(d, budget = 23).select("doc_id", "pack_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "2")
+      val two = packed()
+      spark.conf.set("spark.sql.shuffle.partitions", "13")
+      val thirteen = packed()
+      assert(two === thirteen)
+      var run = 0L
+      val expect = (1L to 257L).map { i =>
+        val bin = run / 23; run += (i % 11 + 1); i -> bin
+      }.toMap
+      assert(two === expect)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
   test("packBins sharded: packs each shard independently, no global window") {
     val d = (1L to 30L).map(i =>
       (i, s"s${i % 3}", ("w " * (i % 7 + 1).toInt).trim))

@@ -42,8 +42,28 @@ class PlanAuditSpec extends SparkSpec {
       "rankTopK's limit must plan as TakeOrderedAndProject (parallel partial top-k)")
   }
 
+  // Queries allowed to plan a BroadcastNestedLoopJoin — the three
+  // documented-benign categories from the r8/r10 audits (SCALE.md "NLJ
+  // audit"): (a) brute-force oracle arms whose scale twins bucket with
+  // equi-joins; (b) Lloyd/ADC scoring against BROADCAST nlist-row
+  // centroid/codebook frames (products bounded by nlist / 2^codebits —
+  // the correct plan for dense scoring); (c) 1-row broadcast scalar
+  // attaches and tiny literal ranges. Adding a name here requires the
+  // same justification in SCALE.md; a cartesian product is never benign.
+  private val nljAllowed: Set[String] = Set(
+    // (a) brute-force oracle arms
+    "e_knn_top1", "e_knn_recall", "e_knn_graph", "e_embedding_dedup",
+    // (b) broadcast centroid/codebook scoring
+    "e_knn_ivf", "e_knn_ivf_incr", "e_knn_ivfpq", "e_knn_ivfpq_incr",
+    "e_knn_pq", "e_knn_sq8", "e_semdedup", "e_semdedup_incr",
+    // (c) scalar attaches / literal ranges
+    "d_bm25_top", "d_cooccur", "d_dsir_sample", "d_dsir_weights",
+    "d_hybrid_rrf", "d_lm_score", "d_tfidf_top", "d_edit_pairs",
+    "d_edit_clusters", "g_generators")
+
   test("sweep: no gated query plans an unpartitioned Window over " +
-       "non-aggregated, unbounded input") {
+       "non-aggregated, unbounded input, a cartesian product, or an " +
+       "unpinned nested-loop join") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, LocalRelation}
     // An unpartitioned Window moves its whole input into ONE task — fatal
     // at 100 TB unless the input is already bounded: an Aggregate whose
@@ -51,23 +71,31 @@ class PlanAuditSpec extends SparkSpec {
     // pattern), an explicit limit, or a literal relation. Enforce the
     // r8 audit's conclusion (true then by inspection) over every gated
     // query so a refactor reintroducing a corpus-sized global sort fails
-    // the suite, mirroring the NLJ audit in tools/PlanAudit.
+    // the suite. The same single pass pins the NLJ audit from
+    // tools/PlanAudit: zero cartesian products anywhere, and nested-loop
+    // joins only in the allowlisted benign set above — a new NLJ shape
+    // fails here instead of on the next cluster run.
     val dir = "/root/testdata/sf0.001"
     val offenders = scala.collection.mutable.ListBuffer.empty[String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val plan =
-        try fn(spark, dir).queryExecution.optimizedPlan
+      val qe =
+        try fn(spark, dir).queryExecution
         catch { case e: Throwable => fail(s"$name failed to plan: $e") }
-      windowNodes(plan).filter(_.partitionSpec.isEmpty).foreach { w =>
+      windowNodes(qe.optimizedPlan).filter(_.partitionSpec.isEmpty).foreach { w =>
         val bounded = w.child.collectFirst {
           case a: Aggregate => a
           case l: GlobalLimit => l
         }.nonEmpty || w.child.collectLeaves().forall(_.isInstanceOf[LocalRelation])
-        if (!bounded) offenders += name
+        if (!bounded) offenders += s"$name: unpartitioned Window"
       }
+      val phys = qe.executedPlan.toString
+      if (phys.contains("CartesianProduct"))
+        offenders += s"$name: CartesianProduct"
+      if (phys.contains("BroadcastNestedLoopJoin") && !nljAllowed(name))
+        offenders += s"$name: unpinned BroadcastNestedLoopJoin"
     }
     assert(offenders.isEmpty,
-      s"unpartitioned data-proportional Window in: ${offenders.distinct.mkString(", ")}")
+      s"scale-hostile plan shapes: ${offenders.distinct.mkString("; ")}")
   }
 
   test("d_hybrid_rrf plan contains no unpartitioned Window (scale audit)") {

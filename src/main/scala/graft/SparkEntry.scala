@@ -903,6 +903,16 @@ object SparkEntry {
           explode(TextAnalysis.wsTokens(lower(trim(col("text"))))).as("tok")),
         "tok", phiDenom = 30)),
 
+    // per-SOURCE φ-heavy tokens (per-domain stopword/boilerplate
+    // discovery): independent Misra–Gries summary per group, candidates
+    // stay a distributed (group, key) frame — exact recount via a
+    // count-gated semi-join, per-group totals ride the summaries
+    "d_heavy_by_source" -> ((s, dir) =>
+      Sketches.heavyHittersByGroup(
+        t(s, dir, "documents").select(col("source"),
+          explode(TextAnalysis.wsTokens(lower(trim(col("text"))))).as("tok")),
+        "source", "tok", phiDenom = 40)),
+
     // HLL distinct-count registers over order keys: deterministic Poly64
     // buckets/ranks so the sketch state itself hash-gates against DuckDB;
     // one partial-aggregated scan, ≤ 2^12 shuffle keys, mergeable by max
@@ -3571,6 +3581,15 @@ object SparkEntry {
         |            FROM documents)
         |SELECT tok, count(*) AS cnt FROM tk
         |GROUP BY tok HAVING count(*) * 30 > (SELECT count(*) FROM tk)""".stripMargin,
+
+    "d_heavy_by_source" ->
+      """WITH tk AS (SELECT source,
+        |              unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |            FROM documents),
+        |n AS (SELECT source, count(*) AS n FROM tk GROUP BY source),
+        |c AS (SELECT source, tok, count(*) AS cnt FROM tk GROUP BY source, tok)
+        |SELECT c.source, c.tok, c.cnt
+        |FROM c JOIN n USING (source) WHERE c.cnt * 40 > n.n""".stripMargin,
 
     // HLL registers: bucket = low 12 bits of mix64(Poly64), rank = leading
     // zeros of the high 52-bit window + 1 (bit length via bin(), no FP log);

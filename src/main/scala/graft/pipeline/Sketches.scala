@@ -115,6 +115,82 @@ object Sketches {
     }
   }
 
+  /** [[MisraGries]] lifted to (group, key) pairs: folds the KEY (`_2`) of
+    * each pair — the per-group input shape `heavyHittersByGroup` feeds
+    * through `groupByKey(_._1)`. Same state, same mergeability. */
+  final class MisraGriesPair(capacity: Int)
+      extends Aggregator[(String, String), MgState, MgState] {
+    private val inner = new MisraGries(capacity)
+    def zero: MgState = inner.zero
+    def reduce(b: MgState, kv: (String, String)): MgState = inner.reduce(b, kv._2)
+    def merge(a: MgState, b: MgState): MgState = inner.merge(a, b)
+    def finish(b: MgState): MgState = b
+    def bufferEncoder = inner.bufferEncoder
+    def outputEncoder = inner.outputEncoder
+  }
+
+  /** Candidate-frame row cap for the broadcast side of the exact-recount
+    * semi-join: below it the (group, key) candidates ship to every
+    * executor; above it (millions of groups × capacity) the probe rides a
+    * shuffle_hash instead — the same count-gated switch as the graph
+    * layer's removed-set / oversize joins. */
+  private[pipeline] val CandidateBroadcastMax: Long = 4000000L
+
+  /**
+   * Per-GROUP exact φ-heavy-hitters: for every group of `groupCol`, the
+   * keys whose within-group frequency satisfies `cnt * phiDenom > n_g`
+   * (strictly, n_g = the group's row count) — per-domain stopword and
+   * boilerplate discovery, per-tenant hot-entity triage. Returns
+   * (groupCol, keyCol, cnt) with exact counts. Rows with a NULL group or
+   * key are skipped (a heavy-hitter key must be a real key).
+   *
+   * Same two-scan shape as [[heavyHitters]], but NOTHING group-propor-
+   * tional ever reaches the driver:
+   *
+   *   1. one scan folds an independent Misra–Gries summary PER GROUP
+   *      (typed Aggregator over the group's keys — map-side partials
+   *      merge, so the shuffle carries O(capacity) state per group per
+   *      partition, never a (group, key) explosion); the per-group
+   *      guarantee is the global one applied groupwise: capacity ≥
+   *      phiDenom means a φ-frequent key of THAT group cannot have been
+   *      evicted from THAT group's summary;
+   *   2. candidates flatten to a (group, key) FRAME (≤ groups × capacity
+   *      rows, stays distributed), the second scan recounts exactly the
+   *      semi-joined survivors, and the φ-threshold applies against the
+   *      per-group totals the summaries already carry (st.n — no third
+   *      scan). The candidate/total side broadcasts under
+   *      [[CandidateBroadcastMax]] rows and shuffle-hashes above it.
+   */
+  def heavyHittersByGroup(df: DataFrame, groupCol: String, keyCol: String,
+                          phiDenom: Int, capacity: Int = -1): DataFrame = {
+    val cap = if (capacity > 0) capacity else 2 * phiDenom
+    require(cap >= phiDenom,
+      s"capacity $cap < 1/phi = $phiDenom voids the per-group superset guarantee")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pairs = df
+      .select(col(groupCol).cast("string").as("_g"),
+        col(keyCol).cast("string").as("_k"))
+      .na.drop(Seq("_g", "_k"))
+    val summaries = pairs.as[(String, String)].groupByKey(_._1)
+      .agg(new MisraGriesPair(cap).toColumn.name("mg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candidates = summaries
+      .flatMap { case (g, st) => st.counts.keysIterator.map(k => (g, k)) }
+      .toDF("_g", "_k")
+    val totals = summaries.map { case (g, st) => (g, st.n) }.toDF("_g", "_n")
+    // one control count decides the join side for BOTH tiny frames
+    // (candidates ≤ groups × cap rows; totals is strictly smaller)
+    val nCand = candidates.count()
+    def side(f: DataFrame): DataFrame =
+      if (nCand <= CandidateBroadcastMax) broadcast(f) else f.hint("shuffle_hash")
+    pairs.join(side(candidates), Seq("_g", "_k"), "left_semi")
+      .groupBy(col("_g"), col("_k")).agg(count(lit(1)).as("cnt"))
+      .join(side(totals), Seq("_g"))
+      .filter(col("cnt") * phiDenom > col("_n"))
+      .select(col("_g").as(groupCol), col("_k").as(keyCol), col("cnt"))
+  }
+
   // -------------------------------------------------------------------------
   // HyperLogLog registers — distinct-count sketch with a DETERMINISTIC,
   // SQL-reproducible register table (Flajolet et al., AofA'07).

@@ -49,6 +49,48 @@ class SketchesSpec extends SparkSpec {
     assert(got === (0 until 5).map(h => s"hot$h" -> 2000L).toMap)
   }
 
+  test("heavyHittersByGroup = per-group brute force on skewed, unequal groups") {
+    // three groups of very different sizes and different hot keys: a key
+    // that is heavy in its small group must surface even though it is
+    // globally rare, and a globally-common key must NOT surface in a
+    // group where it is below threshold
+    val rows =
+      Seq.fill(400)(("big", "the")) ++ Seq.fill(120)(("big", "cat")) ++
+        (0 until 3000).map(i => ("big", s"t$i")) ++
+        Seq.fill(30)(("small", "niche")) ++ (0 until 70).map(i => ("small", s"s$i")) ++
+        Seq.fill(3)(("small", "the")) ++ // "the" is NOT heavy in `small` (φ=1/10 → >10.3)
+        Seq.fill(9)(("mid", "mm")) ++ (0 until 80).map(i => ("mid", s"m$i"))
+    val df = spark.createDataset(new scala.util.Random(7).shuffle(rows))
+      .repartition(8).toDF("g", "k")
+    val got = Sketches.heavyHittersByGroup(df, "g", "k", phiDenom = 10)
+      .as[(String, String, Long)].collect().toSet
+    val brute = df.groupBy("g", "k").count()
+      .join(df.groupBy("g").agg(count(lit(1)).as("n")), "g")
+      .filter(col("count") * 10 > col("n"))
+      .select(col("g"), col("k"), col("count"))
+      .as[(String, String, Long)].collect().toSet
+    assert(got === brute)
+    assert(got.map { case (g, k, _) => (g, k) } ===
+      Set(("big", "the"), ("small", "niche"), ("mid", "mm")))
+  }
+
+  test("heavyHittersByGroup: NULL group/key rows skipped, schema named, " +
+       "empty input empty") {
+    val df = Seq(
+      (Some("g1"), Some("a")), (Some("g1"), Some("a")), (Some("g1"), Some("b")),
+      (None: Option[String], Some("a")), (Some("g1"), None: Option[String]))
+      .toDF("src", "tok")
+    val out = Sketches.heavyHittersByGroup(df, "src", "tok", phiDenom = 2)
+    assert(out.columns.toSeq === Seq("src", "tok", "cnt"))
+    // g1 has 3 non-null rows: a(2)*2 > 3 heavy, b(1)*2 < 3 not; null rows
+    // form no group
+    assert(out.as[(String, String, Long)].collect().toSet ===
+      Set(("g1", "a", 2L)))
+    val empty = Seq.empty[(String, String)].toDF("src", "tok")
+    assert(Sketches.heavyHittersByGroup(empty, "src", "tok", phiDenom = 2)
+      .collect().isEmpty)
+  }
+
   test("merge is associative-safe: split-fold equals whole-fold guarantee") {
     val agg = new Sketches.MisraGries(8)
     val xs = (0 until 600).map(i => s"a${i % 3}") ++ // 3 hot keys, 200 each

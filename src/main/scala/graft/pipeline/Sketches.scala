@@ -129,6 +129,24 @@ object Sketches {
     def outputEncoder = inner.outputEncoder
   }
 
+  /** One Misra–Gries summary PER group of `groupCol`, over `keyCol`, as a
+    * Dataset of (group, state) rows — the distributed building block of
+    * [[heavyHittersByGroup]], exposed so a streaming maintenance loop can
+    * fold per-batch grouped summaries and merge them per group (MgState
+    * merges associatively within a group exactly as in the global sketch).
+    * Rows with a NULL group or key are skipped. */
+  def misraGriesSummariesByGroup(df: DataFrame, groupCol: String,
+                                 keyCol: String,
+                                 capacity: Int): Dataset[(String, MgState)] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(groupCol).cast("string").as("_g"),
+        col(keyCol).cast("string").as("_k"))
+      .na.drop(Seq("_g", "_k"))
+      .as[(String, String)].groupByKey(_._1)
+      .agg(new MisraGriesPair(capacity).toColumn.name("mg"))
+  }
+
   /** Candidate-frame row cap for the broadcast side of the exact-recount
     * semi-join: below it the (group, key) candidates ship to every
     * executor; above it (millions of groups × capacity) the probe rides a
@@ -172,8 +190,7 @@ object Sketches {
       .select(col(groupCol).cast("string").as("_g"),
         col(keyCol).cast("string").as("_k"))
       .na.drop(Seq("_g", "_k"))
-    val summaries = pairs.as[(String, String)].groupByKey(_._1)
-      .agg(new MisraGriesPair(cap).toColumn.name("mg"))
+    val summaries = misraGriesSummariesByGroup(df, groupCol, keyCol, cap)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candidates = summaries
       .flatMap { case (g, st) => st.counts.keysIterator.map(k => (g, k)) }

@@ -145,6 +145,46 @@ class SketchesSpec extends SparkSpec {
     (0 until 5).foreach(h => assert(state.counts.contains(s"hot$h")))
   }
 
+  test("streaming ingest: per-batch GROUPED summaries merge into live " +
+       "per-group heavy-hitter states") {
+    // grouped twin of the global foreachBatch loop: each micro-batch folds
+    // one summary per group it contains; the live state merges per group
+    // (MgState merge is associative within a group), and the groupwise
+    // φ-superset guarantee holds over everything that group has seen
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val agg = new Sketches.MisraGries(16)
+    var state = Map.empty[String, Sketches.MgState]
+    val input = MemoryStream[(String, String)]
+    val q = input.toDF().toDF("g", "k").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Sketches.misraGriesSummariesByGroup(batch, "g", "k", 16)
+          .collect().foreach { case (g, st) =>
+            state = state.updated(g, agg.merge(state.getOrElse(g, agg.zero), st))
+          }
+        ()
+      }
+      .start()
+    // group "a" is hot on keyA (200/batch of 700); "b" hot on keyB; group
+    // "c" appears only in the last batch
+    val batches = (0 until 3).map { b =>
+      Seq.fill(200)(("a", "keyA")) ++ (0 until 500).map(i => ("a", s"ta${b}_$i")) ++
+        Seq.fill(150)(("b", "keyB")) ++ (0 until 300).map(i => ("b", s"tb${b}_$i")) ++
+        (if (b == 2) Seq.fill(5)(("c", "keyC")) else Seq.empty)
+    }
+    batches.foreach { rows => input.addData(rows: _*); q.processAllAvailable() }
+    q.stop()
+    assert(state("a").n === 2100L && state("b").n === 1350L && state("c").n === 5L)
+    state.values.foreach(st => assert(st.counts.size <= 16))
+    // per-group guarantee: keyA freq 600 > n_a/17 = 123; keyB 450 > 79
+    assert(state("a").counts.contains("keyA"))
+    assert(state("b").counts.contains("keyB"))
+    assert(state("c").counts === Map("keyC" -> 5L))
+    // and a key hot in one group never leaks into another's summary
+    assert(!state("a").counts.contains("keyB"))
+    assert(!state("b").counts.contains("keyA"))
+  }
+
   test("plan: recount pass filters to candidates BEFORE the aggregate exchange") {
     // the second pass must ship only candidate rows into the shuffle — the
     // whole point of the sketch; an exchange below the filter would re-ship

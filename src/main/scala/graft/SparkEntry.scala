@@ -161,6 +161,11 @@ object SparkEntry {
     * never silently diverge on the cut. */
   private val HotDfCap = 1024L
 
+  /** d_heavy_by_source's φ denominator (key is heavy in its group when
+    * cnt·φdenom > n_group), interpolated into BOTH the Spark call and the
+    * oracle SQL for the same no-silent-divergence reason as [[HotDfCap]]. */
+  private val HeavyBySourcePhiDenom = 40
+
   /** parts co-occurring in the same order (canonical a<b). Pair generation is
     * a per-order sorted-array expansion (one groupBy + a codegen'd pair
     * expression + explode), not a lineitem self-join — one scan of lineitem
@@ -911,7 +916,7 @@ object SparkEntry {
       Sketches.heavyHittersByGroup(
         t(s, dir, "documents").select(col("source"),
           explode(TextAnalysis.wsTokens(lower(trim(col("text"))))).as("tok")),
-        "source", "tok", phiDenom = 40)),
+        "source", "tok", phiDenom = HeavyBySourcePhiDenom)),
 
     // HLL distinct-count registers over order keys: deterministic Poly64
     // buckets/ranks so the sketch state itself hash-gates against DuckDB;
@@ -3583,13 +3588,14 @@ object SparkEntry {
         |GROUP BY tok HAVING count(*) * 30 > (SELECT count(*) FROM tk)""".stripMargin,
 
     "d_heavy_by_source" ->
-      """WITH tk AS (SELECT source,
-        |              unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
-        |            FROM documents),
-        |n AS (SELECT source, count(*) AS n FROM tk GROUP BY source),
-        |c AS (SELECT source, tok, count(*) AS cnt FROM tk GROUP BY source, tok)
-        |SELECT c.source, c.tok, c.cnt
-        |FROM c JOIN n USING (source) WHERE c.cnt * 40 > n.n""".stripMargin,
+      s"""WITH tk AS (SELECT source,
+         |              unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+         |            FROM documents),
+         |n AS (SELECT source, count(*) AS n FROM tk GROUP BY source),
+         |c AS (SELECT source, tok, count(*) AS cnt FROM tk GROUP BY source, tok)
+         |SELECT c.source, c.tok, c.cnt
+         |FROM c JOIN n USING (source)
+         |WHERE c.cnt * $HeavyBySourcePhiDenom > n.n""".stripMargin,
 
     // HLL registers: bucket = low 12 bits of mix64(Poly64), rank = leading
     // zeros of the high 52-bit window + 1 (bit length via bin(), no FP log);

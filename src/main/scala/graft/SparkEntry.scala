@@ -166,6 +166,11 @@ object SparkEntry {
     * oracle SQL for the same no-silent-divergence reason as [[HotDfCap]]. */
   private val HeavyBySourcePhiDenom = 40
 
+  /** ev_value_sketch's sub-bucket bits (s): exact region < 2^(s+1), log
+    * buckets of 2^s sub-buckets per octave. The oracle SQL derives its
+    * three literals from this same constant — HotDfCap discipline. */
+  private val ValueSketchBits = 7
+
   /** parts co-occurring in the same order (canonical a<b). Pair generation is
     * a per-order sorted-array expansion (one groupBy + a codegen'd pair
     * expression + explode), not a lineitem self-join — one scan of lineitem
@@ -925,6 +930,17 @@ object SparkEntry {
       Sketches.hllRegisters(
         t(s, dir, "lineitem").select(col("l_orderkey").cast("string").as("k")),
         "k", p = 12)),
+
+    // mergeable quantile sketch (DDSketch-style, integer bit-arithmetic
+    // buckets — no FP log): the bucket table over event values in cents
+    // hash-gates directly; pointwise-sum mergeable per shard/day, bucket
+    // space bounded ≤ ~7.4k rows at s=7 — the quantile member of the
+    // HLL/CMS/Misra–Gries per-shard profile family
+    "ev_value_sketch" -> ((s, dir) =>
+      Sketches.logHistogram(
+        t(s, dir, "events").select(
+          floor(col("value") * 100 + 0.5).cast("long").as("cents")),
+        "cents", subBucketBits = ValueSketchBits)),
 
     // PII redaction: synthetic emails/IPv4s/phones injected per doc (the
     // clean corpus has none), scrubbed by the ordered conservative regex
@@ -3600,6 +3616,19 @@ object SparkEntry {
     // HLL registers: bucket = low 12 bits of mix64(Poly64), rank = leading
     // zeros of the high 52-bit window + 1 (bit length via bin(), no FP log);
     // the xorshift/multiply finalizer CTEs mirror Poly64.mix exactly
+    // log-bucket quantile sketch: exact region v < 2^8 keeps v itself;
+    // beyond it bucket = (bitlen-8)*128 + top-8-bits — pure integer bit
+    // arithmetic (length(bin()) + >>), bit-identical across engines
+    "ev_value_sketch" ->
+      s"""WITH v AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+         |           FROM events WHERE value IS NOT NULL),
+         |b AS (SELECT CASE WHEN v < 0 THEN -1
+         |             WHEN v < ${1L << (ValueSketchBits + 1)} THEN v
+         |             ELSE (length(bin(v)) - ${ValueSketchBits + 1}) * ${1L << ValueSketchBits}
+         |                  + (v >> (length(bin(v)) - ${ValueSketchBits + 1}))
+         |             END AS bucket FROM v)
+         |SELECT bucket, count(*) AS cnt FROM b GROUP BY bucket""".stripMargin,
+
     "d_hll_orders" ->
       s"""WITH ks AS (SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS k
          |            FROM lineitem WHERE l_orderkey IS NOT NULL),

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
@@ -206,6 +206,110 @@ object Sketches {
       .join(side(totals), Seq("_g"))
       .filter(col("cnt") * phiDenom > col("_n"))
       .select(col("_g").as(groupCol), col("_k").as(keyCol), col("cnt"))
+  }
+
+  // -------------------------------------------------------------------------
+  // Log-bucket quantile histogram — a DDSketch-style relative-error
+  // quantile sketch (Masson, Lee, Rim — VLDB'19) with a DETERMINISTIC,
+  // SQL-reproducible bucket table.
+  //
+  // DDSketch buckets on ceil(log_gamma(x)) — FP log, whose boundary
+  // behavior no two engines reproduce bit-for-bit. This variant replaces
+  // the log with INTEGER bit arithmetic (the HLL-register discipline,
+  // "never FP log"): for a positive integer v with bit length L, the
+  // bucket is v itself while v < 2^(s+1) (the exact region), else
+  // (L−s−1)·2^s + (v >> (L−s−1)) — i.e. the top s+1 bits of v prefixed by
+  // its scale. Buckets are contiguous, monotone in v, and each log-region
+  // bucket spans [m·2^shift, (m+1)·2^shift) with m ≥ 2^s, so the midpoint
+  // estimate has relative error ≤ 2^−(s+1) (< 0.4 % at the default s=7).
+  // Bucket count is bounded by 2^(s+1) + (63−s)·2^s (≈ 7.4 k rows at s=7)
+  // for the FULL long range — a control-channel read, like HLL registers.
+  //
+  // The table merges by pointwise SUM — union of shard histograms ≡
+  // histogram of the union — completing the mergeable per-shard profile
+  // family (HLL = distinct counts, CMS = frequencies, Misra–Gries = heavy
+  // hitters, this = quantiles): store one tiny table per shard/day,
+  // answer any union's p50/p99 without rescanning. One scan, partial-
+  // aggregated groupBy over the bounded bucket space.
+  // -------------------------------------------------------------------------
+
+  /** Integer-exact log-bucket id for a non-negative integral column —
+    * pure bit arithmetic (length(bin(v)) + shiftright), reproducible
+    * bit-for-bit in any engine with integer shifts. Negative values map
+    * to bucket −1, which [[logHistogramQuantiles]] rejects loudly (scale
+    * or offset the inputs first — a half-bucketed sketch must not
+    * estimate). */
+  private def logBucketCol(v: Column, s: Int): Column = {
+    val shift = (length(bin(v)) - lit(s + 1)).cast("int")
+    when(v < 0, lit(-1L))
+      .when(v < lit(1L << (s + 1)), v.cast("long"))
+      .otherwise(shift.cast("long") * lit(1L << s) +
+        call_function("shiftright", v, shift))
+  }
+
+  /** The sketch table for `valueCol` (must be integral — quantize doubles
+    * to cents/micro-units first, the repo-wide integer-exact discipline):
+    * (bucket BIGINT, cnt BIGINT), one row per non-empty bucket, NULLs
+    * skipped. `subBucketBits` = s trades size for accuracy: relative
+    * error ≤ 2^−(s+1), bucket space ≤ 2^(s+1) + (63−s)·2^s. */
+  def logHistogram(df: DataFrame, valueCol: String,
+                   subBucketBits: Int = 7): DataFrame = {
+    require(subBucketBits >= 1 && subBucketBits <= 16,
+      s"subBucketBits must be in [1, 16], got $subBucketBits")
+    df.filter(col(valueCol).isNotNull)
+      .select(logBucketCol(col(valueCol).cast("long"), subBucketBits).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Pointwise-sum merge: union of shard histograms ≡ histogram of the
+    * union (same contract as [[mergeHllRegisters]] / the CMS sum). */
+  def mergeLogHistograms(hs: Seq[DataFrame]): DataFrame = {
+    require(hs.nonEmpty, "nothing to merge")
+    hs.map(_.select(col("bucket").cast("long"), col("cnt").cast("long")))
+      .reduce(_ unionByName _)
+      .groupBy(col("bucket")).agg(sum(col("cnt")).as("cnt"))
+  }
+
+  /** Quantile estimates from a (possibly merged) bucket table: for each
+    * p, the integer midpoint of the bucket holding ascending rank
+    * max(1, ceil(p·n)) — exact in the exact region, relative error ≤
+    * 2^−(s+1) beyond it. Collects the BOUNDED bucket table to the driver
+    * (≤ ~7.4 k rows at s=7 — a control channel, never data). Empty
+    * histogram → empty result. Throws if bucket −1 is present (negative
+    * inputs were sketched). */
+  def logHistogramQuantiles(hist: DataFrame, ps: Seq[Double],
+                            subBucketBits: Int = 7): DataFrame = {
+    val s = subBucketBits
+    val rows = hist
+      .select(col("bucket").cast("long"), col("cnt").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    require(rows.forall(_._1 >= 0L),
+      "histogram contains bucket -1 (negative values): offset or scale inputs first")
+    val spark = hist.sparkSession
+    import spark.implicits._
+    val n = rows.iterator.map(_._2).sum
+    def rep(b: Long): Long =
+      if (b < (1L << (s + 1))) b
+      else {
+        val shift = (b >> s) - 1L
+        val m = b - shift * (1L << s)
+        val lo = m << shift
+        val hi = ((m + 1L) << shift) - 1L
+        lo + ((hi - lo) >> 1)
+      }
+    if (n == 0L) Seq.empty[(Double, Long)].toDF("p", "value")
+    else ps.map { p =>
+      val r = math.max(1L, math.ceil(p * n).toLong)
+      var cum = 0L
+      var b = rows.last._1
+      val it = rows.iterator
+      var found = false
+      while (!found && it.hasNext) {
+        val (bk, c) = it.next(); cum += c
+        if (cum >= r) { b = bk; found = true }
+      }
+      (p, rep(b))
+    }.toDF("p", "value")
   }
 
   // -------------------------------------------------------------------------

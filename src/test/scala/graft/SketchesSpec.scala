@@ -212,6 +212,110 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  // ---- Log-bucket quantile histogram --------------------------------------
+
+  /** Driver-side bucket reference: exact region v < 2^(s+1), else
+    * (L−s−1)·2^s + (v >> (L−s−1)) with L = 64 − nlz(v). */
+  private def refBucket(v: Long, s: Int): Long =
+    if (v < 0) -1L
+    else if (v < (1L << (s + 1))) v
+    else {
+      val len = 64 - java.lang.Long.numberOfLeadingZeros(v)
+      val shift = len - (s + 1)
+      shift.toLong * (1L << s) + (v >> shift)
+    }
+
+  test("logHistogram matches a driver-side bit-twiddling reference, " +
+       "buckets monotone in v") {
+    val boundary = Seq(0L, 1L, 2L, 127L, 128L, 255L, 256L, 257L, 511L, 512L,
+      1023L, 1024L, 65535L, 65536L, (1L << 40) - 1, 1L << 40, Long.MaxValue)
+    val rng = new scala.util.Random(11)
+    val vals = boundary ++ (0 until 4000).map(_ => rng.nextLong(1L << 48))
+    val got = Sketches.logHistogram(
+        spark.createDataset(vals).toDF("v").repartition(7), "v")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = vals.groupBy(refBucket(_, 7)).view.mapValues(_.size.toLong).toMap
+    assert(got === expect)
+    // monotone: sorted values produce non-decreasing buckets
+    val sorted = vals.sorted
+    sorted.zip(sorted.tail).foreach { case (a, b) =>
+      assert(refBucket(a, 7) <= refBucket(b, 7), s"bucket order broke at $a -> $b")
+    }
+  }
+
+  test("shard log-histograms merge by pointwise sum to the union's table") {
+    val rng = new scala.util.Random(13)
+    val all = (0 until 6000).map(_ => math.abs(rng.nextGaussian() * 5000).toLong)
+    val shards = all.grouped(2000).toSeq.map(g =>
+      Sketches.logHistogram(spark.createDataset(g).toDF("v"), "v"))
+    val merged = Sketches.mergeLogHistograms(shards)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val whole = Sketches.logHistogram(spark.createDataset(all).toDF("v"), "v")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged === whole)
+  }
+
+  test("logHistogramQuantiles: relative error <= 2^-(s+1), exact region exact") {
+    val rng = new scala.util.Random(17)
+    // heavy-tailed: exp-distributed magnitudes spanning exact + log regions
+    val vals = (0 until 20000).map(_ => math.exp(rng.nextDouble() * 12).toLong)
+    val hist = Sketches.logHistogram(spark.createDataset(vals).toDF("v"), "v")
+    val ps = Seq(0.01, 0.25, 0.5, 0.75, 0.9, 0.99)
+    val got = Sketches.logHistogramQuantiles(hist, ps)
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    val sorted = vals.sorted
+    ps.foreach { p =>
+      val truth = sorted(math.max(1, math.ceil(p * vals.size).toInt) - 1)
+      val est = got(p)
+      assert(math.abs(est - truth) <= truth / 256 + 1,
+        s"p=$p est=$est truth=$truth exceeds 2^-8 relative bound")
+    }
+    // all-exact-region input: estimates are exact ranks
+    val small = (1L to 200L) ++ (1L to 200L)
+    val hSmall = Sketches.logHistogram(spark.createDataset(small).toDF("v"), "v")
+    val gSmall = Sketches.logHistogramQuantiles(hSmall, Seq(0.5, 0.9))
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(gSmall(0.5) === 100L && gSmall(0.9) === 180L)
+  }
+
+  test("logHistogramQuantiles rejects a histogram containing negatives; " +
+       "empty input yields empty estimates") {
+    val h = Sketches.logHistogram(spark.createDataset(Seq(-3L, 5L)).toDF("v"), "v")
+    intercept[IllegalArgumentException] {
+      Sketches.logHistogramQuantiles(h, Seq(0.5))
+    }
+    val empty = Sketches.logHistogram(
+      spark.createDataset(Seq.empty[Long]).toDF("v"), "v")
+    assert(Sketches.logHistogramQuantiles(empty, Seq(0.5)).collect().isEmpty)
+  }
+
+  test("streaming ingest: per-batch log-histograms sum into a live quantile sketch") {
+    // same foreachBatch maintenance shape as the HLL/CMS/MG loops: each
+    // batch folds its own bounded bucket table; the live state is a map
+    // merged by pointwise sum, and estimates come from the merged table
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    var state = Map.empty[Long, Long]
+    val input = MemoryStream[Long]
+    val q = input.toDF().toDF("v").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Sketches.logHistogram(batch, "v").collect().foreach { r =>
+          val (b, c) = (r.getLong(0), r.getLong(1))
+          state = state.updated(b, state.getOrElse(b, 0L) + c)
+        }
+        ()
+      }
+      .start()
+    val rng = new scala.util.Random(19)
+    val batches = (0 until 3).map(_ => (0 until 3000).map(_ => rng.nextLong(1L << 20)))
+    batches.foreach { rows => input.addData(rows: _*); q.processAllAvailable() }
+    q.stop()
+    val whole = Sketches.logHistogram(
+        spark.createDataset(batches.flatten).toDF("v"), "v")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(state === whole)
+  }
+
   // ---- HyperLogLog registers ----------------------------------------------
 
   /** Driver-side register reference: same Poly64 hash via the expression's

@@ -942,6 +942,15 @@ object SparkEntry {
           floor(col("value") * 100 + 0.5).cast("long").as("cents")),
         "cents", subBucketBits = ValueSketchBits)),
 
+    // grouped quantile-sketch profiles: one bounded bucket table per event
+    // type (the d_hll_by_source shape for value distributions) — per-type
+    // p50/p99 from tiny mergeable tables, no per-type rescan
+    "ev_value_sketch_by_type" -> ((s, dir) =>
+      Sketches.logHistogramBy(
+        t(s, dir, "events").select(col("event_type"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents")),
+        "event_type", "cents", subBucketBits = ValueSketchBits)),
+
     // PII redaction: synthetic emails/IPv4s/phones injected per doc (the
     // clean corpus has none), scrubbed by the ordered conservative regex
     // set; rowwise map-only pass, counts + scrubbed-text fingerprint gate
@@ -3628,6 +3637,17 @@ object SparkEntry {
          |                  + (v >> (length(bin(v)) - ${ValueSketchBits + 1}))
          |             END AS bucket FROM v)
          |SELECT bucket, count(*) AS cnt FROM b GROUP BY bucket""".stripMargin,
+
+    "ev_value_sketch_by_type" ->
+      s"""WITH v AS (SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+         |           FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+         |b AS (SELECT event_type, CASE WHEN v < 0 THEN -1
+         |             WHEN v < ${1L << (ValueSketchBits + 1)} THEN v
+         |             ELSE (length(bin(v)) - ${ValueSketchBits + 1}) * ${1L << ValueSketchBits}
+         |                  + (v >> (length(bin(v)) - ${ValueSketchBits + 1}))
+         |             END AS bucket FROM v)
+         |SELECT event_type, bucket, count(*) AS cnt FROM b
+         |GROUP BY event_type, bucket""".stripMargin,
 
     "d_hll_orders" ->
       s"""WITH ks AS (SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS k

@@ -261,6 +261,21 @@ object Sketches {
       .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
   }
 
+  /** Grouped variant — (groupCol, bucket, cnt), one bounded bucket table
+    * per group (the d_hll_by_source shape for quantiles: per-type /
+    * per-domain value profiles in one partial-aggregated scan). Each
+    * group's slice is exactly its own ungrouped [[logHistogram]]; rows
+    * with a NULL group or value are skipped. */
+  def logHistogramBy(df: DataFrame, groupCol: String, valueCol: String,
+                     subBucketBits: Int = 7): DataFrame = {
+    require(subBucketBits >= 1 && subBucketBits <= 16,
+      s"subBucketBits must be in [1, 16], got $subBucketBits")
+    df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol),
+        logBucketCol(col(valueCol).cast("long"), subBucketBits).as("bucket"))
+      .groupBy(col(groupCol), col("bucket")).agg(count(lit(1)).as("cnt"))
+  }
+
   /** Pointwise-sum merge: union of shard histograms ≡ histogram of the
     * union (same contract as [[mergeHllRegisters]] / the CMS sum). */
   def mergeLogHistograms(hs: Seq[DataFrame]): DataFrame = {

@@ -278,6 +278,38 @@ class SketchesSpec extends SparkSpec {
     assert(gSmall(0.5) === 100L && gSmall(0.9) === 180L)
   }
 
+  test("logHistogramBy: each group slice equals its own ungrouped table; " +
+       "null groups/values skipped") {
+    val rng = new scala.util.Random(23)
+    val rows = (0 until 3000).map(i =>
+      (s"g${i % 3}", math.abs(rng.nextGaussian() * 2000).toLong)) ++
+      Seq((null.asInstanceOf[String], 5L), ("g0", -1L))
+    // note: the -1L value lands in bucket -1 of g0 — grouped tables CARRY
+    // it (the estimate-time rejection is per consumer), so drop it from
+    // the slice comparison input instead of special-casing
+    val clean = rows.filter { case (g, v) => g != null && v >= 0 }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => org.apache.spark.sql.Row(r._1, r._2)), 5),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("g", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.LongType))))
+    val grouped = Sketches.logHistogramBy(df, "g", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // null-group row contributes nowhere
+    assert(grouped.keys.forall(_._1 != null))
+    Seq("g0", "g1", "g2").foreach { g =>
+      val alone = Sketches.logHistogram(
+          spark.createDataset(clean.filter(_._1 == g).map(_._2)).toDF("v"), "v")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val slice = grouped.collect {
+        case ((`g`, b), c) if b >= 0 => b -> c
+      }.toMap
+      assert(slice === alone, s"group $g slice diverged")
+    }
+    // the negative row IS visible as (g0, -1) — loud, not silently dropped
+    assert(grouped(("g0", -1L)) === 1L)
+  }
+
   test("logHistogramQuantiles rejects a histogram containing negatives; " +
        "empty input yields empty estimates") {
     val h = Sketches.logHistogram(spark.createDataset(Seq(-3L, 5L)).toDF("v"), "v")

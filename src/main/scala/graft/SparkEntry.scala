@@ -951,6 +951,19 @@ object SparkEntry {
           floor(col("value") * 100 + 0.5).cast("long").as("cents")),
         "event_type", "cents", subBucketBits = ValueSketchBits)),
 
+    // quantile ESTIMATES from the sketch: rank walk + integer midpoint
+    // decode over the bounded bucket table — the oracle reproduces the
+    // whole estimation pipeline in integer SQL, so the decode logic
+    // itself is hash-gated, not just the table
+    "ev_value_sketch_q" -> ((s, dir) =>
+      Sketches.logHistogramQuantiles(
+        Sketches.logHistogram(
+          t(s, dir, "events").select(
+            floor(col("value") * 100 + 0.5).cast("long").as("cents")),
+          "cents", subBucketBits = ValueSketchBits),
+        Seq(0.01, 0.25, 0.5, 0.75, 0.9, 0.99),
+        subBucketBits = ValueSketchBits)),
+
     // PII redaction: synthetic emails/IPv4s/phones injected per doc (the
     // clean corpus has none), scrubbed by the ordered conservative regex
     // set; rowwise map-only pass, counts + scrubbed-text fingerprint gate
@@ -3637,6 +3650,33 @@ object SparkEntry {
          |                  + (v >> (length(bin(v)) - ${ValueSketchBits + 1}))
          |             END AS bucket FROM v)
          |SELECT bucket, count(*) AS cnt FROM b GROUP BY bucket""".stripMargin,
+
+    // estimate pipeline in integer SQL: cumulative bucket walk to rank
+    // max(1, ceil(p*n)), then the same shift/sub-bucket midpoint decode
+    // the Spark side computes (all literals derive from ValueSketchBits)
+    "ev_value_sketch_q" -> {
+      val s1 = ValueSketchBits; val exact = 1L << (s1 + 1); val sub = 1L << s1
+      s"""WITH v AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+         |           FROM events WHERE value IS NOT NULL),
+         |b AS (SELECT CASE WHEN v < 0 THEN -1
+         |             WHEN v < $exact THEN v
+         |             ELSE (length(bin(v)) - ${s1 + 1}) * $sub
+         |                  + (v >> (length(bin(v)) - ${s1 + 1}))
+         |             END AS bucket FROM v),
+         |h AS (SELECT bucket, count(*) AS cnt FROM b GROUP BY bucket),
+         |n AS (SELECT sum(cnt) AS n FROM h),
+         |c AS (SELECT bucket, sum(cnt) OVER (ORDER BY bucket) AS cum FROM h),
+         |t AS (SELECT p, greatest(1, CAST(ceil(p * n.n) AS BIGINT)) AS rk
+         |      FROM n, unnest([0.01, 0.25, 0.5, 0.75, 0.9, 0.99]) AS u(p)),
+         |pick AS (SELECT t.p, min(c.bucket) AS bucket
+         |         FROM t JOIN c ON c.cum >= t.rk GROUP BY t.p),
+         |dec AS (SELECT p, bucket, (bucket // $sub) - 1 AS sh,
+         |               bucket - ((bucket // $sub) - 1) * $sub AS m FROM pick)
+         |SELECT p, CAST(CASE WHEN bucket < $exact THEN bucket
+         |          ELSE (m << sh) + ((((m + 1) << sh) - 1 - (m << sh)) >> 1)
+         |          END AS BIGINT) AS value
+         |FROM dec""".stripMargin
+    },
 
     "ev_value_sketch_by_type" ->
       s"""WITH v AS (SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v

@@ -607,10 +607,14 @@ object SparkEntry {
 
     "g_group_reduce_edges" -> ((s, dir) =>
       // groupReduceOnEdges: arbitrary aggregation over the collected
-      // adjacency structs — here max edge value minus the vertex value
+      // adjacency structs — here max edge value minus the vertex value.
+      // Edge-less vertices (parts have no OUT edges) reach the fold with an
+      // EMPTY list per reference leftJoin semantics (KGraph.java:415-423),
+      // so the init must be empty-safe: 0 (edge values = min quantity ≥ 1,
+      // so edged rows are unchanged vs a -∞ init).
       supplierPartGraph(s, dir).groupReduceOnEdges(EdgeDirection.Out) { df =>
         df.select(col("id"),
-          (aggregate(col("edges"), lit(Long.MinValue),
+          (aggregate(col("edges"), lit(0L),
             (acc, e) => greatest(acc, e.getField("value"))) - col("value")).as("value"))
       }),
 
@@ -3161,11 +3165,15 @@ object SparkEntry {
       s"""WITH e AS ($sqlSupplierPartEdges)
          |SELECT dst AS id, CAST(sum(src) AS BIGINT) AS value FROM e GROUP BY 1""".stripMargin,
 
-    // vertices with out-edges only (inner join with the grouped adjacency);
-    // vertex value = id, so result = max out-edge value - id
+    // ALL vertices (reference leftJoin parity: edge-less vertices fold an
+    // empty list → max defaults to the 0 init); vertex value = id, so
+    // result = max out-edge value (0 if none) - id
     "g_group_reduce_edges" ->
-      s"""WITH e AS ($sqlSupplierPartEdges)
-         |SELECT src AS id, CAST(max(value) - src AS BIGINT) AS value FROM e GROUP BY 1""".stripMargin,
+      s"""WITH e AS ($sqlSupplierPartEdges),
+         |v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         |m AS (SELECT src AS id, max(value) AS mx FROM e GROUP BY 1)
+         |SELECT v.id, CAST(COALESCE(m.mx, 0) - v.id AS BIGINT) AS value
+         |FROM v LEFT JOIN m ON v.id = m.id""".stripMargin,
 
     "g_edge_join_src" ->
       s"""WITH e AS ($sqlSupplierPartEdges),
@@ -3227,14 +3235,19 @@ object SparkEntry {
       s"""WITH e AS ($sqlSupplierPartEdges)
          |SELECT src, dst, value FROM e WHERE value >= 30""".stripMargin,
 
-    // owners = sources with >=1 out-neighbor (inner adjacency join);
+    // ALL vertices (reference leftJoin parity: edge-less vertices fold an
+    // empty neighbor list → both aggregates are 0);
     // neighbor value = dst id (fromEdges identity initializer)
     "g_group_reduce_nbrs" ->
-      s"""WITH e AS ($sqlSupplierPartEdges)
-         |SELECT src AS id,
-         |       CAST(sum(CASE WHEN dst % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_even,
-         |       CAST(sum(value) AS BIGINT) AS sum_ev
-         |FROM e GROUP BY 1""".stripMargin,
+      s"""WITH e AS ($sqlSupplierPartEdges),
+         |v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         |g AS (SELECT src AS id,
+         |             sum(CASE WHEN dst % 2 = 0 THEN 1 ELSE 0 END) AS n_even,
+         |             sum(value) AS sum_ev
+         |      FROM e GROUP BY 1)
+         |SELECT v.id, CAST(COALESCE(g.n_even, 0) AS BIGINT) AS n_even,
+         |       CAST(COALESCE(g.sum_ev, 0) AS BIGINT) AS sum_ev
+         |FROM v LEFT JOIN g ON v.id = g.id""".stripMargin,
 
     // closed form on star clusters: rank oscillates root↔leaves each power
     // iteration; 2 + ceil(log10(N)) supersteps → the side holding the rank at

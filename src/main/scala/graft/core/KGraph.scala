@@ -173,7 +173,15 @@ case class KGraph(vertices: DataFrame, edges: DataFrame) {
     val key = dirKey(direction)
     val grouped = edges.groupBy(col(key).as("id"))
       .agg(collect_list(struct(col("src"), col("dst"), col("value"))).as("edges"))
-    agg(vertices.join(grouped, Seq("id"), "inner"))
+    // Left join from the vertex table: a vertex with no adjacent edges in the
+    // chosen direction still reaches the user aggregation, with an EMPTY edge
+    // list — matching the reference's vertices().leftJoin +
+    // ApplyEdgeLeftJoinFunction emptyList substitution
+    // (KGraph.java:415-423,553-571).
+    val edgesType = grouped.schema("edges").dataType
+    val joined = vertices.join(grouped, Seq("id"), "left_outer")
+      .withColumn("edges", coalesce(col("edges"), array().cast(edgesType)))
+    agg(joined)
   }
 
   /** Per-vertex fold of adjacent edge VALUES with a builtin-reducible semantic.
@@ -213,7 +221,12 @@ case class KGraph(vertices: DataFrame, edges: DataFrame) {
       .groupBy(col(ownerKey).as("id"))
       .agg(collect_list(struct(col("src"), col("dst"),
         col("value").as("evalue"), col("nvalue"))).as("neighbors"))
-    agg(vertices.join(grouped, Seq("id"), "inner"))
+    // Left join, as in groupReduceOnEdges: edge-less vertices get an empty
+    // neighbor list (reference leftJoin parity, KGraph.java:431-473,553-571).
+    val neighborsType = grouped.schema("neighbors").dataType
+    val joined = vertices.join(grouped, Seq("id"), "left_outer")
+      .withColumn("neighbors", coalesce(col("neighbors"), array().cast(neighborsType)))
+    agg(joined)
   }
 }
 

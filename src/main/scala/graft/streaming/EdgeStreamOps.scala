@@ -41,10 +41,13 @@ object EdgeStreamOps {
       * global count in streaming, plain count in batch. */
     def numberOfEdges: DataFrame = edges.groupBy().agg(count(lit(1)).as("n_edges"))
 
-    /** (EdgeStream.numberOfVertices :189-207) */
+    /** EXACT running distinct-vertex count, matching the reference's HashSet
+      * cardinality (EdgeStream.numberOfVertices :189-207): stateful
+      * dropDuplicates (one state row per vertex id, same state [[vertexSet]]
+      * keeps) feeding a global count — exact in both batch and streaming
+      * (complete-mode) execution, unlike an approx_count_distinct sketch. */
     def numberOfVertices: DataFrame =
-      edges.select(explode(array(col("src"), col("dst"))).as("id"))
-        .groupBy().agg(approx_count_distinct(col("id")).as("n_vertices"))
+      vertexSet.groupBy().agg(count(lit(1)).as("n_vertices"))
 
     /** (EdgeStream.distinct :215-237) */
     def distinctEdges: DataFrame = edges.dropDuplicates("src", "dst")

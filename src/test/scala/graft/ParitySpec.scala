@@ -42,6 +42,32 @@ class ParitySpec extends SparkSpec {
     assert(got(5L) === 4L)
   }
 
+  test("groupReduce left-join parity: edge-less vertices reach the user " +
+       "fold with an EMPTY list (KGraph.java:415-423,553-571 " +
+       "vertices().leftJoin + ApplyEdgeLeftJoinFunction emptyList)") {
+    import spark.implicits._
+    // vertex 2 is a sink (no OUT edges), vertex 3 is fully isolated
+    val v = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "value")
+    val e = Seq((1L, 2L, 12L)).toDF("src", "dst", "value")
+    val g = KGraph(v, e)
+
+    val edgesOut = g.groupReduceOnEdges(EdgeDirection.Out) { df =>
+      df.select(col("id"),
+        size(col("edges")).cast("long").as("n"),
+        aggregate(col("edges"), lit(0L), (acc, x) => acc + x.getField("value")).as("s"))
+    }.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // all three vertices present; sink + isolated see the empty list
+    assert(edgesOut === Map(1L -> ((1L, 12L)), 2L -> ((0L, 0L)), 3L -> ((0L, 0L))))
+
+    val nbrsIn = g.groupReduceOnNeighbors(EdgeDirection.In) { df =>
+      df.select(col("id"),
+        size(col("neighbors")).cast("long").as("n"),
+        aggregate(col("neighbors"), lit(0L), (acc, x) => acc + x.getField("nvalue")).as("s"))
+    }.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // vertex 1 has no IN edges; neighbor value of 2's in-neighbor 1 is 10
+    assert(nbrsIn === Map(1L -> ((0L, 0L)), 2L -> ((1L, 10L)), 3L -> ((0L, 0L))))
+  }
+
   test("reduceOnEdges OUT max / reduceOnNeighbors OUT min") {
     val got = collectMap(graph.reduceOnEdges(max, EdgeDirection.Out))
     assert(got === Map(1L -> 13L, 2L -> 23L, 3L -> 35L, 4L -> 45L, 5L -> 51L))

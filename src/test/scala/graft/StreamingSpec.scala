@@ -150,6 +150,29 @@ class StreamingSpec extends SparkSpec {
     assert(got === Map(1L -> 2L, 2L -> 2L, 3L -> 3L, 4L -> 1L))
   }
 
+  test("numberOfVertices is EXACT across batches (EdgeStream.java:189-207 " +
+       "HashSet-cardinality parity; was approx_count_distinct)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Double)]
+    val edges = input.toDF().toDF("src", "dst", "value")
+
+    val q = edges.numberOfVertices.writeStream
+      .outputMode("complete").format("memory").queryName("nv_out").start()
+    input.addData((1L, 2L, 1.0), (1L, 3L, 1.0), (2L, 3L, 1.0))
+    q.processAllAvailable()
+    val after1 = spark.table("nv_out").collect().map(_.getLong(0)).toSeq
+    input.addData((3L, 4L, 1.0), (1L, 2L, 9.0)) // one new vertex, one repeat edge
+    q.processAllAvailable()
+    val after2 = spark.table("nv_out").collect().map(_.getLong(0)).toSeq
+    q.stop()
+    assert(after1 === Seq(3L)) // {1,2,3}
+    assert(after2 === Seq(4L)) // {1,2,3,4} — exact, repeats don't inflate
+    // batch parity: same code path, exact count
+    val batch = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (3L, 1L, 1.0))
+      .toDF("src", "dst", "value")
+    assert(batch.numberOfVertices.head().getLong(0) === 3L)
+  }
+
   test("windowed slice + reduceOnEdges over a streaming query") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Long, Double, java.sql.Timestamp)]

@@ -40,20 +40,30 @@ object Sketches {
 
   /** Bounded Misra–Gries frequency summary over string keys.
     *
-    * `reduce`: increment the key if tracked or if a slot is free; else
-    * decrement-all by the new minimum (batch form: subtract the smallest
-    * count and drop the keys that hit zero — at least one does).
+    * `reduce`: increment the key if tracked or if a slot is free; else the
+    * textbook decrement — subtract 1 from every counter and drop the ones
+    * that hit zero (the incoming key's own count, 1 − 1 = 0, is among
+    * them, so it is never stored). This is exactly the general
+    * subtract-the-(capacity+1)-th-largest shrink specialized to the
+    * reduce path: stored counts are always ≥ 1 and the incoming key
+    * contributes a 1, so the (capacity+1)-th largest of the m+1 values IS
+    * the constant 1 — no sort, no candidate-array allocation, one O(m)
+    * map rebuild only on absorption rows (tracked-key and free-slot rows
+    * stay O(1)).
     * `merge`: pointwise-sum the two maps, then if more than `capacity`
     * keys survive, subtract the (capacity+1)-th largest count and drop
-    * non-positives (the classic mergeable-summaries shrink). Both keep
-    * the invariant: estimated count ∈ [true − n/(capacity+1), true].
+    * non-positives (the classic mergeable-summaries shrink; counts here
+    * genuinely vary, so merge keeps the sorted selection — it runs once
+    * per partition pair, not once per row). Both keep the invariant:
+    * estimated count ∈ [true − n/(capacity+1), true].
     */
   final class MisraGries(capacity: Int)
       extends Aggregator[String, MgState, MgState] {
     require(capacity >= 1, s"capacity must be >= 1, got $capacity")
 
     /** Keep the `capacity` largest counts, subtracting the (capacity+1)-th
-      * largest from every survivor (no-op when already within bounds). */
+      * largest from every survivor (no-op when already within bounds).
+      * Merge-side only — the reduce path uses the constant-1 special case. */
     private def shrink(m: Map[String, Long]): Map[String, Long] =
       if (m.size <= capacity) m
       else {
@@ -63,8 +73,13 @@ object Sketches {
       }
 
     def zero: MgState = MgState(0L, Map.empty)
-    def reduce(b: MgState, key: String): MgState =
-      MgState(b.n + 1, shrink(b.counts.updated(key, b.counts.getOrElse(key, 0L) + 1)))
+    def reduce(b: MgState, key: String): MgState = {
+      val c = b.counts
+      if (c.size < capacity || c.contains(key))
+        MgState(b.n + 1, c.updated(key, c.getOrElse(key, 0L) + 1))
+      else
+        MgState(b.n + 1, c.collect { case (k, v) if v > 1L => k -> (v - 1L) })
+    }
     def merge(a: MgState, b: MgState): MgState = {
       val sum = b.counts.foldLeft(a.counts) { case (m, (k, c)) =>
         m.updated(k, m.getOrElse(k, 0L) + c)

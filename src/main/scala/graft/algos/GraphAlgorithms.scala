@@ -821,7 +821,12 @@ object GraphAlgorithms {
     // all D of its neighbors over the volume bound, so an unconditional
     // broadcast could ship a multi-hundred-MB id set to every executor;
     // past [[OversizeBroadcastMax]] it rides a shuffle_hash instead,
-    // exactly like kCore's removed-set join.
+    // exactly like kCore's removed-set join. On this branch the persisted
+    // set stays cached until session end: the RETURNED frame's lineage
+    // references it (both join sides), so unpersisting here would void the
+    // single-materialization guarantee the control count paid for — the
+    // same deliberate retention as the memoized localCheckpoint prep
+    // (bounded: only over-threshold vertex ids, one small set per call).
     val over = oversize.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nOver = over.count()
     val contrib = twoHopContrib(p)

@@ -641,7 +641,12 @@ object Dedup {
     * (the default, matching [[ngramJaccardPairs]]: exact semantics unless
     * the caller opts into the recall cut) disables the cap — ALWAYS pass a
     * positive cap at web-corpus scale, where the full inverted index is the
-    * df² trap the scaladoc above describes. */
+    * df² trap the scaladoc above describes.
+    *
+    * @note BREAKING default change (r10): `maxDocFreq` defaulted to 1024
+    *       before r10; callers relying on the old implicit cap silently
+    *       switch to the full (exact, df²-prone) index — pass 1024 (or any
+    *       positive cap) explicitly to keep the capped behavior. */
   def containmentPairs(docs: DataFrame, idCol: String = "doc_id",
                        textCol: String = "text", shingleLen: Int = 3,
                        threshold: Double = 0.5,

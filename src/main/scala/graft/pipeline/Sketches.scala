@@ -205,6 +205,11 @@ object Sketches {
       .select(col(groupCol).cast("string").as("_g"),
         col(keyCol).cast("string").as("_k"))
       .na.drop(Seq("_g", "_k"))
+    // retained cache (deliberate, bounded ≤ #groups rows of O(capacity)
+    // state): the returned frame's lineage references `summaries` through
+    // both the candidate semi-join and the totals join, so unpersisting
+    // before the caller consumes the result would re-run the corpus scan —
+    // same convention as the memoized localCheckpoint prep frames.
     val summaries = misraGriesSummariesByGroup(df, groupCol, keyCol, cap)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candidates = summaries

@@ -357,12 +357,28 @@ object TextAnalysis {
         // _pid is a pure function of (orderCol, driver-literal boundaries):
         // both consumers below compute it from the SAME literal expression,
         // so bucket assignment can never diverge between them — no
-        // reliance on ReuseExchange deduplicating a sampled exchange
+        // reliance on ReuseExchange deduplicating a sampled exchange.
+        // Integral order keys take the codegen'd binary search (O(log
+        // parts) per row over one shared constant array — flat planning
+        // cost at cluster-typical 2000+ partitions); other orderable types
+        // fall back to the equivalent comparison ladder.
         val bounds = rangeBounds(df, orderCol,
           df.sparkSession.sessionState.conf.numShufflePartitions)
-        val pid = bounds.foldLeft(lit(0)) { (acc, b) =>
-          acc + when(col(orderCol) > lit(b), 1).otherwise(0)
+        val integral = df.schema(orderCol).dataType match {
+          case org.apache.spark.sql.types.LongType |
+               org.apache.spark.sql.types.IntegerType |
+               org.apache.spark.sql.types.ShortType |
+               org.apache.spark.sql.types.ByteType => true
+          case _ => false
         }
+        val pid =
+          if (bounds.isEmpty) lit(0)
+          else if (integral)
+            graft.functions.SearchBucket.searchBucket(col(orderCol).cast("long"),
+              bounds.map(_.asInstanceOf[Number].longValue).toArray)
+          else bounds.foldLeft(lit(0)) { (acc, b) =>
+            acc + when(col(orderCol) > lit(b), 1).otherwise(0)
+          }
         val keyed = df.withColumn("n_tokens", tokenCount(col(textCol)))
           .withColumn("_pid", pid)
         val wLocal = Window.partitionBy(col("_pid")).orderBy(col(orderCol))
@@ -395,11 +411,15 @@ object TextAnalysis {
   private[graft] def rangeBounds(df: DataFrame, orderCol: String,
                                     parts: Int): Seq[Any] = {
     if (parts <= 1) return Nil
-    val n = df.count()
+    // both driver jobs (count + sample) run over the single-column
+    // projection, so Catalyst prunes the scan to orderCol — the upstream
+    // pipeline's other columns are never re-computed for the bound sample
+    val keyOnly = df.select(col(orderCol)).na.drop()
+    val n = keyOnly.count()
     if (n <= 1) return Nil
     val sampleSize = math.min(parts.toLong * 128L, 1L << 20)
     val fraction = math.min(1.0, sampleSize.toDouble * 1.2 / n)
-    val sorted = df.select(col(orderCol)).na.drop()
+    val sorted = keyOnly
       .sample(withReplacement = false, fraction, seed = 0x9e3779b9L)
       .orderBy(col(orderCol))
       .collect().map(_.get(0))

@@ -1153,6 +1153,22 @@ class PipelineSpec extends SparkSpec {
       "pack bucketing must not depend on physical partition ids")
   }
 
+  test("SearchBucket: binary-search bucket id == comparison-ladder id " +
+       "everywhere, boundary values land LEFT under both") {
+    val bounds = Array(10L, 20L, 300L, 4000L)
+    val vals = Seq(Long.MinValue, -5L, 0L, 9L, 10L, 11L, 19L, 20L, 21L,
+      299L, 300L, 301L, 3999L, 4000L, 4001L, Long.MaxValue) ++
+      (0 until 500).map(i => (i * 37L) % 5000L)
+    val df = vals.toDF("v")
+    val ladder = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col("v") > lit(b), 1).otherwise(0)
+    }
+    val out = df.select(col("v"),
+        graft.functions.SearchBucket.searchBucket(col("v"), bounds).as("bs"),
+        ladder.as("ld")).collect()
+    out.foreach(r => assert(r.getInt(1) === r.getInt(2), s"v=${r.getLong(0)}"))
+  }
+
   test("packBins rangeBounds: strictly increasing literal boundaries, " +
        "independent of input partitioning") {
     val d = (1L to 500L).map(i => (i, "w")).toDF("doc_id", "text")
@@ -1160,8 +1176,12 @@ class PipelineSpec extends SparkSpec {
       .map(_.asInstanceOf[Long])
     val b2 = TextAnalysis.rangeBounds(d.repartition(17), "doc_id", 8)
       .map(_.asInstanceOf[Long])
-    // deterministic across physical layouts (seeded sample over the same
-    // logical rows) and strictly increasing
+    // deterministic across physical layouts HERE because the sample
+    // fraction saturates to 1.0 at 500 rows (every row sampled). With
+    // fraction < 1 Spark's Bernoulli sampler seeds per partition, so
+    // bounds legitimately vary with partitioning — packBins' OUTPUT
+    // stays correct regardless (the boundary-invariance test below is
+    // the property that actually carries the operator).
     assert(b1 === b2)
     assert(b1.size > 1 && b1.size <= 7)
     assert(b1 === b1.sorted && b1.distinct === b1)

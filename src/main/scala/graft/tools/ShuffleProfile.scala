@@ -20,19 +20,24 @@ import graft.SparkEntry
   * candidates / summaries, not the corpus — the property that survives a
   * 1000× scale-up. Usage:
   *
-  *   runMain graft.tools.ShuffleProfile <sfDir> [query ...]   (default: a
-  *   representative heavy set)
+  *   runMain graft.tools.ShuffleProfile <sfDir> [--json out.json] [query ...]
   *
-  * Queries share SparkEntry's memoized prep (same as Bench), so profile
-  * prep-heavy g_* queries AFTER a warmup run of the same query list, or
-  * read the first run as prep+query. */
+  * With no query names, profiles the FULL gate: every SparkEntry.sharedPrep
+  * entry first (as prep:<name> rows, so prep cost is attributed explicitly
+  * instead of landing on whichever query touches a cold memoized cache
+  * first — the Bench discipline), then every query in sorted-name order.
+  * `--json` additionally writes one machine-readable object per run
+  * (per-query wall/rows/jobs/stages/tasks/bytes) for cross-round diffing —
+  * data movement is the metric host load cannot fake. */
 object ShuffleProfile {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
-    val names = if (args.length > 1) args.drop(1).toSeq else Seq(
-      "d_exact_dedup", "d_minhash_clusters", "d_heavy_tokens",
-      "d_heavy_by_source", "d_containment", "d_pack", "e_knn_ivf",
-      "g_wcc_clusters", "g_ktruss")
+    var rest = args.drop(1).toSeq
+    val jsonPath = rest match {
+      case "--json" +: p +: tail => rest = tail; Some(p)
+      case _ => None
+    }
+    val explicit = rest
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -68,20 +73,51 @@ object ShuffleProfile {
     }
     def mb(a: LongAdder): String = f"${a.sum / 1048576.0}%.1f"
 
-    names.foreach { name =>
-      SparkEntry.queries.get(name) match {
-        case None => println(s"[shuffle] $name UNKNOWN")
-        case Some(fn) =>
-          org.apache.spark.graft.BusFlush.waitUntilEmpty(sc)
-          reset()
-          val t0 = System.nanoTime()
-          val n = fn(spark, sfDir).count()
-          org.apache.spark.graft.BusFlush.waitUntilEmpty(sc)
-          println(f"[shuffle] $name%-22s wall=${(System.nanoTime() - t0) / 1e9}%6.2fs " +
-            f"rows=$n%-8d jobs=${jobs.get}%-3d stages=${stages.sum}%-3d tasks=${tasks.sum}%-5d " +
-            s"input=${mb(input)}MB shufW=${mb(shufW)}MB shufR=${mb(shufR)}MB " +
-            s"spillMem=${mb(spillMem)}MB spillDisk=${mb(spillDisk)}MB")
-      }
+    // (name, run-thunk) in execution order: explicit names as given, or the
+    // full gate (prep first, then sorted queries — Bench's attribution rule)
+    val work: Seq[(String, () => Long)] =
+      if (explicit.nonEmpty)
+        explicit.map { name =>
+          name -> SparkEntry.queries.get(name).map[() => Long](
+            fn => () => fn(spark, sfDir).count())
+        }.collect { case (n, Some(f)) => (n, f) } ++
+          explicit.filterNot(SparkEntry.queries.contains).map { n =>
+            println(s"[shuffle] $n UNKNOWN"); n -> null
+          }.collect { case (n, f) if f != null => (n, f) }
+      else
+        SparkEntry.sharedPrep.map { case (name, fn) =>
+          s"prep:$name" -> (() => { fn(spark, sfDir); 0L })
+        } ++
+          SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+            name -> (() => fn(spark, sfDir).count())
+          }
+
+    val records = scala.collection.mutable.ListBuffer.empty[String]
+    work.foreach { case (name, run) =>
+      org.apache.spark.graft.BusFlush.waitUntilEmpty(sc)
+      reset()
+      val t0 = System.nanoTime()
+      val n =
+        try run()
+        catch { case scala.util.control.NonFatal(e) =>
+          Console.err.println(s"[shuffle] $name FAILED: ${e.getMessage}"); -1L }
+      org.apache.spark.graft.BusFlush.waitUntilEmpty(sc)
+      val wall = (System.nanoTime() - t0) / 1e9
+      println(f"[shuffle] $name%-26s wall=$wall%6.2fs " +
+        f"rows=$n%-8d jobs=${jobs.get}%-3d stages=${stages.sum}%-3d tasks=${tasks.sum}%-5d " +
+        s"input=${mb(input)}MB shufW=${mb(shufW)}MB shufR=${mb(shufR)}MB " +
+        s"spillMem=${mb(spillMem)}MB spillDisk=${mb(spillDisk)}MB")
+      records += s"""{"name":"$name","wall":${f"$wall%.3f"},"rows":$n,""" +
+        s""""jobs":${jobs.get},"stages":${stages.sum},"tasks":${tasks.sum},""" +
+        s""""inputMB":${mb(input)},"shufWMB":${mb(shufW)},"shufRMB":${mb(shufR)},""" +
+        s""""spillMemMB":${mb(spillMem)},"spillDiskMB":${mb(spillDisk)}}"""
+    }
+    jsonPath.foreach { p =>
+      val w = new java.io.PrintWriter(p)
+      try w.println(records.mkString(
+        s"""{"sf":"$sfDir","cpus":$cpus,"queries":[\n""", ",\n", "\n]}"))
+      finally w.close()
+      println(s"[shuffle] wrote $p (${records.size} entries)")
     }
     spark.stop()
   }

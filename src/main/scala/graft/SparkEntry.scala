@@ -171,6 +171,11 @@ object SparkEntry {
     * three literals from this same constant — HotDfCap discipline. */
   private val ValueSketchBits = 7
 
+  /** d_repeated_spans' gram length (tokens) and cross-document frequency
+    * floor, interpolated into BOTH sides — HotDfCap discipline. */
+  private val RepeatedSpanN = 8
+  private val RepeatedSpanMinDocs = 2
+
   /** parts co-occurring in the same order (canonical a<b). Pair generation is
     * a per-order sorted-array expansion (one groupBy + a codegen'd pair
     * expression + explode), not a lineitem self-join — one scan of lineitem
@@ -999,6 +1004,14 @@ object SparkEntry {
         .select(col("doc_id"), col("n_email"), col("n_ip"), col("n_phone"),
           graft.functions.Poly64.poly64(col("text_scrubbed")).as("scrub_fp"))
     }),
+
+    // Cross-document repeated n-gram SPANS (substring-granularity dedup,
+    // Lee et al. ACL'22): maximal token spans covered by 8-grams occurring
+    // in >= 2 distinct docs — linear inverted-index + semi-join + per-doc
+    // islands merge, never pair expansion
+    "d_repeated_spans" -> ((s, dir) =>
+      Dedup.repeatedSpans(t(s, dir, "documents"),
+        n = RepeatedSpanN, minDocs = RepeatedSpanMinDocs)),
 
     // Line-level exact dedup (C4/RefinedWeb boilerplate killer): first
     // corpus occurrence of each distinct line survives, later copies drop.
@@ -3831,6 +3844,33 @@ object SparkEntry {
          |        WHEN bucket < 950 THEN 'valid' ELSE 'test' END AS split FROM b)
          |SELECT split, source, count(*) AS n, bit_xor(h) AS member_fp
          |FROM s GROUP BY split, source""".stripMargin,
+
+    // repeated spans: positional n-gram stream (gram STRINGS — the Spark
+    // side's xxhash64 is an internal shuffle-width choice, equality is the
+    // semantics), hot = df >= minDocs distinct docs, per-doc islands merge
+    // with the same gap-<=-n rule
+    "d_repeated_spans" -> {
+      val n = RepeatedSpanN
+      val terms = (0 until n).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
+      s"""WITH t1 AS (SELECT doc_id,
+         |  string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+         |  FROM documents),
+         |g AS (SELECT doc_id, CAST(u.i AS BIGINT) - 1 AS pos, $terms AS gm
+         |      FROM t1, unnest(range(1, len(toks) - $n + 2)) AS u(i)
+         |      WHERE len(toks) >= $n),
+         |hot AS (SELECT gm FROM g GROUP BY gm
+         |        HAVING count(DISTINCT doc_id) >= $RepeatedSpanMinDocs),
+         |m AS (SELECT doc_id, pos FROM g JOIN hot USING (gm)),
+         |s AS (SELECT doc_id, pos,
+         |        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= $n
+         |             THEN 0 ELSE 1 END AS brk FROM m),
+         |gr AS (SELECT doc_id, pos,
+         |         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM s)
+         |SELECT doc_id, CAST(min(pos) AS BIGINT) AS start_tok,
+         |       CAST(max(pos) + $n - 1 AS BIGINT) AS end_tok,
+         |       count(*) AS n_grams
+         |FROM gr GROUP BY doc_id, grp""".stripMargin
+    },
 
     // Line dedup: re-wrap the corpus into 2-token lines, keep each distinct
     // line's first (doc_id, pos) occurrence, fingerprint the rebuilt text

@@ -1180,6 +1180,72 @@ object Dedup {
   }
 
   // -------------------------------------------------------------------------
+  // Cross-document repeated n-gram spans (substring-granularity dedup)
+  // -------------------------------------------------------------------------
+
+  /** Maximal token spans covered by n-grams that occur in ≥ `minDocs`
+    * DISTINCT documents — the substring-granularity dedup marker (Lee et
+    * al., "Deduplicating Training Data Makes Language Models Better",
+    * ACL'22: repeated ≥ n-token substrings are memorization fuel that
+    * document- and line-level dedup both miss when the surrounding text
+    * differs). Output: one row per maximal span, (idCol, start_tok,
+    * end_tok, n_grams) over 0-based normalized-token positions — the
+    * removal mask a training pipeline applies before tokenization.
+    *
+    * Semantics: every n-token window of the normalized token stream is a
+    * positional gram (NOT distinct — positions matter, and a doc-internal
+    * repeat of a cross-doc-hot gram is marked at every position); grams
+    * whose document frequency (distinct docs) ≥ minDocs mark the interval
+    * [pos, pos+n−1]; overlapping or exactly-adjacent marked intervals
+    * (gram-start gap ≤ n) merge into maximal spans.
+    *
+    * Scale shape — LINEAR end to end, unlike the pair generators, so no
+    * df cap is needed: the inverted index is a partial-aggregated
+    * count-distinct on the 64-bit gram hash (a boilerplate gram in a
+    * million docs is ONE index row, and it never expands pairs); marking
+    * is a semi-join of the positional gram stream against the hot-key
+    * side; span merging is a per-document window (state = one doc's
+    * marked gram starts, bounded by doc length). Grams are compared by
+    * xxhash64 — the [[exact]]-dedup precedent: a 64-bit collision could
+    * in principle mark a false span, at ~(corpus grams)²/2⁶⁴ odds, and
+    * would surface as a loud gate mismatch, never a silent one. */
+  def repeatedSpans(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text", n: Int = 8,
+                    minDocs: Int = 2): DataFrame = {
+    require(n >= 2, s"n must be >= 2, got $n")
+    require(minDocs >= 2, s"minDocs must be >= 2 (cross-document), got $minDocs")
+    import org.apache.spark.sql.expressions.Window
+    val toks = spread(docs)
+      .select(col(idCol).as("_id"), normTokens(col(textCol)).as("_toks"))
+      .filter(size(col("_toks")) >= n)
+    val gramArr = transform(sequence(lit(0), size(col("_toks")) - n),
+      i => concat_ws(" ", slice(col("_toks"), i + 1, lit(n))))
+    val grams = toks
+      .select(col("_id"), posexplode(gramArr).as(Seq("_pos", "_g")))
+      .select(col("_id"), col("_pos").cast("long").as("_pos"),
+        xxhash64(col("_g")).as("_gh"))
+    val hot = grams.groupBy(col("_gh"))
+      .agg(countDistinct(col("_id")).as("_df"))
+      .filter(col("_df") >= minDocs)
+      .select(col("_gh"))
+    val marked = grams.join(hot, Seq("_gh"), "left_semi")
+      .select(col("_id"), col("_pos"))
+    val w = Window.partitionBy(col("_id")).orderBy(col("_pos"))
+    marked
+      .withColumn("_brk",
+        when(col("_pos") - lag(col("_pos"), 1).over(w) <= n, lit(0))
+          .otherwise(lit(1)))
+      .withColumn("_grp", sum(col("_brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("_id"), col("_grp"))
+      .agg(min(col("_pos")).as("start_tok"),
+        (max(col("_pos")) + (n - 1)).cast("long").as("end_tok"),
+        count(lit(1)).as("n_grams"))
+      .select(col("_id").as(idCol), col("start_tok"), col("end_tok"),
+        col("n_grams"))
+  }
+
+  // -------------------------------------------------------------------------
   // CDC chunk-fingerprint dedup candidates
   // -------------------------------------------------------------------------
 

@@ -21,6 +21,40 @@ class PipelineSpec extends SparkSpec {
     assert(out.size === 4)
   }
 
+  test("repeatedSpans: cross-doc n-gram spans with merged islands; " +
+       "doc-internal-only repeats never marked") {
+    // shared 10-token phrase P = p0..p9; docA holds it at 0, docB at 5;
+    // docC repeats its own private 4-gram twice (internal only — df=1);
+    // a second shared 4-gram S sits isolated in docA (at 15) and docC
+    val P = (0 until 10).map(i => s"p$i").mkString(" ")
+    val S = "s0 s1 s2 s3"
+    val fillA = (0 until 5).map(i => s"a$i").mkString(" ")
+    val fillB = (0 until 5).map(i => s"b$i").mkString(" ")
+    val priv = "c0 c1 c2 c3"
+    val d = Seq(
+      (1L, s"$P $fillA $S"),                     // P at 0..9, S at 15..18
+      (2L, s"$fillB $P extra tail words here"),  // P at 5..14
+      (3L, s"$priv mid1 mid2 mid3 mid4 $priv $S") // priv ×2 internal, S at 12..15
+    ).toDF("doc_id", "text")
+    val out = Dedup.repeatedSpans(d, n = 4, minDocs = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // P (10 tokens, n=4) → 7 gram starts merging to one span of width 10;
+    // S (4 tokens) → 1 gram. P and S in docA are separated by 5 filler
+    // tokens (gap > n) → two spans. docC's private 4-gram is internal-only
+    // → unmarked; its S copy IS marked.
+    assert(out === Set(
+      (1L, 0L, 9L, 7L), (1L, 15L, 18L, 1L),
+      (2L, 5L, 14L, 7L),
+      (3L, 12L, 15L, 1L)))
+    // plan: the islands window is partitioned by doc id — never global
+    val phys = Dedup.repeatedSpans(d, n = 4, minDocs = 2)
+      .queryExecution.executedPlan.toString
+    assert(!phys.contains("Window [") ||
+      !phys.matches("(?s).*Window \\[[^\\]]*\\]\\s*,\\s*\\[\\]\\s*,.*"),
+      "unpartitioned window in repeatedSpans plan")
+  }
+
   test("lineDedup: first corpus occurrence survives, later copies drop, " +
        "counts and rebuilt-text fingerprints match a driver reference") {
     val multi = Seq(

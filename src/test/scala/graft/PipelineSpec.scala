@@ -55,6 +55,43 @@ class PipelineSpec extends SparkSpec {
       "unpartitioned window in repeatedSpans plan")
   }
 
+  test("repeatedSpans: randomized brute-force equivalence (small vocab " +
+       "forces cross-doc collisions; df/merge semantics pinned)") {
+    val n = 3; val minDocs = 2
+    def brute(ds: Seq[(Long, String)]): Set[(Long, Long, Long, Long)] = {
+      val toks = ds.map { case (id, t) =>
+        id -> t.trim.toLowerCase.split("\\s+").toSeq
+      }.filter(_._2.size >= n)
+      val grams = toks.flatMap { case (id, tk) =>
+        (0 to tk.size - n).map(p => (id, p.toLong, tk.slice(p, p + n).mkString(" ")))
+      }
+      val hot = grams.groupBy(_._3)
+        .filter(_._2.map(_._1).distinct.size >= minDocs).keySet
+      grams.filter(g => hot(g._3)).groupBy(_._1).toSeq.flatMap { case (id, ps) =>
+        val sorted = ps.map(_._2).sorted
+        val spans = sorted.foldLeft(List.empty[(Long, Long, Long)]) {
+          case ((s, e, c) :: rest, p) if p - e <= n => (s, p, c + 1) :: rest
+          case (acc, p) => (p, p, 1L) :: acc
+        }
+        spans.map { case (s, e, c) => (id, s, e + n - 1, c) }
+      }.toSet
+    }
+    val rng = new scala.util.Random(7)
+    val vocab = (0 until 10).map(i => s"w$i")
+    (0 until 25).foreach { trial =>
+      val ds = (0 until 6).map { id =>
+        val len = rng.nextInt(22)
+        (id.toLong, (0 until len).map(_ => vocab(rng.nextInt(vocab.size))).mkString(" "))
+      }.filter(_._2.nonEmpty)
+      if (ds.nonEmpty) {
+        val got = Dedup.repeatedSpans(ds.toDF("doc_id", "text"), n = n, minDocs = minDocs)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          .toSet
+        assert(got === brute(ds), s"trial $trial corpus=$ds")
+      }
+    }
+  }
+
   test("lineDedup: first corpus occurrence survives, later copies drop, " +
        "counts and rebuilt-text fingerprints match a driver reference") {
     val multi = Seq(

@@ -150,6 +150,50 @@ class StreamingSpec extends SparkSpec {
     assert(got === Map(1L -> 2L, 2L -> 2L, 3L -> 3L, 4L -> 1L))
   }
 
+  test("Kafka seam parse parity: edgesFromRaw on a Kafka-SHAPED streaming " +
+       "frame (binary value + record timestamp as event time), operators " +
+       "run unchanged (GraphUtils.java:62-143 wire format)") {
+    implicit val sqlCtx = spark.sqlContext
+    // exactly the columns the spark-sql-kafka source emits — everything
+    // short of the broker connection itself
+    val input = MemoryStream[(Array[Byte], Array[Byte], String, Int, Long,
+      java.sql.Timestamp, Int)]
+    val raw = input.toDF().toDF("key", "value", "topic", "partition",
+      "offset", "timestamp", "timestampType")
+    val q = graft.core.GraphIO.edgesFromRaw(raw)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("kafka_raw").start()
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:01")
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 00:00:05")
+    input.addData(
+      (Array.empty[Byte], "1 2 12.5".getBytes("UTF-8"), "edges", 0, 0L, t0, 0),
+      (Array.empty[Byte], "  3   4  7.0 ".getBytes("UTF-8"), "edges", 0, 1L, t1, 0),
+      (Array.empty[Byte], "   ".getBytes("UTF-8"), "edges", 0, 2L, t0, 0)) // blank → dropped
+    q.processAllAvailable()
+    val got = spark.table("kafka_raw").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getTimestamp(3)))
+    q.stop()
+    // whitespace-tolerant parse of the reference's "src dst value" lines;
+    // event time = the BROKER record time, not processing time
+    assert(got.toSet === Set((1L, 2L, 12.5, t0), (3L, 4L, 7.0, t1)))
+    // ...and the EdgeStreamOps surface runs unchanged on the parsed frame
+    val input2 = MemoryStream[(Array[Byte], Array[Byte], String, Int, Long,
+      java.sql.Timestamp, Int)]
+    val raw2 = input2.toDF().toDF("key", "value", "topic", "partition",
+      "offset", "timestamp", "timestampType")
+    val q2 = graft.core.GraphIO.edgesFromRaw(raw2).degrees
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("kafka_deg").start()
+    input2.addData(
+      (Array.empty[Byte], "1 2 1.0".getBytes("UTF-8"), "edges", 0, 0L, t0, 0),
+      (Array.empty[Byte], "1 3 1.0".getBytes("UTF-8"), "edges", 0, 1L, t0, 0))
+    q2.processAllAvailable()
+    val deg = spark.table("kafka_deg").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    q2.stop()
+    assert(deg === Map(1L -> 2L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("numberOfVertices is EXACT across batches (EdgeStream.java:189-207 " +
        "HashSet-cardinality parity; was approx_count_distinct)") {
     implicit val sqlCtx = spark.sqlContext

@@ -22,7 +22,11 @@ import org.apache.spark.sql.types.{DataType, IntegerType, LongType}
  */
 object SearchBucket {
 
-  case class LongSearchBucket(child: Expression, bounds: Array[Long])
+  // bounds is a Seq, not an Array: case-class equality on an Array is
+  // reference identity, which would defeat Catalyst semanticEquals
+  // (subexpression elimination / ReuseExchange between separately built
+  // but equal instances); the codegen-side long[] is derived once below.
+  case class LongSearchBucket(child: Expression, bounds: Seq[Long])
       extends UnaryExpression with ImplicitCastInputTypes {
     require(bounds.nonEmpty, "bounds must be non-empty")
     require((1 until bounds.length).forall(i => bounds(i - 1) < bounds(i)),
@@ -33,12 +37,14 @@ object SearchBucket {
     override def nullIntolerant: Boolean = true
     override def prettyName: String = "graft_search_bucket"
 
+    @transient private lazy val arr: Array[Long] = bounds.toArray
+
     private def lowerBound(v: Long): Int = {
       var lo = 0
-      var hi = bounds.length
+      var hi = arr.length
       while (lo < hi) {
         val mid = (lo + hi) >>> 1
-        if (bounds(mid) < v) lo = mid + 1 else hi = mid
+        if (arr(mid) < v) lo = mid + 1 else hi = mid
       }
       lo
     }
@@ -48,15 +54,15 @@ object SearchBucket {
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, v => {
-        val arr = ctx.addReferenceObj("bounds", bounds, "long[]")
+        val ref = ctx.addReferenceObj("bounds", arr, "long[]")
         val lo = ctx.freshName("lo")
         val hi = ctx.freshName("hi")
         val mid = ctx.freshName("mid")
         s"""
-           |int $lo = 0, $hi = $arr.length;
+           |int $lo = 0, $hi = $ref.length;
            |while ($lo < $hi) {
            |  int $mid = ($lo + $hi) >>> 1;
-           |  if ($arr[$mid] < $v) $lo = $mid + 1; else $hi = $mid;
+           |  if ($ref[$mid] < $v) $lo = $mid + 1; else $hi = $mid;
            |}
            |${ev.value} = $lo;
          """.stripMargin
@@ -68,6 +74,6 @@ object SearchBucket {
 
   /** Number of `bounds` strictly below `c` (left insertion point). `bounds`
     * must be sorted strictly increasing and non-empty. */
-  def searchBucket(c: Column, bounds: Array[Long]): Column =
+  def searchBucket(c: Column, bounds: Seq[Long]): Column =
     Bridge.column(LongSearchBucket(Bridge.expression(c), bounds))
 }

@@ -325,8 +325,8 @@ object Sketches {
   }
 
   /** Grouped decode: one rank walk per group over a `logHistogramBy` /
-    * per-group-merged bucket table → (groupCol, p, value), groups ordered
-    * as encountered, `ps` order preserved within each. Driver-side over
+    * per-group-merged bucket table → (groupCol, p, value), groups sorted
+    * by name, `ps` order preserved within each. Driver-side over
     * the BOUNDED table (≤ #groups · ~7.4k rows at s=7 — grouping is only
     * sound on bounded dimensions, same contract as [[hllRegistersBy]]).
     * Same loud bucket −1 rejection as the ungrouped decode: a

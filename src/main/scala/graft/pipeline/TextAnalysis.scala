@@ -374,8 +374,14 @@ object TextAnalysis {
         val pid =
           if (bounds.isEmpty) lit(0)
           else if (integral)
-            graft.functions.SearchBucket.searchBucket(col(orderCol).cast("long"),
-              bounds.map(_.asInstanceOf[Number].longValue).toArray)
+            // coalesce, not nullSafe pass-through: a NULL order key must
+            // land in bucket 0 (the comparison ladder's behavior — every
+            // when(NULL > b) falls to otherwise(0)), NOT become a NULL pid
+            // that the offsets equi-join would silently drop
+            coalesce(
+              graft.functions.SearchBucket.searchBucket(col(orderCol).cast("long"),
+                bounds.map(_.asInstanceOf[Number].longValue)),
+              lit(0))
           else bounds.foldLeft(lit(0)) { (acc, b) =>
             acc + when(col(orderCol) > lit(b), 1).otherwise(0)
           }

@@ -32,12 +32,14 @@ import graft.SparkEntry
 object ShuffleProfile {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
-    var rest = args.drop(1).toSeq
-    val jsonPath = rest match {
-      case "--json" +: p +: tail => rest = tail; Some(p)
-      case _ => None
-    }
-    val explicit = rest
+    // --json is position-independent among the trailing args: everything
+    // else is a query name
+    val rest = args.drop(1).toSeq
+    val flagAt = rest.indexOf("--json")
+    val jsonPath =
+      if (flagAt >= 0 && flagAt + 1 < rest.size) Some(rest(flagAt + 1)) else None
+    val explicit =
+      if (flagAt >= 0) rest.patch(flagAt, Nil, 2) else rest
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -76,15 +78,14 @@ object ShuffleProfile {
     // (name, run-thunk) in execution order: explicit names as given, or the
     // full gate (prep first, then sorted queries — Bench's attribution rule)
     val work: Seq[(String, () => Long)] =
-      if (explicit.nonEmpty)
-        explicit.map { name =>
-          name -> SparkEntry.queries.get(name).map[() => Long](
-            fn => () => fn(spark, sfDir).count())
-        }.collect { case (n, Some(f)) => (n, f) } ++
-          explicit.filterNot(SparkEntry.queries.contains).map { n =>
-            println(s"[shuffle] $n UNKNOWN"); n -> null
-          }.collect { case (n, f) if f != null => (n, f) }
-      else
+      if (explicit.nonEmpty) {
+        explicit.filterNot(SparkEntry.queries.contains)
+          .foreach(n => println(s"[shuffle] $n UNKNOWN"))
+        explicit.flatMap { name =>
+          SparkEntry.queries.get(name).map(fn =>
+            name -> (() => fn(spark, sfDir).count()))
+        }
+      } else
         SparkEntry.sharedPrep.map { case (name, fn) =>
           s"prep:$name" -> (() => { fn(spark, sfDir); 0L })
         } ++

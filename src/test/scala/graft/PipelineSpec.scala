@@ -1240,6 +1240,30 @@ class PipelineSpec extends SparkSpec {
     out.foreach(r => assert(r.getInt(1) === r.getInt(2), s"v=${r.getLong(0)}"))
   }
 
+  test("packBins keeps NULL-order-key rows on BOTH bucket-id paths " +
+       "(binary search coalesces to the ladder's bucket 0 — no silent " +
+       "row loss through the offsets equi-join)") {
+    // integral path (codegen'd binary search)
+    val withNull = ((1L to 300L).map(i => (Option(i), "w w")) :+
+      ((None: Option[Long]), "w")).toDF("doc_id", "text")
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "8") // force multi-bucket
+      val packed = TextAnalysis.packBins(withNull, budget = 50)
+        .select("doc_id", "pack_id").collect()
+      assert(packed.length === 301, "null-key row must survive packing")
+      val nullRow = packed.filter(_.isNullAt(0))
+      assert(nullRow.length === 1 && nullRow.head.getLong(1) === 0L)
+      // non-integral path (comparison ladder) agrees
+      val strKeys = ((1 to 300).map(i => (Option(f"k$i%04d"), "w w")) :+
+        ((None: Option[String]), "w")).toDF("doc_id", "text")
+      val packedStr = TextAnalysis.packBins(strKeys, budget = 50)
+        .select("doc_id", "pack_id").collect()
+      assert(packedStr.length === 301)
+      assert(packedStr.filter(_.isNullAt(0)).head.getLong(1) === 0L)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
   test("packBins rangeBounds: strictly increasing literal boundaries, " +
        "independent of input partitioning") {
     val d = (1L to 500L).map(i => (i, "w")).toDF("doc_id", "text")

@@ -1206,9 +1206,12 @@ object Dedup {
     * is a semi-join of the positional gram stream against the hot-key
     * side; span merging is a per-document window (state = one doc's
     * marked gram starts, bounded by doc length). Grams are compared by
-    * xxhash64 — the [[exact]]-dedup precedent: a 64-bit collision could
-    * in principle mark a false span, at ~(corpus grams)²/2⁶⁴ odds, and
-    * would surface as a loud gate mismatch, never a silent one. */
+    * the codegen'd [[graft.functions.GramHash]] window hash (per-token
+    * hash once + O(n) fold per window — never a materialized gram
+    * string) — the [[exact]]-dedup precedent for internal 64-bit
+    * equality keys: a collision could in principle mark a false span,
+    * at ~(corpus grams)²/2⁶⁴ odds, and would surface as a loud gate
+    * mismatch, never a silent one. */
   def repeatedSpans(docs: DataFrame, idCol: String = "doc_id",
                     textCol: String = "text", n: Int = 8,
                     minDocs: Int = 2): DataFrame = {
@@ -1218,12 +1221,11 @@ object Dedup {
     val toks = spread(docs)
       .select(col(idCol).as("_id"), normTokens(col(textCol)).as("_toks"))
       .filter(size(col("_toks")) >= n)
-    val gramArr = transform(sequence(lit(0), size(col("_toks")) - n),
-      i => concat_ws(" ", slice(col("_toks"), i + 1, lit(n))))
     val grams = toks
-      .select(col("_id"), posexplode(gramArr).as(Seq("_pos", "_g")))
-      .select(col("_id"), col("_pos").cast("long").as("_pos"),
-        xxhash64(col("_g")).as("_gh"))
+      .select(col("_id"),
+        posexplode(graft.functions.GramHash.gramHashes(col("_toks"), n))
+          .as(Seq("_pos", "_gh")))
+      .select(col("_id"), col("_pos").cast("long").as("_pos"), col("_gh"))
     val hot = grams.groupBy(col("_gh"))
       .agg(countDistinct(col("_id")).as("_df"))
       .filter(col("_df") >= minDocs)

@@ -287,4 +287,37 @@ class Poly64Spec extends SparkSpec {
     assert(java.text.Normalizer.normalize(out(1L)._1,
       java.text.Normalizer.Form.NFC) === out(1L)._1)
   }
+
+  test("GramHashes: window hashes equal the per-token reference fold; " +
+       "short docs empty; equal windows collide exactly") {
+    import graft.functions.GramHash
+    val toks = Seq("the", "quick", "brown", "fox", "the", "quick", "brown", "fox")
+    val got = Seq(Tuple1(toks)).toDF("t")
+      .select(GramHash.gramHashes(col("t"), 3).as("g"))
+      .head().getSeq[Long](0)
+    assert(got.size === 6) // 8 - 3 + 1
+    // reference: per-token mix64(poly64), then the shared window fold
+    val th = toks.map(s =>
+      Poly64.mix(refHash(s, Poly64.Seed1, Poly64.Mult1))).toArray
+    val expect = (0 until 6).map { p =>
+      var h = Poly64.Seed2
+      (0 until 3).foreach(j => h = h * Poly64.Mult2 + th(p + j))
+      h
+    }
+    assert(got === expect)
+    // positional semantics: windows 0 and 4 are the same token sequence
+    assert(got(0) === got(4))
+    assert(got(0) !== got(1))
+    // short-doc and null-token conventions
+    val edge = Seq(Tuple1(Seq("a", "b")), Tuple1(Seq[String]("a", null, "c")))
+      .toDF("t").select(GramHash.gramHashes(col("t"), 3).as("g"))
+      .collect().map(_.getSeq[Long](0))
+    assert(edge(0).isEmpty) // 2 tokens < n=3
+    val nullAsEmpty = {
+      val h = Seq("a", "", "c").map(s =>
+        Poly64.mix(refHash(s, Poly64.Seed1, Poly64.Mult1)))
+      var g = Poly64.Seed2; h.foreach(x => g = g * Poly64.Mult2 + x); g
+    }
+    assert(edge(1) === Seq(nullAsEmpty))
+  }
 }

@@ -1013,6 +1013,12 @@ object SparkEntry {
       Dedup.repeatedSpans(t(s, dir, "documents"),
         n = RepeatedSpanN, minDocs = RepeatedSpanMinDocs)),
 
+    // the applied mask: drop covered tokens everywhere, rebuild +
+    // fingerprint the survivors (lineDedup's narrow gated shape)
+    "d_repeated_spans_removed" -> ((s, dir) =>
+      Dedup.removeRepeatedSpans(t(s, dir, "documents"),
+        n = RepeatedSpanN, minDocs = RepeatedSpanMinDocs)),
+
     // Line-level exact dedup (C4/RefinedWeb boilerplate killer): first
     // corpus occurrence of each distinct line survives, later copies drop.
     // The single-line corpus is re-wrapped into 2-token lines (~900 combos
@@ -3870,6 +3876,44 @@ object SparkEntry {
          |       CAST(max(pos) + $n - 1 AS BIGINT) AS end_tok,
          |       count(*) AS n_grams
          |FROM gr GROUP BY doc_id, grp""".stripMargin
+    },
+
+    // applied span mask: covered positions = every [start, start+n-1] of a
+    // marked gram start; anti-join the token stream, rebuild in pos order,
+    // Poly64+mix fingerprint (empty string for fully-covered/NULL docs)
+    "d_repeated_spans_removed" -> {
+      val n = RepeatedSpanN
+      val terms = (0 until n).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
+      s"""WITH t1 AS (SELECT doc_id,
+         |  string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+         |  FROM documents),
+         |g AS (SELECT doc_id, CAST(u.i AS BIGINT) - 1 AS pos, $terms AS gm
+         |      FROM t1, unnest(range(1, len(toks) - $n + 2)) AS u(i)
+         |      WHERE len(toks) >= $n),
+         |hot AS (SELECT gm FROM g GROUP BY gm
+         |        HAVING count(DISTINCT doc_id) >= $RepeatedSpanMinDocs),
+         |mk AS (SELECT doc_id, pos FROM g JOIN hot USING (gm)),
+         |cov AS (SELECT DISTINCT doc_id, pos + u.j AS pos
+         |        FROM mk, unnest(range(0, $n)) AS u(j)),
+         |tp AS (SELECT doc_id, CAST(u.i AS BIGINT) - 1 AS pos, toks[i] AS tok
+         |       FROM t1, unnest(range(1, len(toks) + 1)) AS u(i)),
+         |kept AS (SELECT tp.doc_id, tp.pos, tp.tok FROM tp
+         |         ANTI JOIN cov ON tp.doc_id = cov.doc_id AND tp.pos = cov.pos),
+         |reb AS (SELECT doc_id, count(*) AS n_kept,
+         |               string_agg(tok, ' ' ORDER BY pos) AS txt
+         |        FROM kept GROUP BY doc_id),
+         |alld AS (SELECT d.doc_id, coalesce(r.n_kept, 0) AS n_kept,
+         |                coalesce(r.txt, '') AS txt
+         |         FROM documents d LEFT JOIN reb r ON d.doc_id = r.doc_id),
+         |hs AS (SELECT doc_id, n_kept,
+         |         ${sqlPoly("cps", 1125899906842597L, 1099511628211L)} AS u
+         |       FROM (SELECT doc_id, n_kept, list_transform(range(1, length(txt) + 1),
+         |                    j -> CAST(unicode(txt[j]) AS HUGEINT)) AS cps FROM alld)),
+         |m1 AS (SELECT doc_id, n_kept, (${sqlXorShr("u", 33)} * 6364136223846793005) % $U64 AS u FROM hs),
+         |m2 AS (SELECT doc_id, n_kept, (${sqlXorShr("u", 29)} * 2685821657736338717) % $U64 AS u FROM m1),
+         |m3 AS (SELECT doc_id, n_kept, ${sqlXorShr("u", 32)} AS u FROM m2)
+         |SELECT doc_id, CAST(n_kept AS BIGINT) AS n_kept, ${sqlU2S("u")} AS text_fp
+         |FROM m3""".stripMargin
     },
 
     // Line dedup: re-wrap the corpus into 2-token lines, keep each distinct

@@ -1247,6 +1247,47 @@ object Dedup {
         col("n_grams"))
   }
 
+  /** Apply the [[repeatedSpans]] mask: drop every token covered by a
+    * cross-document repeated n-gram — in EVERY document (the conservative
+    * de-memorization variant: repeated substrings are removed everywhere,
+    * the policy for boilerplate/license blocks where no copy is wanted;
+    * keep-one-copy policies pick a canonical keeper first and feed the
+    * rest through the same mask).
+    *
+    * Returns one row per input document: (idCol, n_kept, text_fp) —
+    * n_kept = surviving token count, text_fp = Poly64+mix64 fingerprint
+    * of the surviving tokens rejoined with single spaces (fully-covered
+    * and NULL-text docs fingerprint the empty string) — the same narrow
+    * gated shape as [[lineDedup]].
+    *
+    * Scale shape: the mask join is a position-level left_anti on
+    * (doc, pos) — shuffles ∝ corpus tokens, hash-uniform on doc id; the
+    * rebuild groupBy collects one doc's surviving tokens (bounded by doc
+    * length, the lineDedup reassembly bound). */
+  def removeRepeatedSpans(docs: DataFrame, idCol: String = "doc_id",
+                          textCol: String = "text", n: Int = 8,
+                          minDocs: Int = 2): DataFrame = {
+    val spans = repeatedSpans(docs, idCol, textCol, n, minDocs)
+    val covered = spans.select(col(idCol).as("_id"),
+      explode(sequence(col("start_tok"), col("end_tok"))).as("_pos"))
+    val pos = docs
+      .select(col(idCol).as("_id"), normTokens(col(textCol)).as("_toks"))
+      .select(col("_id"), posexplode(col("_toks")).as(Seq("_pos", "_tok")))
+      .withColumn("_pos", col("_pos").cast("long"))
+    val rebuilt = pos.join(covered, Seq("_id", "_pos"), "left_anti")
+      .groupBy(col("_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("_pos"), col("_tok")))),
+          s => s.getField("_tok")), " ").as("_txt"))
+    docs.select(col(idCol).as("_id"))
+      .join(rebuilt, Seq("_id"), "left_outer")
+      .select(col("_id").as(idCol),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        graft.functions.Poly64.mix64(graft.functions.Poly64.poly64(
+          coalesce(col("_txt"), lit("")))).as("text_fp"))
+  }
+
   // -------------------------------------------------------------------------
   // CDC chunk-fingerprint dedup candidates
   // -------------------------------------------------------------------------

@@ -55,6 +55,26 @@ class PipelineSpec extends SparkSpec {
       "unpartitioned window in repeatedSpans plan")
   }
 
+  test("removeRepeatedSpans: covered tokens drop everywhere, survivors " +
+       "rebuild in position order, full-coverage docs fingerprint empty") {
+    val P = (0 until 10).map(i => s"p$i").mkString(" ")
+    val d = Seq(
+      (1L, s"$P tail1 tail2"),  // P at 0..9 → keeps "tail1 tail2"
+      (2L, s"lead1 $P"),        // P at 1..10 → keeps "lead1"
+      (3L, P),                  // fully covered → empty
+      (4L, "only two")          // < n tokens, untouched
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeRepeatedSpans(d, n = 4, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def fp(s: String): Long =
+      Seq(Tuple1(s)).toDF("t").select(graft.functions.Poly64.mix64(
+        graft.functions.Poly64.poly64(col("t")))).head().getLong(0)
+    assert(out(1L) === ((2L, fp("tail1 tail2"))))
+    assert(out(2L) === ((1L, fp("lead1"))))
+    assert(out(3L) === ((0L, fp(""))))
+    assert(out(4L) === ((2L, fp("only two"))))
+  }
+
   test("repeatedSpans: randomized brute-force equivalence (small vocab " +
        "forces cross-doc collisions; df/merge semantics pinned)") {
     val n = 3; val minDocs = 2

@@ -21,7 +21,9 @@ import org.apache.spark.unsafe.types.UTF8String
  * is hashed ONCE (Poly64 fold over its code points + the mix64 avalanche,
  * the repo's reproducible family), and each window is a length-n wrapping
  * polynomial fold over those per-token hashes: O(chars + L·n) long ops,
- * zero string allocation. Token-sequence hashing is also strictly more
+ * zero GRAM-string allocation (one String per token remains — the
+ * code-point fold reads through toString). Token-sequence hashing is
+ * also strictly more
  * faithful than string hashing — it needs no separator-injectivity
  * argument (moot for whitespace-split tokens, but free here).
  *
@@ -32,8 +34,9 @@ import org.apache.spark.unsafe.types.UTF8String
  */
 object GramHash {
 
-  /** Window fold over per-token hashes — shared by eval and the spec's
-    * reference reimplementation. */
+  /** Window fold over per-token hashes (eval's helper; the codegen body
+    * and Poly64Spec's reference each implement the same fold
+    * independently — the spec's independence is the point). */
   private[functions] def foldWindow(th: Array[Long], p: Int, n: Int): Long = {
     var h = Poly64.Seed2
     var j = 0

@@ -1270,7 +1270,10 @@ object Dedup {
     val spans = repeatedSpans(docs, idCol, textCol, n, minDocs)
     val covered = spans.select(col(idCol).as("_id"),
       explode(sequence(col("start_tok"), col("end_tok"))).as("_pos"))
-    val pos = docs
+    // spread() before the row expansion, same as the span-detection branch:
+    // a one-row-group parquet corpus would otherwise tokenize+explode in a
+    // single task
+    val pos = spread(docs)
       .select(col(idCol).as("_id"), normTokens(col(textCol)).as("_toks"))
       .select(col("_id"), posexplode(col("_toks")).as(Seq("_pos", "_tok")))
       .withColumn("_pos", col("_pos").cast("long"))

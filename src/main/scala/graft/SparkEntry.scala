@@ -1019,6 +1019,19 @@ object SparkEntry {
       Dedup.removeRepeatedSpans(t(s, dir, "documents"),
         n = RepeatedSpanN, minDocs = RepeatedSpanMinDocs)),
 
+    // CDC member: base index (75% of docs) + incremental spans over the
+    // newly arrived 25%, hotness judged against base ∪ delta — must equal
+    // the full-corpus spans restricted to the delta docs (the oracle is
+    // exactly that restriction)
+    "d_repeated_spans_incr" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val base = Dedup.gramDfIndex(docs.filter(col("doc_id") % 4 =!= 0),
+        n = RepeatedSpanN)
+      Dedup.repeatedSpansIncremental(base,
+        docs.filter(col("doc_id") % 4 === 0),
+        n = RepeatedSpanN, minDocs = RepeatedSpanMinDocs)._2
+    }),
+
     // Line-level exact dedup (C4/RefinedWeb boilerplate killer): first
     // corpus occurrence of each distinct line survives, later copies drop.
     // The single-line corpus is re-wrapped into 2-token lines (~900 combos
@@ -3867,6 +3880,32 @@ object SparkEntry {
          |hot AS (SELECT gm FROM g GROUP BY gm
          |        HAVING count(DISTINCT doc_id) >= $RepeatedSpanMinDocs),
          |m AS (SELECT doc_id, pos FROM g JOIN hot USING (gm)),
+         |s AS (SELECT doc_id, pos,
+         |        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= $n
+         |             THEN 0 ELSE 1 END AS brk FROM m),
+         |gr AS (SELECT doc_id, pos,
+         |         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM s)
+         |SELECT doc_id, CAST(min(pos) AS BIGINT) AS start_tok,
+         |       CAST(max(pos) + $n - 1 AS BIGINT) AS end_tok,
+         |       count(*) AS n_grams
+         |FROM gr GROUP BY doc_id, grp""".stripMargin
+    },
+
+    // incremental spans = full-corpus spans restricted to the delta docs
+    // (hot grams computed over EVERYTHING, marks taken only on delta)
+    "d_repeated_spans_incr" -> {
+      val n = RepeatedSpanN
+      val terms = (0 until n).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
+      s"""WITH t1 AS (SELECT doc_id,
+         |  string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+         |  FROM documents),
+         |g AS (SELECT doc_id, CAST(u.i AS BIGINT) - 1 AS pos, $terms AS gm
+         |      FROM t1, unnest(range(1, len(toks) - $n + 2)) AS u(i)
+         |      WHERE len(toks) >= $n),
+         |hot AS (SELECT gm FROM g GROUP BY gm
+         |        HAVING count(DISTINCT doc_id) >= $RepeatedSpanMinDocs),
+         |m AS (SELECT doc_id, pos FROM g JOIN hot USING (gm)
+         |      WHERE doc_id % 4 = 0),
          |s AS (SELECT doc_id, pos,
          |        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= $n
          |             THEN 0 ELSE 1 END AS brk FROM m),

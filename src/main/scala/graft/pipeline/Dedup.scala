@@ -1217,21 +1217,32 @@ object Dedup {
                     minDocs: Int = 2): DataFrame = {
     require(n >= 2, s"n must be >= 2, got $n")
     require(minDocs >= 2, s"minDocs must be >= 2 (cross-document), got $minDocs")
-    import org.apache.spark.sql.expressions.Window
-    val toks = spread(docs)
-      .select(col(idCol).as("_id"), normTokens(col(textCol)).as("_toks"))
-      .filter(size(col("_toks")) >= n)
-    val grams = toks
-      .select(col("_id"),
-        posexplode(graft.functions.GramHash.gramHashes(col("_toks"), n))
-          .as(Seq("_pos", "_gh")))
-      .select(col("_id"), col("_pos").cast("long").as("_pos"), col("_gh"))
+    val grams = positionalGrams(docs, idCol, textCol, n)
     val hot = grams.groupBy(col("_gh"))
       .agg(countDistinct(col("_id")).as("_df"))
       .filter(col("_df") >= minDocs)
       .select(col("_gh"))
     val marked = grams.join(hot, Seq("_gh"), "left_semi")
       .select(col("_id"), col("_pos"))
+    mergeIslands(marked, n, idCol)
+  }
+
+  /** Positional n-gram hash stream (_id, _pos, _gh) — shared by the batch,
+    * incremental, and index builders. */
+  private def positionalGrams(docs: DataFrame, idCol: String, textCol: String,
+                              n: Int): DataFrame =
+    spread(docs)
+      .select(col(idCol).as("_id"), normTokens(col(textCol)).as("_toks"))
+      .filter(size(col("_toks")) >= n)
+      .select(col("_id"),
+        posexplode(graft.functions.GramHash.gramHashes(col("_toks"), n))
+          .as(Seq("_pos", "_gh")))
+      .select(col("_id"), col("_pos").cast("long").as("_pos"), col("_gh"))
+
+  /** Merge marked gram starts (gap ≤ n) into maximal spans — per-doc
+    * window, state bounded by one doc's marked grams. */
+  private def mergeIslands(marked: DataFrame, n: Int, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("_id")).orderBy(col("_pos"))
     marked
       .withColumn("_brk",
@@ -1245,6 +1256,53 @@ object Dedup {
         count(lit(1)).as("n_grams"))
       .select(col("_id").as(idCol), col("start_tok"), col("end_tok"),
         col("n_grams"))
+  }
+
+  /** Mergeable gram document-frequency index for the repeated-span family:
+    * (gh BIGINT, df BIGINT) — df = number of distinct documents containing
+    * the n-gram. Indexes built over DISJOINT document sets merge by
+    * pointwise SUM (a document is assumed to arrive whole in one batch —
+    * the same document-atomic ingestion contract as the LSH/semDedup
+    * incremental indexes), which is what makes [[repeatedSpansIncremental]]
+    * a maintained-profile operation instead of a corpus rescan. */
+  def gramDfIndex(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text", n: Int = 8): DataFrame =
+    positionalGrams(docs, idCol, textCol, n)
+      .select(col("_id"), col("_gh")).distinct()
+      .groupBy(col("_gh")).agg(count(lit(1)).as("df"))
+      .select(col("_gh").as("gh"), col("df"))
+
+  /** CDC member of the span family (the d_minhash_incr /
+    * appendToLshIndex shape): given the maintained [[gramDfIndex]] of the
+    * BASE corpus and a batch of NEW documents, return
+    * (mergedIndex, spans) where `spans` are [[repeatedSpans]] over the
+    * NEW documents with hotness judged against base ∪ delta — identical
+    * to what a full-corpus run would emit for those documents. The
+    * standard incremental caveat applies symmetrically to the base side:
+    * spans inside OLD documents whose grams only now crossed `minDocs`
+    * are not re-emitted (re-mask the base on its own maintenance
+    * schedule, exactly like the LSH index's periodic recluster).
+    *
+    * Scale shape: one scan of the DELTA only; the index join is
+    * gh-keyed (bounded by distinct grams, never positions); nothing
+    * base-corpus-proportional is rescanned. */
+  def repeatedSpansIncremental(baseIndex: DataFrame, newDocs: DataFrame,
+                               idCol: String = "doc_id",
+                               textCol: String = "text", n: Int = 8,
+                               minDocs: Int = 2): (DataFrame, DataFrame) = {
+    require(n >= 2, s"n must be >= 2, got $n")
+    require(minDocs >= 2, s"minDocs must be >= 2 (cross-document), got $minDocs")
+    val grams = positionalGrams(newDocs, idCol, textCol, n)
+    val deltaIdx = grams.select(col("_id"), col("_gh")).distinct()
+      .groupBy(col("_gh")).agg(count(lit(1)).as("df"))
+      .select(col("_gh").as("gh"), col("df"))
+    val merged = baseIndex.select(col("gh"), col("df"))
+      .unionByName(deltaIdx)
+      .groupBy(col("gh")).agg(sum(col("df")).as("df"))
+    val hot = merged.filter(col("df") >= minDocs).select(col("gh").as("_gh"))
+    val marked = grams.join(hot, Seq("_gh"), "left_semi")
+      .select(col("_id"), col("_pos"))
+    (merged, mergeIslands(marked, n, idCol))
   }
 
   /** Apply the [[repeatedSpans]] mask: drop every token covered by a

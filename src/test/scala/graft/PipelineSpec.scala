@@ -75,6 +75,33 @@ class PipelineSpec extends SparkSpec {
     assert(out(4L) === ((2L, fp("only two"))))
   }
 
+  test("repeatedSpansIncremental: merged index == full-corpus index; " +
+       "delta spans == batch spans restricted to the delta docs") {
+    val rng = new scala.util.Random(11)
+    val vocab = (0 until 8).map(i => s"w$i")
+    (0 until 10).foreach { trial =>
+      val ds = (0 until 8).map { id =>
+        val len = 4 + rng.nextInt(20)
+        (id.toLong, (0 until len).map(_ => vocab(rng.nextInt(vocab.size))).mkString(" "))
+      }
+      val all = ds.toDF("doc_id", "text")
+      val base = ds.filter(_._1 % 2 == 0).toDF("doc_id", "text")
+      val delta = ds.filter(_._1 % 2 == 1).toDF("doc_id", "text")
+      val (merged, spans) = Dedup.repeatedSpansIncremental(
+        Dedup.gramDfIndex(base, n = 3), delta, n = 3, minDocs = 2)
+      val mergedMap = merged.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val fullMap = Dedup.gramDfIndex(all, n = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(mergedMap === fullMap, s"trial $trial index mismatch")
+      val got = spans.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val expect = Dedup.repeatedSpans(all, n = 3, minDocs = 2)
+        .filter(col("doc_id") % 2 === 1).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got === expect, s"trial $trial spans mismatch")
+    }
+  }
+
   test("repeatedSpans: randomized brute-force equivalence (small vocab " +
        "forces cross-doc collisions; df/merge semantics pinned)") {
     val n = 3; val minDocs = 2

@@ -1019,6 +1019,25 @@ object SparkEntry {
       Dedup.removeRepeatedSpans(t(s, dir, "documents"),
         n = RepeatedSpanN, minDocs = RepeatedSpanMinDocs)),
 
+    // keep-one-copy policy (Lee et al.'s deployed variant): each hot gram's
+    // first corpus occurrence (min (doc, pos)) is the keeper and survives;
+    // every other occurrence is masked — the lineDedup winner rule lifted
+    // to span grams
+    "d_repeated_spans_keep" -> ((s, dir) =>
+      Dedup.removeRepeatedSpansKeepOne(t(s, dir, "documents"),
+        n = RepeatedSpanN, minDocs = RepeatedSpanMinDocs)),
+
+    // corpus-level mask aggregate: forces FULL mask materialization even
+    // under a bench-side count() (the per-doc mask query's count() is
+    // metadata-only once Catalyst eliminates the rebuild join — this row's
+    // fingerprint xor cannot be) so the operator's real cost is measured,
+    // not just gated
+    "d_repeated_spans_mask" -> ((s, dir) =>
+      Dedup.removeRepeatedSpans(t(s, dir, "documents"),
+          n = RepeatedSpanN, minDocs = RepeatedSpanMinDocs)
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_kept")).as("tot_kept"),
+          expr("bit_xor(text_fp)").as("mask_fp"))),
+
     // CDC member: base index (75% of docs) + incremental spans over the
     // newly arrived 25%, hotness judged against base ∪ delta — must equal
     // the full-corpus spans restricted to the delta docs (the oracle is
@@ -1089,9 +1108,21 @@ object SparkEntry {
       TextAnalysis.topGramSignals(t(s, dir, "documents"))),
 
     // cross-source duplication matrix: exact-dup pair counts per source
-    // pair, closed-form from per-(fp, source) counts — never pair expansion
-    "d_dup_matrix" -> ((s, dir) =>
-      Dedup.crossSourceDupMatrix(t(s, dir, "documents"))),
+    // pair, closed-form from per-(fp, source) counts — never pair expansion.
+    // The generated corpora contain NO exact duplicates (six rounds of
+    // 0-row passes proved only agreed emptiness), so the prologue injects
+    // deterministic ones — the d_pii_scrub injection pattern: every 50th
+    // doc cloned into a '<source>_mirror' feed (cross-source branch), every
+    // 100th cloned again into its OWN source (within-source C(c,2) branch)
+    "d_dup_matrix" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val mirror = docs.filter(col("doc_id") % 50 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L))
+        .withColumn("source", concat(col("source"), lit("_mirror")))
+      val twin = docs.filter(col("doc_id") % 100 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(2000000L))
+      Dedup.crossSourceDupMatrix(docs.unionByName(mirror).unionByName(twin))
+    }),
 
     // corpus-level boilerplate leaderboard: top-20 3-grams by occurrence —
     // combinable counts + TakeOrderedAndProject (no vocabulary sort)
@@ -1348,6 +1379,25 @@ object SparkEntry {
     "d_lm_score" -> ((s, dir) =>
       TextAnalysis.lmScore(t(s, dir, "documents"))
         .select(col("doc_id"), col("n_tokens"), col("lm_micro_total"))),
+
+    // the deployed CCNet shape (Wenzek et al. LREC'20): model trained on
+    // the curated 'en' slice ONLY, every doc scored against it. The corpus
+    // vocabulary is closed (measured: zero natural OOV on any split), so
+    // every 10th doc gets a synthetic unseen token appended — the
+    // d_pii_scrub injection pattern — making the n_oov smoothing-floor
+    // path non-vacuous in the gate
+    "d_lm_domain" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = docs.select(col("doc_id"),
+        when(col("doc_id") % 10 === 0,
+          concat(col("text"), lit(" qqxzoov"),
+            (col("doc_id") % 7).cast("string")))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.lmScoreAgainst(
+          TextAnalysis.lmModel(docs.filter(col("lang") === "en")), scored)
+        .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+          col("lm_micro_total"))
+    }),
 
     // document-local unigram entropy (degenerate-repetition signal); gated
     // on the exact integer micro-nat total, same discipline as d_lm_score
@@ -2119,6 +2169,46 @@ object SparkEntry {
        |SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars,
        |       bit_xor(h) AS content_fp
        |FROM b GROUP BY source""".stripMargin
+
+  /** Span-mask oracle template shared by d_repeated_spans_removed /
+    * _keep / _mask: positional n-gram stream (gram STRINGS — Spark's
+    * GramHash is an internal shuffle-width choice, equality is the
+    * semantics), caller-supplied `hot`+`mk` CTEs pick the masked
+    * occurrences (remove-everywhere vs keep-one keeper argmin), then
+    * covered-position anti-join, pos-order rebuild, Poly64+mix64
+    * fingerprint — (doc_id, n_kept, text_fp). */
+  private def spanMaskOracle(hotAndMk: String): String = {
+    val n = RepeatedSpanN
+    val terms = (0 until n).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
+    s"""WITH t1 AS (SELECT doc_id,
+       |  string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+       |  FROM documents),
+       |g AS (SELECT doc_id, CAST(u.i AS BIGINT) - 1 AS pos, $terms AS gm
+       |      FROM t1, unnest(range(1, len(toks) - $n + 2)) AS u(i)
+       |      WHERE len(toks) >= $n),
+       |$hotAndMk
+       |cov AS (SELECT DISTINCT doc_id, pos + u.j AS pos
+       |        FROM mk, unnest(range(0, $n)) AS u(j)),
+       |tp AS (SELECT doc_id, CAST(u.i AS BIGINT) - 1 AS pos, toks[i] AS tok
+       |       FROM t1, unnest(range(1, len(toks) + 1)) AS u(i)),
+       |kept AS (SELECT tp.doc_id, tp.pos, tp.tok FROM tp
+       |         ANTI JOIN cov ON tp.doc_id = cov.doc_id AND tp.pos = cov.pos),
+       |reb AS (SELECT doc_id, count(*) AS n_kept,
+       |               string_agg(tok, ' ' ORDER BY pos) AS txt
+       |        FROM kept GROUP BY doc_id),
+       |alld AS (SELECT d.doc_id, coalesce(r.n_kept, 0) AS n_kept,
+       |                coalesce(r.txt, '') AS txt
+       |         FROM documents d LEFT JOIN reb r ON d.doc_id = r.doc_id),
+       |hs AS (SELECT doc_id, n_kept,
+       |         ${sqlPoly("cps", 1125899906842597L, 1099511628211L)} AS u
+       |       FROM (SELECT doc_id, n_kept, list_transform(range(1, length(txt) + 1),
+       |                    j -> CAST(unicode(txt[j]) AS HUGEINT)) AS cps FROM alld)),
+       |m1 AS (SELECT doc_id, n_kept, (${sqlXorShr("u", 33)} * 6364136223846793005) % $U64 AS u FROM hs),
+       |m2 AS (SELECT doc_id, n_kept, (${sqlXorShr("u", 29)} * 2685821657736338717) % $U64 AS u FROM m1),
+       |m3 AS (SELECT doc_id, n_kept, ${sqlXorShr("u", 32)} AS u FROM m2)
+       |SELECT doc_id, CAST(n_kept AS BIGINT) AS n_kept, ${sqlU2S("u")} AS text_fp
+       |FROM m3""".stripMargin
+  }
 
   /** All-pairs 3-gram Jaccard oracle over `documents` — gates BOTH
     * d_ngram_pairs (full inverted index) and d_ngram_pairs_prefix (prefix
@@ -3920,40 +4010,28 @@ object SparkEntry {
     // applied span mask: covered positions = every [start, start+n-1] of a
     // marked gram start; anti-join the token stream, rebuild in pos order,
     // Poly64+mix fingerprint (empty string for fully-covered/NULL docs)
-    "d_repeated_spans_removed" -> {
-      val n = RepeatedSpanN
-      val terms = (0 until n).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
-      s"""WITH t1 AS (SELECT doc_id,
-         |  string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
-         |  FROM documents),
-         |g AS (SELECT doc_id, CAST(u.i AS BIGINT) - 1 AS pos, $terms AS gm
-         |      FROM t1, unnest(range(1, len(toks) - $n + 2)) AS u(i)
-         |      WHERE len(toks) >= $n),
-         |hot AS (SELECT gm FROM g GROUP BY gm
+    "d_repeated_spans_removed" -> spanMaskOracle(
+      s"""hot AS (SELECT gm FROM g GROUP BY gm
          |        HAVING count(DISTINCT doc_id) >= $RepeatedSpanMinDocs),
-         |mk AS (SELECT doc_id, pos FROM g JOIN hot USING (gm)),
-         |cov AS (SELECT DISTINCT doc_id, pos + u.j AS pos
-         |        FROM mk, unnest(range(0, $n)) AS u(j)),
-         |tp AS (SELECT doc_id, CAST(u.i AS BIGINT) - 1 AS pos, toks[i] AS tok
-         |       FROM t1, unnest(range(1, len(toks) + 1)) AS u(i)),
-         |kept AS (SELECT tp.doc_id, tp.pos, tp.tok FROM tp
-         |         ANTI JOIN cov ON tp.doc_id = cov.doc_id AND tp.pos = cov.pos),
-         |reb AS (SELECT doc_id, count(*) AS n_kept,
-         |               string_agg(tok, ' ' ORDER BY pos) AS txt
-         |        FROM kept GROUP BY doc_id),
-         |alld AS (SELECT d.doc_id, coalesce(r.n_kept, 0) AS n_kept,
-         |                coalesce(r.txt, '') AS txt
-         |         FROM documents d LEFT JOIN reb r ON d.doc_id = r.doc_id),
-         |hs AS (SELECT doc_id, n_kept,
-         |         ${sqlPoly("cps", 1125899906842597L, 1099511628211L)} AS u
-         |       FROM (SELECT doc_id, n_kept, list_transform(range(1, length(txt) + 1),
-         |                    j -> CAST(unicode(txt[j]) AS HUGEINT)) AS cps FROM alld)),
-         |m1 AS (SELECT doc_id, n_kept, (${sqlXorShr("u", 33)} * 6364136223846793005) % $U64 AS u FROM hs),
-         |m2 AS (SELECT doc_id, n_kept, (${sqlXorShr("u", 29)} * 2685821657736338717) % $U64 AS u FROM m1),
-         |m3 AS (SELECT doc_id, n_kept, ${sqlXorShr("u", 32)} AS u FROM m2)
-         |SELECT doc_id, CAST(n_kept AS BIGINT) AS n_kept, ${sqlU2S("u")} AS text_fp
-         |FROM m3""".stripMargin
-    },
+         |mk AS (SELECT doc_id, pos FROM g JOIN hot USING (gm)),""".stripMargin),
+
+    // keep-one-copy mask: per hot gram, the first corpus occurrence
+    // (min doc_id*2^20+pos, the lineDedup ord pack) is the keeper and is
+    // NOT masked; only non-keeper occurrences mark positions
+    "d_repeated_spans_keep" -> spanMaskOracle(
+      s"""hot AS (SELECT gm, min(doc_id * 1048576 + pos) AS w FROM g GROUP BY gm
+         |        HAVING count(DISTINCT doc_id) >= $RepeatedSpanMinDocs),
+         |mk AS (SELECT doc_id, pos FROM g JOIN hot USING (gm)
+         |       WHERE doc_id * 1048576 + pos <> w),""".stripMargin),
+
+    // corpus-level mask aggregate over the remove-everywhere result
+    "d_repeated_spans_mask" ->
+      s"""SELECT count(*) AS n_docs, CAST(sum(n_kept) AS BIGINT) AS tot_kept,
+         |       bit_xor(text_fp) AS mask_fp
+         |FROM (${spanMaskOracle(
+        s"""hot AS (SELECT gm FROM g GROUP BY gm
+           |        HAVING count(DISTINCT doc_id) >= $RepeatedSpanMinDocs),
+           |mk AS (SELECT doc_id, pos FROM g JOIN hot USING (gm)),""".stripMargin)})""".stripMargin,
 
     // Line dedup: re-wrap the corpus into 2-token lines, keep each distinct
     // line's first (doc_id, pos) occurrence, fingerprint the rebuilt text
@@ -4080,12 +4158,21 @@ object SparkEntry {
 
     // dup matrix: group key replayed as the normalized string itself
     // (Spark groups on its Poly64 fingerprint — identical partition absent
-    // collision, the family-wide convention)
+    // collision, the family-wide convention); the injection prologue
+    // mirrors the Spark side exactly (every 50th doc → '<source>_mirror',
+    // every 100th → same-source twin)
     "d_dup_matrix" ->
-      """WITH g AS (
+      """WITH docs AS (
+        |  SELECT source, text FROM documents
+        |  UNION ALL
+        |  SELECT source || '_mirror' AS source, text
+        |  FROM documents WHERE doc_id % 50 = 0
+        |  UNION ALL
+        |  SELECT source, text FROM documents WHERE doc_id % 100 = 0),
+        |g AS (
         |  SELECT regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS k,
         |         source, count(*) AS c
-        |  FROM documents GROUP BY 1, 2),
+        |  FROM docs GROUP BY 1, 2),
         |x AS (
         |  SELECT a.source AS src_a, b.source AS src_b, a.c * b.c AS p
         |  FROM g a JOIN g b ON a.k = b.k AND a.source < b.source
@@ -4658,6 +4745,35 @@ object SparkEntry {
         |      * 1000000) AS BIGINT) AS lpm
         |  FROM tf JOIN model USING (term) CROSS JOIN tot)
         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |       CAST(sum(lpm) AS BIGINT) AS lm_micro_total
+        |FROM lp GROUP BY 1""".stripMargin,
+
+    // reference-domain LM scoring: model over the en slice, LEFT join for
+    // the OOV smoothing floor (cnt=0 → 1/(N+V)); injection prologue mirrors
+    // the Spark side token-for-token
+    "d_lm_domain" ->
+      """WITH sc AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 10 = 0
+        |    THEN text || ' qqxzoov' || CAST(doc_id % 7 AS VARCHAR)
+        |    ELSE text END AS text
+        |  FROM documents),
+        |tk AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM sc),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
+        |model AS (
+        |  SELECT term, count(*) AS cnt FROM (
+        |    SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |    FROM documents WHERE lang = 'en') GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total,
+        |               count(*) AS n_vocab FROM model),
+        |lp AS (
+        |  SELECT tf.doc_id, tf.tf, coalesce(model.cnt, 0) AS cnt,
+        |    CAST(round(tf.tf * ln(CAST(coalesce(model.cnt, 0) + 1 AS DOUBLE)
+        |      / (n_total + n_vocab)) * 1000000) AS BIGINT) AS lpm
+        |  FROM tf LEFT JOIN model USING (term) CROSS JOIN tot)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |       CAST(sum(CASE WHEN cnt = 0 THEN tf ELSE 0 END) AS BIGINT) AS n_oov,
         |       CAST(sum(lpm) AS BIGINT) AS lm_micro_total
         |FROM lp GROUP BY 1""".stripMargin,
 

@@ -1260,17 +1260,44 @@ object Dedup {
 
   /** Mergeable gram document-frequency index for the repeated-span family:
     * (gh BIGINT, df BIGINT) — df = number of distinct documents containing
-    * the n-gram. Indexes built over DISJOINT document sets merge by
-    * pointwise SUM (a document is assumed to arrive whole in one batch —
-    * the same document-atomic ingestion contract as the LSH/semDedup
-    * incremental indexes), which is what makes [[repeatedSpansIncremental]]
-    * a maintained-profile operation instead of a corpus rescan. */
+    * the n-gram. Indexes built over DISJOINT document sets AND THE SAME
+    * GRAM LENGTH n merge by pointwise SUM (a document is assumed to arrive
+    * whole in one batch — the same document-atomic ingestion contract as
+    * the LSH/semDedup incremental indexes), which is what makes
+    * [[repeatedSpansIncremental]] a maintained-profile operation instead
+    * of a corpus rescan. The gram length is stamped into the `gh` column's
+    * metadata (key `gram_n`) so a mismatched merge fails loudly instead of
+    * silently summing frequencies of different-length grams; indexes built
+    * by hand (without the stamp) fall back to the documented same-n
+    * contract. */
   def gramDfIndex(docs: DataFrame, idCol: String = "doc_id",
                   textCol: String = "text", n: Int = 8): DataFrame =
     positionalGrams(docs, idCol, textCol, n)
       .select(col("_id"), col("_gh")).distinct()
       .groupBy(col("_gh")).agg(count(lit(1)).as("df"))
-      .select(col("_gh").as("gh"), col("df"))
+      .select(col("_gh").as("gh", gramNMeta(n)), col("df"))
+
+  /** Column-metadata stamp carrying the index's gram length — survives
+    * select/parquet roundtrips on the standard path; absent on hand-built
+    * frames, where the scaladoc contract applies. */
+  private def gramNMeta(n: Int): org.apache.spark.sql.types.Metadata =
+    new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("gram_n", n.toLong).build()
+
+  /** Loud guard: if `idx` carries a `gram_n` stamp on `gh`, it must equal
+    * the caller's n. */
+  private def requireSameGramN(idx: DataFrame, n: Int): Unit = {
+    val f = idx.schema.fields.find(_.name == "gh")
+    f.foreach { fld =>
+      if (fld.metadata.contains("gram_n")) {
+        val idxN = fld.metadata.getLong("gram_n")
+        require(idxN == n.toLong,
+          s"gram-length mismatch: baseIndex was built with n=$idxN but this " +
+            s"call uses n=$n — a pointwise df merge across different gram " +
+            "lengths silently corrupts hotness; rebuild one side")
+      }
+    }
+  }
 
   /** CDC member of the span family (the d_minhash_incr /
     * appendToLshIndex shape): given the maintained [[gramDfIndex]] of the
@@ -1285,13 +1312,20 @@ object Dedup {
     *
     * Scale shape: one scan of the DELTA only; the index join is
     * gh-keyed (bounded by distinct grams, never positions); nothing
-    * base-corpus-proportional is rescanned. */
+    * base-corpus-proportional is rescanned.
+    *
+    * Contract: `baseIndex` must have been built with the SAME gram length
+    * `n` and over documents DISJOINT from `newDocs` — the merge is a blind
+    * pointwise df sum on gh, so a violated contract produces wrong hotness,
+    * not an error. The standard builder stamps n into the index
+    * ([[gramDfIndex]]); a stamped mismatch fails loudly here. */
   def repeatedSpansIncremental(baseIndex: DataFrame, newDocs: DataFrame,
                                idCol: String = "doc_id",
                                textCol: String = "text", n: Int = 8,
                                minDocs: Int = 2): (DataFrame, DataFrame) = {
     require(n >= 2, s"n must be >= 2, got $n")
     require(minDocs >= 2, s"minDocs must be >= 2 (cross-document), got $minDocs")
+    requireSameGramN(baseIndex, n)
     val grams = positionalGrams(newDocs, idCol, textCol, n)
     val deltaIdx = grams.select(col("_id"), col("_gh")).distinct()
       .groupBy(col("_gh")).agg(count(lit(1)).as("df"))
@@ -1299,6 +1333,7 @@ object Dedup {
     val merged = baseIndex.select(col("gh"), col("df"))
       .unionByName(deltaIdx)
       .groupBy(col("gh")).agg(sum(col("df")).as("df"))
+      .select(col("gh").as("gh", gramNMeta(n)), col("df"))
     val hot = merged.filter(col("df") >= minDocs).select(col("gh").as("_gh"))
     val marked = grams.join(hot, Seq("_gh"), "left_semi")
       .select(col("_id"), col("_pos"))
@@ -1309,8 +1344,8 @@ object Dedup {
     * cross-document repeated n-gram — in EVERY document (the conservative
     * de-memorization variant: repeated substrings are removed everywhere,
     * the policy for boilerplate/license blocks where no copy is wanted;
-    * keep-one-copy policies pick a canonical keeper first and feed the
-    * rest through the same mask).
+    * [[removeRepeatedSpansKeepOne]] is the keep-one-copy variant that
+    * retains each repeated substring's first corpus occurrence).
     *
     * Returns one row per input document: (idCol, n_kept, text_fp) —
     * n_kept = surviving token count, text_fp = Poly64+mix64 fingerprint
@@ -1324,8 +1359,53 @@ object Dedup {
     * length, the lineDedup reassembly bound). */
   def removeRepeatedSpans(docs: DataFrame, idCol: String = "doc_id",
                           textCol: String = "text", n: Int = 8,
-                          minDocs: Int = 2): DataFrame = {
-    val spans = repeatedSpans(docs, idCol, textCol, n, minDocs)
+                          minDocs: Int = 2): DataFrame =
+    applySpanMask(docs, repeatedSpans(docs, idCol, textCol, n, minDocs),
+      idCol, textCol)
+
+  /** The keep-one-copy span policy (Lee et al. ACL'22's deployed variant:
+    * one canonical occurrence of each repeated substring survives, the
+    * rest are removed) — the [[lineDedup]] winner rule lifted to span
+    * grams: per cross-document-hot n-gram, the first corpus occurrence
+    * (min packed (doc, pos), the lineDedup ord) is the KEEPER and its
+    * positions stay; every other occurrence is masked. Same output shape
+    * as [[removeRepeatedSpans]]: (idCol, n_kept, text_fp).
+    *
+    * A keeper's tokens survive only if no OTHER hot gram's non-keeper
+    * occurrence covers them — the mask is the union of non-keeper
+    * intervals, so overlapping boilerplate still wins conservatively.
+    *
+    * Scale shape: identical to the remove-everywhere path plus one min
+    * aggregate on the SAME gram-hash groupBy (the keeper argmin rides the
+    * df shuffle for free); the keeper filter is rowwise after the hot
+    * semi-join. Positions are packed as (doc_id << 20) + pos — the
+    * lineDedup 20-bit position convention (docs longer than ~1M tokens
+    * need a wider pack). */
+  def removeRepeatedSpansKeepOne(docs: DataFrame, idCol: String = "doc_id",
+                                 textCol: String = "text", n: Int = 8,
+                                 minDocs: Int = 2): DataFrame = {
+    require(n >= 2, s"n must be >= 2, got $n")
+    require(minDocs >= 2, s"minDocs must be >= 2 (cross-document), got $minDocs")
+    val PosBits = 20
+    val grams = positionalGrams(docs, idCol, textCol, n)
+      .withColumn("_ord", shiftleft(col("_id"), PosBits) + col("_pos"))
+    val hot = grams.groupBy(col("_gh"))
+      .agg(countDistinct(col("_id")).as("_df"), min(col("_ord")).as("_w"))
+      .filter(col("_df") >= minDocs)
+      .select(col("_gh"), col("_w"))
+    val marked = grams.join(hot, Seq("_gh"))
+      .filter(col("_ord") =!= col("_w"))
+      .select(col("_id"), col("_pos"))
+    applySpanMask(docs, mergeIslands(marked, n, idCol), idCol, textCol)
+  }
+
+  /** Shared mask applier: drop every token position covered by `spans`
+    * ([idCol, start_tok, end_tok, ...] over 0-based normalized-token
+    * positions), rebuild the survivors in position order, and fingerprint —
+    * the (idCol, n_kept, text_fp) gated shape. Position-level left_anti ∝
+    * corpus tokens; per-doc rebuild bounded by doc length. */
+  private def applySpanMask(docs: DataFrame, spans: DataFrame,
+                            idCol: String, textCol: String): DataFrame = {
     val covered = spans.select(col(idCol).as("_id"),
       explode(sequence(col("start_tok"), col("end_tok"))).as("_pos"))
     // spread() before the row expansion, same as the span-detection branch:

@@ -325,26 +325,39 @@ object Sketches {
   }
 
   /** Grouped decode: one rank walk per group over a `logHistogramBy` /
-    * per-group-merged bucket table → (groupCol, p, value), groups sorted
-    * by name, `ps` order preserved within each. Driver-side over
-    * the BOUNDED table (≤ #groups · ~7.4k rows at s=7 — grouping is only
-    * sound on bounded dimensions, same contract as [[hllRegistersBy]]).
-    * Same loud bucket −1 rejection as the ungrouped decode: a
-    * half-bucketed sketch must not estimate. */
+    * per-group-merged bucket table → (groupCol, p, value), `ps` order
+    * preserved within each group (row order across groups is not
+    * defined — it's a shuffled Dataset, sort downstream if you need to).
+    * DISTRIBUTED: a `groupByKey(group).mapGroups` rank walk whose
+    * per-task state is ONE group's bucket table (≤ ~7.4k rows at s=7 —
+    * bounded by the sketch, not the data), so unlike the r11 driver-side
+    * decode there is no bounded-group-dimension contract: millions of
+    * groups decode in parallel. [[logHistogramQuantiles]] remains the
+    * driver-side control-read path for ungrouped/merged tables. Rows with
+    * a NULL group are skipped (matching [[logHistogramBy]], which never
+    * emits them). Same loud bucket −1 rejection as the ungrouped decode —
+    * a half-bucketed sketch must not estimate (surfaces as a task
+    * failure carrying this message). */
   def logHistogramQuantilesBy(hist: DataFrame, groupCol: String, ps: Seq[Double],
                               subBucketBits: Int = 7): DataFrame = {
-    val rows = hist
-      .select(col(groupCol).cast("string"), col("bucket").cast("long"),
-        col("cnt").cast("long"))
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-    require(rows.forall(_._2 >= 0L),
-      "histogram contains bucket -1 (negative values): offset or scale inputs first")
     val spark = hist.sparkSession
     import spark.implicits._
-    rows.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (g, grp) =>
-      walkQuantiles(grp.map(t => (t._2, t._3)).sortBy(_._1), ps, subBucketBits)
-        .map { case (p, v) => (g, p, v) }
-    }.toDF(groupCol, "p", "value")
+    val psLocal = ps.toIndexedSeq
+    val s = subBucketBits
+    hist
+      .filter(col(groupCol).isNotNull)
+      .select(col(groupCol).cast("string"), col("bucket").cast("long"),
+        col("cnt").cast("long"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (g: String, it: Iterator[(String, Long, Long)]) =>
+        val rows = it.map(t => (t._2, t._3)).toArray.sortBy(_._1)
+        require(rows.forall(_._1 >= 0L),
+          s"histogram group '$g' contains bucket -1 (negative values): " +
+            "offset or scale inputs first")
+        walkQuantiles(rows, psLocal, s).map { case (p, v) => (g, p, v) }
+      }
+      .toDF(groupCol, "p", "value")
   }
 
   /** Shared rank walk + integer-midpoint decode over one group's sorted

@@ -241,6 +241,64 @@ object TextAnalysis {
         round((sum(col("_lpm")) / 1e6) / sum(col("tf")), 6).as("lm_score"))
   }
 
+  /** The mergeable unigram model behind [[lmScoreAgainst]]: (term, cnt)
+    * token counts of a REFERENCE corpus. Models over disjoint shards merge
+    * by pointwise SUM ([[mergeLmModels]]) — the gramDfIndex / HLL-register
+    * maintained-profile contract, so the reference model is maintained
+    * across ingestion batches, never retrained. One combinable aggregate
+    * scan. */
+  def lmModel(df: DataFrame, textCol: String = "text"): DataFrame =
+    Dedup.spread(df)
+      .select(explode(wsTokens(lower(trim(col(textCol))))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+
+  /** Pointwise-sum merge of [[lmModel]] shards (union of shard models ≡
+    * model of the union, same contract as [[Sketches.mergeLogHistograms]]). */
+  def mergeLmModels(ms: Seq[DataFrame]): DataFrame = {
+    require(ms.nonEmpty, "nothing to merge")
+    ms.map(_.select(col("term"), col("cnt").cast("long")))
+      .reduce(_ unionByName _)
+      .groupBy(col("term")).agg(sum(col("cnt")).as("cnt"))
+  }
+
+  /** The deployed CCNet shape of [[lmScore]] (Wenzek et al., LREC 2020:
+    * Common Crawl is scored against a LM trained on a curated reference
+    * domain — there Wikipedia — not against itself): score `docs` under
+    * the add-one-smoothed unigram distribution of a SEPARATE [[lmModel]].
+    * Out-of-vocabulary terms take the smoothing floor 1/(N+V) — exactly
+    * the cnt=0 case of the (cnt+1)/(N+V) rule, so the scorer needs no
+    * special OOV branch, and `n_oov` (OOV token occurrences) rides along
+    * as its own filter signal. Returns
+    * (idCol, n_tokens, n_oov, lm_micro_total, lm_score); hash-gate on the
+    * exact integer micro-nat total, same discipline as [[lmScore]].
+    *
+    * Scale shape: scoring joins the per-doc tf frame LEFT against the
+    * model (model is reference-corpus-vocabulary-sized — shuffle join,
+    * AQE broadcasts it when small); totals are a one-row broadcast
+    * attach; per-doc reduction is a combinable aggregate. The model is
+    * scored-corpus-independent, so a maintained model amortizes across
+    * every crawl scored against it. */
+  def lmScoreAgainst(model: DataFrame, docs: DataFrame,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    val tf = Dedup.spread(docs).select(col(idCol).as("doc_id"),
+        explode(wsTokens(lower(trim(col(textCol))))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val m = model.select(col("term"), col("cnt").cast("long").as("cnt"))
+    val totals = m.agg(sum(col("cnt")).as("n_total"),
+      count(lit(1)).as("n_vocab"))
+    withScalars(tf.join(m, Seq("term"), "left_outer"), totals)
+      .withColumn("_cnt", coalesce(col("cnt"), lit(0L)))
+      .withColumn("_lpm", round(col("tf") * log(
+        (col("_cnt") + 1).cast("double") / (col("n_total") + col("n_vocab")))
+        * 1e6).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(when(col("_cnt") === 0, col("tf")).otherwise(lit(0L))).as("n_oov"),
+        sum(col("_lpm")).as("lm_micro_total"),
+        round((sum(col("_lpm")) / 1e6) / sum(col("tf")), 6).as("lm_score"))
+  }
+
   /** Token co-occurrence pairs with pointwise mutual information — the
     * corpus-association statistic behind collocation mining, topic seeds,
     * and word-vector objectives: for token pair (t1, t2),

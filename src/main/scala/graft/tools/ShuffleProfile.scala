@@ -73,7 +73,11 @@ object ShuffleProfile {
       jobs.set(0); stages.reset(); tasks.reset(); input.reset()
       shufW.reset(); shufR.reset(); spillMem.reset(); spillDisk.reset()
     }
-    def mb(a: LongAdder): String = f"${a.sum / 1048576.0}%.1f"
+    // Locale.ROOT like Bench.fmt: a comma-decimal default locale would
+    // otherwise emit syntactically invalid JSON in the --json artifact
+    def fmtRoot(pattern: String, v: Double): String =
+      String.format(java.util.Locale.ROOT, pattern, Double.box(v))
+    def mb(a: LongAdder): String = fmtRoot("%.1f", a.sum / 1048576.0)
 
     // (name, run-thunk) in execution order: explicit names as given, or the
     // full gate (prep first, then sorted queries — Bench's attribution rule)
@@ -108,7 +112,7 @@ object ShuffleProfile {
         f"rows=$n%-8d jobs=${jobs.get}%-3d stages=${stages.sum}%-3d tasks=${tasks.sum}%-5d " +
         s"input=${mb(input)}MB shufW=${mb(shufW)}MB shufR=${mb(shufR)}MB " +
         s"spillMem=${mb(spillMem)}MB spillDisk=${mb(spillDisk)}MB")
-      records += s"""{"name":"$name","wall":${f"$wall%.3f"},"rows":$n,""" +
+      records += s"""{"name":"$name","wall":${fmtRoot("%.3f", wall)},"rows":$n,""" +
         s""""jobs":${jobs.get},"stages":${stages.sum},"tasks":${tasks.sum},""" +
         s""""inputMB":${mb(input)},"shufWMB":${mb(shufW)},"shufRMB":${mb(shufR)},""" +
         s""""spillMemMB":${mb(spillMem)},"spillDiskMB":${mb(spillDisk)}}"""

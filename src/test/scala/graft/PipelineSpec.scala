@@ -75,6 +75,152 @@ class PipelineSpec extends SparkSpec {
     assert(out(4L) === ((2L, fp("only two"))))
   }
 
+  test("removeRepeatedSpansKeepOne: each hot gram's first corpus occurrence " +
+       "retains text every other occurrence loses; later-doc keepers work") {
+    val P = (0 until 10).map(i => s"p$i").mkString(" ")  // keeper in doc 1
+    val Q = "q0 q1 q2 q3"                                // keeper in doc 2
+    val d = Seq(
+      (1L, s"$P tail1 tail2"),  // P keeper → keeps ALL 12 tokens
+      (2L, s"lead1 $P $Q"),     // P masked (non-keeper), Q keeper → keeps lead1+Q
+      (3L, s"$Q $P"),           // both non-keeper → fully masked
+      (4L, "only two")          // < n tokens, untouched
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeRepeatedSpansKeepOne(d, n = 4, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def fp(s: String): Long =
+      Seq(Tuple1(s)).toDF("t").select(graft.functions.Poly64.mix64(
+        graft.functions.Poly64.poly64(col("t")))).head().getLong(0)
+    assert(out(1L) === ((12L, fp(s"$P tail1 tail2"))))
+    assert(out(2L) === ((5L, fp(s"lead1 $Q"))))
+    assert(out(3L) === ((0L, fp(""))))
+    assert(out(4L) === ((2L, fp("only two"))))
+    // contrast pin: remove-everywhere loses P in doc 1 too — the keeper
+    // genuinely retains text a non-keeper loses
+    val everywhere = Dedup.removeRepeatedSpans(d, n = 4, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(everywhere(1L) === 2L && out(1L)._1 === 12L)
+  }
+
+  test("removeRepeatedSpansKeepOne: randomized brute-force equivalence " +
+       "(keeper = min packed (doc, pos) per hot gram)") {
+    val n = 3; val minDocs = 2
+    def brute(ds: Seq[(Long, String)]): Map[Long, (Long, String)] = {
+      val toks = ds.map { case (id, t) =>
+        id -> t.trim.toLowerCase.split("\\s+").toSeq
+      }
+      val grams = toks.filter(_._2.size >= n).flatMap { case (id, tk) =>
+        (0 to tk.size - n).map(p => (id, p.toLong, tk.slice(p, p + n).mkString(" ")))
+      }
+      val keeper = grams.groupBy(_._3)
+        .filter(_._2.map(_._1).distinct.size >= minDocs)
+        .map { case (g, os) => g -> os.map(o => (o._1 << 20) + o._2).min }
+      val covered = grams
+        .filter(o => keeper.get(o._3).exists(_ != (o._1 << 20) + o._2))
+        .flatMap(o => (o._2 until o._2 + n).map(p => (o._1, p))).toSet
+      toks.map { case (id, tk) =>
+        val kept = tk.zipWithIndex.collect {
+          case (t, p) if !covered((id, p.toLong)) => t
+        }
+        id -> ((kept.size.toLong, kept.mkString(" ")))
+      }.toMap
+    }
+    val rng = new scala.util.Random(13)
+    val vocab = (0 until 9).map(i => s"w$i")
+    (0 until 20).foreach { trial =>
+      val ds = (0 until 6).map { id =>
+        val len = 1 + rng.nextInt(20)
+        (id.toLong, (0 until len).map(_ => vocab(rng.nextInt(vocab.size))).mkString(" "))
+      }
+      val got = Dedup.removeRepeatedSpansKeepOne(
+          ds.toDF("doc_id", "text"), n = n, minDocs = minDocs)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val want = brute(ds)
+      def fp(s: String): Long =
+        Seq(Tuple1(s)).toDF("t").select(graft.functions.Poly64.mix64(
+          graft.functions.Poly64.poly64(col("t")))).head().getLong(0)
+      ds.foreach { case (id, _) =>
+        val (wantN, wantTxt) = want(id)
+        assert(got(id) === ((wantN, fp(wantTxt))), s"trial $trial doc $id corpus=$ds")
+      }
+    }
+  }
+
+  test("gramDfIndex stamps gram length; repeatedSpansIncremental rejects a " +
+       "mismatched-n base index loudly (also across a parquet roundtrip)") {
+    val docs = Seq((1L, "a b c d e"), (2L, "a b c d f")).toDF("doc_id", "text")
+    val idx3 = Dedup.gramDfIndex(docs, n = 3)
+    val delta = Seq((3L, "a b c d g")).toDF("doc_id", "text")
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.repeatedSpansIncremental(idx3, delta, n = 4, minDocs = 2)
+    }
+    assert(ex.getMessage.contains("gram-length mismatch"))
+    // matching n passes, and the MERGED index keeps the stamp (chained
+    // incrementals stay guarded)
+    val (merged, _) = Dedup.repeatedSpansIncremental(idx3, delta, n = 3, minDocs = 2)
+    val ex2 = intercept[IllegalArgumentException] {
+      Dedup.repeatedSpansIncremental(merged, delta, n = 5, minDocs = 2)
+    }
+    assert(ex2.getMessage.contains("gram-length mismatch"))
+    // the stamp survives a parquet roundtrip (the maintained-index shape)
+    val dir = java.nio.file.Files.createTempDirectory("gramidx").toString
+    idx3.write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+    val ex3 = intercept[IllegalArgumentException] {
+      Dedup.repeatedSpansIncremental(back, delta, n = 4, minDocs = 2)
+    }
+    assert(ex3.getMessage.contains("gram-length mismatch"))
+    // an unstamped hand-built index falls back to the documented contract
+    // (no exception — the caller owns n-consistency)
+    val hand = idx3.select(col("gh").cast("long").as("gh"), col("df"))
+    Dedup.repeatedSpansIncremental(hand, delta, n = 4, minDocs = 2)
+  }
+
+  test("streaming ingest: per-batch span-index maintenance — the merged " +
+       "gramDfIndex tracks the full corpus; each batch's spans are judged " +
+       "against docs-so-far (base-side re-mask caveat visible)") {
+    // the CMS foreachBatch maintenance pattern applied to the span family:
+    // document-atomic micro-batches, driver keeps the (gh, df) profile
+    // (bounded by distinct grams), each batch's spans come from ONE
+    // delta-only incremental call against the accumulated index
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val P = (0 until 6).map(i => s"p$i").mkString(" ")
+    val batches = Seq(
+      Seq((1L, s"$P a0 a1 a2")),                      // P df=1 — nothing hot yet
+      Seq((2L, s"b0 $P b1"), (3L, "c0 c1 c2 c3 c4")), // P df=2 → doc 2 marked
+      Seq((4L, s"d0 d1 $P")))                         // P df=3 → doc 4 marked
+    val idxSchema = StructType(Seq(
+      StructField("gh", LongType), StructField("df", LongType)))
+    var acc = Seq.empty[org.apache.spark.sql.Row]
+    val spansSeen = scala.collection.mutable.ListBuffer.empty[(Long, Long, Long, Long)]
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val base = spark.createDataFrame(
+          spark.sparkContext.parallelize(acc, 2), idxSchema)
+        val (merged, spans) =
+          Dedup.repeatedSpansIncremental(base, batch, n = 3, minDocs = 2)
+        // materialize both before the micro-batch frame goes stale
+        spansSeen ++= spans.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        acc = merged.collect().toSeq
+        ()
+      }
+      .start()
+    batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    // final profile == one-shot full-corpus index
+    val all = batches.flatten.toDF("doc_id", "text")
+    val full = Dedup.gramDfIndex(all, n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(acc.map(r => r.getLong(0) -> r.getLong(1)).toMap === full)
+    // spans: docs 2 and 4 marked when their batch arrived; doc 1 (the
+    // first P carrier) is NEVER re-emitted — the documented base-side
+    // re-mask contract
+    assert(spansSeen.toSet === Set((2L, 1L, 6L, 4L), (4L, 2L, 7L, 4L)))
+  }
+
   test("repeatedSpansIncremental: merged index == full-corpus index; " +
        "delta spans == batch spans restricted to the delta docs") {
     val rng = new scala.util.Random(11)
@@ -1211,6 +1357,46 @@ class PipelineSpec extends SparkSpec {
     assert(out(1L)._2 === out(3L)._2)
     // mean log prob is negative (probabilities < 1)
     assert(out.values.forall(_._2 < 0.0))
+  }
+
+  test("lmScoreAgainst: self-model ≡ lmScore; OOV terms take the smoothing " +
+       "floor with exact n_oov; lmModel shards merge pointwise") {
+    val ref = Seq(
+      (1L, "the the the cat cat"),
+      (2L, "the cat sat")
+    ).toDF("doc_id", "text")
+    val model = TextAnalysis.lmModel(ref)
+    // model: the=4, cat=3, sat=1 → N=8, V=3
+    assert(model.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      Map("the" -> 4L, "cat" -> 3L, "sat" -> 1L))
+    // self-scoring parity: same integer totals as lmScore, n_oov = 0
+    val self = TextAnalysis.lmScoreAgainst(model, ref).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val lm = TextAnalysis.lmScore(ref).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    Seq(1L, 2L).foreach { id =>
+      assert(self(id) === ((lm(id)._1, 0L, lm(id)._2)), s"doc $id")
+    }
+    // OOV probe: unseen terms floor at 1/(N+V) = 1/11; driver reference
+    // replays the per-term micro-nat quantization exactly
+    val probe = Seq((9L, "the unseen1 unseen2"), (10L, "the cat sat")).toDF("doc_id", "text")
+    val got = TextAnalysis.lmScoreAgainst(model, probe).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toList.sortBy(_._1)
+    def lpm(cnt: Long): Long = math.round(math.log((cnt + 1).toDouble / 11) * 1e6)
+    val wantScore = BigDecimal((lpm(4) + 2 * lpm(0)) / 1e6 / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(0) === ((9L, 3L, 2L, lpm(4) + 2 * lpm(0), wantScore)))
+    assert(got(1)._3 === 0L)
+    assert(got(1)._4 === lpm(4) + lpm(3) + lpm(1))
+    // the OOV-laden doc scores strictly below the in-vocab doc
+    assert(got(0)._5 < got(1)._5)
+    // shard merge ≡ whole-corpus model (maintained-profile contract)
+    val merged = TextAnalysis.mergeLmModels(Seq(
+        TextAnalysis.lmModel(ref.filter(col("doc_id") === 1L)),
+        TextAnalysis.lmModel(ref.filter(col("doc_id") === 2L))))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged === Map("the" -> 4L, "cat" -> 3L, "sat" -> 1L))
   }
 
   test("packBins: dense bins, deterministic, overflow bounded by one doc") {

@@ -58,8 +58,8 @@ class PlanAuditSpec extends SparkSpec {
     "e_knn_pq", "e_knn_sq8", "e_semdedup", "e_semdedup_incr",
     // (c) scalar attaches / literal ranges
     "d_bm25_top", "d_cooccur", "d_dsir_sample", "d_dsir_weights",
-    "d_hybrid_rrf", "d_lm_score", "d_tfidf_top", "d_edit_pairs",
-    "d_edit_clusters", "g_generators")
+    "d_hybrid_rrf", "d_lm_score", "d_lm_domain", "d_tfidf_top",
+    "d_edit_pairs", "d_edit_clusters", "g_generators")
 
   test("sweep: no gated query plans an unpartitioned Window over " +
        "non-aggregated, unbounded input, a cartesian product, or an " +

@@ -301,11 +301,46 @@ class SketchesSpec extends SparkSpec {
     }
     // a single negative value in ONE group poisons the whole decode — the
     // grouped estimate must refuse, same contract as the ungrouped one
+    // (the decode is a distributed mapGroups now, so the rejection
+    // surfaces at action time, wrapped in Spark's task-failure chain)
     val withNeg = (rows :+ ("g1", -3L)).toDF("g", "v")
-    val ex = intercept[IllegalArgumentException] {
-      Sketches.logHistogramQuantilesBy(Sketches.logHistogramBy(withNeg, "g", "v"), "g", ps)
+    val ex = intercept[Exception] {
+      Sketches.logHistogramQuantilesBy(
+        Sketches.logHistogramBy(withNeg, "g", "v"), "g", ps).collect()
     }
-    assert(ex.getMessage.contains("bucket -1"))
+    val msgs = Iterator.iterate[Throwable](ex)(_.getCause)
+      .takeWhile(_ != null).map(m => Option(m.getMessage).getOrElse(""))
+      .mkString("; ")
+    assert(msgs.contains("bucket -1"))
+  }
+
+  test("logHistogramQuantilesBy: distributed decode carries no " +
+       "bounded-group-dimension contract (many groups ≡ per-slice driver " +
+       "decode); null-group rows in hand-built tables are skipped, not NPE") {
+    import spark.implicits._
+    val ps = Seq(0.25, 0.5, 0.9)
+    // 400 groups — far past anything the r11 driver-collect contract
+    // blessed; every group must decode exactly like its own driver-side
+    // ungrouped decode
+    val manyRows = (0 until 20000).map(i => (s"m${i % 400}", (i % 997 + 1).toLong))
+    val got = Sketches.logHistogramQuantilesBy(
+        Sketches.logHistogramBy(manyRows.toDF("g", "v"), "g", "v"), "g", ps)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getLong(2)).toMap
+    assert(got.size === 400 * ps.size)
+    Seq("m0", "m123", "m399").foreach { g =>
+      val alone = Sketches.logHistogramQuantiles(
+          Sketches.logHistogram(
+            manyRows.filter(_._1 == g).map(_._2).toDF("v"), "v"), ps)
+        .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+      ps.foreach(p => assert(got((g, p)) === alone(p), s"group $g p=$p"))
+    }
+    // hand-built bucket table with a NULL group key: the r11 driver decode
+    // NPE'd here; now the row is skipped (logHistogramBy never emits one)
+    val hand = Seq((null.asInstanceOf[String], 3L, 5L), ("a", 3L, 5L))
+      .toDF("g", "bucket", "cnt")
+    val out = Sketches.logHistogramQuantilesBy(hand, "g", Seq(0.5)).collect()
+    assert(out.map(_.getString(0)).toSet === Set("a"))
+    assert(out.length === 1)
   }
 
   test("logHistogramBy: each group slice equals its own ungrouped table; " +

@@ -759,6 +759,22 @@ object SparkEntry {
         docs.filter(col("doc_id") % 41 === 0))
     }),
 
+    // span-level decontamination (the GPT-3/Llama REMOVAL step): corpus
+    // positions covered by an 8-gram that also occurs in the eval set are
+    // masked, survivors rebuilt. Probe set = the d_contamination eval
+    // slice (doc_id%41=0) PLUS injected window probes (8 tokens from
+    // position 1 of every 50th doc — natural 8-gram overlap is zero at
+    // sf0.01, so the injection keeps the gate non-vacuous at both SFs)
+    "d_decontam_spans" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val probes = docs.filter(col("doc_id") % 41 === 0).select(col("text"))
+        .unionByName(docs.filter(col("doc_id") % 50 === 0)
+          .select(array_join(slice(Dedup.normTokens(col("text")), 2, 8), " ")
+            .as("text")))
+      Curation.decontaminateSpans(docs.filter(col("doc_id") % 41 =!= 0),
+        probes, n = RepeatedSpanN)
+    }),
+
     // deterministic per-language data mix: content-hash gate, dyadic rates
     "d_sample_mix" -> ((s, dir) =>
       Curation.stratifiedSample(t(s, dir, "documents"), "lang",
@@ -2176,13 +2192,17 @@ object SparkEntry {
     * semantics), caller-supplied `hot`+`mk` CTEs pick the masked
     * occurrences (remove-everywhere vs keep-one keeper argmin), then
     * covered-position anti-join, pos-order rebuild, Poly64+mix64
-    * fingerprint — (doc_id, n_kept, text_fp). */
-  private def spanMaskOracle(hotAndMk: String): String = {
+    * fingerprint — (doc_id, n_kept, text_fp). `srcCte` is the masked
+    * corpus (defaults to the whole documents table); the hot/mk block may
+    * define its own extra CTEs (e.g. a probe-gram set). */
+  private def spanMaskOracle(hotAndMk: String,
+                             srcCte: String = "SELECT doc_id, text FROM documents"): String = {
     val n = RepeatedSpanN
     val terms = (0 until n).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
-    s"""WITH t1 AS (SELECT doc_id,
+    s"""WITH src AS ($srcCte),
+       |t1 AS (SELECT doc_id,
        |  string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
-       |  FROM documents),
+       |  FROM src),
        |g AS (SELECT doc_id, CAST(u.i AS BIGINT) - 1 AS pos, $terms AS gm
        |      FROM t1, unnest(range(1, len(toks) - $n + 2)) AS u(i)
        |      WHERE len(toks) >= $n),
@@ -2198,7 +2218,7 @@ object SparkEntry {
        |        FROM kept GROUP BY doc_id),
        |alld AS (SELECT d.doc_id, coalesce(r.n_kept, 0) AS n_kept,
        |                coalesce(r.txt, '') AS txt
-       |         FROM documents d LEFT JOIN reb r ON d.doc_id = r.doc_id),
+       |         FROM src d LEFT JOIN reb r ON d.doc_id = r.doc_id),
        |hs AS (SELECT doc_id, n_kept,
        |         ${sqlPoly("cps", 1125899906842597L, 1099511628211L)} AS u
        |       FROM (SELECT doc_id, n_kept, list_transform(range(1, length(txt) + 1),
@@ -4023,6 +4043,27 @@ object SparkEntry {
          |        HAVING count(DISTINCT doc_id) >= $RepeatedSpanMinDocs),
          |mk AS (SELECT doc_id, pos FROM g JOIN hot USING (gm)
          |       WHERE doc_id * 1048576 + pos <> w),""".stripMargin),
+
+    // span decontamination: probe grams (eval slice + injected windows)
+    // replayed as strings, masked corpus = the non-eval docs
+    "d_decontam_spans" -> {
+      val n = RepeatedSpanN
+      val terms = (0 until n).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
+      spanMaskOracle(
+        s"""pr AS (SELECT text FROM documents WHERE doc_id % 41 = 0
+           |       UNION ALL
+           |       SELECT array_to_string(list_slice(
+           |         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+           |         2, 9), ' ') AS text
+           |       FROM documents WHERE doc_id % 50 = 0),
+           |pt AS (SELECT string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+           |       FROM pr),
+           |hot AS (SELECT DISTINCT $terms AS gm
+           |        FROM pt, unnest(range(1, len(toks) - $n + 2)) AS u(i)
+           |        WHERE len(toks) >= $n),
+           |mk AS (SELECT doc_id, pos FROM g JOIN hot USING (gm)),""".stripMargin,
+        srcCte = "SELECT doc_id, text FROM documents WHERE doc_id % 41 <> 0")
+    },
 
     // corpus-level mask aggregate over the remove-everywhere result
     "d_repeated_spans_mask" ->

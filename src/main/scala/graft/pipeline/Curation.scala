@@ -118,6 +118,44 @@ object Curation {
     contaminationOutput(corpusSh, shared, idCol)
   }
 
+  /**
+   * Span-level decontamination — the deployed eval-leakage REMOVAL step
+   * (GPT-3 App. C / Llama-style 13-gram collision masking): every corpus
+   * token position covered by an n-gram that ALSO occurs in `probes` (the
+   * benchmark / eval corpus) is dropped, and the survivors are rebuilt —
+   * the token-granularity complement of [[contamination]]'s doc-level
+   * signal (which measures; this removes, without discarding the whole
+   * document). Returns the span-mask family's gated shape:
+   * (idCol, n_kept, text_fp) over every CORPUS document.
+   *
+   * Mechanically this is [[Dedup.repeatedSpans]]' machinery with the
+   * hot-gram set swapped: instead of "grams in ≥ minDocs corpus docs",
+   * hot = the DISTINCT probe gram hashes. Same scale shape — the probe
+   * index is bounded by the eval suite's distinct grams (MBs, broadcast
+   * by default: the corpus-side gram stream is scanned once with no
+   * shuffle before the mask join); marking is a semi-join; islands merge
+   * per document; the mask is a position-level left_anti. Set
+   * `broadcastProbes = false` for a cluster-scale probe corpus (falls
+   * back to a shuffle equi-join on the gram hash, the contamination()
+   * convention).
+   */
+  def decontaminateSpans(corpus: DataFrame, probes: DataFrame,
+                         idCol: String = "doc_id", textCol: String = "text",
+                         probeTextCol: String = "text", n: Int = 8,
+                         broadcastProbes: Boolean = true): DataFrame = {
+    require(n >= 2, s"n must be >= 2, got $n")
+    val hot0 = Dedup.positionalGrams(
+        probes.select(lit(0L).as("_pid"), col(probeTextCol)),
+        "_pid", probeTextCol, n)
+      .select(col("_gh")).distinct()
+    val hot = if (broadcastProbes) broadcast(hot0) else hot0
+    val marked = Dedup.positionalGrams(corpus, idCol, textCol, n)
+      .join(hot, Seq("_gh"), "left_semi")
+      .select(col("_id"), col("_pos"))
+    Dedup.applySpanMask(corpus, Dedup.mergeIslands(marked, n, idCol),
+      idCol, textCol)
+  }
+
   // ---- deterministic sampling / data mixing -------------------------------
 
   /** Sampling gate granularity: 2^20. A power of two so the gate value is a

@@ -1229,7 +1229,7 @@ object Dedup {
 
   /** Positional n-gram hash stream (_id, _pos, _gh) — shared by the batch,
     * incremental, and index builders. */
-  private def positionalGrams(docs: DataFrame, idCol: String, textCol: String,
+  private[pipeline] def positionalGrams(docs: DataFrame, idCol: String, textCol: String,
                               n: Int): DataFrame =
     spread(docs)
       .select(col(idCol).as("_id"), normTokens(col(textCol)).as("_toks"))
@@ -1241,7 +1241,7 @@ object Dedup {
 
   /** Merge marked gram starts (gap ≤ n) into maximal spans — per-doc
     * window, state bounded by one doc's marked grams. */
-  private def mergeIslands(marked: DataFrame, n: Int, idCol: String): DataFrame = {
+  private[pipeline] def mergeIslands(marked: DataFrame, n: Int, idCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("_id")).orderBy(col("_pos"))
     marked
@@ -1404,7 +1404,7 @@ object Dedup {
     * positions), rebuild the survivors in position order, and fingerprint —
     * the (idCol, n_kept, text_fp) gated shape. Position-level left_anti ∝
     * corpus tokens; per-doc rebuild bounded by doc length. */
-  private def applySpanMask(docs: DataFrame, spans: DataFrame,
+  private[pipeline] def applySpanMask(docs: DataFrame, spans: DataFrame,
                             idCol: String, textCol: String): DataFrame = {
     val covered = spans.select(col(idCol).as("_id"),
       explode(sequence(col("start_tok"), col("end_tok"))).as("_pos"))

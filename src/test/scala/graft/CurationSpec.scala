@@ -97,6 +97,42 @@ class CurationSpec extends SparkSpec {
     assert(out(3L) === ((0L, 0L, 0.0)))
   }
 
+  test("decontaminateSpans: probe-overlapping positions masked, survivors " +
+       "rebuilt; probe-only and corpus-internal-repeat grams never mask") {
+    val E = (0 until 8).map(i => s"e$i").mkString(" ")   // the eval phrase
+    val corpus = Seq(
+      (1L, s"$E a0 a1"),                 // E at 0..7 → keeps "a0 a1"
+      (2L, s"b0 $E"),                    // E at 1..8 → keeps "b0"
+      (3L, "c0 c1 c2 c3 c4 c5 c6 c7 c8") // no probe gram → untouched
+    ).toDF("doc_id", "text")
+    val probes = Seq(
+      Tuple1(s"lead $E trail"),                       // carries E
+      Tuple1("p0 p1 p2 p3 p4 p5 p6 p7 p8 p9")         // probe-only grams
+    ).toDF("text")
+    val out = Curation.decontaminateSpans(corpus, probes, n = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def fp(s: String): Long =
+      Seq(Tuple1(s)).toDF("t").select(graft.functions.Poly64.mix64(
+        graft.functions.Poly64.poly64(col("t")))).head().getLong(0)
+    assert(out(1L) === ((2L, fp("a0 a1"))))
+    assert(out(2L) === ((1L, fp("b0"))))
+    assert(out(3L) === ((9L, fp("c0 c1 c2 c3 c4 c5 c6 c7 c8"))))
+    assert(out.size === 3)
+    // broadcast default and shuffle fallback agree
+    val a = Curation.decontaminateSpans(corpus, probes, n = 8,
+      broadcastProbes = false).orderBy("doc_id").collect().toSeq
+    val b = Curation.decontaminateSpans(corpus, probes, n = 8)
+      .orderBy("doc_id").collect().toSeq
+    assert(a === b)
+    // a corpus-internal repeated gram (no probe occurrence) must NOT mask:
+    // decontamination is against the eval set, not self-dedup
+    val selfRep = Seq((7L, "r0 r1 r2 r3 r4 r5 r6 r7 x r0 r1 r2 r3 r4 r5 r6 r7"))
+      .toDF("doc_id", "text")
+    val out2 = Curation.decontaminateSpans(selfRep, probes, n = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out2(7L) === 17L)
+  }
+
   test("contamination: shuffle-join fallback matches broadcast plan") {
     val corpus = (0L until 50L)
       .map(i => (i, s"w$i x${i % 7} y${i % 5} z${i % 3} common tail here"))

@@ -1044,15 +1044,18 @@ object SparkEntry {
         n = RepeatedSpanN, minDocs = RepeatedSpanMinDocs)),
 
     // corpus-level mask aggregate: forces FULL mask materialization even
-    // under a bench-side count() (the per-doc mask query's count() is
-    // metadata-only once Catalyst eliminates the rebuild join — this row's
-    // fingerprint xor cannot be) so the operator's real cost is measured,
-    // not just gated
+    // under a bench-side count(). Two prunes have to be defeated: the
+    // per-doc mask query's count() is metadata-only (Catalyst eliminates
+    // the rebuild join), and count() over a no-grouping aggregate is the
+    // CONSTANT 1 (measured: zero shuffle without the guard) — so the row
+    // count is made data-dependent via a non-foldable filter on the
+    // fingerprint xor, which cannot be answered without running the mask
     "d_repeated_spans_mask" -> ((s, dir) =>
       Dedup.removeRepeatedSpans(t(s, dir, "documents"),
           n = RepeatedSpanN, minDocs = RepeatedSpanMinDocs)
         .agg(count(lit(1)).as("n_docs"), sum(col("n_kept")).as("tot_kept"),
-          expr("bit_xor(text_fp)").as("mask_fp"))),
+          expr("bit_xor(text_fp)").as("mask_fp"))
+        .filter(col("mask_fp").isNotNull)),
 
     // CDC member: base index (75% of docs) + incremental spans over the
     // newly arrived 25%, hotness judged against base ∪ delta — must equal

@@ -133,6 +133,50 @@ class CurationSpec extends SparkSpec {
     assert(out2(7L) === 17L)
   }
 
+  test("decontaminateSpans: randomized brute-force equivalence (small vocab " +
+       "forces probe/corpus gram collisions)") {
+    val n = 3
+    def brute(corpus: Seq[(Long, String)], probes: Seq[String]): Map[Long, (Long, String)] = {
+      def toks(t: String): Seq[String] = t.trim.toLowerCase.split("\\s+").toSeq
+      val hot = probes.map(toks).filter(_.size >= n)
+        .flatMap(tk => (0 to tk.size - n).map(p => tk.slice(p, p + n).mkString(" ")))
+        .toSet
+      corpus.map { case (id, t) =>
+        val tk = toks(t)
+        val covered =
+          if (tk.size < n) Set.empty[Int]
+          else (0 to tk.size - n).filter(p => hot(tk.slice(p, p + n).mkString(" ")))
+            .flatMap(p => p until p + n).toSet
+        val kept = tk.zipWithIndex.collect { case (w, p) if !covered(p) => w }
+        id -> ((kept.size.toLong, kept.mkString(" ")))
+      }.toMap
+    }
+    def fp(s: String): Long =
+      Seq(Tuple1(s)).toDF("t").select(graft.functions.Poly64.mix64(
+        graft.functions.Poly64.poly64(col("t")))).head().getLong(0)
+    val rng = new scala.util.Random(29)
+    val vocab = (0 until 8).map(i => s"w$i")
+    (0 until 15).foreach { trial =>
+      val corpus = (0 until 6).map { id =>
+        val len = 1 + rng.nextInt(18)
+        (id.toLong, (0 until len).map(_ => vocab(rng.nextInt(vocab.size))).mkString(" "))
+      }
+      val probes = (0 until 2).map { _ =>
+        val len = 1 + rng.nextInt(10)
+        (0 until len).map(_ => vocab(rng.nextInt(vocab.size))).mkString(" ")
+      }
+      val got = Curation.decontaminateSpans(
+          corpus.toDF("doc_id", "text"), probes.map(Tuple1(_)).toDF("text"), n = n)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val want = brute(corpus, probes)
+      corpus.foreach { case (id, _) =>
+        val (wantN, wantTxt) = want(id)
+        assert(got(id) === ((wantN, fp(wantTxt))),
+          s"trial $trial doc $id corpus=$corpus probes=$probes")
+      }
+    }
+  }
+
   test("contamination: shuffle-join fallback matches broadcast plan") {
     val corpus = (0L until 50L)
       .map(i => (i, s"w$i x${i % 7} y${i % 5} z${i % 3} common tail here"))

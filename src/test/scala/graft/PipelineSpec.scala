@@ -1399,6 +1399,43 @@ class PipelineSpec extends SparkSpec {
     assert(merged === Map("the" -> 4L, "cat" -> 3L, "sat" -> 1L))
   }
 
+  test("lmScoreAgainst: randomized driver-reference equivalence on the " +
+       "exact micro-nat totals (split model/score corpora, OOV present)") {
+    val rng = new scala.util.Random(31)
+    val vocab = (0 until 10).map(i => s"w$i")
+    (0 until 10).foreach { trial =>
+      // model corpus from w0..w6 only; scored corpus from the FULL vocab,
+      // so w7..w9 occurrences are genuine OOV hits
+      val modelDocs = (0 until 4).map { _ =>
+        val len = 3 + rng.nextInt(12)
+        (0 until len).map(_ => vocab(rng.nextInt(7))).mkString(" ")
+      }
+      val scoreDocs = (0 until 5).map { id =>
+        val len = 1 + rng.nextInt(10)
+        (id.toLong, (0 until len).map(_ => vocab(rng.nextInt(vocab.size))).mkString(" "))
+      }
+      val counts = modelDocs.flatMap(_.split(" ")).groupBy(identity)
+        .view.mapValues(_.size.toLong).toMap
+      val nTotal = counts.values.sum
+      val nVocab = counts.size.toLong
+      def lpm(tf: Long, cnt: Long): Long =
+        math.round(tf * math.log((cnt + 1).toDouble / (nTotal + nVocab)) * 1e6)
+      val want = scoreDocs.map { case (id, t) =>
+        val tf = t.split(" ").groupBy(identity).view.mapValues(_.size.toLong)
+        val total = tf.map { case (w, f) => lpm(f, counts.getOrElse(w, 0L)) }.sum
+        val oov = tf.collect { case (w, f) if !counts.contains(w) => f }.sum
+        id -> ((tf.values.sum, oov, total))
+      }.toMap
+      val got = TextAnalysis.lmScoreAgainst(
+          TextAnalysis.lmModel(modelDocs.map(Tuple1(_)).toDF("text")),
+          scoreDocs.toDF("doc_id", "text"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      scoreDocs.foreach { case (id, _) =>
+        assert(got(id) === want(id), s"trial $trial doc $id")
+      }
+    }
+  }
+
   test("packBins: dense bins, deterministic, overflow bounded by one doc") {
     val d = (1L to 30L).map(i => (i, ("w " * (i % 7 + 1).toInt).trim)).toDF("doc_id", "text")
     val out = TextAnalysis.packBins(d, budget = 10)

@@ -1049,13 +1049,16 @@ object SparkEntry {
     // the rebuild join), and count() over a no-grouping aggregate is the
     // CONSTANT 1 (measured: zero shuffle without the guard) — so the row
     // count is made data-dependent via a non-foldable filter on the
-    // fingerprint xor, which cannot be answered without running the mask
+    // fingerprint xor, which cannot be answered without running the mask.
+    // The n_docs=0 disjunct keeps the single agg row on an EMPTY corpus
+    // (bit_xor of nothing is NULL — the bare isNotNull would drop the row
+    // while the oracle keeps it)
     "d_repeated_spans_mask" -> ((s, dir) =>
       Dedup.removeRepeatedSpans(t(s, dir, "documents"),
           n = RepeatedSpanN, minDocs = RepeatedSpanMinDocs)
         .agg(count(lit(1)).as("n_docs"), sum(col("n_kept")).as("tot_kept"),
           expr("bit_xor(text_fp)").as("mask_fp"))
-        .filter(col("mask_fp").isNotNull)),
+        .filter(col("n_docs") === 0 || col("mask_fp").isNotNull)),
 
     // CDC member: base index (75% of docs) + incremental spans over the
     // newly arrived 25%, hotness judged against base ∪ delta — must equal
@@ -2188,6 +2191,15 @@ object SparkEntry {
        |SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars,
        |       bit_xor(h) AS content_fp
        |FROM b GROUP BY source""".stripMargin
+
+  /** The remove-everywhere hot/mk block, shared by the
+    * d_repeated_spans_removed and d_repeated_spans_mask oracles — one
+    * definition so the per-doc gate and its corpus aggregate can never
+    * silently test different semantics. */
+  private lazy val removeEverywhereHotMk: String =
+    s"""hot AS (SELECT gm FROM g GROUP BY gm
+       |        HAVING count(DISTINCT doc_id) >= $RepeatedSpanMinDocs),
+       |mk AS (SELECT doc_id, pos FROM g JOIN hot USING (gm)),""".stripMargin
 
   /** Span-mask oracle template shared by d_repeated_spans_removed /
     * _keep / _mask: positional n-gram stream (gram STRINGS — Spark's
@@ -4033,10 +4045,7 @@ object SparkEntry {
     // applied span mask: covered positions = every [start, start+n-1] of a
     // marked gram start; anti-join the token stream, rebuild in pos order,
     // Poly64+mix fingerprint (empty string for fully-covered/NULL docs)
-    "d_repeated_spans_removed" -> spanMaskOracle(
-      s"""hot AS (SELECT gm FROM g GROUP BY gm
-         |        HAVING count(DISTINCT doc_id) >= $RepeatedSpanMinDocs),
-         |mk AS (SELECT doc_id, pos FROM g JOIN hot USING (gm)),""".stripMargin),
+    "d_repeated_spans_removed" -> spanMaskOracle(removeEverywhereHotMk),
 
     // keep-one-copy mask: per hot gram, the first corpus occurrence
     // (min doc_id*2^20+pos, the lineDedup ord pack) is the keeper and is
@@ -4068,14 +4077,13 @@ object SparkEntry {
         srcCte = "SELECT doc_id, text FROM documents WHERE doc_id % 41 <> 0")
     },
 
-    // corpus-level mask aggregate over the remove-everywhere result
+    // corpus-level mask aggregate over the remove-everywhere result (the
+    // SAME hot/mk block by construction — the two gates must test one
+    // semantics)
     "d_repeated_spans_mask" ->
       s"""SELECT count(*) AS n_docs, CAST(sum(n_kept) AS BIGINT) AS tot_kept,
          |       bit_xor(text_fp) AS mask_fp
-         |FROM (${spanMaskOracle(
-        s"""hot AS (SELECT gm FROM g GROUP BY gm
-           |        HAVING count(DISTINCT doc_id) >= $RepeatedSpanMinDocs),
-           |mk AS (SELECT doc_id, pos FROM g JOIN hot USING (gm)),""".stripMargin)})""".stripMargin,
+         |FROM (${spanMaskOracle(removeEverywhereHotMk)})""".stripMargin,
 
     // Line dedup: re-wrap the corpus into 2-token lines, keep each distinct
     // line's first (doc_id, pos) occurrence, fingerprint the rebuilt text

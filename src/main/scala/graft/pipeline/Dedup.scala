@@ -1130,7 +1130,9 @@ object Dedup {
         posexplode(split(col(textCol), "\n", -1)).as(Seq("_pos", "_line")))
       .withColumn("_h", graft.functions.Poly64.poly64(col("_line")))
       .withColumn("_ord",
-        shiftleft(col("_id"), PosBits) + col("_pos").cast("long"))
+        // cast before the shift — Int-width ids would overflow (same
+        // guard as removeRepeatedSpansKeepOne's ord pack)
+        shiftleft(col("_id").cast("long"), PosBits) + col("_pos").cast("long"))
     // localCheckpoint BEFORE the append: winners anti-joins the very table
     // the append grows — a lazy plan re-evaluated after the write would see
     // its own lines in the index and drop everything it just kept
@@ -1171,7 +1173,9 @@ object Dedup {
         posexplode(split(col(textCol), "\n", -1)).as(Seq("_pos", "_line")))
       .withColumn("_h", graft.functions.Poly64.poly64(col("_line")))
       .withColumn("_ord",
-        shiftleft(col("_id"), PosBits) + col("_pos").cast("long"))
+        // cast before the shift — Int-width ids would overflow (same
+        // guard as removeRepeatedSpansKeepOne's ord pack)
+        shiftleft(col("_id").cast("long"), PosBits) + col("_pos").cast("long"))
     val winners = lines.groupBy(col("_h"))
       .agg(min(col("_ord")).as("_w"))
     lines.join(winners, Seq("_h"))
@@ -1387,8 +1391,11 @@ object Dedup {
     require(n >= 2, s"n must be >= 2, got $n")
     require(minDocs >= 2, s"minDocs must be >= 2 (cross-document), got $minDocs")
     val PosBits = 20
+    // cast before the shift: an IntegerType id column would shift in Int
+    // width and overflow at doc_id 2^11, silently electing a wrong keeper
     val grams = positionalGrams(docs, idCol, textCol, n)
-      .withColumn("_ord", shiftleft(col("_id"), PosBits) + col("_pos"))
+      .withColumn("_ord",
+        shiftleft(col("_id").cast("long"), PosBits) + col("_pos"))
     val hot = grams.groupBy(col("_gh"))
       .agg(countDistinct(col("_id")).as("_df"), min(col("_ord")).as("_w"))
       .filter(col("_df") >= minDocs)

@@ -218,28 +218,13 @@ object TextAnalysis {
     * when small) and averages weighted log-probs per doc. Two scans, three
     * shuffles, no driver-side state. */
   def lmScore(df: DataFrame, idCol: String = "doc_id",
-              textCol: String = "text"): DataFrame = {
-    val terms = Dedup.spread(df).select(col(idCol).as("doc_id"),
-      explode(wsTokens(lower(trim(col(textCol))))).as("term"))
-    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val model = tf.groupBy("term").agg(sum(col("tf")).as("cnt"))
-    val totals = model.agg(sum(col("cnt")).as("n_total"),
-      count(lit(1)).as("n_vocab"))
-    // per-term contributions quantize to integer micro-nats BEFORE the sum:
-    // long addition is order-independent, so the aggregate is hash-stable
-    // across engines and shuffle orders (a raw double sum is not). The
-    // EXACT integer total rides along (`lm_micro_total`) — cross-engine
-    // comparisons should use it, since round(double, 6) of the quotient can
-    // land on opposite sides of a half boundary between engines.
-    withScalars(tf.join(model, "term"), totals)
-      .withColumn("_lpm", round(col("tf") * log(
-        (col("cnt") + 1).cast("double") / (col("n_total") + col("n_vocab")))
-        * 1e6).cast("long"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("tf")).as("n_tokens"),
-        sum(col("_lpm")).as("lm_micro_total"),
-        round((sum(col("_lpm")) / 1e6) / sum(col("tf")), 6).as("lm_score"))
-  }
+              textCol: String = "text"): DataFrame =
+    // self-scoring IS reference scoring with the model trained on the
+    // corpus itself (every term in-vocabulary, so the OOV column is
+    // constant 0 and dropped) — one implementation of the
+    // cross-engine-critical quantization, spec-pinned equivalent
+    lmScoreAgainst(lmModel(df, textCol), df, idCol, textCol)
+      .drop("n_oov")
 
   /** The mergeable unigram model behind [[lmScoreAgainst]]: (term, cnt)
     * token counts of a REFERENCE corpus. Models over disjoint shards merge
@@ -269,8 +254,15 @@ object TextAnalysis {
     * the cnt=0 case of the (cnt+1)/(N+V) rule, so the scorer needs no
     * special OOV branch, and `n_oov` (OOV token occurrences) rides along
     * as its own filter signal. Returns
-    * (idCol, n_tokens, n_oov, lm_micro_total, lm_score); hash-gate on the
-    * exact integer micro-nat total, same discipline as [[lmScore]].
+    * (idCol, n_tokens, n_oov, lm_micro_total, lm_score).
+    *
+    * Cross-engine discipline (this is the ONE implementation — [[lmScore]]
+    * delegates here): per-term contributions quantize to integer
+    * micro-nats BEFORE the sum; long addition is order-independent, so
+    * the aggregate is hash-stable across engines and shuffle orders (a
+    * raw double sum is not). Hash-gate on the exact integer
+    * `lm_micro_total` — round(double, 6) of the quotient can land on
+    * opposite sides of a half boundary between engines.
     *
     * Scale shape: scoring joins the per-doc tf frame LEFT against the
     * model (model is reference-corpus-vocabulary-sized — shuffle join,

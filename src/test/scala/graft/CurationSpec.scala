@@ -133,6 +133,15 @@ class CurationSpec extends SparkSpec {
     assert(out2(7L) === 17L)
   }
 
+  test("decontaminateSpans: empty probe set masks nothing (every corpus " +
+       "doc intact, the contaminationBloom empty-probe convention)") {
+    val corpus = Seq((1L, "a0 a1 a2 a3 a4"), (2L, "b0 b1")).toDF("doc_id", "text")
+    val out = Curation.decontaminateSpans(corpus,
+        Seq.empty[Tuple1[String]].toDF("text"), n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 5L, 2L -> 2L))
+  }
+
   test("decontaminateSpans: randomized brute-force equivalence (small vocab " +
        "forces probe/corpus gram collisions)") {
     val n = 3

@@ -101,6 +101,20 @@ class PipelineSpec extends SparkSpec {
     assert(everywhere(1L) === 2L && out(1L)._1 === 12L)
   }
 
+  test("span mask aggregate on an EMPTY corpus keeps its single row " +
+       "(n_docs=0, NULL sums) — the d_repeated_spans_mask guard's " +
+       "empty-input carve-out, matching the SQL-aggregate convention") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val out = Dedup.removeRepeatedSpans(empty, n = 4, minDocs = 2)
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_kept")).as("tot_kept"),
+        expr("bit_xor(text_fp)").as("mask_fp"))
+      .filter(col("n_docs") === 0 || col("mask_fp").isNotNull)
+      .collect()
+    assert(out.length === 1)
+    assert(out(0).getLong(0) === 0L)
+    assert(out(0).isNullAt(1) && out(0).isNullAt(2))
+  }
+
   test("removeRepeatedSpansKeepOne: randomized brute-force equivalence " +
        "(keeper = min packed (doc, pos) per hot gram)") {
     val n = 3; val minDocs = 2

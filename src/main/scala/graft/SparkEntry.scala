@@ -765,15 +765,12 @@ object SparkEntry {
     // slice (doc_id%41=0) PLUS injected window probes (8 tokens from
     // position 1 of every 50th doc — natural 8-gram overlap is zero at
     // sf0.01, so the injection keeps the gate non-vacuous at both SFs)
-    "d_decontam_spans" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val probes = docs.filter(col("doc_id") % 41 === 0).select(col("text"))
-        .unionByName(docs.filter(col("doc_id") % 50 === 0)
-          .select(array_join(slice(Dedup.normTokens(col("text")), 2, 8), " ")
-            .as("text")))
-      Curation.decontaminateSpans(docs.filter(col("doc_id") % 41 =!= 0),
-        probes, n = RepeatedSpanN)
-    }),
+    "d_decontam_spans" -> ((s, dir) => decontamMasked(s, dir)),
+
+    // its cost-visible corpus aggregate (anti-prune shape, see
+    // d_repeated_spans_mask): the decontamination path's real cost is
+    // measured at bench time, not just gated
+    "d_decontam_spans_agg" -> ((s, dir) => maskCostAgg(decontamMasked(s, dir))),
 
     // deterministic per-language data mix: content-hash gate, dyadic rates
     "d_sample_mix" -> ((s, dir) =>
@@ -1043,6 +1040,13 @@ object SparkEntry {
       Dedup.removeRepeatedSpansKeepOne(t(s, dir, "documents"),
         n = RepeatedSpanN, minDocs = RepeatedSpanMinDocs)),
 
+    // keep-one cost-visible corpus aggregate (anti-prune shape, see
+    // d_repeated_spans_mask): the keeper path's real cost is measured at
+    // bench time, not just gated
+    "d_repeated_spans_keep_agg" -> ((s, dir) =>
+      maskCostAgg(Dedup.removeRepeatedSpansKeepOne(t(s, dir, "documents"),
+        n = RepeatedSpanN, minDocs = RepeatedSpanMinDocs))),
+
     // corpus-level mask aggregate: forces FULL mask materialization even
     // under a bench-side count(). Two prunes have to be defeated: the
     // per-doc mask query's count() is metadata-only (Catalyst eliminates
@@ -1054,11 +1058,8 @@ object SparkEntry {
     // (bit_xor of nothing is NULL — the bare isNotNull would drop the row
     // while the oracle keeps it)
     "d_repeated_spans_mask" -> ((s, dir) =>
-      Dedup.removeRepeatedSpans(t(s, dir, "documents"),
-          n = RepeatedSpanN, minDocs = RepeatedSpanMinDocs)
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_kept")).as("tot_kept"),
-          expr("bit_xor(text_fp)").as("mask_fp"))
-        .filter(col("n_docs") === 0 || col("mask_fp").isNotNull)),
+      maskCostAgg(Dedup.removeRepeatedSpans(t(s, dir, "documents"),
+        n = RepeatedSpanN, minDocs = RepeatedSpanMinDocs))),
 
     // CDC member: base index (75% of docs) + incremental spans over the
     // newly arrived 25%, hotness judged against base ∪ delta — must equal
@@ -2168,6 +2169,30 @@ object SparkEntry {
     * fingerprints of `doc_id:text` — the lossless-format gate for the
     * JSONL/CSV sink→source cycles (any dropped/mutated row or character
     * flips the XOR). */
+  /** Cost-visible corpus aggregate over a span-mask result
+    * (doc_id, n_kept, text_fp): count + Σn_kept + XOR of fingerprints.
+    * The filter defeats TWO count()-time prunes — the rebuild join
+    * elimination AND the constant-1 fold of a no-grouping aggregate —
+    * while the n_docs=0 disjunct keeps the single row on an empty corpus
+    * (bit_xor of nothing is NULL; the oracle keeps the row). */
+  private def maskCostAgg(masked: DataFrame): DataFrame =
+    masked
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_kept")).as("tot_kept"),
+        expr("bit_xor(text_fp)").as("mask_fp"))
+      .filter(col("n_docs") === 0 || col("mask_fp").isNotNull)
+
+  /** Shared construction for d_decontam_spans and its cost aggregate:
+    * eval slice + injected window probes, masked corpus = non-eval docs. */
+  private def decontamMasked(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val probes = docs.filter(col("doc_id") % 41 === 0).select(col("text"))
+      .unionByName(docs.filter(col("doc_id") % 50 === 0)
+        .select(array_join(slice(Dedup.normTokens(col("text")), 2, 8), " ")
+          .as("text")))
+    Curation.decontaminateSpans(docs.filter(col("doc_id") % 41 =!= 0),
+      probes, n = RepeatedSpanN)
+  }
+
   private def roundtripSummary(df: DataFrame): DataFrame =
     df.select(col("source"), col("n_chars"),
         graft.functions.Poly64.mix64(graft.functions.Poly64.poly64(
@@ -2200,6 +2225,38 @@ object SparkEntry {
     s"""hot AS (SELECT gm FROM g GROUP BY gm
        |        HAVING count(DISTINCT doc_id) >= $RepeatedSpanMinDocs),
        |mk AS (SELECT doc_id, pos FROM g JOIN hot USING (gm)),""".stripMargin
+
+  /** Keep-one hot/mk block, shared by the d_repeated_spans_keep per-doc
+    * gate and its cost-visible corpus aggregate. */
+  private lazy val keepOneHotMk: String =
+    s"""hot AS (SELECT gm, min(doc_id * 1048576 + pos) AS w FROM g GROUP BY gm
+       |        HAVING count(DISTINCT doc_id) >= $RepeatedSpanMinDocs),
+       |mk AS (SELECT doc_id, pos FROM g JOIN hot USING (gm)
+       |       WHERE doc_id * 1048576 + pos <> w),""".stripMargin
+
+  /** Decontamination probe-gram hot/mk block + corpus source, shared by
+    * the d_decontam_spans per-doc gate and its corpus aggregate: probe
+    * set = the eval slice (doc_id%41=0) plus injected 8-token windows
+    * from every 50th doc (natural overlap is zero at sf0.01). */
+  private lazy val decontamHotMk: String = {
+    val n = RepeatedSpanN
+    val terms = (0 until n).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
+    s"""pr AS (SELECT text FROM documents WHERE doc_id % 41 = 0
+       |       UNION ALL
+       |       SELECT array_to_string(list_slice(
+       |         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+       |         2, 9), ' ') AS text
+       |       FROM documents WHERE doc_id % 50 = 0),
+       |pt AS (SELECT string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+       |       FROM pr),
+       |hot AS (SELECT DISTINCT $terms AS gm
+       |        FROM pt, unnest(range(1, len(toks) - $n + 2)) AS u(i)
+       |        WHERE len(toks) >= $n),
+       |mk AS (SELECT doc_id, pos FROM g JOIN hot USING (gm)),""".stripMargin
+  }
+
+  private lazy val decontamSrc: String =
+    "SELECT doc_id, text FROM documents WHERE doc_id % 41 <> 0"
 
   /** Span-mask oracle template shared by d_repeated_spans_removed /
     * _keep / _mask: positional n-gram stream (gram STRINGS — Spark's
@@ -4050,32 +4107,25 @@ object SparkEntry {
     // keep-one-copy mask: per hot gram, the first corpus occurrence
     // (min doc_id*2^20+pos, the lineDedup ord pack) is the keeper and is
     // NOT masked; only non-keeper occurrences mark positions
-    "d_repeated_spans_keep" -> spanMaskOracle(
-      s"""hot AS (SELECT gm, min(doc_id * 1048576 + pos) AS w FROM g GROUP BY gm
-         |        HAVING count(DISTINCT doc_id) >= $RepeatedSpanMinDocs),
-         |mk AS (SELECT doc_id, pos FROM g JOIN hot USING (gm)
-         |       WHERE doc_id * 1048576 + pos <> w),""".stripMargin),
+    "d_repeated_spans_keep" -> spanMaskOracle(keepOneHotMk),
+
+    // keep-one cost-visible corpus aggregate (same anti-prune shape as
+    // d_repeated_spans_mask; SAME hot/mk block as the per-doc gate)
+    "d_repeated_spans_keep_agg" ->
+      s"""SELECT count(*) AS n_docs, CAST(sum(n_kept) AS BIGINT) AS tot_kept,
+         |       bit_xor(text_fp) AS mask_fp
+         |FROM (${spanMaskOracle(keepOneHotMk)})""".stripMargin,
 
     // span decontamination: probe grams (eval slice + injected windows)
     // replayed as strings, masked corpus = the non-eval docs
-    "d_decontam_spans" -> {
-      val n = RepeatedSpanN
-      val terms = (0 until n).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
-      spanMaskOracle(
-        s"""pr AS (SELECT text FROM documents WHERE doc_id % 41 = 0
-           |       UNION ALL
-           |       SELECT array_to_string(list_slice(
-           |         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
-           |         2, 9), ' ') AS text
-           |       FROM documents WHERE doc_id % 50 = 0),
-           |pt AS (SELECT string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
-           |       FROM pr),
-           |hot AS (SELECT DISTINCT $terms AS gm
-           |        FROM pt, unnest(range(1, len(toks) - $n + 2)) AS u(i)
-           |        WHERE len(toks) >= $n),
-           |mk AS (SELECT doc_id, pos FROM g JOIN hot USING (gm)),""".stripMargin,
-        srcCte = "SELECT doc_id, text FROM documents WHERE doc_id % 41 <> 0")
-    },
+    "d_decontam_spans" -> spanMaskOracle(decontamHotMk, srcCte = decontamSrc),
+
+    // decontamination cost-visible corpus aggregate (same anti-prune
+    // shape as d_repeated_spans_mask; SAME hot/mk + source as the gate)
+    "d_decontam_spans_agg" ->
+      s"""SELECT count(*) AS n_docs, CAST(sum(n_kept) AS BIGINT) AS tot_kept,
+         |       bit_xor(text_fp) AS mask_fp
+         |FROM (${spanMaskOracle(decontamHotMk, srcCte = decontamSrc)})""".stripMargin,
 
     // corpus-level mask aggregate over the remove-everywhere result (the
     // SAME hot/mk block by construction — the two gates must test one

@@ -2182,12 +2182,15 @@ object SparkEntry {
       .filter(col("n_docs") === 0 || col("mask_fp").isNotNull)
 
   /** Shared construction for d_decontam_spans and its cost aggregate:
-    * eval slice + injected window probes, masked corpus = non-eval docs. */
+    * eval slice + injected window probes, masked corpus = non-eval docs.
+    * The injected windows are exactly RepeatedSpanN tokens wide (derived,
+    * not hardcoded — a shorter-than-n window yields ZERO probe grams and
+    * the gate silently reverts to agreed emptiness). */
   private def decontamMasked(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val probes = docs.filter(col("doc_id") % 41 === 0).select(col("text"))
       .unionByName(docs.filter(col("doc_id") % 50 === 0)
-        .select(array_join(slice(Dedup.normTokens(col("text")), 2, 8), " ")
+        .select(array_join(slice(Dedup.normTokens(col("text")), 2, RepeatedSpanN), " ")
           .as("text")))
     Curation.decontaminateSpans(docs.filter(col("doc_id") % 41 =!= 0),
       probes, n = RepeatedSpanN)
@@ -2236,8 +2239,11 @@ object SparkEntry {
 
   /** Decontamination probe-gram hot/mk block + corpus source, shared by
     * the d_decontam_spans per-doc gate and its corpus aggregate: probe
-    * set = the eval slice (doc_id%41=0) plus injected 8-token windows
-    * from every 50th doc (natural overlap is zero at sf0.01). */
+    * set = the eval slice (doc_id%41=0) plus injected n-token windows
+    * from every 50th doc (natural overlap is zero at sf0.01). The window
+    * width tracks RepeatedSpanN on BOTH sides — list_slice end is
+    * inclusive, so [2, 2+n-1] is n tokens, matching Spark's
+    * slice(toks, 2, n). */
   private lazy val decontamHotMk: String = {
     val n = RepeatedSpanN
     val terms = (0 until n).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
@@ -2245,7 +2251,7 @@ object SparkEntry {
        |       UNION ALL
        |       SELECT array_to_string(list_slice(
        |         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
-       |         2, 9), ' ') AS text
+       |         2, ${2 + n - 1}), ' ') AS text
        |       FROM documents WHERE doc_id % 50 = 0),
        |pt AS (SELECT string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
        |       FROM pr),

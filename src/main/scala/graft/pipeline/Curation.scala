@@ -134,10 +134,17 @@ object Curation {
    * index is bounded by the eval suite's distinct grams (MBs, broadcast
    * by default: the corpus-side gram stream is scanned once with no
    * shuffle before the mask join); marking is a semi-join; islands merge
-   * per document; the mask is a position-level left_anti. Set
-   * `broadcastProbes = false` for a cluster-scale probe corpus (falls
-   * back to a shuffle equi-join on the gram hash, the contamination()
-   * convention).
+   * per document; the mask is a position-level left_anti.
+   *
+   * Broadcast bound — the default hint is a hard promise, not a hint AQE
+   * can walk back: the distinct probe-gram set is one 8-byte hash per
+   * gram, so ~10M distinct probe grams ≈ 80 MB of payload (plus hash-set
+   * overhead ≈ 3–4×) is the practical ceiling for default executor/driver
+   * memory; a full eval SUITE (GPT-3 App. C masks against benchmarks of
+   * ~10^5–10^6 grams) sits far below it. Scoring against a large reference
+   * CORPUS rather than an eval suite, set `broadcastProbes = false` — the
+   * mark becomes a shuffle equi-join on the gram hash (the contamination()
+   * convention) instead of an executor OOM.
    */
   def decontaminateSpans(corpus: DataFrame, probes: DataFrame,
                          idCol: String = "doc_id", textCol: String = "text",

@@ -147,6 +147,20 @@ object Dedup {
     if (df.rdd.getNumPartitions * 2 >= p) df else df.repartition(p)
   }
 
+  /** Keeper-ordinal pack `(id << posBits) + pos` with a LOUD overflow
+    * guard: a position that would bleed into the id bits raises instead of
+    * silently electing a wrong keeper (the gram_n-stamp fail-loudly
+    * convention — the scaladoc'd "~1M-token limit" is now enforced, not
+    * advisory). The id is cast to long BEFORE the shift: an IntegerType id
+    * column would shift at Int width and overflow at id 2^(32-posBits). */
+  private[graft] def packOrd(id: Column, pos: Column, posBits: Int): Column =
+    when(pos.cast("long") < lit(1L << posBits),
+      shiftleft(id.cast("long"), posBits) + pos.cast("long"))
+      .otherwise(raise_error(concat(
+        lit(s"ordinal pack overflow: position "), pos.cast("string"),
+        lit(s" >= 2^$posBits — document exceeds the $posBits-bit position" +
+          " pack; chunk it (chunkDocuments) before dedup"))))
+
   /** MinHash signature: k per-slot minima over the shingle set, computed by
     * the one-pass codegen'd expression (graft.functions.MinHashExpression —
     * Carter–Wegman h1 + i·h2 family). array<bigint> of numHashes. */
@@ -1129,10 +1143,7 @@ object Dedup {
     val lines = delta.select(col(idCol).as("_id"),
         posexplode(split(col(textCol), "\n", -1)).as(Seq("_pos", "_line")))
       .withColumn("_h", graft.functions.Poly64.poly64(col("_line")))
-      .withColumn("_ord",
-        // cast before the shift — Int-width ids would overflow (same
-        // guard as removeRepeatedSpansKeepOne's ord pack)
-        shiftleft(col("_id").cast("long"), PosBits) + col("_pos").cast("long"))
+      .withColumn("_ord", packOrd(col("_id"), col("_pos"), PosBits))
     // localCheckpoint BEFORE the append: winners anti-joins the very table
     // the append grows — a lazy plan re-evaluated after the write would see
     // its own lines in the index and drop everything it just kept
@@ -1172,10 +1183,7 @@ object Dedup {
     val lines = docs.select(col(idCol).as("_id"),
         posexplode(split(col(textCol), "\n", -1)).as(Seq("_pos", "_line")))
       .withColumn("_h", graft.functions.Poly64.poly64(col("_line")))
-      .withColumn("_ord",
-        // cast before the shift — Int-width ids would overflow (same
-        // guard as removeRepeatedSpansKeepOne's ord pack)
-        shiftleft(col("_id").cast("long"), PosBits) + col("_pos").cast("long"))
+      .withColumn("_ord", packOrd(col("_id"), col("_pos"), PosBits))
     val winners = lines.groupBy(col("_h"))
       .agg(min(col("_ord")).as("_w"))
     lines.join(winners, Seq("_h"))
@@ -1383,19 +1391,17 @@ object Dedup {
     * aggregate on the SAME gram-hash groupBy (the keeper argmin rides the
     * df shuffle for free); the keeper filter is rowwise after the hot
     * semi-join. Positions are packed as (doc_id << 20) + pos — the
-    * lineDedup 20-bit position convention (docs longer than ~1M tokens
-    * need a wider pack). */
+    * lineDedup 20-bit position convention; a doc longer than 2^20 tokens
+    * raises loudly ([[packOrd]]) instead of silently electing a wrong
+    * keeper — chunk such documents first. */
   def removeRepeatedSpansKeepOne(docs: DataFrame, idCol: String = "doc_id",
                                  textCol: String = "text", n: Int = 8,
                                  minDocs: Int = 2): DataFrame = {
     require(n >= 2, s"n must be >= 2, got $n")
     require(minDocs >= 2, s"minDocs must be >= 2 (cross-document), got $minDocs")
     val PosBits = 20
-    // cast before the shift: an IntegerType id column would shift in Int
-    // width and overflow at doc_id 2^11, silently electing a wrong keeper
     val grams = positionalGrams(docs, idCol, textCol, n)
-      .withColumn("_ord",
-        shiftleft(col("_id").cast("long"), PosBits) + col("_pos"))
+      .withColumn("_ord", packOrd(col("_id"), col("_pos"), PosBits))
     val hot = grams.groupBy(col("_gh"))
       .agg(countDistinct(col("_id")).as("_df"), min(col("_ord")).as("_w"))
       .filter(col("_df") >= minDocs)

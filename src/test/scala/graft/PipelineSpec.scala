@@ -115,6 +115,31 @@ class PipelineSpec extends SparkSpec {
     assert(out(0).isNullAt(1) && out(0).isNullAt(2))
   }
 
+  test("packOrd fails LOUDLY on position overflow instead of silently " +
+       "electing a wrong keeper; packs exactly below the limit") {
+    // posBits=4 keeps the drill cheap: limit is pos 16, not a 1M-token doc
+    val ok = Seq((3L, 15L), (3, 0L), (1L << 40, 15L))
+      .map { case (i, p) => (i.toString, p) }.toDF("sid", "pos")
+      .select(col("sid").cast("long").as("id"), col("pos"))
+    val packed = ok.select(Dedup.packOrd(col("id"), col("pos"), 4).as("o"))
+      .collect().map(_.getLong(0)).sorted
+    assert(packed === Array(3L * 16, 3L * 16 + 15, (1L << 44) + 15))
+    // Int-width ids must pack at LONG width (the cast-before-shift guard):
+    // an Int id 2^28 shifted by 4 overflows Int, is fine in Long
+    val intIds = Seq(Tuple2(1 << 28, 1L)).toDF("id", "pos")
+    assert(intIds.select(Dedup.packOrd(col("id"), col("pos"), 4))
+      .head().getLong(0) === (1L << 32) + 1L)
+    val bad = Seq((1L, 16L)).toDF("id", "pos")
+    val e = intercept[Exception] {
+      bad.select(Dedup.packOrd(col("id"), col("pos"), 4)).collect()
+    }
+    assert(e.getMessage.contains("ordinal pack overflow"))
+    // the deployed 20-bit sites ride the same helper: a >= 2^20 position
+    // raises end-to-end through removeRepeatedSpansKeepOne's plan only for
+    // genuinely overlong docs — normal docs are untouched (pin via reuse
+    // of the keep-one fixture already gated above)
+  }
+
   test("removeRepeatedSpansKeepOne: randomized brute-force equivalence " +
        "(keeper = min packed (doc, pos) per hot gram)") {
     val n = 3; val minDocs = 2

@@ -1422,6 +1422,28 @@ object SparkEntry {
           col("lm_micro_total"))
     }),
 
+    // supervised reference-domain classifier (the fastText slot of CCNet,
+    // Wenzek et al. LREC'20 §4.4) — mergeable multinomial NB. The corpus
+    // has NO natural class separation (measured: every lang/source shares
+    // the full 31-term vocabulary), so training rides an injection
+    // prologue: two synthetic domains with separable vocab PLUS opposed
+    // real-vocab anchors (data/table vs scan/merge), trained in BOTH
+    // engines; scored docs = the whole real corpus (classified by their
+    // genuine data/table vs scan/merge counts — non-degenerate) + 20
+    // held-out synthetic docs (always classified correctly; the spec
+    // pins 20/20 held-out accuracy separately)
+    "d_domain_classify" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val heldA = s.range(0, 10).select((col("id") + 9000000L).as("doc_id"),
+        concat(lit("aleph zephyr data w"), (col("id") % 5).cast("string")).as("text"))
+      val heldB = s.range(0, 10).select((col("id") + 9100000L).as("doc_id"),
+        concat(lit("borax osmium scan w"), (col("id") % 5).cast("string")).as("text"))
+      TextAnalysis.nbClassify(
+        TextAnalysis.nbModel(nbDomainTrain(s)),
+        TextAnalysis.nbPriors(nbDomainTrain(s)),
+        docs.unionByName(heldA).unionByName(heldB))
+    }),
+
     // document-local unigram entropy (degenerate-repetition signal); gated
     // on the exact integer micro-nat total, same discipline as d_lm_score
     "d_entropy" -> ((s, dir) =>
@@ -2180,6 +2202,23 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_kept")).as("tot_kept"),
         expr("bit_xor(text_fp)").as("mask_fp"))
       .filter(col("n_docs") === 0 || col("mask_fp").isNotNull)
+
+  /** Injected NB training corpus for d_domain_classify — two synthetic
+    * domains, 40 docs each: separable private vocab (aleph/quartz/zephyr
+    * vs borax/lattice/osmium), opposed REAL-vocab anchors (data/table vs
+    * scan/merge — both in the corpus's natural vocabulary, so real docs
+    * classify by their genuine token counts), and a shared w0..w4 tail
+    * that cancels between classes. Deterministic and replayed verbatim in
+    * the oracle SQL. */
+  private def nbDomainTrain(s: SparkSession): DataFrame = {
+    val a = s.range(0, 40).select(lit("dom_a").as("label"),
+      concat(lit("aleph quartz zephyr aleph data table w"),
+        (col("id") % 5).cast("string")).as("text"))
+    val b = s.range(0, 40).select(lit("dom_b").as("label"),
+      concat(lit("borax lattice osmium borax scan merge w"),
+        (col("id") % 5).cast("string")).as("text"))
+    a.unionByName(b)
+  }
 
   /** Shared construction for d_decontam_spans and its cost aggregate:
     * eval slice + injected window probes, masked corpus = non-eval docs.
@@ -4884,6 +4923,52 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN cnt = 0 THEN tf ELSE 0 END) AS BIGINT) AS n_oov,
         |       CAST(sum(lpm) AS BIGINT) AS lm_micro_total
         |FROM lp GROUP BY 1""".stripMargin,
+
+    "d_domain_classify" ->
+      """WITH tr AS (
+        |  SELECT 'dom_a' AS label,
+        |         'aleph quartz zephyr aleph data table w' || CAST(i % 5 AS VARCHAR) AS text
+        |  FROM range(0, 40) t(i)
+        |  UNION ALL
+        |  SELECT 'dom_b',
+        |         'borax lattice osmium borax scan merge w' || CAST(i % 5 AS VARCHAR)
+        |  FROM range(0, 40) t(i)),
+        |trtk AS (SELECT label, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |         FROM tr),
+        |model AS (SELECT label, term, count(*) AS cnt FROM trtk
+        |          WHERE term <> '' GROUP BY 1, 2),
+        |pri AS (SELECT label, count(*) AS n_docs FROM tr GROUP BY 1),
+        |cls AS (SELECT label, CAST(sum(cnt) AS BIGINT) AS n_class FROM model GROUP BY 1),
+        |tot AS (SELECT (SELECT count(*) FROM tr) AS n_docs_total,
+        |               (SELECT count(DISTINCT term) FROM model) AS n_vocab),
+        |sc AS (SELECT doc_id, text FROM documents
+        |       UNION ALL
+        |       SELECT CAST(9000000 + i AS BIGINT),
+        |              'aleph zephyr data w' || CAST(i % 5 AS VARCHAR)
+        |       FROM range(0, 10) t(i)
+        |       UNION ALL
+        |       SELECT CAST(9100000 + i AS BIGINT),
+        |              'borax osmium scan w' || CAST(i % 5 AS VARCHAR)
+        |       FROM range(0, 10) t(i)),
+        |sctk AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |         FROM sc),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM sctk
+        |       WHERE term <> '' GROUP BY 1, 2),
+        |lp AS (SELECT tf.doc_id, c.label,
+        |         CAST(round(tf.tf * ln(CAST(coalesce(m.cnt, 0) + 1 AS DOUBLE)
+        |           / (c.n_class + t.n_vocab)) * 1000000) AS BIGINT) AS lpm
+        |       FROM tf CROSS JOIN cls c CROSS JOIN tot t
+        |       LEFT JOIN model m ON m.label = c.label AND m.term = tf.term),
+        |lk AS (SELECT doc_id, label, CAST(sum(lpm) AS BIGINT) AS lk FROM lp GROUP BY 1, 2),
+        |pm AS (SELECT p.label,
+        |         CAST(round(ln(CAST(p.n_docs AS DOUBLE) / t.n_docs_total) * 1000000) AS BIGINT)
+        |           AS prior_micro
+        |       FROM pri p CROSS JOIN tot t),
+        |allp AS (SELECT s.doc_id, pm.label, pm.prior_micro + coalesce(l.lk, 0) AS nb_micro
+        |         FROM (SELECT DISTINCT doc_id FROM sc) s CROSS JOIN pm
+        |         LEFT JOIN lk l ON l.doc_id = s.doc_id AND l.label = pm.label)
+        |SELECT doc_id, label, CAST(nb_micro AS BIGINT) AS nb_micro FROM allp
+        |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY nb_micro DESC, label DESC) = 1""".stripMargin,
 
     "d_entropy" ->
       """WITH tk AS (

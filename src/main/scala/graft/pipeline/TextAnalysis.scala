@@ -291,6 +291,115 @@ object TextAnalysis {
         round((sum(col("_lpm")) / 1e6) / sum(col("tf")), 6).as("lm_score"))
   }
 
+  // ---------------------------------------------------------------------
+  // Supervised reference-domain classification — mergeable multinomial
+  // Naive Bayes (the fastText-classifier slot of the CCNet pipeline,
+  // Wenzek et al., LREC 2020 §4.4: perplexity filtering is PAIRED with a
+  // supervised domain/quality classifier; NB over tokens is the linear
+  // bag-of-words member of that family that trains as a pure aggregate).
+  // Training is per-class (term, cnt) counts — pointwise-SUM mergeable
+  // across ingestion shards exactly like [[lmModel]], so the classifier is
+  // maintained batch-by-batch, never retrained. Scoring reuses the
+  // [[lmScoreAgainst]] join shape and its integer micro-nat quantization.
+  // ---------------------------------------------------------------------
+
+  /** Multinomial NB token-count model: (label, term, cnt) over the labeled
+    * training docs. Merge shards with [[mergeNbModels]] (pointwise sum —
+    * union of shard models ≡ model of the union). One combinable aggregate
+    * scan; NULL labels are skipped (unlabeled rows train nothing). */
+  def nbModel(docs: DataFrame, labelCol: String = "label",
+              textCol: String = "text"): DataFrame =
+    Dedup.spread(docs).filter(col(labelCol).isNotNull)
+      .select(col(labelCol).as("label"),
+        explode(wsTokens(lower(trim(col(textCol))))).as("term"))
+      .filter(col("term") =!= "") // split("") yields [""] — not a token
+      .groupBy(col("label"), col("term")).agg(count(lit(1)).as("cnt"))
+
+  /** Class priors: (label, n_docs) doc counts — the other half of the NB
+    * state, same pointwise-SUM merge contract ([[mergeNbPriors]]). */
+  def nbPriors(docs: DataFrame, labelCol: String = "label"): DataFrame =
+    docs.filter(col(labelCol).isNotNull)
+      .groupBy(col(labelCol).as("label")).agg(count(lit(1)).as("n_docs"))
+
+  /** Pointwise-sum merge of [[nbModel]] shards. */
+  def mergeNbModels(ms: Seq[DataFrame]): DataFrame = {
+    require(ms.nonEmpty, "nothing to merge")
+    ms.map(_.select(col("label"), col("term"), col("cnt").cast("long")))
+      .reduce(_ unionByName _)
+      .groupBy(col("label"), col("term")).agg(sum(col("cnt")).as("cnt"))
+  }
+
+  /** Pointwise-sum merge of [[nbPriors]] shards. */
+  def mergeNbPriors(ps: Seq[DataFrame]): DataFrame = {
+    require(ps.nonEmpty, "nothing to merge")
+    ps.map(_.select(col("label"), col("n_docs").cast("long")))
+      .reduce(_ unionByName _)
+      .groupBy(col("label")).agg(sum(col("n_docs")).as("n_docs"))
+  }
+
+  /** Classify `docs` under a trained ([[nbModel]], [[nbPriors]]) pair:
+    * argmax over classes of
+    * `ln P(c) + Σ_t tf_t · ln((cnt_{c,t} + 1) / (N_c + V))` — add-one
+    * smoothing with the GLOBAL model vocabulary V, so an out-of-vocabulary
+    * term takes the same floor in every class (the [[lmScoreAgainst]]
+    * cnt=0 rule; OOV-only docs fall back to the prior argmax). Returns
+    * (idCol, label, nb_micro) — the winning class and its exact integer
+    * micro-nat total; docs with no tokens keep a row (prior-only score).
+    *
+    * Cross-engine discipline (why this hash-gates): per-(doc, term, class)
+    * contributions quantize to integer micro-nats BEFORE the sum, priors
+    * quantize the same way, and the argmax compares exact integers with a
+    * label-order tiebreak (max (nb_micro, label) struct ≡ SQL
+    * `ORDER BY nb_micro DESC, label DESC LIMIT 1` per doc) — no double
+    * accumulates anywhere, so shuffle order and engine can't flip a
+    * prediction.
+    *
+    * Scale shape: the per-doc tf frame is crossed with the CLASS table
+    * (bounded dimension — #classes rows, broadcast) and left-joined
+    * against the model on (label, term) — model is
+    * reference-vocabulary × classes-sized (shuffle join; AQE broadcasts it
+    * when small); the per-(doc, class) reduction and the per-doc argmax
+    * are combinable aggregates. Cost is #doc-terms × #classes rows in
+    * flight — the deployed CCNet shape scores a handful of classes, so the
+    * multiplier is single-digit. */
+  def nbClassify(model: DataFrame, priors: DataFrame, docs: DataFrame,
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val m = model.select(col("label"), col("term"), col("cnt").cast("long").as("cnt"))
+    val pri = priors.select(col("label"), col("n_docs").cast("long").as("n_docs"))
+    // class table: prior micro-nats + per-class token totals (tiny: one
+    // row per class) and the two corpus scalars (total docs, global vocab)
+    val classTotals = m.groupBy(col("label")).agg(sum(col("cnt")).as("n_class"))
+    val cls = withScalars(
+        pri.join(classTotals, Seq("label"), "left_outer")
+          .withColumn("n_class", coalesce(col("n_class"), lit(0L))),
+        pri.agg(sum(col("n_docs")).as("_n_docs_total"))
+          .crossJoin(m.agg(countDistinct(col("term")).as("n_vocab"))))
+      .withColumn("prior_micro",
+        round(log(col("n_docs").cast("double") / col("_n_docs_total")) * 1e6)
+          .cast("long"))
+      .select(col("label"), col("n_class"), col("n_vocab"), col("prior_micro"))
+    val tf = Dedup.spread(docs).select(col(idCol).as("doc_id"),
+        explode(wsTokens(lower(trim(col(textCol))))).as("term"))
+      .filter(col("term") =!= "") // split("") yields [""] — not a token
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val like = tf.crossJoin(broadcast(cls))
+      .join(m, Seq("label", "term"), "left_outer")
+      .withColumn("_cnt", coalesce(col("cnt"), lit(0L)))
+      .withColumn("_lpm", round(col("tf") * log(
+        (col("_cnt") + 1).cast("double") / (col("n_class") + col("n_vocab")))
+        * 1e6).cast("long"))
+      .groupBy(col("doc_id"), col("label"))
+      .agg(sum(col("_lpm")).as("_like"))
+    docs.select(col(idCol).as("doc_id")).distinct()
+      .crossJoin(broadcast(cls.select(col("label"), col("prior_micro"))))
+      .join(like, Seq("doc_id", "label"), "left_outer")
+      .withColumn("_total", col("prior_micro") + coalesce(col("_like"), lit(0L)))
+      .groupBy(col("doc_id"))
+      .agg(max(struct(col("_total"), col("label"))).as("_m"))
+      .select(col("doc_id").as(idCol), col("_m.label").as("label"),
+        col("_m._total").as("nb_micro"))
+  }
+
   /** Token co-occurrence pairs with pointwise mutual information — the
     * corpus-association statistic behind collocation mining, topic seeds,
     * and word-vector objectives: for token pair (t1, t2),

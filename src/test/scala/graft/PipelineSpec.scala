@@ -1475,6 +1475,93 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("nbClassify: exact micro-nat argmax vs driver reference; OOV floor " +
+       "shared across classes; empty-token doc falls back to prior argmax; " +
+       "integer ties break to the max label") {
+    val train = Seq(
+      ("a", "sun sun moon data"),
+      ("a", "sun data table"),
+      ("b", "rock rock data"),
+      ("b", "rock moon scan scan")
+    ).toDF("label", "text")
+    val model = TextAnalysis.nbModel(train)
+    val priors = TextAnalysis.nbPriors(train)
+    // driver reference replaying the exact quantization
+    val cnts = train.collect().map(r => (r.getString(0), r.getString(1)))
+      .flatMap { case (l, t) => t.split(" ").map(l -> _) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nClass = cnts.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val vocab = cnts.keySet.map(_._2)
+    val v = vocab.size.toLong
+    def ref(text: String): (String, Long) = {
+      val tf = text.split("\\s+").filter(_.nonEmpty)
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      Seq("a", "b").map { l =>
+        val prior = math.round(math.log(2.0 / 4.0) * 1e6)
+        val like = tf.map { case (w, f) =>
+          math.round(f * math.log(
+            (cnts.getOrElse((l, w), 0L) + 1).toDouble / (nClass(l) + v)) * 1e6)
+        }.sum
+        (prior + like, l)
+      }.max match { case (s, l) => (l, s) }
+    }
+    val probe = Seq(
+      (1L, "sun sun table"),     // a-vocab heavy
+      (2L, "rock scan"),         // b-vocab heavy
+      (3L, "data moon"),         // shared terms only — decided by counts
+      (4L, "zzunseen qqnovel"),  // all-OOV: floors differ only via N_c
+      (5L, "")                   // zero tokens: prior-only
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.nbClassify(model, priors, probe).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got.size === 5)
+    Seq(1L -> "sun sun table", 2L -> "rock scan", 3L -> "data moon",
+        4L -> "zzunseen qqnovel").foreach { case (id, t) =>
+      assert(got(id) === ref(t), s"doc $id")
+    }
+    assert(got(1L)._1 === "a" && got(2L)._1 === "b")
+    // empty doc: likelihood 0, equal priors (2 docs each) → integer tie →
+    // max label wins deterministically
+    assert(got(5L) === (("b", math.round(math.log(0.5) * 1e6))))
+  }
+
+  test("nbClassify: held-out accuracy is perfect on separable synthetic " +
+       "domains; shard-merged model ≡ one-shot model (maintained-classifier " +
+       "contract)") {
+    val rng = new scala.util.Random(17)
+    val aVocab = Vector("aleph", "quartz", "zephyr", "data", "table")
+    val bVocab = Vector("borax", "lattice", "osmium", "scan", "merge")
+    def gen(vb: Vector[String], l: String, n: Int, off: Long) =
+      (0 until n).map { i =>
+        val len = 4 + rng.nextInt(8)
+        (off + i, l, (0 until len).map(_ => vb(rng.nextInt(vb.size))).mkString(" "))
+      }
+    val train = (gen(aVocab, "dom_a", 30, 0L) ++ gen(bVocab, "dom_b", 30, 100L))
+      .toDF("doc_id", "label", "text")
+    val test = (gen(aVocab, "dom_a", 10, 200L) ++ gen(bVocab, "dom_b", 10, 300L))
+      .toDF("doc_id", "want", "text")
+    val model = TextAnalysis.nbModel(train)
+    val priors = TextAnalysis.nbPriors(train)
+    val pred = TextAnalysis.nbClassify(model, priors, test)
+    val acc = pred.join(test, Seq("doc_id"))
+      .filter(col("label") === col("want")).count()
+    assert(acc === 20L, "held-out accuracy must be 20/20 on separable domains")
+    // shard-merge ≡ one-shot: train in three uneven shards
+    val shards = Seq(col("doc_id") % 3 === 0, col("doc_id") % 3 === 1,
+      col("doc_id") % 3 === 2).map(p => train.filter(p))
+    val mergedModel = TextAnalysis.mergeNbModels(shards.map(TextAnalysis.nbModel(_)))
+    val mergedPriors = TextAnalysis.mergeNbPriors(shards.map(TextAnalysis.nbPriors(_)))
+    assert(mergedModel.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sorted.toSeq ===
+      model.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).sorted.toSeq)
+    assert(mergedPriors.collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq ===
+      priors.collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq)
+    val predMerged = TextAnalysis.nbClassify(mergedModel, mergedPriors, test)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    assert(predMerged ===
+      pred.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq)
+  }
+
   test("packBins: dense bins, deterministic, overflow bounded by one doc") {
     val d = (1L to 30L).map(i => (i, ("w " * (i % 7 + 1).toInt).trim)).toDF("doc_id", "text")
     val out = TextAnalysis.packBins(d, budget = 10)

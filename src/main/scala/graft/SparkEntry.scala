@@ -499,6 +499,19 @@ object SparkEntry {
     "g_mssp_tree" -> ((s, dir) =>
       GraphAlgorithms.mssp(treeGraph(s, dir), Seq(100L, 101L, 77L))),
 
+    // HyperBall (Boldi–Vigna) on the customer binary tree: converged
+    // per-vertex OUT-ball (ancestor-set) HLL register tables — exact
+    // integers, the d_hll_orders register discipline iterated through a
+    // graph loop, reproduced by the oracle from a recursive ancestor CTE
+    "g_hyperball" -> ((s, dir) =>
+      GraphAlgorithms.hyperBall(treeGraph(s, dir), p = 6)),
+
+    // per-round (t, n_regs, sum_r) register trajectory — the exact-integer
+    // shadow of the neighborhood function N(t); strictly-increasing prefix
+    // (register fixpoint), LAG-filtered identically in the oracle
+    "g_hyperball_nf" -> ((s, dir) =>
+      GraphAlgorithms.hyperBallTrajectory(treeGraph(s, dir), p = 6)),
+
     "g_pagerank_stars" -> ((s, dir) =>
       GraphAlgorithms.pageRank(starGraph(s, dir), tolerance = 0.0001, resetProb = 0.15)
         .withColumn("value", round(col("value"), 6))),
@@ -3149,6 +3162,57 @@ object SparkEntry {
          |  UNION ALL
          |  SELECT e.dst, d.landmark, d.dist + e.value FROM e JOIN d ON e.src = d.id)
          |SELECT id, landmark, dist AS value FROM d""".stripMargin,
+
+    // HyperBall on the tree: ball(v) along out-edges = ancestors-or-self
+    // (recursive CTE), registers = the d_hll_orders Poly64+mix64 math at
+    // p=6 (modulus 64, max rank 59) grouped per ball owner
+    "g_hyperball" ->
+      s"""WITH RECURSIVE e AS ($sqlTreeEdges),
+         |v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         |a(id, u) AS (SELECT id, id FROM v
+         |             UNION ALL
+         |             SELECT a.id, e.dst FROM a JOIN e ON e.src = a.u),
+         |ks AS (SELECT DISTINCT id, CAST(u AS VARCHAR) AS k FROM a),
+         |cpl AS (SELECT id, list_transform(range(1, length(k) + 1),
+         |               j -> CAST(unicode(k[j]) AS HUGEINT)) AS cps FROM ks),
+         |hs AS (SELECT id, ${sqlPoly("cps", 1125899906842597L, 1099511628211L)} AS u FROM cpl),
+         |m1 AS (SELECT id, (${sqlXorShr("u", 33)} * 6364136223846793005) % $U64 AS u FROM hs),
+         |m2 AS (SELECT id, (${sqlXorShr("u", 29)} * 2685821657736338717) % $U64 AS u FROM m1),
+         |m3 AS (SELECT id, ${sqlXorShr("u", 32)} AS u FROM m2),
+         |rv AS (SELECT id, CAST(u % 64 AS BIGINT) AS bucket,
+         |              CAST(u // 64 AS BIGINT) AS v2 FROM m3)
+         |SELECT id, bucket,
+         |       CAST(max(CASE WHEN v2 = 0 THEN 59 ELSE 59 - length(bin(v2)) END) AS INTEGER) AS r
+         |FROM rv GROUP BY 1, 2""".stripMargin,
+
+    // trajectory: registers of ball(v, t) per depth-capped ancestor set;
+    // per-t global (count, Σr) with the flat suffix LAG-filtered away —
+    // the strictly-increasing prefix is exactly what the Spark loop emits
+    "g_hyperball_nf" ->
+      s"""WITH RECURSIVE e AS ($sqlTreeEdges),
+         |v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         |a(id, u, d) AS (SELECT id, id, 0 FROM v
+         |                UNION ALL
+         |                SELECT a.id, e.dst, a.d + 1 FROM a JOIN e ON e.src = a.u),
+         |ks AS (SELECT id, d, CAST(u AS VARCHAR) AS k FROM a),
+         |cpl AS (SELECT id, d, list_transform(range(1, length(k) + 1),
+         |               j -> CAST(unicode(k[j]) AS HUGEINT)) AS cps FROM ks),
+         |hs AS (SELECT id, d, ${sqlPoly("cps", 1125899906842597L, 1099511628211L)} AS u FROM cpl),
+         |m1 AS (SELECT id, d, (${sqlXorShr("u", 33)} * 6364136223846793005) % $U64 AS u FROM hs),
+         |m2 AS (SELECT id, d, (${sqlXorShr("u", 29)} * 2685821657736338717) % $U64 AS u FROM m1),
+         |m3 AS (SELECT id, d, ${sqlXorShr("u", 32)} AS u FROM m2),
+         |rv AS (SELECT id, d, CAST(u % 64 AS BIGINT) AS bucket,
+         |              CASE WHEN u // 64 = 0 THEN 59
+         |                   ELSE 59 - length(bin(u // 64)) END AS rnk FROM m3),
+         |ts AS (SELECT DISTINCT d AS t FROM a),
+         |regs AS (SELECT ts.t, rv.id, rv.bucket, max(rv.rnk) AS r
+         |         FROM rv JOIN ts ON rv.d <= ts.t GROUP BY 1, 2, 3),
+         |st AS (SELECT t, CAST(count(*) AS BIGINT) AS n_regs,
+         |              CAST(sum(r) AS BIGINT) AS sum_r FROM regs GROUP BY 1),
+         |fl AS (SELECT t, n_regs, sum_r, lag(n_regs) OVER (ORDER BY t) AS pn,
+         |              lag(sum_r) OVER (ORDER BY t) AS ps FROM st)
+         |SELECT CAST(t AS BIGINT) AS t, n_regs, sum_r FROM fl
+         |WHERE pn IS NULL OR n_regs <> pn OR sum_r <> ps""".stripMargin,
 
     // star clusters: leaves converge to rank 0.15; each root r gets
     // 0.15 + 0.85 * 0.15 * |members(r)| (outdeg of every leaf is 1)

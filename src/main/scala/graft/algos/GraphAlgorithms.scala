@@ -1067,4 +1067,114 @@ object GraphAlgorithms {
     result.filter(col("d") > 0)
       .select(col("id"), col("d").cast("long").as("degree"))
   }
+
+  // =========================================================================
+  // HyperBall (Boldi & Vigna, "In-Core Computation of Geometric Centralities
+  // with HyperBall", arXiv:1308.2144; HyperANF, WWW'11) — the neighborhood-
+  // function / effective-diameter capability the reference's Graphalytics
+  // lineage points at (BreadthFirstSearch.java:31). Every vertex carries an
+  // HLL counter of its out-ball; each round pointwise-max-merges successors'
+  // counters. Register merge is a homomorphism of set union, so counter_v at
+  // round t IS the register table of Ball(v, t) exactly — and a global
+  // register fixpoint is sound: counters are a deterministic function of the
+  // previous counters alone, so an unchanged round can never change again.
+  //
+  // Counters are the repo's DETERMINISTIC Poly64-derived HLL registers
+  // (Sketches.hllRegisters' math), so both the converged per-vertex tables
+  // and the per-round (count, Σr) trajectory are exact integers an
+  // independent engine reproduces from the edge list — the d_hll_orders
+  // oracle discipline applied to an iterated graph computation.
+  //
+  // Scale shape: state is (id, bucket ≤ 2^p, r) — O(V · min(ball, 2^p))
+  // rows; each round is ONE join (edges × state on the successor id) + ONE
+  // combinable max-aggregate shuffle, with localCheckpoint + StatsBarrier
+  // per round (the wcc/kcore loop conventions). The convergence probe rides
+  // a count+sum aggregate over the just-checkpointed state. At p = 6 a
+  // billion-vertex graph carries ≤ 64 rows per vertex — the memory bound
+  // that makes HyperBall feasible where exact BFS-from-every-vertex is not.
+  // =========================================================================
+
+  /** Shared loop: returns the converged registers and the per-round
+    * (t, n_regs, Σr, Σ estimate) trajectory — t = 0 plus every round that
+    * changed ≥ 1 register. Registers only grow (cells added or ranks
+    * raised), so the global (count, Σr) pair is strictly increasing until
+    * the fixpoint; its first repeat IS convergence, and the emitted rounds
+    * are exactly the strictly-increasing prefix an oracle can reproduce
+    * with a LAG filter. */
+  private def hyperBallLoop(g: KGraph, p: Int, maxIterations: Int)
+      : (DataFrame, Seq[(Int, Long, Long, Double)]) = {
+    val edges = cp(g.edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct())
+    var state = barrier(cp(graft.pipeline.Sketches.hllRegistersBy(
+      g.vertices.select(col("id"), col("id").cast("string").as("k")),
+      "id", "k", p)))
+    def stats(df: DataFrame): (Long, Long, Double) = {
+      val est = graft.pipeline.Sketches.hllEstimateBy(df, "id", p)
+        .agg(sum(col("est"))).head().getDouble(0)
+      val r = df.agg(count(lit(1)), coalesce(sum(col("r")), lit(0L))).head()
+      (r.getLong(0), r.getLong(1), est)
+    }
+    var cur = stats(state)
+    val traj = scala.collection.mutable.ArrayBuffer((0, cur._1, cur._2, cur._3))
+    var iter = 0
+    var done = cur._1 == 0L // edgeless/empty graph: nothing to propagate
+    while (!done && iter < maxIterations) {
+      val msgs = edges.join(state.withColumnRenamed("id", "dst"), Seq("dst"))
+        .select(col("src").as("id"), col("bucket"), col("r"))
+      val next = barrier(cp(state.unionByName(msgs)
+        .groupBy(col("id"), col("bucket")).agg(max(col("r")).as("r"))))
+      val ns = stats(next)
+      iter += 1
+      done = (ns._1, ns._2) == ((cur._1, cur._2))
+      if (!done) traj += ((iter, ns._1, ns._2, ns._3))
+      state.unpersist(false)
+      state = next
+      cur = ns
+    }
+    (state, traj.toSeq)
+  }
+
+  /** Converged per-vertex out-ball HLL registers (id, bucket, r) — the
+    * register table of every vertex's full reachable set, at ≤ 2^p rows per
+    * vertex. Undirected balls: pass `g.undirected`. Feed a slice to
+    * [[graft.pipeline.Sketches.hllEstimateBy]] for ball-size estimates
+    * (closeness/harmonic centrality numerators). */
+  def hyperBall(g: KGraph, p: Int = 6, maxIterations: Int = 64): DataFrame =
+    hyperBallLoop(g, p, maxIterations)._1
+
+  /** Per-round register trajectory (t, n_regs, sum_r) — the exact-integer
+    * shadow of the neighborhood function: rows for t = 0 and every round
+    * that changed at least one register (a strictly-increasing prefix —
+    * see [[hyperBallLoop]]). Hash-gates against an independent engine's
+    * ball-of-radius-t register tables. */
+  def hyperBallTrajectory(g: KGraph, p: Int = 6, maxIterations: Int = 64): DataFrame = {
+    val spark = g.edges.sparkSession
+    import spark.implicits._
+    hyperBallLoop(g, p, maxIterations)._2
+      .map { case (t, n, s, _) => (t.toLong, n, s) }
+      .toDF("t", "n_regs", "sum_r")
+  }
+
+  /** Neighborhood function: N(t) = Σ_v estimate(|Ball(v, t)|) per emitted
+    * round (driver-side Seq — one double per round, the sketch IS the
+    * reduction). N(0) = |V| up to HLL error; N(T) ≈ reachable pairs. */
+  def neighborhoodFunction(g: KGraph, p: Int = 6,
+                           maxIterations: Int = 64): Seq[(Int, Double)] =
+    hyperBallLoop(g, p, maxIterations)._2.map { case (t, _, _, e) => (t, e) }
+
+  /** Effective diameter at quantile `alpha` (HyperANF convention): the
+    * interpolated round t at which N(t) first reaches alpha · N(T). */
+  def effectiveDiameter(g: KGraph, alpha: Double = 0.9, p: Int = 6,
+                        maxIterations: Int = 64): Double = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    val nf = neighborhoodFunction(g, p, maxIterations)
+    val target = alpha * nf.last._2
+    val idx = nf.indexWhere(_._2 >= target)
+    if (idx <= 0) 0.0
+    else {
+      val (t0, n0) = nf(idx - 1); val (t1, n1) = nf(idx)
+      if (n1 == n0) t1.toDouble
+      else t0 + (t1 - t0) * (target - n0) / (n1 - n0)
+    }
+  }
 }

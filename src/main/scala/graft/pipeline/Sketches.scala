@@ -483,6 +483,35 @@ object Sketches {
     if (e <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) else e
   }
 
+  /** Distributed per-group HLL estimates straight from a
+    * (groupCol, bucket, r) register table — [[hllEstimate]]'s formula as
+    * Catalyst columns (one combinable aggregate per group, never a driver
+    * collect): harmonic mean with each ABSENT bucket contributing 2^0 = 1,
+    * the α_m bias constant, linear-counting correction when est ≤ 2.5m and
+    * empty buckets exist. Register rows always carry r ≥ 1 (rank = leading
+    * zeros + 1), so zeros = m − (rows present for the group). Feeds the
+    * per-vertex ball sizes of HyperBall and any per-dimension profile
+    * family too wide to decode one group at a time on the driver. */
+  def hllEstimateBy(registers: DataFrame, groupCol: String, p: Int): DataFrame = {
+    require(p >= 4 && p <= 18, s"p must be in [4, 18], got $p")
+    val m = (1 << p).toDouble
+    val alpha = (1 << p) match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1.0 + 1.079 / m)
+    }
+    registers.groupBy(col(groupCol))
+      .agg(sum(pow(lit(2.0), -col("r"))).as("_z1"),
+        count(lit(1)).cast("double").as("_nb"))
+      .withColumn("_zeros", lit(m) - col("_nb"))
+      .withColumn("_e", lit(alpha * m * m) / (col("_z1") + col("_zeros")))
+      .withColumn("est",
+        when(col("_e") <= lit(2.5 * m) && col("_zeros") > 0,
+          lit(m) * log(lit(m) / col("_zeros"))).otherwise(col("_e")))
+      .select(col(groupCol), col("est"))
+  }
+
   // -------------------------------------------------------------------------
   // Count-Min sketch — point-frequency estimates with a DETERMINISTIC,
   // SQL-reproducible counter table (Cormode & Muthukrishnan, J.Alg'05).

@@ -109,4 +109,62 @@ class AlgoSpec extends SparkSpec {
     // N(1)={2,3,4}, N(3)={1,2,4}: common {2,4}=2, union size 3+3-2=4 → 0.5
     assert(math.abs(jc((1L, 3L)) - 0.5) < 1e-12)
   }
+
+  test("hyperBall: converged counters equal the registers of each vertex's " +
+       "exact reachable set (counter merge is a set-union homomorphism)") {
+    import spark.implicits._
+    import graft.pipeline.Sketches
+    val p = 6
+    // chain 0→…→9 plus a side branch 3→20→21: reachability is closed-form
+    val e = (chainEdges(10).select(col("src"), col("dst")) unionByName
+      Seq((3L, 20L), (20L, 21L)).toDF("src", "dst"))
+    val g = KGraph.fromEdges(e.withColumn("value", lit(1.0)), id => id)
+    val got = GraphAlgorithms.hyperBall(g, p = p).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    def reach(v: Long): Seq[Long] = v match {
+      case x if x <= 3 => (x to 9L) ++ Seq(20L, 21L)
+      case x if x <= 9 => x to 9L
+      case 20L         => Seq(20L, 21L)
+      case 21L         => Seq(21L)
+    }
+    val want = (0L to 9L).++(Seq(20L, 21L)).flatMap { v =>
+      Sketches.hllRegisters(
+          reach(v).map(u => Tuple1(u.toString)).toDF("k"), "k", p)
+        .collect().map(r => (v, r.getLong(0), r.getInt(1)))
+    }.toSet
+    assert(got === want)
+  }
+
+  test("hyperBallTrajectory is a strictly-increasing contiguous prefix; " +
+       "neighborhoodFunction/effectiveDiameter track exact BFS on chain " +
+       "and star fixtures") {
+    import spark.implicits._
+    val chain = KGraph.fromEdges(chainEdges(10), id => id)
+    val traj = GraphAlgorithms.hyperBallTrajectory(chain).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(traj.map(_._1).toSeq === (0L until traj.length).toSeq)
+    traj.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 > a._2 || (b._2 == a._2 && b._3 > a._3),
+        s"round ${b._1} did not grow: $a -> $b")
+    case _ => ()
+    }
+    // p=8 (m=256): tiny balls sit deep in the linear-counting regime,
+    // so estimates are near-exact and the drill pins accuracy, not luck
+    val nf = GraphAlgorithms.neighborhoodFunction(chain, p = 8).toMap
+    (0 until 9).foreach { t =>
+      val exact = (0 until 10).map(v => math.min(10 - v, t + 1)).sum.toDouble
+      assert(math.abs(nf(t) - exact) / exact < 0.05, s"N($t)=${nf(t)} vs $exact")
+    }
+    // directed chain: N grows through t=9 (every round adds pairs), so the
+    // 0.9-effective diameter lands in (5, 9]; exact-N crossing is ~7.9
+    val ed = GraphAlgorithms.effectiveDiameter(chain, p = 8)
+    assert(ed > 5.0 && ed <= 9.0, s"chain effective diameter $ed")
+    // star center→leaves: everything reachable in 1 hop → diameter ≤ 1
+    val star = KGraph.fromEdges(
+      (1L to 8L).map(i => (0L, i, 1.0)).toDF("src", "dst", "value"), id => id)
+    val edStar = GraphAlgorithms.effectiveDiameter(star, p = 8)
+    assert(edStar <= 1.0, s"star effective diameter $edStar")
+    val starTraj = GraphAlgorithms.hyperBallTrajectory(star).collect()
+    assert(starTraj.length === 2, "star converges after exactly one round")
+  }
 }

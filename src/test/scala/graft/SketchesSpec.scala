@@ -512,6 +512,24 @@ class SketchesSpec extends SparkSpec {
     assert(err < 0.02, s"estimate $est vs $n: relative error $err")
   }
 
+  test("hllEstimateBy ≡ driver hllEstimate per group (distributed decode " +
+       "of the same formula, incl. the linear-counting branch)") {
+    val p = 8
+    import spark.implicits._
+    // group sizes straddling the linear-counting threshold at p=8 (m=256)
+    val rows = Seq(("small", 30), ("mid", 700), ("big", 9000)).flatMap {
+      case (g, n) => (0 until n).map(i => (g, s"$g-k$i"))
+    }.toDF("g", "k")
+    val regs = Sketches.hllRegistersBy(rows, "g", "k", p)
+    val got = Sketches.hllEstimateBy(regs, "g", p).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    Seq("small", "mid", "big").foreach { g =>
+      val want = Sketches.hllEstimate(
+        regs.filter(col("g") === g).select(col("bucket"), col("r")), p)
+      assert(math.abs(got(g) - want) < 1e-9 * math.max(1.0, want), s"group $g")
+    }
+  }
+
   test("per-group registers: each group slice equals its own ungrouped table; " +
        "grouped shard merge = grouped union") {
     val rows = (0 until 5000).map(i => (s"g${i % 3}", s"k${i % (700 + 100 * (i % 3))}"))

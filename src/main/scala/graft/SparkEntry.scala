@@ -411,6 +411,43 @@ object SparkEntry {
     "minhashClusters" -> ((s, d) => { cachedMinhashClusters(s, d); () }),
     "simhashClusters" -> ((s, d) => { cachedSimhashClusters(s, d); () }))
 
+  // =========================================================================
+  // Scale drill — NOT gated, NOT benched: a deterministic multi-million-edge
+  // R-MAT graph (scale 20, 8M edge draws — one-to-two orders beyond the
+  // 1e5-hub gate fixtures) driving the iterative peel/propagation family,
+  // so iteration count and shuffle growth across a genuine scale step are
+  // MEASURED in the SHUFFLE artifact instead of argued from plan shape.
+  // ShuffleProfile's full-gate mode appends these as drill:* rows after the
+  // gate sweep; Verify/Bench ignore them, so the correctness gate stays
+  // 100% hash-exact-oracled and bench numbers keep their cross-round
+  // comparability.
+  // =========================================================================
+
+  private def rmatDrillGraph(s: SparkSession, scale: Int, edges: Long): KGraph =
+    cachedGraph(s, "-", s"rmat$scale-$edges") {
+      val g = graft.core.GraphGenerators.rmatGraph(s, scale, edges)
+      // simple graph for the peels: canonical undirected edge set
+      KGraph(g.vertices,
+        g.edges.filter(col("src") =!= col("dst"))
+          .select(least(col("src"), col("dst")).as("src"),
+            greatest(col("src"), col("dst")).as("dst"))
+          .distinct().withColumn("value", lit(1.0)))
+    }
+
+  // wcc/kcore ride the 7.7M-canonical-edge scale-20 graph; ktruss (whose
+  // support sweep is intrinsically Σ-deg²-shaped on a heavy tail — measured
+  // 540 s / 62 GB shuffle at scale 20) rides a scale-18 / ~1.9M-edge
+  // sibling, still ~7× the 1e5-hub gate fixture's edge count
+  def scaleDrill: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "rmat_prep" -> ((s, _) => rmatDrillGraph(s, 20, 8000000L).edges),
+    "rmat_wcc" -> ((s, _) =>
+      GraphAlgorithms.wcc(rmatDrillGraph(s, 20, 8000000L))),
+    "rmat_kcore" -> ((s, _) =>
+      GraphAlgorithms.kCore(rmatDrillGraph(s, 20, 8000000L).edges, k = 8)),
+    "rmat_prep18" -> ((s, _) => rmatDrillGraph(s, 18, 2000000L).edges),
+    "rmat_ktruss" -> ((s, _) =>
+      GraphAlgorithms.kTruss(rmatDrillGraph(s, 18, 2000000L).edges, k = 6)))
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q2_revenue_by_nation")(spark, "/root/testdata/sf0.001")

@@ -49,4 +49,36 @@ object GraphGenerators {
       .select(col("id").as("src"), (col("id") + 1).as("dst"), lit(1.0).as("value"))
     KGraph(v, e)
   }
+
+  /** Deterministic R-MAT graph (Chakrabarti, Zhan & Faloutsos, SDM'04 —
+    * the Graph500/Graphalytics generator family): 2^scale vertex-id space,
+    * `numEdges` directed edges. Each edge's quadrant path derives from
+    * xxhash64(edge index, level), so the graph is a PURE FUNCTION of
+    * (scale, numEdges, a, b, c) — a narrow map over `spark.range` with no
+    * RNG state and no driver data at any size (the generator itself scales
+    * to billions of edges). Self-loops dropped; multi-edges kept (callers
+    * `.distinct()` for simple graphs). Degrees follow the usual R-MAT
+    * heavy tail, hubs concentrated near vertex 0 — the skewed fixture the
+    * iterative algorithms' scale drills want. */
+  def rmatGraph(spark: SparkSession, scale: Int, numEdges: Long,
+                a: Double = 0.57, b: Double = 0.19, c: Double = 0.19): KGraph = {
+    require(scale >= 1 && scale <= 40, s"scale must be in [1, 40], got $scale")
+    require(a > 0 && b > 0 && c > 0 && a + b + c < 1.0,
+      s"quadrant probabilities must be positive with a+b+c < 1, got ($a, $b, $c)")
+    val (srcCol, dstCol) = (0 until scale).foldLeft((lit(0L), lit(0L))) {
+      case ((s0, d0), level) =>
+        // one uniform draw per (edge, level): top 53 bits of the
+        // avalanched 64-bit hash → exact double in [0, 1)
+        val u = shiftrightunsigned(xxhash64(col("id"), lit(level)), 11)
+          .cast("double") / lit((1L << 53).toDouble)
+        val srcBit = (u >= a + b).cast("long")                       // quadrants c, d
+        val dstBit = ((u >= a && u < a + b) || u >= a + b + c)
+          .cast("long")                                              // quadrants b, d
+        (s0 * 2 + srcBit, d0 * 2 + dstBit)
+    }
+    val e = spark.range(numEdges)
+      .select(srcCol.as("src"), dstCol.as("dst"), lit(1.0).as("value"))
+      .filter(col("src") =!= col("dst"))
+    KGraph.fromEdges(e, _ => lit(1L))
+  }
 }

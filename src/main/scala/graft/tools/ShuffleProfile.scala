@@ -81,13 +81,16 @@ object ShuffleProfile {
 
     // (name, run-thunk) in execution order: explicit names as given, or the
     // full gate (prep first, then sorted queries — Bench's attribution rule)
+    val drills = SparkEntry.scaleDrill.toMap
     val work: Seq[(String, () => Long)] =
       if (explicit.nonEmpty) {
-        explicit.filterNot(SparkEntry.queries.contains)
+        explicit.filterNot(n => SparkEntry.queries.contains(n) || drills.contains(n))
           .foreach(n => println(s"[shuffle] $n UNKNOWN"))
         explicit.flatMap { name =>
           SparkEntry.queries.get(name).map(fn =>
-            name -> (() => fn(spark, sfDir).count()))
+              name -> (() => fn(spark, sfDir).count()))
+            .orElse(drills.get(name).map(fn =>
+              s"drill:$name" -> (() => fn(spark, sfDir).count())))
         }
       } else
         SparkEntry.sharedPrep.map { case (name, fn) =>
@@ -95,6 +98,11 @@ object ShuffleProfile {
         } ++
           SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
             name -> (() => fn(spark, sfDir).count())
+          } ++
+          // scale drill last (declaration order: prep builds the graph, so
+          // each algorithm row is its own cost — the prep:* discipline)
+          SparkEntry.scaleDrill.map { case (name, fn) =>
+            s"drill:$name" -> (() => fn(spark, sfDir).count())
           }
 
     val records = scala.collection.mutable.ListBuffer.empty[String]

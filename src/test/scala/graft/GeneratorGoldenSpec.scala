@@ -172,4 +172,33 @@ test("grid 10x10 PageRank matches testGridPageRank golden ranks") {
     // K5 has C(5,3) = 10 triangles
     assert(GraphAlgorithms.globalTriangleCount(k5) === 10L)
   }
+
+  test("rmatGraph: deterministic (pure function of params), ids bounded by " +
+       "2^scale, self-loop-free, heavy-tailed degrees") {
+    val scale = 12; val m = 16384L
+    val g1 = GraphGenerators.rmatGraph(spark, scale, m)
+    val e1 = g1.edges.select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val e2 = GraphGenerators.rmatGraph(spark, scale, m).edges
+      .select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(e1 === e2, "same params must reproduce the identical edge multiset")
+    assert(e1.nonEmpty && e1.size <= m)
+    e1.foreach { case (s, d) =>
+      assert(s >= 0 && s < (1L << scale) && d >= 0 && d < (1L << scale))
+      assert(s != d)
+    }
+    // heavy tail: the hottest vertex concentrates far above the mean
+    // (a=0.57 biases every level toward the low quadrant)
+    val degs = e1.flatMap { case (s, d) => Seq(s, d) }
+      .groupBy(identity).view.mapValues(_.size).values.toSeq
+    val mean = degs.sum.toDouble / degs.size
+    assert(degs.max > 20 * mean,
+      s"max degree ${degs.max} vs mean $mean — expected R-MAT skew")
+    // different params → different graph
+    val g3 = GraphGenerators.rmatGraph(spark, scale, m, a = 0.25, b = 0.25, c = 0.25)
+      .edges.select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(g3 !== e1)
+  }
 }

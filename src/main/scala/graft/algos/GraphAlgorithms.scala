@@ -1119,10 +1119,7 @@ object GraphAlgorithms {
     var iter = 0
     var done = cur._1 == 0L // edgeless/empty graph: nothing to propagate
     while (!done && iter < maxIterations) {
-      val msgs = edges.join(state.withColumnRenamed("id", "dst"), Seq("dst"))
-        .select(col("src").as("id"), col("bucket"), col("r"))
-      val next = barrier(cp(state.unionByName(msgs)
-        .groupBy(col("id"), col("bucket")).agg(max(col("r")).as("r"))))
+      val next = barrier(cp(hbStep(edges, state)))
       val ns = stats(next)
       iter += 1
       done = (ns._1, ns._2) == ((cur._1, cur._2))
@@ -1133,6 +1130,14 @@ object GraphAlgorithms {
     }
     (state, traj.toSeq)
   }
+
+  /** One HyperBall round: each vertex pointwise-max-merges its successors'
+    * counters into its own — one join + one combinable max aggregate. */
+  private def hbStep(edges: DataFrame, state: DataFrame): DataFrame =
+    state.unionByName(
+        edges.join(state.withColumnRenamed("id", "dst"), Seq("dst"))
+          .select(col("src").as("id"), col("bucket"), col("r")))
+      .groupBy(col("id"), col("bucket")).agg(max(col("r")).as("r"))
 
   /** Converged per-vertex out-ball HLL registers (id, bucket, r) — the
     * register table of every vertex's full reachable set, at ≤ 2^p rows per
@@ -1161,6 +1166,71 @@ object GraphAlgorithms {
   def neighborhoodFunction(g: KGraph, p: Int = 6,
                            maxIterations: Int = 64): Seq[(Int, Double)] =
     hyperBallLoop(g, p, maxIterations)._2.map { case (t, _, _, e) => (t, e) }
+
+  /** Geometric centralities from the HyperBall loop — the paper's titular
+    * application (Boldi & Vigna 2013 §3: one pass yields closeness AND
+    * harmonic centrality for EVERY vertex, where exact all-pairs BFS is
+    * quadratic): per vertex over out-ball growth Δ_t = |B(v,t)| − |B(v,t−1)|,
+    *
+    *   sum_dist  = Σ_t t·Δ_t          (total distance to reachable vertices)
+    *   harmonic  = Σ_t Δ_t / t        (Boldi–Vigna's recommended centrality)
+    *   closeness = (ball − 1) / sum_dist   (0 for sink vertices)
+    *
+    * For in-distance variants (centrality of v as a TARGET) pass the
+    * reversed graph; for the undirected ones, `g.undirected`. Estimates
+    * inherit HLL error at precision p; per-round deltas are clamped at 0
+    * (the linear-counting/raw-estimate branch switch can wiggle estimates
+    * by a fraction of a count between rounds). Returns
+    * (id, ball, sum_dist, harmonic, closeness).
+    *
+    * Scale shape: the hyperBall round plus TWO bounded joins per round
+    * (per-vertex estimate frame + accumulator update) — all combinable
+    * aggregates and id-keyed joins, state O(V) rows beside the O(V·2^p)
+    * registers; no driver-side per-vertex data ever. */
+  def geometricCentralities(g: KGraph, p: Int = 8,
+                            maxIterations: Int = 64): DataFrame = {
+    val edges = cp(g.edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct())
+    var state = barrier(cp(graft.pipeline.Sketches.hllRegistersBy(
+      g.vertices.select(col("id"), col("id").cast("string").as("k")),
+      "id", "k", p)))
+    def est(df: DataFrame): DataFrame =
+      graft.pipeline.Sketches.hllEstimateBy(df, "id", p)
+    def stats(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), coalesce(sum(col("r")), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var prevEst = cp(est(state))
+    var acc = cp(prevEst.select(col("id"),
+      lit(0.0).as("sum_dist"), lit(0.0).as("harmonic")))
+    var cur = stats(state)
+    var iter = 0
+    var done = cur._1 == 0L
+    while (!done && iter < maxIterations) {
+      val next = barrier(cp(hbStep(edges, state)))
+      val ns = stats(next)
+      iter += 1
+      done = ns == cur
+      if (!done) {
+        val curEst = cp(est(next))
+        val delta = curEst.join(prevEst.withColumnRenamed("est", "_pe"), Seq("id"))
+          .select(col("id"), greatest(col("est") - col("_pe"), lit(0.0)).as("_d"))
+        acc = barrier(cp(acc.join(delta, Seq("id"), "left_outer")
+          .select(col("id"),
+            (col("sum_dist") + lit(iter) * coalesce(col("_d"), lit(0.0))).as("sum_dist"),
+            (col("harmonic") + coalesce(col("_d"), lit(0.0)) / lit(iter)).as("harmonic"))))
+        prevEst.unpersist(false)
+        prevEst = curEst
+      }
+      state.unpersist(false)
+      state = next
+      cur = ns
+    }
+    acc.join(prevEst, Seq("id"))
+      .select(col("id"), col("est").as("ball"), col("sum_dist"), col("harmonic"),
+        when(col("sum_dist") > 0, (col("est") - 1) / col("sum_dist"))
+          .otherwise(lit(0.0)).as("closeness"))
+  }
 
   /** Effective diameter at quantile `alpha` (HyperANF convention): the
     * interpolated round t at which N(t) first reaches alpha · N(T). */

@@ -167,4 +167,35 @@ class AlgoSpec extends SparkSpec {
     val starTraj = GraphAlgorithms.hyperBallTrajectory(star).collect()
     assert(starTraj.length === 2, "star converges after exactly one round")
   }
+
+  test("geometricCentralities: closed-form closeness/harmonic on chain and " +
+       "star (HyperBall's titular application; p=8 → near-exact)") {
+    import spark.implicits._
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      r.getLong(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val chain = KGraph.fromEdges(chainEdges(10), id => id)
+    val gc = asMap(GraphAlgorithms.geometricCentralities(chain, p = 8))
+    (0 until 10).foreach { v =>
+      val k = 9 - v // reachable successors
+      val (ball, sd, h, cl) = gc(v.toLong)
+      val wantSd = k * (k + 1) / 2.0
+      val wantH = (1 to k).map(1.0 / _).sum
+      assert(math.abs(ball - (k + 1)) / (k + 1) < 0.05, s"v=$v ball $ball")
+      assert(math.abs(sd - wantSd) <= math.max(0.05 * wantSd, 1e-9), s"v=$v sum_dist $sd vs $wantSd")
+      assert(math.abs(h - wantH) <= math.max(0.05 * wantH, 1e-9), s"v=$v harmonic $h vs $wantH")
+      val wantCl = if (k == 0) 0.0 else 2.0 / (10 - v)
+      assert(math.abs(cl - wantCl) <= math.max(0.06 * wantCl, 1e-9), s"v=$v closeness $cl vs $wantCl")
+    }
+    // star 0→1..8: center reaches everything at distance 1
+    val star = KGraph.fromEdges(
+      (1L to 8L).map(i => (0L, i, 1.0)).toDF("src", "dst", "value"), id => id)
+    val sc0 = asMap(GraphAlgorithms.geometricCentralities(star, p = 8))
+    val (b0, sd0, h0, cl0) = sc0(0L)
+    assert(math.abs(b0 - 9) < 0.5 && math.abs(sd0 - 8) < 0.5 &&
+      math.abs(h0 - 8) < 0.5 && math.abs(cl0 - 1.0) < 0.07)
+    (1L to 8L).foreach { v =>
+      val (b, sd, h, cl) = sc0(v)
+      assert(math.abs(b - 1) < 0.1 && sd === 0.0 && h === 0.0 && cl === 0.0, s"leaf $v")
+    }
+  }
 }

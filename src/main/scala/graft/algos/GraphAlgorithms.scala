@@ -1101,16 +1101,20 @@ object GraphAlgorithms {
     * the fixpoint; its first repeat IS convergence, and the emitted rounds
     * are exactly the strictly-increasing prefix an oracle can reproduce
     * with a LAG filter. */
-  private def hyperBallLoop(g: KGraph, p: Int, maxIterations: Int)
+  private def hyperBallLoop(g: KGraph, p: Int, maxIterations: Int,
+                            withEstimates: Boolean = false)
       : (DataFrame, Seq[(Int, Long, Long, Double)]) = {
     val edges = cp(g.edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst")).distinct())
     var state = barrier(cp(graft.pipeline.Sketches.hllRegistersBy(
       g.vertices.select(col("id"), col("id").cast("string").as("k")),
       "id", "k", p)))
+    // the Σ-estimate job per round only serves neighborhoodFunction /
+    // effectiveDiameter — register/trajectory callers skip it
     def stats(df: DataFrame): (Long, Long, Double) = {
-      val est = graft.pipeline.Sketches.hllEstimateBy(df, "id", p)
-        .agg(sum(col("est"))).head().getDouble(0)
+      val est = if (!withEstimates) 0.0
+        else graft.pipeline.Sketches.hllEstimateBy(df, "id", p)
+          .agg(sum(col("est"))).head().getDouble(0)
       val r = df.agg(count(lit(1)), coalesce(sum(col("r")), lit(0L))).head()
       (r.getLong(0), r.getLong(1), est)
     }
@@ -1165,7 +1169,8 @@ object GraphAlgorithms {
     * reduction). N(0) = |V| up to HLL error; N(T) ≈ reachable pairs. */
   def neighborhoodFunction(g: KGraph, p: Int = 6,
                            maxIterations: Int = 64): Seq[(Int, Double)] =
-    hyperBallLoop(g, p, maxIterations)._2.map { case (t, _, _, e) => (t, e) }
+    hyperBallLoop(g, p, maxIterations, withEstimates = true)._2
+      .map { case (t, _, _, e) => (t, e) }
 
   /** Geometric centralities from the HyperBall loop — the paper's titular
     * application (Boldi & Vigna 2013 §3: one pass yields closeness AND

@@ -56,10 +56,12 @@ class PlanAuditSpec extends SparkSpec {
     // (b) broadcast centroid/codebook scoring
     "e_knn_ivf", "e_knn_ivf_incr", "e_knn_ivfpq", "e_knn_ivfpq_incr",
     "e_knn_pq", "e_knn_sq8", "e_semdedup", "e_semdedup_incr",
-    // (c) scalar attaches / literal ranges
+    // (c) scalar attaches / literal ranges / bounded-dimension class
+    // tables (d_domain_classify crosses tf with the broadcast #classes-row
+    // class table — the NB scoring shape, SCALE.md r13 section)
     "d_bm25_top", "d_cooccur", "d_dsir_sample", "d_dsir_weights",
     "d_hybrid_rrf", "d_lm_score", "d_lm_domain", "d_tfidf_top",
-    "d_edit_pairs", "d_edit_clusters", "g_generators")
+    "d_edit_pairs", "d_edit_clusters", "g_generators", "d_domain_classify")
 
   test("sweep: no gated query plans an unpartitioned Window over " +
        "non-aggregated, unbounded input, a cartesian product, or an " +

@@ -1472,6 +1472,22 @@ object SparkEntry {
           col("lm_micro_total"))
     }),
 
+    // CCNet's head/middle/tail perplexity split (Wenzek et al. §4.3):
+    // reference model = the curated 'en' slice, every doc's integer
+    // micro-nat NLL bucketed against corpus terciles decoded from the
+    // mergeable log-histogram sketch — thresholds are sketch
+    // representatives, so the whole pipeline is integer-exact cross-engine
+    "d_lm_buckets" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      // s=10 (relative error <= 2^-11): the synthetic corpus's NLL spread
+      // is +-5% around 3.4M micro-nats, so the s=7 default's ~16k-wide
+      // buckets put BOTH terciles in one bucket and 'middle' goes vacuous;
+      // 2k-wide buckets split all three classes non-degenerately
+      TextAnalysis.lmBuckets(
+        TextAnalysis.lmModel(docs.filter(col("lang") === "en")), docs,
+        subBucketBits = 10)
+    }),
+
     // supervised reference-domain classifier (the fastText slot of CCNet,
     // Wenzek et al. LREC'20 §4.4) — mergeable multinomial NB. The corpus
     // has NO natural class separation (measured: every lang/source shares
@@ -5024,6 +5040,58 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN cnt = 0 THEN tf ELSE 0 END) AS BIGINT) AS n_oov,
         |       CAST(sum(lpm) AS BIGINT) AS lm_micro_total
         |FROM lp GROUP BY 1""".stripMargin,
+
+    // CCNet tercile split: LM scoring (the d_lm_domain shape, no
+    // injection), NLL = floor-div of non-negative integers, then the
+    // ev_value_sketch_q bucket/walk/decode at s=7 for the two thresholds
+    "d_lm_buckets" -> {
+      val s1 = 10; val exact = 1L << (s1 + 1); val sub = 1L << s1
+      s"""WITH tk AS (
+         |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+         |  FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
+         |model AS (
+         |  SELECT term, count(*) AS cnt FROM (
+         |    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+         |    FROM documents WHERE lang = 'en') GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total,
+         |               count(*) AS n_vocab FROM model),
+         |lp AS (
+         |  SELECT tf.doc_id, tf.tf, coalesce(model.cnt, 0) AS cnt,
+         |    CAST(round(tf.tf * ln(CAST(coalesce(model.cnt, 0) + 1 AS DOUBLE)
+         |      / (n_total + n_vocab)) * 1000000) AS BIGINT) AS lpm
+         |  FROM tf LEFT JOIN model USING (term) CROSS JOIN tot),
+         |sc AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+         |         CAST(sum(CASE WHEN cnt = 0 THEN tf ELSE 0 END) AS BIGINT) AS n_oov,
+         |         CAST(sum(lpm) AS BIGINT) AS lm_micro
+         |       FROM lp GROUP BY 1),
+         |sc2 AS (SELECT doc_id, n_tokens, n_oov,
+         |               CAST((-lm_micro) // n_tokens AS BIGINT) AS nll_micro FROM sc),
+         |b AS (SELECT CASE WHEN nll_micro < 0 THEN -1
+         |             WHEN nll_micro < $exact THEN nll_micro
+         |             ELSE (length(bin(nll_micro)) - ${s1 + 1}) * $sub
+         |                  + (nll_micro >> (length(bin(nll_micro)) - ${s1 + 1}))
+         |             END AS bucket FROM sc2),
+         |h AS (SELECT bucket, count(*) AS cnt FROM b WHERE bucket >= 0 GROUP BY bucket),
+         |n AS (SELECT sum(cnt) AS n FROM h),
+         |c AS (SELECT bucket, sum(cnt) OVER (ORDER BY bucket) AS cum FROM h),
+         |t AS (SELECT p, greatest(1, CAST(ceil(p * n.n) AS BIGINT)) AS rk
+         |      FROM n, unnest([${1.0 / 3}, ${2.0 / 3}]) AS u(p)),
+         |pick AS (SELECT t.p, min(c.bucket) AS bucket
+         |         FROM t JOIN c ON c.cum >= t.rk GROUP BY t.p),
+         |dec AS (SELECT p, bucket, (bucket // $sub) - 1 AS sh,
+         |               bucket - ((bucket // $sub) - 1) * $sub AS m FROM pick),
+         |thv AS (SELECT p, CAST(CASE WHEN bucket < $exact THEN bucket
+         |               ELSE ((m + 1) << sh) - 1
+         |               END AS BIGINT) AS value FROM dec),
+         |th AS (SELECT max(CASE WHEN p < 0.5 THEN value END) AS t1,
+         |              max(CASE WHEN p > 0.5 THEN value END) AS t2 FROM thv)
+         |SELECT doc_id, n_tokens, n_oov, nll_micro,
+         |       CASE WHEN nll_micro <= t1 THEN 'head'
+         |            WHEN nll_micro <= t2 THEN 'middle'
+         |            ELSE 'tail' END AS bucket
+         |FROM sc2 CROSS JOIN th""".stripMargin
+    },
 
     "d_domain_classify" ->
       """WITH tr AS (

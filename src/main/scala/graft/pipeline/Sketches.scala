@@ -360,11 +360,32 @@ object Sketches {
       .toDF(groupCol, "p", "value")
   }
 
-  /** Shared rank walk + integer-midpoint decode over one group's sorted
+  /** Quantile-bucket inclusive UPPER bounds — the threshold decode for
+    * split/assignment semantics ([[graft.pipeline.TextAnalysis.lmBuckets]]
+    * and friends): `value` is the LAST integer of the bucket holding rank
+    * ceil(p·n), so `x <= value` captures every value the sketch places
+    * at-or-below that quantile. The midpoint representative of
+    * [[logHistogramQuantiles]] is the better POINT estimate but can
+    * undercut values inside its own bucket — used as a class threshold it
+    * silently empties the lowest class. */
+  def logHistogramQuantileEnds(hist: DataFrame, ps: Seq[Double],
+                               subBucketBits: Int = 7): DataFrame = {
+    val rows = hist
+      .select(col("bucket").cast("long"), col("cnt").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    require(rows.forall(_._1 >= 0L),
+      "histogram contains bucket -1 (negative values): offset or scale inputs first")
+    val spark = hist.sparkSession
+    import spark.implicits._
+    walkQuantiles(rows, ps, subBucketBits, end = true).toDF("p", "value")
+  }
+
+  /** Shared rank walk + integer decode over one group's sorted
     * (bucket, cnt) rows: for each p, the bucket holding ascending rank
-    * max(1, ceil(p·n)), decoded to its representative value. Empty → empty. */
+    * max(1, ceil(p·n)), decoded to its midpoint representative (default)
+    * or its inclusive upper bound (`end = true`). Empty → empty. */
   private def walkQuantiles(rows: Array[(Long, Long)], ps: Seq[Double],
-                            s: Int): Seq[(Double, Long)] = {
+                            s: Int, end: Boolean = false): Seq[(Double, Long)] = {
     def rep(b: Long): Long =
       if (b < (1L << (s + 1))) b
       else {
@@ -372,7 +393,7 @@ object Sketches {
         val m = b - shift * (1L << s)
         val lo = m << shift
         val hi = ((m + 1L) << shift) - 1L
-        lo + ((hi - lo) >> 1)
+        if (end) hi else lo + ((hi - lo) >> 1)
       }
     val n = rows.iterator.map(_._2).sum
     if (n == 0L) Seq.empty

@@ -291,6 +291,41 @@ object TextAnalysis {
         round((sum(col("_lpm")) / 1e6) / sum(col("tf")), 6).as("lm_score"))
   }
 
+  /** CCNet's head/middle/tail perplexity split (Wenzek et al., LREC 2020
+    * §4.3 — the third member of the CCNet triptych beside [[lmScoreAgainst]]
+    * and the NB domain classifier): each document's reference-LM NLL
+    * (mean negative log-probability in integer micro-nats —
+    * `(−lm_micro_total) div n_tokens`, floor division of non-negatives,
+    * so engines agree bit-for-bit) is compared against the corpus
+    * terciles; 'head' = most reference-like, the slice CCNet keeps.
+    *
+    * Thresholds come from the MERGEABLE [[Sketches.logHistogram]] sketch
+    * (exact below 2^(s+1), ≤ 0.4 % relative above at the default s = 7) —
+    * the deployed shape: a 100 TB corpus keeps per-shard histograms,
+    * merges them by pointwise sum, decodes two thresholds on the driver
+    * (a control read over ≤ ~7.4k bucket rows — never the data), and the
+    * assignment pass is a rowwise comparison against two literals. The
+    * scored frame is localCheckpointed so the corpus is scored ONCE, not
+    * once per pass. Returns (idCol, n_tokens, n_oov, nll_micro, bucket). */
+  def lmBuckets(model: DataFrame, docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text", subBucketBits: Int = 7): DataFrame = {
+    val scored = lmScoreAgainst(model, docs, idCol, textCol)
+      .withColumn("nll_micro", expr(s"(-lm_micro_total) div n_tokens"))
+      .select(col(idCol), col("n_tokens"), col("n_oov"), col("nll_micro"))
+      .localCheckpoint(true)
+    val hist = Sketches.logHistogram(scored, "nll_micro", subBucketBits)
+    // thresholds are the tercile buckets' inclusive UPPER bounds (not the
+    // midpoint representatives — a midpoint can undercut every value in
+    // its own bucket and silently empty 'head')
+    val ts = Sketches.logHistogramQuantileEnds(
+        hist, Seq(1.0 / 3, 2.0 / 3), subBucketBits)
+      .collect().map(_.getLong(1))
+    scored.withColumn("bucket",
+      when(col("nll_micro") <= ts(0), lit("head"))
+        .when(col("nll_micro") <= ts(1), lit("middle"))
+        .otherwise(lit("tail")))
+  }
+
   // ---------------------------------------------------------------------
   // Supervised reference-domain classification — mergeable multinomial
   // Naive Bayes (the fastText-classifier slot of the CCNet pipeline,

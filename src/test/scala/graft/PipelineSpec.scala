@@ -1597,6 +1597,34 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("lmBuckets: CCNet tercile split — buckets are monotone in nll_micro, " +
+       "all three classes populated on a tiered fixture, head = most " +
+       "reference-like tier") {
+    // reference model: common words; three doc tiers by construction —
+    // pure-common (lowest NLL), mixed, pure-OOV (highest NLL)
+    val ref = Seq.tabulate(8)(i => (100L + i, "the cat sat the cat mat dog ran"))
+      .toDF("doc_id", "text")
+    val model = TextAnalysis.lmModel(ref)
+    val docs = (
+      (0 until 6).map(i => (i.toLong, "the cat sat mat")) ++
+      (0 until 6).map(i => (10L + i, "the cat qq zz")) ++
+      (0 until 6).map(i => (20L + i, "qq zz ww vv"))
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.lmBuckets(model, docs).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getString(4)))
+    val byBucket = out.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+    assert(byBucket.keySet === Set("head", "middle", "tail"),
+      s"all three classes must be populated, got ${byBucket.keySet}")
+    // monotone: every head NLL <= every middle NLL <= every tail NLL
+    assert(byBucket("head").max <= byBucket("middle").min)
+    assert(byBucket("middle").max <= byBucket("tail").min)
+    // tier identity: the pure-common docs are the head, pure-OOV the tail
+    val byDoc = out.map(t => t._1 -> t._3).toMap
+    (0 until 6).foreach(i => assert(byDoc(i.toLong) === "head", s"doc $i"))
+    (0 until 6).foreach(i => assert(byDoc(20L + i) === "tail", s"doc ${20 + i}"))
+    (0 until 6).foreach(i => assert(byDoc(10L + i) === "middle", s"doc ${10 + i}"))
+  }
+
   test("nbClassify: exact micro-nat argmax vs driver reference; OOV floor " +
        "shared across classes; empty-token doc falls back to prior argmax; " +
        "integer ties break to the max label") {

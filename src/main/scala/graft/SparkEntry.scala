@@ -444,6 +444,8 @@ object SparkEntry {
       GraphAlgorithms.wcc(rmatDrillGraph(s, 20, 8000000L))),
     "rmat_kcore" -> ((s, _) =>
       GraphAlgorithms.kCore(rmatDrillGraph(s, 20, 8000000L).edges, k = 8)),
+    "rmat_hyperball" -> ((s, _) =>
+      GraphAlgorithms.hyperBall(rmatDrillGraph(s, 20, 8000000L), p = 6)),
     "rmat_prep18" -> ((s, _) => rmatDrillGraph(s, 18, 2000000L).edges),
     "rmat_ktruss" -> ((s, _) =>
       GraphAlgorithms.kTruss(rmatDrillGraph(s, 18, 2000000L).edges, k = 6)))

@@ -1104,26 +1104,34 @@ object GraphAlgorithms {
   private def hyperBallLoop(g: KGraph, p: Int, maxIterations: Int,
                             withEstimates: Boolean = false)
       : (DataFrame, Seq[(Int, Long, Long, Double)]) = {
+    import graft.pipeline.Sketches
     val edges = cp(g.edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst")).distinct())
-    var state = barrier(cp(graft.pipeline.Sketches.hllRegistersBy(
+    val regMax = Sketches.hllRegMax(p)
+    var state = barrier(cp(Sketches.hllPackedSingletons(
       g.vertices.select(col("id"), col("id").cast("string").as("k")),
       "id", "k", p)))
-    // the Σ-estimate job per round only serves neighborhoodFunction /
-    // effectiveDiameter — register/trajectory callers skip it
+    // the Σ-estimate column only serves neighborhoodFunction /
+    // effectiveDiameter — register/trajectory callers skip it; all three
+    // statistics come from ONE rowwise pass over the packed arrays
     def stats(df: DataFrame): (Long, Long, Double) = {
-      val est = if (!withEstimates) 0.0
-        else graft.pipeline.Sketches.hllEstimateBy(df, "id", p)
-          .agg(sum(col("est"))).head().getDouble(0)
-      val r = df.agg(count(lit(1)), coalesce(sum(col("r")), lit(0L))).head()
-      (r.getLong(0), r.getLong(1), est)
+      val estCol = if (withEstimates) Sketches.hllEstimatePacked(col("regs"), p)
+                   else lit(0.0)
+      val r = df.select(
+          size(filter(col("regs"), x => x > 0)).cast("long").as("_n"),
+          aggregate(col("regs"), lit(0L), (acc, x) => acc + x).as("_s"),
+          estCol.as("_e"))
+        .agg(coalesce(sum(col("_n")), lit(0L)), coalesce(sum(col("_s")), lit(0L)),
+          coalesce(sum(col("_e")), lit(0.0)))
+        .head()
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
     }
     var cur = stats(state)
     val traj = scala.collection.mutable.ArrayBuffer((0, cur._1, cur._2, cur._3))
     var iter = 0
     var done = cur._1 == 0L // edgeless/empty graph: nothing to propagate
     while (!done && iter < maxIterations) {
-      val next = barrier(cp(hbStep(edges, state)))
+      val next = barrier(cp(hbStep(edges, state, regMax)))
       val ns = stats(next)
       iter += 1
       done = (ns._1, ns._2) == ((cur._1, cur._2))
@@ -1135,13 +1143,18 @@ object GraphAlgorithms {
     (state, traj.toSeq)
   }
 
-  /** One HyperBall round: each vertex pointwise-max-merges its successors'
-    * counters into its own — one join + one combinable max aggregate. */
-  private def hbStep(edges: DataFrame, state: DataFrame): DataFrame =
+  /** One HyperBall round over PACKED counters: each vertex pointwise-max-
+    * merges its successors' arrays into its own — one join + one map-side-
+    * combinable udaf aggregate, shipping ONE array per edge (the in-core
+    * HyperBall layout; a row-per-register formulation multiplies message
+    * volume by the ball's bucket count — measured 23.7 GB vs ~2 GB on the
+    * R-MAT drill). */
+  private def hbStep(edges: DataFrame, state: DataFrame,
+                     regMax: org.apache.spark.sql.expressions.UserDefinedFunction): DataFrame =
     state.unionByName(
         edges.join(state.withColumnRenamed("id", "dst"), Seq("dst"))
-          .select(col("src").as("id"), col("bucket"), col("r")))
-      .groupBy(col("id"), col("bucket")).agg(max(col("r")).as("r"))
+          .select(col("src").as("id"), col("regs")))
+      .groupBy(col("id")).agg(regMax(col("regs")).as("regs"))
 
   /** Converged per-vertex out-ball HLL registers (id, bucket, r) — the
     * register table of every vertex's full reachable set, at ≤ 2^p rows per
@@ -1149,7 +1162,7 @@ object GraphAlgorithms {
     * [[graft.pipeline.Sketches.hllEstimateBy]] for ball-size estimates
     * (closeness/harmonic centrality numerators). */
   def hyperBall(g: KGraph, p: Int = 6, maxIterations: Int = 64): DataFrame =
-    hyperBallLoop(g, p, maxIterations)._1
+    graft.pipeline.Sketches.hllUnpack(hyperBallLoop(g, p, maxIterations)._1, "id")
 
   /** Per-round register trajectory (t, n_regs, sum_r) — the exact-integer
     * shadow of the neighborhood function: rows for t = 0 and every round
@@ -1194,15 +1207,21 @@ object GraphAlgorithms {
     * registers; no driver-side per-vertex data ever. */
   def geometricCentralities(g: KGraph, p: Int = 8,
                             maxIterations: Int = 64): DataFrame = {
+    import graft.pipeline.Sketches
     val edges = cp(g.edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst")).distinct())
-    var state = barrier(cp(graft.pipeline.Sketches.hllRegistersBy(
+    val regMax = Sketches.hllRegMax(p)
+    var state = barrier(cp(Sketches.hllPackedSingletons(
       g.vertices.select(col("id"), col("id").cast("string").as("k")),
       "id", "k", p)))
     def est(df: DataFrame): DataFrame =
-      graft.pipeline.Sketches.hllEstimateBy(df, "id", p)
+      df.select(col("id"), Sketches.hllEstimatePacked(col("regs"), p).as("est"))
     def stats(df: DataFrame): (Long, Long) = {
-      val r = df.agg(count(lit(1)), coalesce(sum(col("r")), lit(0L))).head()
+      val r = df.select(
+          size(filter(col("regs"), x => x > 0)).cast("long").as("_n"),
+          aggregate(col("regs"), lit(0L), (acc, x) => acc + x).as("_s"))
+        .agg(coalesce(sum(col("_n")), lit(0L)), coalesce(sum(col("_s")), lit(0L)))
+        .head()
       (r.getLong(0), r.getLong(1))
     }
     var prevEst = cp(est(state))
@@ -1212,7 +1231,7 @@ object GraphAlgorithms {
     var iter = 0
     var done = cur._1 == 0L
     while (!done && iter < maxIterations) {
-      val next = barrier(cp(hbStep(edges, state)))
+      val next = barrier(cp(hbStep(edges, state, regMax)))
       val ns = stats(next)
       iter += 1
       done = ns == cur

@@ -542,7 +542,8 @@ object Sketches {
   // ONE row per group, merged by a pointwise-max typed Aggregator (map-
   // side combinable), so an iterated merge over E edges ships E arrays,
   // not E·buckets rows. Measured on the R-MAT drill this is the
-  // difference between 23.7 GB and ~2 GB of HyperBall shuffle. The packed
+  // difference between 23.7 GB / 658 s and 6.7 GB / 60 s of HyperBall
+  // shuffle/wall at identical register values. The packed
   // and row forms hold IDENTICAL register values — unpack for the
   // hash-gateable table, estimate straight from the array otherwise.
   // -------------------------------------------------------------------------

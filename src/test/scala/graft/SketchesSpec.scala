@@ -512,6 +512,38 @@ class SketchesSpec extends SparkSpec {
     assert(err < 0.02, s"estimate $est vs $n: relative error $err")
   }
 
+  test("packed registers: singletons + hllRegMax merge ≡ the row-table " +
+       "hllRegistersBy; unpack is value-identical; packed estimate ≡ row " +
+       "estimate (the HyperBall in-core layout is a pure re-encoding)") {
+    import spark.implicits._
+    val p = 6
+    val rng = new scala.util.Random(23)
+    // multi-key groups: merge packed singletons per group with the UDAF
+    val rows = (0 until 400).map { _ =>
+      (s"g${rng.nextInt(5)}", s"k${rng.nextInt(120)}")
+    }.toDF("g", "k")
+    val packed = Sketches.hllPackedSingletons(
+        rows.select(concat(col("g"), lit(" "), col("k")).as("gk"), col("k")),
+        "gk", "k", p)
+      .select(substring_index(col("gk"), " ", 1).as("g"), col("regs"))
+      .groupBy(col("g")).agg(Sketches.hllRegMax(p)(col("regs")).as("regs"))
+    val viaPacked = Sketches.hllUnpack(packed, "g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    val viaRows = Sketches.hllRegistersBy(rows, "g", "k", p).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(viaPacked === viaRows)
+    // estimates agree to FP association noise
+    val estPacked = packed.select(col("g"),
+        Sketches.hllEstimatePacked(col("regs"), p).as("est"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val estRows = Sketches.hllEstimateBy(
+        Sketches.hllRegistersBy(rows, "g", "k", p), "g", p)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    estRows.foreach { case (g, e) =>
+      assert(math.abs(estPacked(g) - e) < 1e-9 * math.max(1.0, e), s"group $g")
+    }
+  }
+
   test("hllEstimateBy ≡ driver hllEstimate per group (distributed decode " +
        "of the same formula, incl. the linear-counting branch)") {
     val p = 8

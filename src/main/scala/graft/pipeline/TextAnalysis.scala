@@ -320,7 +320,9 @@ object TextAnalysis {
     val ts = Sketches.logHistogramQuantileEnds(
         hist, Seq(1.0 / 3, 2.0 / 3), subBucketBits)
       .collect().map(_.getLong(1))
-    scored.withColumn("bucket",
+    if (ts.isEmpty) // empty corpus: keep the schema, emit no rows
+      scored.withColumn("bucket", lit(null).cast("string"))
+    else scored.withColumn("bucket",
       when(col("nll_micro") <= ts(0), lit("head"))
         .when(col("nll_micro") <= ts(1), lit("middle"))
         .otherwise(lit("tail")))

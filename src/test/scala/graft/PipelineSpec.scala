@@ -1625,6 +1625,16 @@ class PipelineSpec extends SparkSpec {
     (0 until 6).foreach(i => assert(byDoc(10L + i) === "middle", s"doc ${10 + i}"))
   }
 
+  test("lmBuckets on an EMPTY corpus returns an empty frame with the " +
+       "bucket column (no threshold-decode crash)") {
+    val model = TextAnalysis.lmModel(Seq((1L, "the cat")).toDF("doc_id", "text"))
+    val out = TextAnalysis.lmBuckets(model,
+      Seq.empty[(Long, String)].toDF("doc_id", "text"))
+    assert(out.columns.toSeq ===
+      Seq("doc_id", "n_tokens", "n_oov", "nll_micro", "bucket"))
+    assert(out.count() === 0L)
+  }
+
   test("nbClassify: exact micro-nat argmax vs driver reference; OOV floor " +
        "shared across classes; empty-token doc falls back to prior argmax; " +
        "integer ties break to the max label") {

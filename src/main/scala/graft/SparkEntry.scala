@@ -87,6 +87,21 @@ object SparkEntry {
       Dedup.minHashLSH(t(s, dir, "documents"), threshold = 0.5, poly = true)
         .toDF("doc_id", "rep").localCheckpoint(true))
 
+  // ONE HyperBall register loop on the tree graph serves both the
+  // converged-register gate and the trajectory gate — the trajectory is
+  // the loop's own fixpoint bookkeeping, so running the loop twice would
+  // only re-measure scheduling floor, not semantics
+  private val hyperBallCache = scala.collection.concurrent.TrieMap
+    .empty[(Int, String), (DataFrame, DataFrame)]
+
+  private def cachedHyperBall(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    hyperBallCache.getOrElseUpdate(
+      (System.identityHashCode(s.sparkContext), dir), {
+        val (regs, traj) =
+          GraphAlgorithms.hyperBallWithTrajectory(treeGraph(s, dir), p = 6)
+        (regs.localCheckpoint(true), traj.localCheckpoint(true))
+      })
+
   private def cachedSimhashClusters(s: SparkSession, dir: String): DataFrame =
     clusterCache.getOrElseUpdate(
       (System.identityHashCode(s.sparkContext), dir, "simhash"),
@@ -541,15 +556,16 @@ object SparkEntry {
     // HyperBall (Boldi–Vigna) on the customer binary tree: converged
     // per-vertex OUT-ball (ancestor-set) HLL register tables — exact
     // integers, the d_hll_orders register discipline iterated through a
-    // graph loop, reproduced by the oracle from a recursive ancestor CTE
-    "g_hyperball" -> ((s, dir) =>
-      GraphAlgorithms.hyperBall(treeGraph(s, dir), p = 6)),
+    // graph loop, reproduced by the oracle from a recursive ancestor CTE.
+    // ONE loop run feeds this gate AND g_hyperball_nf (the trajectory is
+    // the loop's own fixpoint test — a deployment computes both in one
+    // pass, hyperBallWithTrajectory), memoized like the graph frames
+    "g_hyperball" -> ((s, dir) => cachedHyperBall(s, dir)._1),
 
     // per-round (t, n_regs, sum_r) register trajectory — the exact-integer
     // shadow of the neighborhood function N(t); strictly-increasing prefix
     // (register fixpoint), LAG-filtered identically in the oracle
-    "g_hyperball_nf" -> ((s, dir) =>
-      GraphAlgorithms.hyperBallTrajectory(treeGraph(s, dir), p = 6)),
+    "g_hyperball_nf" -> ((s, dir) => cachedHyperBall(s, dir)._2),
 
     "g_pagerank_stars" -> ((s, dir) =>
       GraphAlgorithms.pageRank(starGraph(s, dir), tolerance = 0.0001, resetProb = 0.15)
@@ -1126,6 +1142,23 @@ object SparkEntry {
         n = RepeatedSpanN, minDocs = RepeatedSpanMinDocs)._2
     }),
 
+    // the ANY-REPEAT criterion (Lee et al.'s literal >=2-occurrences
+    // count, within-document repeats included) — closes the measured
+    // within-doc gap of the cross-doc df criterion; same linear
+    // inverted-index shape, plain count(*) instead of countDistinct.
+    // Injection: every 50th doc gets its own leading window appended
+    // (a within-doc-ONLY repeat — invisible to the cross-doc criterion,
+    // the d_dup_matrix non-vacuousness discipline)
+    "d_repeated_spans_any" -> ((s, dir) =>
+      Dedup.repeatedSpansAnyRepeat(withinDocRepeatInjected(t(s, dir, "documents")),
+        n = RepeatedSpanN, minCount = RepeatedSpanMinDocs)),
+
+    // the applied any-repeat mask (remove everywhere, within-doc copies
+    // too): per-doc survivors + fingerprint, same narrow gated shape
+    "d_repeated_spans_any_removed" -> ((s, dir) =>
+      Dedup.removeRepeatedSpansAny(withinDocRepeatInjected(t(s, dir, "documents")),
+        n = RepeatedSpanN, minCount = RepeatedSpanMinDocs)),
+
     // Line-level exact dedup (C4/RefinedWeb boilerplate killer): first
     // corpus occurrence of each distinct line survives, later copies drop.
     // The single-line corpus is re-wrapped into 2-token lines (~900 combos
@@ -1291,6 +1324,32 @@ object SparkEntry {
     // conjunctive keep — shuffle-free corpus scan
     "d_gopher_rules" -> ((s, dir) =>
       TextAnalysis.gopherRules(t(s, dir, "documents"))),
+
+    // C4 page-level cleaning flags (Raffel et al. JMLR'20 §2.2): the
+    // corpus is sentence-wrapped (10-token sentences ending '.') and
+    // seeded with each failure mode — %31 bad word, %37 lorem ipsum,
+    // %43 brace, %47 truncated under minSentences — so every flag AND the
+    // keep verdict are non-vacuous (the d_dup_matrix injection
+    // discipline). Flags cast to int for the cross-engine hash
+    "d_c4_filter" -> ((s, dir) => {
+      val injected = c4InjectDoc(c4SentenceWrapped(t(s, dir, "documents"), " "))
+      Curation.c4DocFilter(injected, blocklist = Seq("badger", "mushroom"))
+        .select(col("doc_id"),
+          col("has_bad_word").cast("int").as("has_bad_word"),
+          col("has_lorem").cast("int").as("has_lorem"),
+          col("has_brace").cast("int").as("has_brace"),
+          col("n_sentences"),
+          col("keep").cast("int").as("keep"))
+    }),
+
+    // C4 line-level cleaning (terminal punctuation + >=5 words + no
+    // 'javascript' word): sentence-wrapped corpus with one injected line
+    // per failure mode; rebuilt-survivor fingerprint, the lineDedup
+    // narrow shape. ENTIRELY rowwise — one codegen'd scan, zero shuffle
+    "d_c4_lines" -> ((s, dir) => {
+      val injected = c4InjectLines(c4SentenceWrapped(t(s, dir, "documents"), "\n"))
+      Curation.c4LineFilter(injected)
+    }),
 
     // BM25 retrieval: top-5 docs per probe term (k1=1.2, b=0.75); probe
     // filter precedes the tf shuffle, df/corpus-stats broadcast, top-k is
@@ -2271,6 +2330,57 @@ object SparkEntry {
         expr("bit_xor(text_fp)").as("mask_fp"))
       .filter(col("n_docs") === 0 || col("mask_fp").isNotNull)
 
+  /** Within-document-ONLY repeat injection for the any-repeat span gates
+    * (d_repeated_spans_any / _any_removed): every 50th doc gets its own
+    * leading RepeatedSpanN-token window appended, so the window occurs at
+    * pos 0 AND at the tail — a >=2-occurrence repeat the cross-document
+    * criterion cannot see (the d_dup_matrix non-vacuousness discipline).
+    * `concat` (not concat_ws) so a NULL text stays NULL, matching the SQL
+    * `||` semantics in [[anyRepeatSrc]]; docs shorter than the window
+    * append what they have (no repeat created — harmless, engine-agreed). */
+  private def withinDocRepeatInjected(docs: DataFrame): DataFrame = {
+    val toks = Dedup.normTokens(col("text"))
+    docs.withColumn("text",
+      when(col("doc_id") % 50 === 0,
+        concat(col("text"), lit(" "),
+          array_join(slice(toks, 1, RepeatedSpanN), " ")))
+        .otherwise(col("text")))
+  }
+
+  /** C4-gate corpus prep: re-wrap the (punctuation-free) corpus into
+    * 10-token sentences ending '.', joined by `sep` (' ' for the page
+    * gate, '\n' for the line gate); every 47th doc is first truncated to
+    * 12 tokens so the minSentences rule is non-vacuous. Replayed verbatim
+    * in the oracle SQL. */
+  private def c4SentenceWrapped(docs: DataFrame, sep: String): DataFrame = {
+    val toks0 = TextAnalysis.wsTokens(trim(col("text")))
+    val toks = when(col("doc_id") % 47 === 0, slice(toks0, 1, 12))
+      .otherwise(toks0)
+    val sents = transform(
+      sequence(lit(0), ((size(toks) + 9) / 10 - 1).cast("int")),
+      i => concat(array_join(slice(toks, i * 10 + 1, lit(10)), " "), lit(".")))
+    docs.select(col("doc_id"), array_join(sents, sep).as("text"))
+  }
+
+  /** Page-gate injections: one tail per C4 failure mode. */
+  private def c4InjectDoc(docs: DataFrame): DataFrame =
+    docs.withColumn("text", concat(col("text"),
+      when(col("doc_id") % 31 === 0, lit(" badger.")).otherwise(lit("")),
+      when(col("doc_id") % 37 === 0, lit(" lorem ipsum.")).otherwise(lit("")),
+      when(col("doc_id") % 43 === 0, lit(" { x }")).otherwise(lit(""))))
+
+  /** Line-gate injections: one line per line-rule failure mode — no
+    * terminal punctuation (%31), a 'javascript' word in an otherwise-legal
+    * line (%37), under five words (%43). */
+  private def c4InjectLines(docs: DataFrame): DataFrame =
+    docs.withColumn("text", concat(col("text"),
+      when(col("doc_id") % 31 === 0, lit("\nclick here now no punct"))
+        .otherwise(lit("")),
+      when(col("doc_id") % 37 === 0,
+        lit("\nenable javascript support on your browser."))
+        .otherwise(lit("")),
+      when(col("doc_id") % 43 === 0, lit("\ntiny line.")).otherwise(lit(""))))
+
   /** Injected NB training corpus for d_domain_classify — two synthetic
     * domains, 40 docs each: separable private vocab (aleph/quartz/zephyr
     * vs borax/lattice/osmium), opposed REAL-vocab anchors (data/table vs
@@ -2370,6 +2480,40 @@ object SparkEntry {
 
   private lazy val decontamSrc: String =
     "SELECT doc_id, text FROM documents WHERE doc_id % 41 <> 0"
+
+  /** The [[withinDocRepeatInjected]] corpus replayed in SQL for the
+    * any-repeat span oracles: every 50th doc appends its own leading
+    * n-token window (`||` keeps NULL text NULL, matching Spark's
+    * `concat`). */
+  private lazy val anyRepeatSrc: String = {
+    val n = RepeatedSpanN
+    s"""SELECT doc_id,
+       |  CASE WHEN doc_id % 50 = 0 THEN text || ' ' || array_to_string(
+       |    list_slice(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+       |      1, $n), ' ')
+       |  ELSE text END AS text
+       |FROM documents""".stripMargin
+  }
+
+  /** The [[c4SentenceWrapped]] prep replayed in SQL: CTEs d0 → tr → w,
+    * with w(doc_id, t0) the sentence-wrapped text joined by `sepSql`
+    * (an SQL expression — `"' '"` or `"chr(10)"`). */
+  private def c4WrapSql(sepSql: String): String =
+    s"""d0 AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk0
+       |       FROM documents),
+       |tr AS (SELECT doc_id, CASE WHEN doc_id % 47 = 0 THEN list_slice(tk0, 1, 12)
+       |              ELSE tk0 END AS tk FROM d0),
+       |w AS (SELECT doc_id, array_to_string(list_transform(range(0, (len(tk) + 9) // 10),
+       |        i -> array_to_string(list_slice(tk, i * 10 + 1, i * 10 + 10), ' ') || '.'),
+       |        $sepSql) AS t0 FROM tr)""".stripMargin
+
+  /** Any-repeat hot/mk block (Lee et al.'s literal >=2-occurrences
+    * criterion — count(*) over positions, within-doc repeats included),
+    * shared by the d_repeated_spans_any_removed mask oracle. */
+  private lazy val anyRepeatHotMk: String =
+    s"""hot AS (SELECT gm FROM g GROUP BY gm
+       |        HAVING count(*) >= $RepeatedSpanMinDocs),
+       |mk AS (SELECT doc_id, pos FROM g JOIN hot USING (gm)),""".stripMargin
 
   /** Span-mask oracle template shared by d_repeated_spans_removed /
     * _keep / _mask: positional n-gram stream (gram STRINGS — Spark's
@@ -4263,6 +4407,37 @@ object SparkEntry {
          |FROM gr GROUP BY doc_id, grp""".stripMargin
     },
 
+    // any-repeat spans: same gram stream over the injected corpus, hot =
+    // count(*) >= 2 OCCURRENCES anywhere (within-doc included — Lee et
+    // al.'s literal criterion), same islands merge
+    "d_repeated_spans_any" -> {
+      val n = RepeatedSpanN
+      val terms = (0 until n).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
+      s"""WITH src AS ($anyRepeatSrc),
+         |t1 AS (SELECT doc_id,
+         |  string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+         |  FROM src),
+         |g AS (SELECT doc_id, CAST(u.i AS BIGINT) - 1 AS pos, $terms AS gm
+         |      FROM t1, unnest(range(1, len(toks) - $n + 2)) AS u(i)
+         |      WHERE len(toks) >= $n),
+         |hot AS (SELECT gm FROM g GROUP BY gm
+         |        HAVING count(*) >= $RepeatedSpanMinDocs),
+         |m AS (SELECT doc_id, pos FROM g JOIN hot USING (gm)),
+         |s AS (SELECT doc_id, pos,
+         |        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= $n
+         |             THEN 0 ELSE 1 END AS brk FROM m),
+         |gr AS (SELECT doc_id, pos,
+         |         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM s)
+         |SELECT doc_id, CAST(min(pos) AS BIGINT) AS start_tok,
+         |       CAST(max(pos) + $n - 1 AS BIGINT) AS end_tok,
+         |       count(*) AS n_grams
+         |FROM gr GROUP BY doc_id, grp""".stripMargin
+    },
+
+    // applied any-repeat mask over the same injected corpus
+    "d_repeated_spans_any_removed" ->
+      spanMaskOracle(anyRepeatHotMk, srcCte = anyRepeatSrc),
+
     // applied span mask: covered positions = every [start, start+n-1] of a
     // marked gram start; anti-join the token stream, rebuild in pos order,
     // Poly64+mix fingerprint (empty string for fully-covered/NULL docs)
@@ -4560,6 +4735,56 @@ object SparkEntry {
         |  CAST(frac_alpha > 0.8 AS INTEGER) AS ok_alpha,
         |  CAST(stop_hits >= 2 AS INTEGER) AS ok_stop
         |  FROM r)""".stripMargin,
+
+    // C4 page flags: the sentence wrap + tail injections replayed, then
+    // the word-overlap / substring / sentence-count rules in plain SQL
+    "d_c4_filter" ->
+      s"""WITH ${c4WrapSql("' '")},
+         |inj AS (SELECT doc_id, t0
+         |    || CASE WHEN doc_id % 31 = 0 THEN ' badger.' ELSE '' END
+         |    || CASE WHEN doc_id % 37 = 0 THEN ' lorem ipsum.' ELSE '' END
+         |    || CASE WHEN doc_id % 43 = 0 THEN ' { x }' ELSE '' END AS text FROM w),
+         |f AS (SELECT doc_id,
+         |    len(list_intersect(string_split(regexp_replace(lower(text), '[^a-z0-9'']+', ' ', 'g'), ' '),
+         |                       ['badger', 'mushroom'])) > 0 AS bad,
+         |    contains(lower(text), 'lorem ipsum') AS lor,
+         |    contains(lower(text), '{') AS brc,
+         |    length(text) - length(regexp_replace(text, '[.!?]', '', 'g')) AS ns
+         |  FROM inj)
+         |SELECT doc_id, CAST(bad AS INTEGER) AS has_bad_word,
+         |       CAST(lor AS INTEGER) AS has_lorem,
+         |       CAST(brc AS INTEGER) AS has_brace,
+         |       CAST(ns AS BIGINT) AS n_sentences,
+         |       CAST(NOT bad AND NOT lor AND NOT brc AND ns >= 3 AS INTEGER) AS keep
+         |FROM f""".stripMargin,
+
+    // C4 line rules: newline wrap + injected failure lines, list_filter
+    // replays the rowwise keep predicate, Poly64 of the rebuilt text
+    "d_c4_lines" ->
+      s"""WITH ${c4WrapSql("chr(10)")},
+         |inj AS (SELECT doc_id, t0
+         |    || CASE WHEN doc_id % 31 = 0 THEN chr(10) || 'click here now no punct' ELSE '' END
+         |    || CASE WHEN doc_id % 37 = 0 THEN chr(10) || 'enable javascript support on your browser.' ELSE '' END
+         |    || CASE WHEN doc_id % 43 = 0 THEN chr(10) || 'tiny line.' ELSE '' END AS text FROM w),
+         |lf AS (SELECT doc_id, len(string_split(text, chr(10))) AS n_lines,
+         |    list_filter(string_split(text, chr(10)), l ->
+         |      regexp_matches(trim(l), '[.!?"]$$')
+         |      AND len(string_split_regex(trim(l), '\\s+')) >= 5
+         |      AND NOT len(list_intersect(
+         |            string_split(regexp_replace(lower(trim(l)), '[^a-z0-9'']+', ' ', 'g'), ' '),
+         |            ['javascript'])) > 0) AS kept
+         |  FROM inj),
+         |r AS (SELECT doc_id, len(kept) AS n_kept,
+         |             n_lines - len(kept) AS n_dropped,
+         |             array_to_string(kept, chr(10)) AS txt FROM lf),
+         |hs AS (SELECT doc_id, n_kept, n_dropped,
+         |         ${sqlPoly("cps", 1125899906842597L, 1099511628211L)} AS u
+         |       FROM (SELECT doc_id, n_kept, n_dropped,
+         |               list_transform(range(1, length(txt) + 1),
+         |                 j -> CAST(unicode(txt[j]) AS HUGEINT)) AS cps FROM r))
+         |SELECT doc_id, CAST(n_kept AS BIGINT) AS n_kept,
+         |       CAST(n_dropped AS BIGINT) AS n_dropped, ${sqlU2S("u")} AS text_fp
+         |FROM hs""".stripMargin,
 
     // BM25: DuckDB replays the same rounded-score-then-doc_id ranking
     "d_bm25_top" ->

@@ -1180,6 +1180,22 @@ object GraphAlgorithms {
       .toDF("t", "n_regs", "sum_r")
   }
 
+  /** ONE HyperBall run, BOTH products: (converged register table as
+    * [[hyperBall]], per-round trajectory as [[hyperBallTrajectory]]) —
+    * for callers that want the final balls AND the neighborhood-function
+    * shadow without paying the register propagation twice (the loop
+    * already computes the trajectory as its fixpoint test, so the second
+    * product is free). */
+  def hyperBallWithTrajectory(g: KGraph, p: Int = 6,
+                              maxIterations: Int = 64): (DataFrame, DataFrame) = {
+    val spark = g.edges.sparkSession
+    import spark.implicits._
+    val (state, traj) = hyperBallLoop(g, p, maxIterations)
+    (graft.pipeline.Sketches.hllUnpack(state, "id"),
+      traj.map { case (t, n, s, _) => (t.toLong, n, s) }
+        .toDF("t", "n_regs", "sum_r"))
+  }
+
   /** Neighborhood function: N(t) = Σ_v estimate(|Ball(v, t)|) per emitted
     * round (driver-side Seq — one double per round, the sketch IS the
     * reduction). N(0) = |V| up to HLL error; N(T) ≈ reachable pairs. */

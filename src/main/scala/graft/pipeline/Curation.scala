@@ -801,4 +801,77 @@ object Curation {
     topKPerGroup(w, "_g", "weight_micro", idCol, k)
       .select(col(idCol), col("weight_micro").cast("long").as("weight_micro"))
   }
+
+  // ---- C4-style heuristic cleaning (Raffel et al., JMLR'20 §2.2) ----------
+
+  /** Lowercased, punctuation-stripped word array — the match unit for the
+    * C4 blocklist rules ("contains the WORD w", so `javascript.` and
+    * `(javascript)` both count, but `ecmascript` does not). Split on runs
+    * of anything outside [a-z0-9']; empties from leading/trailing
+    * punctuation are harmless to an overlap test. */
+  private def c4Words(text: Column): Column =
+    split(regexp_replace(lower(text), "[^a-z0-9']+", " "), " ")
+
+  /** C4's line-level cleaning (Raffel et al. JMLR'20 §2.2, the three line
+    * rules): split on newlines and KEEP only lines that (a) end in a
+    * terminal punctuation mark (. ! ? or closing quote), (b) have at least
+    * `minWords` whitespace words, and (c) contain none of `bannedWords`
+    * as a word (the paper drops lines with "javascript" — the cookie/JS
+    * boilerplate signature). Survivors are rejoined with newlines.
+    *
+    * Output: one row per input document, (idCol, n_kept, n_dropped,
+    * text_fp) — the [[Dedup.lineDedup]] narrow gated shape (text_fp =
+    * Poly64 of the rebuilt text; a doc with no surviving lines
+    * fingerprints the empty string).
+    *
+    * Scale shape: ENTIRELY rowwise — a higher-order `filter` over the
+    * split line array inside one projection, no explode, no shuffle, no
+    * aggregation. At 100 TB this is a single codegen'd scan; the filter
+    * composes with any downstream dedup at zero extra passes. */
+  def c4LineFilter(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text", minWords: Int = 5,
+                   bannedWords: Seq[String] = Seq("javascript")): DataFrame = {
+    require(minWords >= 1, s"minWords must be >= 1, got $minWords")
+    val lines = split(coalesce(col(textCol), lit("")), "\n", -1)
+    val keepLine = (l: Column) => {
+      val t = trim(l)
+      t.rlike("[.!?\"]$") &&
+        (size(split(t, "\\s+")) >= minWords) &&
+        !arrays_overlap(c4Words(t), typedLit(bannedWords))
+    }
+    val kept = filter(lines, keepLine)
+    docs.select(col(idCol),
+      size(kept).cast("long").as("n_kept"),
+      (size(lines) - size(kept)).cast("long").as("n_dropped"),
+      Poly64.poly64(array_join(kept, "\n")).as("text_fp"))
+  }
+
+  /** C4's page-level cleaning flags (Raffel et al. JMLR'20 §2.2): a page
+    * is dropped when it contains any `blocklist` word (the paper uses the
+    * public "bad words" list — caller-supplied here), the phrase
+    * "lorem ipsum", a curly brace (code), or fewer than `minSentences`
+    * sentences (terminal-punctuation marks). Emits the individual flags
+    * plus the verdict so a pipeline can report WHY documents were dropped
+    * — (idCol, has_bad_word, has_lorem, has_brace, n_sentences, keep).
+    *
+    * Scale shape: rowwise flags in one codegen'd projection — word-set
+    * overlap against a literal array, two substring tests, one
+    * regexp_replace length count; no shuffle anywhere. */
+  def c4DocFilter(docs: DataFrame, blocklist: Seq[String],
+                  idCol: String = "doc_id", textCol: String = "text",
+                  minSentences: Int = 3): DataFrame = {
+    require(blocklist.nonEmpty, "blocklist must be non-empty")
+    val text = coalesce(col(textCol), lit(""))
+    val low = lower(text)
+    val nSent = (length(text) -
+      length(regexp_replace(text, "[.!?]", ""))).cast("long")
+    docs.select(col(idCol),
+        arrays_overlap(c4Words(text), typedLit(blocklist)).as("has_bad_word"),
+        low.contains("lorem ipsum").as("has_lorem"),
+        low.contains("{").as("has_brace"),
+        nSent.as("n_sentences"))
+      .withColumn("keep",
+        !col("has_bad_word") && !col("has_lorem") && !col("has_brace") &&
+          col("n_sentences") >= minSentences)
+  }
 }

@@ -1240,7 +1240,8 @@ object Dedup {
     * repetition is [[graft.pipeline.TextAnalysis.repetition]]'s signal,
     * not dedup's). Measured on the drill's repeat-dense fixtures, the
     * cross-doc mask covers 64% of the any-repeat mask; the remainder is
-    * entirely within-doc-only repeats. */
+    * entirely within-doc-only repeats. [[repeatedSpansAnyRepeat]] is the
+    * paper-literal criterion for callers that want that remainder. */
   def repeatedSpans(docs: DataFrame, idCol: String = "doc_id",
                     textCol: String = "text", n: Int = 8,
                     minDocs: Int = 2): DataFrame = {
@@ -1250,6 +1251,47 @@ object Dedup {
     val hot = grams.groupBy(col("_gh"))
       .agg(countDistinct(col("_id")).as("_df"))
       .filter(col("_df") >= minDocs)
+      .select(col("_gh"))
+    val marked = grams.join(hot, Seq("_gh"), "left_semi")
+      .select(col("_id"), col("_pos"))
+    mergeIslands(marked, n, idCol)
+  }
+
+  /** [[repeatedSpans]] under Lee et al. ACL'22's literal ANY-REPEAT
+    * criterion: a gram is hot when it occurs at >= `minCount` positions
+    * ANYWHERE in the corpus — within-document repeats included — instead
+    * of in >= minDocs DISTINCT documents. This is the suffix-array paper's
+    * actual count (>= 2 occurrences of a length->=n substring, wherever
+    * they fall) and closes the measured within-doc-repeat gap of the
+    * cross-doc criterion (recall 0.642 on the PipelineSpec audit's
+    * repeat-dense fixtures; the spec's companion drill verifies THIS
+    * variant's token coverage is EXACTLY the any-repeat maximal-substring
+    * reference — the window⟺substring containment argument survives the
+    * criterion change because two overlapping occurrences of a substring
+    * still place each inner n-window at two distinct (doc, pos)
+    * positions).
+    *
+    * Choose deliberately: [[repeatedSpans]] when doc-internal repetition
+    * is [[graft.pipeline.TextAnalysis.repetition]]'s signal and dedup
+    * should only see cross-document boilerplate; this variant when the
+    * goal is the paper's de-memorization guarantee (no length->=n
+    * substring appears twice in the surviving corpus, modulo island
+    * granularity).
+    *
+    * Scale shape: identical to [[repeatedSpans]] — the ONLY change is the
+    * inverted-index aggregate (count(*) instead of countDistinct(doc)),
+    * which is cheaper: a plain count partial-aggregates map-side with no
+    * distinct expansion, still one index row per distinct gram, and the
+    * mark remains a linear semi-join. */
+  def repeatedSpansAnyRepeat(docs: DataFrame, idCol: String = "doc_id",
+                             textCol: String = "text", n: Int = 8,
+                             minCount: Int = 2): DataFrame = {
+    require(n >= 2, s"n must be >= 2, got $n")
+    require(minCount >= 2, s"minCount must be >= 2 (a repeat), got $minCount")
+    val grams = positionalGrams(docs, idCol, textCol, n)
+    val hot = grams.groupBy(col("_gh"))
+      .agg(count(lit(1)).as("_cnt"))
+      .filter(col("_cnt") >= minCount)
       .select(col("_gh"))
     val marked = grams.join(hot, Seq("_gh"), "left_semi")
       .select(col("_id"), col("_pos"))
@@ -1390,6 +1432,17 @@ object Dedup {
                           textCol: String = "text", n: Int = 8,
                           minDocs: Int = 2): DataFrame =
     applySpanMask(docs, repeatedSpans(docs, idCol, textCol, n, minDocs),
+      idCol, textCol)
+
+  /** The applied [[repeatedSpansAnyRepeat]] mask — remove-everywhere under
+    * the any-repeat criterion (within-document repeats masked too): the
+    * paper-literal de-memorization pass. Same narrow output shape and
+    * position-level left_anti scale shape as [[removeRepeatedSpans]]. */
+  def removeRepeatedSpansAny(docs: DataFrame, idCol: String = "doc_id",
+                             textCol: String = "text", n: Int = 8,
+                             minCount: Int = 2): DataFrame =
+    applySpanMask(docs,
+      repeatedSpansAnyRepeat(docs, idCol, textCol, n, minCount),
       idCol, textCol)
 
   /** The keep-one-copy span policy (Lee et al. ACL'22's deployed variant:

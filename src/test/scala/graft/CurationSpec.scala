@@ -392,4 +392,66 @@ class CurationSpec extends SparkSpec {
       Curation.hashSplit(ids, splits = Seq.empty)
     }
   }
+
+  // ---- C4 heuristic cleaning (Raffel et al. JMLR'20 §2.2) -----------------
+
+  test("c4LineFilter: terminal punctuation, minWords, and banned-word " +
+       "rules each drop exactly their lines; survivors rebuild in order") {
+    val d = Seq(
+      (1L, "this is a good long sentence.\nno terminal punctuation here" +
+        "\nthe second good sentence stays too!\nshort line.\n" +
+        "please enable javascript to view this page.\n" +
+        "another keeper sentence is right here?"),
+      (2L, "all of this one survives fine.\nand so does this final line."),
+      (3L, ""),                               // one empty line → dropped
+      (4L, null.asInstanceOf[String])         // NULL text → zero lines kept
+    ).toDF("doc_id", "text")
+    val out = Curation.c4LineFilter(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    def fp(s: String): Long =
+      Seq(Tuple1(s)).toDF("t").select(graft.functions.Poly64.poly64(col("t")))
+        .head().getLong(0)
+    assert(out(1L) === ((3L, 3L, fp("this is a good long sentence.\n" +
+      "the second good sentence stays too!\n" +
+      "another keeper sentence is right here?"))))
+    assert(out(2L) === ((2L, 0L,
+      fp("all of this one survives fine.\nand so does this final line."))))
+    assert(out(3L) === ((0L, 1L, fp(""))))
+    assert(out(4L) === ((0L, 1L, fp(""))))
+  }
+
+  test("c4LineFilter: banned-word match is word-boundary after " +
+       "punctuation stripping — '(javascript)' hits, 'ecmascript' does not") {
+    val d = Seq(
+      (1L, "we serve pages with (javascript) everywhere online."),
+      (2L, "we serve pages with ecmascript everywhere online."),
+      (3L, "turn on JavaScript to continue browsing this site.")  // case-folded
+    ).toDF("doc_id", "text")
+    val kept = Curation.c4LineFilter(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kept(1L) === 0L && kept(2L) === 1L && kept(3L) === 0L)
+  }
+
+  test("c4DocFilter: each page rule flags independently; keep is their " +
+       "conjunction with the sentence floor") {
+    val good = "one full sentence here. two full sentences now. and a third!"
+    val d = Seq(
+      (1L, good),
+      (2L, s"$good with a badger word"),
+      (3L, s"$good plus Lorem Ipsum filler"),   // case-insensitive
+      (4L, s"$good function() { return 1; }"),
+      (5L, "too few sentences."),
+      (6L, "no sentences at all")
+    ).toDF("doc_id", "text")
+    val out = Curation.c4DocFilter(d, blocklist = Seq("badger", "mushroom"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getLong(4),
+          r.getBoolean(5)))).toMap
+    assert(out(1L) === ((false, false, false, 3L, true)))
+    assert(out(2L) === ((true, false, false, 3L, false)))
+    assert(out(3L) === ((false, true, false, 3L, false)))
+    assert(out(4L) === ((false, false, true, 3L, false)))
+    assert(out(5L) === ((false, false, false, 1L, false)))
+    assert(out(6L) === ((false, false, false, 0L, false)))
+  }
 }

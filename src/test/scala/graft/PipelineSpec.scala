@@ -151,6 +151,82 @@ class PipelineSpec extends SparkSpec {
     assert(recall < 1.0 && recall > 0.5)
   }
 
+  test("repeatedSpansAnyRepeat closes the criterion gap: token coverage " +
+       "EXACTLY equals the any-repeat maximal-substring reference (recall " +
+       "AND precision 1.0) on the same randomized corpora, within-doc " +
+       "repeats included") {
+    // Same containment argument as the cross-doc drill, under the
+    // >=2-occurrences-anywhere criterion: two occurrences of a substring
+    // (even overlapping, even within one doc) place each inner n-window at
+    // two DISTINCT (doc, pos) positions, so every window of a repeated
+    // substring is count-hot; every count-hot window is itself a repeated
+    // length-n substring.
+    val n = 3
+    val rng = new scala.util.Random(47)
+    (0 until 10).foreach { trial =>
+      val nd = 3 + rng.nextInt(3)
+      val base = (0 until nd).map { d =>
+        val len = 8 + rng.nextInt(16)
+        (d.toLong, (0 until len).map(_ => "t" + rng.nextInt(6)).mkString(" "))
+      }
+      val docs = base :+ (90L, "z1 z2 z3 x0 z1 z2 z3")
+      val toks = docs.map { case (id, t) => id -> t.split(" ").toVector }.toMap
+      def occ(sub: Vector[String]): Seq[(Long, Int)] =
+        toks.toSeq.flatMap { case (id, ts) =>
+          ts.indices.filter(i => i + sub.length <= ts.length &&
+            ts.slice(i, i + sub.length) == sub).map(id -> _)
+        }
+      val refAny: Map[Long, Set[Int]] = {
+        val subs = toks.values.flatMap { ts =>
+          (n to ts.length).flatMap(l => ts.sliding(l).map(_.toVector))
+        }.toSet.filter(s => occ(s).size >= 2)
+        toks.map { case (id, ts) =>
+          id -> subs.flatMap { sub =>
+            ts.indices.filter(i => i + sub.length <= ts.length &&
+                ts.slice(i, i + sub.length) == sub)
+              .flatMap(i => i until i + sub.length)
+          }.toSet
+        }
+      }
+      val got = Dedup.repeatedSpansAnyRepeat(docs.toDF("doc_id", "text"),
+          n = n, minCount = 2).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1).map { case (id, ss) =>
+          id -> ss.flatMap(s => s._2.toInt to s._3.toInt).toSet
+        }
+      toks.keys.foreach { id =>
+        assert(got.getOrElse(id, Set.empty) === refAny(id),
+          s"trial $trial doc $id: any-repeat island coverage != " +
+            "any-repeat maximal-substring coverage")
+      }
+      // the within-doc-ONLY injection the cross-doc drill proves invisible
+      // to repeatedSpans is covered here
+      assert(got.getOrElse(90L, Set.empty) === Set(0, 1, 2, 4, 5, 6))
+    }
+  }
+
+  test("removeRepeatedSpansAny masks within-document repeats that " +
+       "removeRepeatedSpans (cross-doc criterion) leaves intact") {
+    val Q = "q0 q1 q2 q3"
+    val d = Seq(
+      (1L, s"$Q x0 $Q"),        // within-doc repeat: both copies masked
+      (2L, "a b c d e f"),      // no repeats anywhere → untouched
+      (3L, "only two")          // < n tokens → untouched
+    ).toDF("doc_id", "text")
+    def fp(s: String): Long =
+      Seq(Tuple1(s)).toDF("t").select(graft.functions.Poly64.mix64(
+        graft.functions.Poly64.poly64(col("t")))).head().getLong(0)
+    val any = Dedup.removeRepeatedSpansAny(d, n = 4, minCount = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(any(1L) === ((1L, fp("x0"))))
+    assert(any(2L) === ((6L, fp("a b c d e f"))))
+    assert(any(3L) === ((2L, fp("only two"))))
+    // contrast pin: the cross-doc mask sees ONE document → no hot grams
+    val cross = Dedup.removeRepeatedSpans(d, n = 4, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cross(1L) === 9L && any(1L)._1 === 1L)
+  }
+
   test("removeRepeatedSpansKeepOne: each hot gram's first corpus occurrence " +
        "retains text every other occurrence loses; later-doc keepers work") {
     val P = (0 until 10).map(i => s"p$i").mkString(" ")  // keeper in doc 1
@@ -757,6 +833,16 @@ class PipelineSpec extends SparkSpec {
   test("semDedup survivors: cells self-join runs without any exchange") {
     // both sides of the within-cell pair join ARE the cells table, bucketed
     // by cell — the 100 TB corpus joins against itself with no reshuffle
+    if (!spark.catalog.tableExists("isemspec_cells")) {
+      // self-sufficiency for isolated (-z) runs: rebuild the incremental
+      // test's fixture index; a full-suite run reuses the existing one
+      val vecs = (0 until 60).map { i =>
+        val base = if (i % 2 == 0) Array(10.0, 0.0) else Array(0.0, 10.0)
+        (i.toLong, Array(base(0) + (i % 5) * 0.01, base(1) + (i % 7) * 0.01))
+      }.toDF("vec_id", "embedding")
+      Dedup.saveSemDedupIndex(vecs.filter($"vec_id" % 3 =!= 0), "isemspec",
+        nlist = 4, threshold = 0.999, iters = 2, hashInit = false, buckets = 4)
+    }
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {

@@ -1351,6 +1351,25 @@ object SparkEntry {
       Curation.c4LineFilter(injected)
     }),
 
+    // C4's dedup unit ("all but one of any three-sentence span occurring
+    // more than once"): keep-one over 3-sentence windows. The wrapped
+    // corpus has no natural 3-sentence repeats beyond its mirrored docs,
+    // so duplication is injected: every (20k+1)th doc appends a FIXED
+    // 3-sentence block (cross-doc — keeper is the lowest doc), every 50th
+    // appends its own first 3 sentences (within-doc repeat; disjoint
+    // residues, so the slice always reads the pre-block text)
+    "d_c4_span_dedup" -> ((s, dir) => {
+      val wrapped = c4SentenceWrapped(t(s, dir, "documents"), "\n")
+      val injected = wrapped.withColumn("text", concat(col("text"),
+        when(col("doc_id") % 20 === 1, lit("\n" + C4SpanBlock))
+          .otherwise(lit("")),
+        when(col("doc_id") % 50 === 0,
+          concat(lit("\n"),
+            array_join(slice(split(col("text"), "\n", -1), lit(1), lit(3)), "\n")))
+          .otherwise(lit(""))))
+      Dedup.sentenceSpanDedup(injected, n = 3)
+    }),
+
     // BM25 retrieval: top-5 docs per probe term (k1=1.2, b=0.75); probe
     // filter precedes the tf shuffle, df/corpus-stats broadcast, top-k is
     // the bounded-heap aggregate — rank order pinned by round-then-tiebreak
@@ -2368,6 +2387,12 @@ object SparkEntry {
       when(col("doc_id") % 31 === 0, lit(" badger.")).otherwise(lit("")),
       when(col("doc_id") % 37 === 0, lit(" lorem ipsum.")).otherwise(lit("")),
       when(col("doc_id") % 43 === 0, lit(" { x }")).otherwise(lit(""))))
+
+  /** The fixed 3-sentence block injected into every (20k+1)th doc for the
+    * d_c4_span_dedup gate — vocabulary disjoint from the corpus, so it
+    * cannot collide with the within-doc injection. */
+  private val C4SpanBlock =
+    "the quick brown fox runs.\nover the lazy dog today.\nand jumps the high fence."
 
   /** Line-gate injections: one line per line-rule failure mode — no
     * terminal punctuation (%31), a 'javascript' word in an otherwise-legal
@@ -4785,6 +4810,48 @@ object SparkEntry {
          |SELECT doc_id, CAST(n_kept AS BIGINT) AS n_kept,
          |       CAST(n_dropped AS BIGINT) AS n_dropped, ${sqlU2S("u")} AS text_fp
          |FROM hs""".stripMargin,
+
+    // C4 3-sentence-span keep-one dedup: window strings joined by newline
+    // replay the GramHash window equality; keeper = min packed ordinal
+    // (the lineDedup 2^20 pack); non-keeper windows cover [pos, pos+2];
+    // anti-join the sentence stream, rebuild, Poly64+mix64 fingerprint
+    "d_c4_span_dedup" ->
+      s"""WITH ${c4WrapSql("chr(10)")},
+         |inj AS (SELECT doc_id, t0
+         |    || CASE WHEN doc_id % 20 = 1 THEN chr(10) || '${C4SpanBlock.replace("\n", "' || chr(10) || '")}' ELSE '' END
+         |    || CASE WHEN doc_id % 50 = 0 THEN chr(10) ||
+         |         array_to_string(list_slice(string_split(t0, chr(10)), 1, 3), chr(10))
+         |       ELSE '' END AS text FROM w),
+         |ls AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM inj),
+         |ln AS (SELECT doc_id, CAST(u.i AS BIGINT) - 1 AS pos, lines[i] AS line
+         |       FROM ls, unnest(range(1, len(lines) + 1)) AS u(i)),
+         |g AS (SELECT doc_id, CAST(u.i AS BIGINT) - 1 AS pos,
+         |             lines[i] || chr(10) || lines[i+1] || chr(10) || lines[i+2] AS gm
+         |      FROM ls, unnest(range(1, len(lines) - 1)) AS u(i)
+         |      WHERE len(lines) >= 3),
+         |hot AS (SELECT gm, min(doc_id * 1048576 + pos) AS wk FROM g GROUP BY gm
+         |        HAVING count(*) >= 2),
+         |mk AS (SELECT doc_id, pos FROM g JOIN hot USING (gm)
+         |       WHERE doc_id * 1048576 + pos <> wk),
+         |cov AS (SELECT DISTINCT doc_id, pos + u.j AS pos
+         |        FROM mk, unnest(range(0, 3)) AS u(j)),
+         |kept AS (SELECT ln.doc_id, ln.pos, ln.line FROM ln
+         |         ANTI JOIN cov ON ln.doc_id = cov.doc_id AND ln.pos = cov.pos),
+         |reb AS (SELECT doc_id, count(*) AS n_kept,
+         |               string_agg(line, chr(10) ORDER BY pos) AS txt
+         |        FROM kept GROUP BY doc_id),
+         |alld AS (SELECT d.doc_id, coalesce(r.n_kept, 0) AS n_kept,
+         |                coalesce(r.txt, '') AS txt
+         |         FROM inj d LEFT JOIN reb r ON d.doc_id = r.doc_id),
+         |hs AS (SELECT doc_id, n_kept,
+         |         ${sqlPoly("cps", 1125899906842597L, 1099511628211L)} AS u
+         |       FROM (SELECT doc_id, n_kept, list_transform(range(1, length(txt) + 1),
+         |                    j -> CAST(unicode(txt[j]) AS HUGEINT)) AS cps FROM alld)),
+         |m1 AS (SELECT doc_id, n_kept, (${sqlXorShr("u", 33)} * 6364136223846793005) % $U64 AS u FROM hs),
+         |m2 AS (SELECT doc_id, n_kept, (${sqlXorShr("u", 29)} * 2685821657736338717) % $U64 AS u FROM m1),
+         |m3 AS (SELECT doc_id, n_kept, ${sqlXorShr("u", 32)} AS u FROM m2)
+         |SELECT doc_id, CAST(n_kept AS BIGINT) AS n_kept, ${sqlU2S("u")} AS text_fp
+         |FROM m3""".stripMargin,
 
     // BM25: DuckDB replays the same rounded-score-then-doc_id ranking
     "d_bm25_top" ->

@@ -1512,6 +1512,63 @@ object Dedup {
           coalesce(col("_txt"), lit("")))).as("text_fp"))
   }
 
+  /** C4's deduplication unit (Raffel et al. JMLR'20 §2.2: "we discarded
+    * all but one of any three-sentence span occurring more than once in
+    * the data set") — keep-one dedup over n-SENTENCE windows. Sentences
+    * are newline-separated units (run a sentence segmenter upstream — the
+    * [[lineDedup]] contract). Hotness is the paper's any-repeat criterion
+    * (>= 2 occurrences anywhere, within-document included); the keeper is
+    * the first corpus occurrence (min packed (doc, sentence) ordinal, the
+    * lineDedup winner rule); every other occurrence drops its whole
+    * [pos, pos+n-1] sentence window. Survivors rebuild in order, joined
+    * by newlines. Output: (idCol, n_kept, text_fp) — n_kept = surviving
+    * SENTENCE count, text_fp = Poly64+mix64 of the rebuilt text.
+    *
+    * Scale shape: [[removeRepeatedSpansKeepOne]] lifted one granularity
+    * level — the window-hash stream is linear (codegen'd GramHash over
+    * the sentence array: per-sentence hash once + O(n) fold per window),
+    * hotness AND the keeper argmin ride ONE groupBy on the 64-bit window
+    * hash, masking is a position-level left_anti, the rebuild groupBy is
+    * bounded by one document's sentence count. A boilerplate block in a
+    * million documents is one index row — never pair expansion. */
+  def sentenceSpanDedup(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text", n: Int = 3): DataFrame = {
+    require(n >= 2, s"n must be >= 2, got $n")
+    val PosBits = 20
+    val base = spread(docs).select(col(idCol).as("_id"),
+      split(coalesce(col(textCol), lit("")), "\n", -1).as("_lines"))
+    val grams = base
+      .filter(size(col("_lines")) >= n)
+      .select(col("_id"),
+        posexplode(graft.functions.GramHash.gramHashes(col("_lines"), n))
+          .as(Seq("_pos", "_gh")))
+      .select(col("_id"), col("_pos").cast("long").as("_pos"), col("_gh"))
+      .withColumn("_ord", packOrd(col("_id"), col("_pos"), PosBits))
+    val hot = grams.groupBy(col("_gh"))
+      .agg(count(lit(1)).as("_cnt"), min(col("_ord")).as("_w"))
+      .filter(col("_cnt") >= 2)
+      .select(col("_gh"), col("_w"))
+    val covered = grams.join(hot, Seq("_gh"))
+      .filter(col("_ord") =!= col("_w"))
+      .select(col("_id"),
+        explode(sequence(col("_pos"), col("_pos") + (n - 1))).as("_pos"))
+    val pos = base.select(col("_id"),
+        posexplode(col("_lines")).as(Seq("_pos", "_line")))
+      .withColumn("_pos", col("_pos").cast("long"))
+    val rebuilt = pos.join(covered, Seq("_id", "_pos"), "left_anti")
+      .groupBy(col("_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("_pos"), col("_line")))),
+          s => s.getField("_line")), "\n").as("_txt"))
+    docs.select(col(idCol).as("_id"))
+      .join(rebuilt, Seq("_id"), "left_outer")
+      .select(col("_id").as(idCol),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        graft.functions.Poly64.mix64(graft.functions.Poly64.poly64(
+          coalesce(col("_txt"), lit("")))).as("text_fp"))
+  }
+
   // -------------------------------------------------------------------------
   // CDC chunk-fingerprint dedup candidates
   // -------------------------------------------------------------------------

@@ -205,6 +205,29 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("sentenceSpanDedup (C4's 3-sentence-span unit): first corpus " +
+       "occurrence keeps the block, later docs and within-doc copies " +
+       "lose exactly the covered sentence windows") {
+    val B = "s1.\ns2.\ns3."                    // the repeated 3-sentence span
+    val d = Seq(
+      (1L, s"$B\nown1."),        // keeper: retains all 4 sentences
+      (2L, s"pre1.\n$B\npost1."),// non-keeper: loses s1..s3, keeps pre/post
+      (3L, s"a1.\nb1.\n$B"),     // non-keeper at tail
+      (4L, "x1.\ny1."),          // < 3 sentences, untouched
+      (5L, s"c1.\nd1.\ne1.\nc1.\nd1.\ne1.")  // within-doc repeat: tail copy drops
+    ).toDF("doc_id", "text")
+    val out = Dedup.sentenceSpanDedup(d, n = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def fp(s: String): Long =
+      Seq(Tuple1(s)).toDF("t").select(graft.functions.Poly64.mix64(
+        graft.functions.Poly64.poly64(col("t")))).head().getLong(0)
+    assert(out(1L) === ((4L, fp(s"$B\nown1."))))
+    assert(out(2L) === ((2L, fp("pre1.\npost1."))))
+    assert(out(3L) === ((2L, fp("a1.\nb1."))))
+    assert(out(4L) === ((2L, fp("x1.\ny1."))))
+    assert(out(5L) === ((3L, fp("c1.\nd1.\ne1."))))
+  }
+
   test("removeRepeatedSpansAny masks within-document repeats that " +
        "removeRepeatedSpans (cross-doc criterion) leaves intact") {
     val Q = "q0 q1 q2 q3"

@@ -571,6 +571,15 @@ object SparkEntry {
       GraphAlgorithms.pageRank(starGraph(s, dir), tolerance = 0.0001, resetProb = 0.15)
         .withColumn("value", round(col("value"), 6))),
 
+    // HITS on the disjoint stars (member → root edges): the exact-integer
+    // un-normalized shadow after 3 mutual-reinforcement rounds —
+    // a₃(root) = h₃(member) = n³ closed form (n = star size), zeros
+    // elsewhere; per-round L2 normalization only rescales, so the
+    // integers gate the algorithm with no floating-point replay
+    // (normalized doubles are spec-pinned in AlgoSpec)
+    "g_hits_stars" -> ((s, dir) =>
+      GraphAlgorithms.hitsCounts(starGraph(s, dir), iterations = 3)),
+
     "g_lp_stars" -> ((s, dir) => GraphAlgorithms.labelPropagation(starGraph(s, dir))),
 
     "g_triangles_total" -> ((s, dir) => {
@@ -3447,6 +3456,19 @@ object SparkEntry {
         |SELECT c AS id, round(CAST(0.15 AS DOUBLE), 6) AS value FROM m
         |UNION ALL
         |SELECT root AS id, round(CAST(0.15 + 0.85 * 0.15 * n AS DOUBLE), 6) AS value FROM sz""".stripMargin,
+
+    // HITS integer shadow on the stars: roots are pure authorities,
+    // members pure hubs, both n³ after 3 rounds
+    "g_hits_stars" ->
+      """WITH m AS (SELECT c_custkey AS c, c_custkey - c_custkey % 100 AS root
+        |           FROM customer WHERE c_custkey % 100 <> 0),
+        |sz AS (SELECT root, count(*) AS n FROM m GROUP BY 1)
+        |SELECT c AS id, CAST(n * n * n AS BIGINT) AS hub,
+        |       CAST(0 AS BIGINT) AS authority
+        |FROM m JOIN sz USING (root)
+        |UNION ALL
+        |SELECT root AS id, CAST(0 AS BIGINT) AS hub,
+        |       CAST(n * n * n AS BIGINT) AS authority FROM sz""".stripMargin,
 
     // leaves keep their id (no in-edges); root adopts max member label
     // (all member labels tie at frequency 1 → larger label wins)

@@ -1290,4 +1290,90 @@ object GraphAlgorithms {
       else t0 + (t1 - t0) * (target - n0) / (n1 - n0)
     }
   }
+
+  // =========================================================================
+  // HITS (Kleinberg, JACM 1999): hubs & authorities — the link-analysis
+  // companion to PageRank for web-corpus quality signals (host/page link
+  // features are the deployed non-content quality inputs in web-scale
+  // curation pipelines). Each iteration: a ← Eᵀh, h ← E a, L2-normalized.
+  // =========================================================================
+
+  /** HITS hub/authority scores after `iterations` mutual-reinforcement
+    * rounds, each side L2-normalized per round (the paper's I/O
+    * operations). Returns (id, hub, authority); vertices with no
+    * out-edges have hub 0, no in-edges authority 0.
+    *
+    * Scale shape: per round, two degree-keyed shuffles (groupBy dst then
+    * src — the same message shape as [[pageRank]]) plus two 1-row L2
+    * aggregates broadcast back; state is one (id, score) row per vertex,
+    * no driver-side data. */
+  def hits(g: KGraph, iterations: Int = 16): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val edges = cp(g.edges.select(col("src"), col("dst")).distinct())
+    val spark = g.vertices.sparkSession
+    def l2normed(s: DataFrame, c: String): DataFrame = {
+      val n = s.agg(sqrt(sum(col(c) * col(c))).as("_n"))
+      s.crossJoin(broadcast(n))
+        .select(col("id"),
+          when(col("_n") > 0, col(c) / col("_n")).otherwise(lit(0.0)).as(c))
+    }
+    var hub = g.vertices.select(col("id"), lit(1.0).as("hub"))
+    var auth: DataFrame = null
+    (1 to iterations).foreach { _ =>
+      auth = cp(l2normed(g.vertices.select(col("id"))
+        .join(edges.join(hub.withColumnRenamed("id", "src"), Seq("src"))
+            .groupBy(col("dst").as("id")).agg(sum(col("hub")).as("authority")),
+          Seq("id"), "left_outer")
+        .select(col("id"), coalesce(col("authority"), lit(0.0)).as("authority")),
+        "authority"))
+      hub = cp(l2normed(g.vertices.select(col("id"))
+        .join(edges.join(auth.withColumnRenamed("id", "dst"), Seq("dst"))
+            .groupBy(col("src").as("id")).agg(sum(col("authority")).as("hub")),
+          Seq("id"), "left_outer")
+        .select(col("id"), coalesce(col("hub"), lit(0.0)).as("hub")),
+        "hub"))
+    }
+    hub.join(auth, Seq("id"))
+  }
+
+  /** The exact-integer shadow of [[hits]]: UN-normalized hub/authority
+    * counts after `iterations` rounds (h₀ = 1; a_k = Eᵀh_{k−1},
+    * h_k = E a_k). Because per-round L2 normalization only rescales, the
+    * normalized direction is identical — so these integers hash-gate HITS
+    * against an independent engine with no floating-point replay (the
+    * d_hll_orders / hyperBallTrajectory discipline). Counts grow like
+    * (max degree)^iterations: `iterations` is capped at 6 and every
+    * round's values are checked against a 2^40 ceiling, failing loudly
+    * instead of silently wrapping (sound for degrees below 2^22 —
+    * 4M-degree hubs between two checks — far beyond any gate fixture;
+    * past that, use [[hits]]). Returns (id, hub, authority) as longs. */
+  def hitsCounts(g: KGraph, iterations: Int = 3): DataFrame = {
+    require(iterations >= 1 && iterations <= 6,
+      s"iterations must be in [1, 6] for the integer shadow, got $iterations")
+    val edges = cp(g.edges.select(col("src"), col("dst")).distinct())
+    def guarded(s: DataFrame, c: String): DataFrame = {
+      val mx = s.agg(coalesce(max(col(c)), lit(0L))).head().getLong(0)
+      require(mx < (1L << 40),
+        s"hitsCounts overflow guard: max $c $mx exceeds 2^40 — lower " +
+          "iterations or use hits() (normalized doubles)")
+      s
+    }
+    var hub = g.vertices.select(col("id"), lit(1L).as("hub"))
+    var auth: DataFrame = null
+    (1 to iterations).foreach { _ =>
+      auth = guarded(cp(g.vertices.select(col("id"))
+        .join(edges.join(hub.withColumnRenamed("id", "src"), Seq("src"))
+            .groupBy(col("dst").as("id")).agg(sum(col("hub")).as("authority")),
+          Seq("id"), "left_outer")
+        .select(col("id"), coalesce(col("authority"), lit(0L)).as("authority"))),
+        "authority")
+      hub = guarded(cp(g.vertices.select(col("id"))
+        .join(edges.join(auth.withColumnRenamed("id", "dst"), Seq("dst"))
+            .groupBy(col("src").as("id")).agg(sum(col("authority")).as("hub")),
+          Seq("id"), "left_outer")
+        .select(col("id"), coalesce(col("hub"), lit(0L)).as("hub"))),
+        "hub")
+    }
+    hub.join(auth, Seq("id"))
+  }
 }

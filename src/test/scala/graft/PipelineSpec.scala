@@ -1669,6 +1669,64 @@ class PipelineSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("streaming ingest: per-batch NB model+prior maintenance — " +
+       "mergeNbModels/mergeNbPriors fold labeled micro-batches; the " +
+       "maintained pair classifies identically to the one-shot pair") {
+    // the LM maintenance drill's contract applied to the supervised
+    // classifier: document-atomic labeled batches, pointwise-SUM folds,
+    // final (model, priors) == one-shot, nbClassify integer-identical
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val batches = Seq(
+      Seq(("a", "table scan merge"), ("b", "cat dog cat")),
+      Seq(("a", "scan scan filter"), ("b", "dog mat")),
+      Seq(("b", "cat mat mat"), ("a", "merge table")))
+    val mSchema = StructType(Seq(StructField("label", StringType),
+      StructField("term", StringType), StructField("cnt", LongType)))
+    val pSchema = StructType(Seq(StructField("label", StringType),
+      StructField("n_docs", LongType)))
+    var mAcc = Seq.empty[org.apache.spark.sql.Row]
+    var pAcc = Seq.empty[org.apache.spark.sql.Row]
+    val input = MemoryStream[(String, String)]
+    val q = input.toDF().toDF("label", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val mBase = spark.createDataFrame(
+          spark.sparkContext.parallelize(mAcc, 2), mSchema)
+        val pBase = spark.createDataFrame(
+          spark.sparkContext.parallelize(pAcc, 2), pSchema)
+        mAcc = TextAnalysis.mergeNbModels(
+          Seq(mBase, TextAnalysis.nbModel(batch))).collect().toSeq
+        pAcc = TextAnalysis.mergeNbPriors(
+          Seq(pBase, TextAnalysis.nbPriors(batch))).collect().toSeq
+        ()
+      }
+      .start()
+    batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    val all = batches.flatten.toDF("label", "text")
+    val oneM = TextAnalysis.nbModel(all)
+    val oneP = TextAnalysis.nbPriors(all)
+    assert(mAcc.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap ===
+      oneM.collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap)
+    assert(pAcc.map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      oneP.collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+    // classification against the maintained pair is integer-identical
+    // (OOV term included)
+    val maintainedM = spark.createDataFrame(
+      spark.sparkContext.parallelize(mAcc, 2), mSchema)
+    val maintainedP = spark.createDataFrame(
+      spark.sparkContext.parallelize(pAcc, 2), pSchema)
+    val probe = Seq((1L, "scan merge"), (2L, "cat mat"), (3L, "zz unseen"))
+      .toDF("doc_id", "text")
+    val a = TextAnalysis.nbClassify(maintainedM, maintainedP, probe).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    val b = TextAnalysis.nbClassify(oneM, oneP, probe).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(a === b)
+    assert(a(1L)._1 === "a" && a(2L)._1 === "b") // separable probes classify
+  }
+
   test("lmScoreAgainst: randomized driver-reference equivalence on the " +
        "exact micro-nat totals (split model/score corpora, OOV present)") {
     val rng = new scala.util.Random(31)

@@ -1840,6 +1840,14 @@ object SparkEntry {
       Dedup.embeddingDedup(t(s, dir, "embeddings"), threshold = 0.9, lshBits = 10)
         .toDF("vec_id", "rep")),
 
+    // Johnson–Lindenstrauss Rademacher projection (Achlioptas 2003):
+    // exact-integer shadow — micro-quantized inputs, ±1 signs from the
+    // hyperplane integer mix, LONG accumulation (no float association) —
+    // 8 components per vector; the float-scaled form is spec-pinned with
+    // a cluster-preservation recall drill
+    "e_rp_project" -> ((s, dir) =>
+      Ann.rpProjectMicro(t(s, dir, "embeddings"), outDim = 8)),
+
     "e_semdedup" -> ((s, dir) => {
       // SemDeDup (arXiv:2303.09540): k-means cells bound the pairwise term,
       // greedy lowest-id retention inside each cell. hashInit=false so the
@@ -3295,6 +3303,23 @@ object SparkEntry {
     "d_simhash_clusters" -> simhashOracleSql(maxHamming = 3),
 
     "e_embedding_dedup_lsh" -> embLshOracleSql(bits = 10, threshold = 0.9),
+
+    // JL projection integer shadow: micro-quantize with floor(+0.5),
+    // replay the hyperplane sign mix, fold LONGs in index order
+    "e_rp_project" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |q AS (SELECT vec_id,
+        |        list_transform(e, x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS qv
+        |      FROM v),
+        |pr AS (SELECT vec_id, b.b,
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(range(0, len(qv)), i -> qv[i + 1] *
+        |             (CASE WHEN ((b.b * 1000003 + i) * 2654435761 >> 16) % 2 = 0
+        |                   THEN 1 ELSE -1 END))),
+        |           (a, x) -> a + x) AS y_micro
+        |       FROM q, range(0, 8) b(b))
+        |SELECT vec_id, CAST(b AS INTEGER) AS b, CAST(y_micro AS BIGINT) AS y_micro
+        |FROM pr""".stripMargin,
 
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

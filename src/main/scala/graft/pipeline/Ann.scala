@@ -59,6 +59,54 @@ object Ann {
       .reduce(_ + _)
   }
 
+  /** Johnson–Lindenstrauss Rademacher projection (Achlioptas 2003 ±1
+    * form): project each embedding onto `outDim` deterministic ±1
+    * hyperplanes — the standard dimensionality squeeze for cluster-scale
+    * embedding pipelines: pairwise distances survive within (1 ± ε) at
+    * outDim = O(ln n / ε²), so candidate generation runs on vectors
+    * dim/outDim× smaller and full-dim cosine re-verifies survivors only.
+    * Component signs are [[hyperplaneBucket]]'s integer mix — no stored
+    * model, identical on every executor and run, SQL-replayable. Returns
+    * (idCol, proj) with proj[b] = Σ_i v_i·sign(b, i) / √outDim (the JL
+    * scaling). Rowwise, zero shuffle. */
+  def rpProject(vecs: DataFrame, outDim: Int, idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    require(outDim >= 1 && outDim <= 512, s"outDim must be in [1, 512], got $outDim")
+    val v = col(vecCol).cast("array<double>")
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    def sign(b: Int, i: Column): Column =
+      when(shiftright((lit(b * 1000003L) + i) * lit(2654435761L), 16) % 2 === 0,
+        lit(1.0)).otherwise(lit(-1.0))
+    val comps = (0 until outDim).map { b =>
+      aggregate(zip_with(v, sequence(lit(0), size(v) - 1),
+          (x, i) => x * sign(b, i)),
+        lit(0.0d), (acc, x) => acc + x) * lit(scale)
+    }
+    vecs.select(col(idCol), array(comps: _*).as("proj"))
+  }
+
+  /** The exact-integer shadow of [[rpProject]]: inputs micro-quantized
+    * (⌊x·10⁶ + 0.5⌋ — the engine-agreed floor(+0.5) convention), each
+    * component accumulated as a LONG (exact — no float association
+    * anywhere), unscaled by √outDim. Returns (idCol, b, y_micro) rows —
+    * the hash-gateable form (the hitsCounts / hyperBallTrajectory
+    * integer-shadow discipline). */
+  def rpProjectMicro(vecs: DataFrame, outDim: Int, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    require(outDim >= 1 && outDim <= 512, s"outDim must be in [1, 512], got $outDim")
+    val q = transform(col(vecCol).cast("array<double>"),
+      x => floor(x * 1e6 + 0.5).cast("long"))
+    def signL(b: Int, i: Column): Column =
+      when(shiftright((lit(b * 1000003L) + i) * lit(2654435761L), 16) % 2 === 0,
+        lit(1L)).otherwise(lit(-1L))
+    val comps = (0 until outDim).map { b =>
+      aggregate(zip_with(q, sequence(lit(0), size(q) - 1),
+        (x, i) => x * signL(b, i)), lit(0L), (acc, x) => acc + x)
+    }
+    vecs.select(col(idCol), posexplode(array(comps: _*)).as(Seq("b", "y_micro")))
+      .select(col(idCol), col("b").cast("int").as("b"), col("y_micro"))
+  }
+
   /** L2-normalize a vector column (zero vectors pass through unchanged). */
   def l2normalize(v: Column): Column = {
     val n = l2norm(v.cast("array<double>"))

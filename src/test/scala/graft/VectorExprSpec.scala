@@ -42,4 +42,48 @@ class VectorExprSpec extends SparkSpec {
     assert(plan.contains("*(1) Project [graft_dot"), s"plan was:\n$plan")
     assert(df.agg(sum(col("d"))).head().getDouble(0) === (0 until 100).map(i => 3.0 * i).sum)
   }
+
+  test("JL projection: rpProjectMicro ≡ exact driver reference (long " +
+       "arithmetic); rpProject ≡ driver float fold; projected space " +
+       "preserves the two-cluster structure (the JL use case)") {
+    import graft.pipeline.Ann
+    def sign(b: Int, i: Int): Long =
+      if ((((b * 1000003L + i) * 2654435761L) >> 16) % 2 == 0) 1L else -1L
+    val rng = new scala.util.Random(11)
+    val dim = 24; val k = 6
+    // two tight clusters on far-apart centers
+    val base = Array.fill(dim)(rng.nextDouble() * 2 - 1)
+    val vecs = (0 until 40).map { n =>
+      val c = if (n % 2 == 0) 10.0 else -10.0
+      (n.toLong, base.map(x => (x * c + rng.nextDouble() * 0.1).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    // integer shadow ≡ driver longs
+    val gotM = Ann.rpProjectMicro(df, k).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    vecs.foreach { case (id, v) =>
+      val q = v.map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong)
+      (0 until k).foreach { b =>
+        val want = q.indices.map(i => q(i) * sign(b, i)).sum
+        assert(gotM((id, b)) === want, s"id=$id b=$b")
+      }
+    }
+    // float form ≡ driver fold (same index order) / sqrt(k)
+    val gotF = Ann.rpProject(df, k).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    vecs.foreach { case (id, v) =>
+      (0 until k).foreach { b =>
+        var acc = 0.0
+        v.indices.foreach(i => acc += v(i).toDouble * sign(b, i))
+        assert(math.abs(gotF(id)(b) - acc / math.sqrt(k.toDouble)) < 1e-9)
+      }
+    }
+    // cluster preservation: every vector's projected nearest neighbor is
+    // in its own cluster (cosine on the 6-dim projections)
+    val proj = Ann.rpProject(df, k).select(col("vec_id"), col("proj").as("embedding"))
+    val nn = Ann.bruteForceKnn(proj, proj, k = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    nn.foreach { case (q, n) =>
+      assert(q % 2 === n % 2, s"projected NN of $q crossed clusters to $n") }
+  }
 }

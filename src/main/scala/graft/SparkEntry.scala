@@ -1168,6 +1168,14 @@ object SparkEntry {
       Dedup.removeRepeatedSpansAny(withinDocRepeatInjected(t(s, dir, "documents")),
         n = RepeatedSpanN, minCount = RepeatedSpanMinDocs)),
 
+    // cost-visible corpus aggregate for the any-repeat mask (the per-doc
+    // gate is metadata-only under a bench count() — same anti-prune shape
+    // as d_repeated_spans_mask, so the rebuild cost is measured)
+    "d_repeated_spans_any_agg" -> ((s, dir) =>
+      maskCostAgg(Dedup.removeRepeatedSpansAny(
+        withinDocRepeatInjected(t(s, dir, "documents")),
+        n = RepeatedSpanN, minCount = RepeatedSpanMinDocs))),
+
     // Line-level exact dedup (C4/RefinedWeb boilerplate killer): first
     // corpus occurrence of each distinct line survives, later copies drop.
     // The single-line corpus is re-wrapped into 2-token lines (~900 combos
@@ -1377,6 +1385,20 @@ object SparkEntry {
             array_join(slice(split(col("text"), "\n", -1), lit(1), lit(3)), "\n")))
           .otherwise(lit(""))))
       Dedup.sentenceSpanDedup(injected, n = 3)
+    }),
+
+    // cost-visible corpus aggregate for the sentence-span mask (same
+    // anti-prune convention — the per-doc gate's count() is metadata-only)
+    "d_c4_span_agg" -> ((s, dir) => {
+      val wrapped = c4SentenceWrapped(t(s, dir, "documents"), "\n")
+      val injected = wrapped.withColumn("text", concat(col("text"),
+        when(col("doc_id") % 20 === 1, lit("\n" + C4SpanBlock))
+          .otherwise(lit("")),
+        when(col("doc_id") % 50 === 0,
+          concat(lit("\n"),
+            array_join(slice(split(col("text"), "\n", -1), lit(1), lit(3)), "\n")))
+          .otherwise(lit(""))))
+      maskCostAgg(Dedup.sentenceSpanDedup(injected, n = 3))
     }),
 
     // BM25 retrieval: top-5 docs per probe term (k1=1.2, b=0.75); probe
@@ -2556,6 +2578,47 @@ object SparkEntry {
     s"""hot AS (SELECT gm FROM g GROUP BY gm
        |        HAVING count(*) >= $RepeatedSpanMinDocs),
        |mk AS (SELECT doc_id, pos FROM g JOIN hot USING (gm)),""".stripMargin
+
+  /** The d_c4_span_dedup oracle body — shared with its cost-visible
+    * aggregate so the two can never test different semantics. */
+  private lazy val c4SpanDedupOracle: String =
+    s"""WITH ${c4WrapSql("chr(10)")},
+           |inj AS (SELECT doc_id, t0
+           |    || CASE WHEN doc_id % 20 = 1 THEN chr(10) || '${C4SpanBlock.replace("\n", "' || chr(10) || '")}' ELSE '' END
+           |    || CASE WHEN doc_id % 50 = 0 THEN chr(10) ||
+           |         array_to_string(list_slice(string_split(t0, chr(10)), 1, 3), chr(10))
+           |       ELSE '' END AS text FROM w),
+           |ls AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM inj),
+           |ln AS (SELECT doc_id, CAST(u.i AS BIGINT) - 1 AS pos, lines[i] AS line
+           |       FROM ls, unnest(range(1, len(lines) + 1)) AS u(i)),
+           |g AS (SELECT doc_id, CAST(u.i AS BIGINT) - 1 AS pos,
+           |             lines[i] || chr(10) || lines[i+1] || chr(10) || lines[i+2] AS gm
+           |      FROM ls, unnest(range(1, len(lines) - 1)) AS u(i)
+           |      WHERE len(lines) >= 3),
+           |hot AS (SELECT gm, min(doc_id * 1048576 + pos) AS wk FROM g GROUP BY gm
+           |        HAVING count(*) >= 2),
+           |mk AS (SELECT doc_id, pos FROM g JOIN hot USING (gm)
+           |       WHERE doc_id * 1048576 + pos <> wk),
+           |cov AS (SELECT DISTINCT doc_id, pos + u.j AS pos
+           |        FROM mk, unnest(range(0, 3)) AS u(j)),
+           |kept AS (SELECT ln.doc_id, ln.pos, ln.line FROM ln
+           |         ANTI JOIN cov ON ln.doc_id = cov.doc_id AND ln.pos = cov.pos),
+           |reb AS (SELECT doc_id, count(*) AS n_kept,
+           |               string_agg(line, chr(10) ORDER BY pos) AS txt
+           |        FROM kept GROUP BY doc_id),
+           |alld AS (SELECT d.doc_id, coalesce(r.n_kept, 0) AS n_kept,
+           |                coalesce(r.txt, '') AS txt
+           |         FROM inj d LEFT JOIN reb r ON d.doc_id = r.doc_id),
+           |hs AS (SELECT doc_id, n_kept,
+           |         ${sqlPoly("cps", 1125899906842597L, 1099511628211L)} AS u
+           |       FROM (SELECT doc_id, n_kept, list_transform(range(1, length(txt) + 1),
+           |                    j -> CAST(unicode(txt[j]) AS HUGEINT)) AS cps FROM alld)),
+           |m1 AS (SELECT doc_id, n_kept, (${sqlXorShr("u", 33)} * 6364136223846793005) % $U64 AS u FROM hs),
+           |m2 AS (SELECT doc_id, n_kept, (${sqlXorShr("u", 29)} * 2685821657736338717) % $U64 AS u FROM m1),
+           |m3 AS (SELECT doc_id, n_kept, ${sqlXorShr("u", 32)} AS u FROM m2)
+           |SELECT doc_id, CAST(n_kept AS BIGINT) AS n_kept, ${sqlU2S("u")} AS text_fp
+           |FROM m3""".stripMargin
+
 
   /** Span-mask oracle template shared by d_repeated_spans_removed /
     * _keep / _mask: positional n-gram stream (gram STRINGS — Spark's
@@ -4862,43 +4925,22 @@ object SparkEntry {
     // replay the GramHash window equality; keeper = min packed ordinal
     // (the lineDedup 2^20 pack); non-keeper windows cover [pos, pos+2];
     // anti-join the sentence stream, rebuild, Poly64+mix64 fingerprint
-    "d_c4_span_dedup" ->
-      s"""WITH ${c4WrapSql("chr(10)")},
-         |inj AS (SELECT doc_id, t0
-         |    || CASE WHEN doc_id % 20 = 1 THEN chr(10) || '${C4SpanBlock.replace("\n", "' || chr(10) || '")}' ELSE '' END
-         |    || CASE WHEN doc_id % 50 = 0 THEN chr(10) ||
-         |         array_to_string(list_slice(string_split(t0, chr(10)), 1, 3), chr(10))
-         |       ELSE '' END AS text FROM w),
-         |ls AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM inj),
-         |ln AS (SELECT doc_id, CAST(u.i AS BIGINT) - 1 AS pos, lines[i] AS line
-         |       FROM ls, unnest(range(1, len(lines) + 1)) AS u(i)),
-         |g AS (SELECT doc_id, CAST(u.i AS BIGINT) - 1 AS pos,
-         |             lines[i] || chr(10) || lines[i+1] || chr(10) || lines[i+2] AS gm
-         |      FROM ls, unnest(range(1, len(lines) - 1)) AS u(i)
-         |      WHERE len(lines) >= 3),
-         |hot AS (SELECT gm, min(doc_id * 1048576 + pos) AS wk FROM g GROUP BY gm
-         |        HAVING count(*) >= 2),
-         |mk AS (SELECT doc_id, pos FROM g JOIN hot USING (gm)
-         |       WHERE doc_id * 1048576 + pos <> wk),
-         |cov AS (SELECT DISTINCT doc_id, pos + u.j AS pos
-         |        FROM mk, unnest(range(0, 3)) AS u(j)),
-         |kept AS (SELECT ln.doc_id, ln.pos, ln.line FROM ln
-         |         ANTI JOIN cov ON ln.doc_id = cov.doc_id AND ln.pos = cov.pos),
-         |reb AS (SELECT doc_id, count(*) AS n_kept,
-         |               string_agg(line, chr(10) ORDER BY pos) AS txt
-         |        FROM kept GROUP BY doc_id),
-         |alld AS (SELECT d.doc_id, coalesce(r.n_kept, 0) AS n_kept,
-         |                coalesce(r.txt, '') AS txt
-         |         FROM inj d LEFT JOIN reb r ON d.doc_id = r.doc_id),
-         |hs AS (SELECT doc_id, n_kept,
-         |         ${sqlPoly("cps", 1125899906842597L, 1099511628211L)} AS u
-         |       FROM (SELECT doc_id, n_kept, list_transform(range(1, length(txt) + 1),
-         |                    j -> CAST(unicode(txt[j]) AS HUGEINT)) AS cps FROM alld)),
-         |m1 AS (SELECT doc_id, n_kept, (${sqlXorShr("u", 33)} * 6364136223846793005) % $U64 AS u FROM hs),
-         |m2 AS (SELECT doc_id, n_kept, (${sqlXorShr("u", 29)} * 2685821657736338717) % $U64 AS u FROM m1),
-         |m3 AS (SELECT doc_id, n_kept, ${sqlXorShr("u", 32)} AS u FROM m2)
-         |SELECT doc_id, CAST(n_kept AS BIGINT) AS n_kept, ${sqlU2S("u")} AS text_fp
-         |FROM m3""".stripMargin,
+    "d_c4_span_dedup" -> c4SpanDedupOracle,
+
+    // cost-visible aggregate over the SAME oracle body (string-concat, not
+    // stripMargin: the inner oracle's `||` continuation lines would lose a
+    // pipe to a post-interpolation margin strip)
+    "d_c4_span_agg" ->
+      ("SELECT count(*) AS n_docs, CAST(sum(n_kept) AS BIGINT) AS tot_kept,\n" +
+        "       bit_xor(text_fp) AS mask_fp\n" +
+        s"FROM ($c4SpanDedupOracle)"),
+
+    // any-repeat mask cost aggregate (same hot/mk + injected source as
+    // the per-doc gate)
+    "d_repeated_spans_any_agg" ->
+      s"""SELECT count(*) AS n_docs, CAST(sum(n_kept) AS BIGINT) AS tot_kept,
+         |       bit_xor(text_fp) AS mask_fp
+         |FROM (${spanMaskOracle(anyRepeatHotMk, srcCte = anyRepeatSrc)})""".stripMargin,
 
     // BM25: DuckDB replays the same rounded-score-then-doc_id ranking
     "d_bm25_top" ->

@@ -120,11 +120,29 @@ object Bench {
     // harness launches from elsewhere)
     val repoDir = sys.props.getOrElse("graft.bench.dir",
       sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", "/root/repo"))
-    for (path <- Seq("BENCH_FULL.json", s"$repoDir/BENCH_FULL.json").distinct)
+    // Artifact-honesty gate (VERDICT r13 "what's wrong" #1): a contaminated
+    // run must never DISPLACE clean committed evidence. If this run is
+    // contaminated and the existing file on disk is a clean run, divert to
+    // BENCH_FULL_dirty.json — the stdout line above still carries the full
+    // result (stamped contaminated:true) for whoever captures it.
+    def existingIsClean(path: String): Boolean =
       try {
-        val w = new java.io.PrintWriter(path)
+        val p = java.nio.file.Paths.get(path)
+        java.nio.file.Files.exists(p) &&
+          java.nio.file.Files.readString(p).contains("\"contaminated\":false")
+      } catch { case NonFatal(_) => false }
+    for (path <- Seq("BENCH_FULL.json", s"$repoDir/BENCH_FULL.json").distinct) {
+      val target =
+        if (contaminated && existingIsClean(path)) {
+          Console.err.println(s"[bench] contaminated run NOT overwriting clean " +
+            s"$path; writing ${path.stripSuffix(".json")}_dirty.json instead")
+          path.stripSuffix(".json") + "_dirty.json"
+        } else path
+      try {
+        val w = new java.io.PrintWriter(target)
         try w.println(line) finally w.close()
       } catch { case NonFatal(_) => () }
+    }
     spark.stop()
   }
 }

@@ -92,13 +92,16 @@ object SparkEntry {
   // the loop's own fixpoint bookkeeping, so running the loop twice would
   // only re-measure scheduling floor, not semantics
   private val hyperBallCache = scala.collection.concurrent.TrieMap
-    .empty[(Int, String), (DataFrame, DataFrame)]
+    .empty[(Int, String, Int), (DataFrame, DataFrame)]
 
-  private def cachedHyperBall(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+  private def cachedHyperBall(s: SparkSession, dir: String,
+                              p: Int = 6): (DataFrame, DataFrame) =
+    // the HLL precision p is part of the key (a caller requesting a
+    // different p must never read registers computed at another)
     hyperBallCache.getOrElseUpdate(
-      (System.identityHashCode(s.sparkContext), dir), {
+      (System.identityHashCode(s.sparkContext), dir, p), {
         val (regs, traj) =
-          GraphAlgorithms.hyperBallWithTrajectory(treeGraph(s, dir), p = 6)
+          GraphAlgorithms.hyperBallWithTrajectory(treeGraph(s, dir), p = p)
         (regs.localCheckpoint(true), traj.localCheckpoint(true))
       })
 
@@ -1401,6 +1404,23 @@ object SparkEntry {
       maskCostAgg(Dedup.sentenceSpanDedup(injected, n = 3))
     }),
 
+    // C4's span unit done RIGHT: the corpus arrives as ONE line (10-token
+    // '.'-terminated sentences joined by spaces), the deterministic
+    // rule-based segmenter re-discovers the sentences, and the
+    // three-SENTENCE keep-one dedup runs over segmenter output. Injected
+    // edge cases per residue class: %11 abbreviations (dr./mr./p.m. must
+    // not split; '!' must), %13 a bare-number enumeration ("2." must not
+    // split), %17 a quote-wrapped terminal ("stop!" — closer strip), plus
+    // the d_c4_span_dedup duplication discipline (%20==1 a fixed
+    // cross-doc 3-sentence block; %50 a second block appended TWICE —
+    // the within-doc any-repeat path). 'a.'-terminated natural sentences
+    // exercise the single-initial guard corpus-wide
+    "d_c4_span_sent" -> ((s, dir) => {
+      val segmented = c4SegmentInjected(s, dir).withColumn("text",
+        array_join(TextAnalysis.segmentSentences(col("text")), "\n"))
+      Dedup.sentenceSpanDedup(segmented, n = 3)
+    }),
+
     // BM25 retrieval: top-5 docs per probe term (k1=1.2, b=0.75); probe
     // filter precedes the tf shuffle, df/corpus-stats broadcast, top-k is
     // the bounded-heap aggregate — rank order pinned by round-then-tiebreak
@@ -1597,6 +1617,28 @@ object SparkEntry {
       TextAnalysis.lmBuckets(
         TextAnalysis.lmModel(docs.filter(col("lang") === "en")), docs,
         subBucketBits = 10)
+    }),
+
+    // order-3 LM with Stupid Backoff (Brants et al. EMNLP'07; the CCNet
+    // filter's actual order-n shape — a unigram model ranks documents by
+    // OOV mass, not fluency): model = every 1/2/3-gram count over the
+    // curated 'en' slice, scoring starts at the longest available context
+    // and backs off ×0.4 per step to the add-one unigram floor. Same
+    // injection as d_lm_domain (every 10th doc gets an unseen token) so
+    // the OOV floor AND the backoff cascade behind it are non-vacuous;
+    // gated on the exact integer micro-nat total plus the backoff
+    // profile columns (n_full / n_backoff_steps — a degenerate all-unigram
+    // run would be visible in the gate itself)
+    "d_lm_ngram" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = docs.select(col("doc_id"),
+        when(col("doc_id") % 10 === 0,
+          concat(col("text"), lit(" qqxzoov"),
+            (col("doc_id") % 7).cast("string")))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.lmNgramScoreAgainst(
+        TextAnalysis.lmNgramModel(docs.filter(col("lang") === "en"), order = 3),
+        scored, order = 3)
     }),
 
     // supervised reference-domain classifier (the fastText slot of CCNet,
@@ -2433,6 +2475,31 @@ object SparkEntry {
   private val C4SpanBlock =
     "the quick brown fox runs.\nover the lazy dog today.\nand jumps the high fence."
 
+  /** The second fixed 3-sentence block (space-joined — the segmenter must
+    * split it), appended TWICE to every 50th doc for d_c4_span_sent's
+    * within-doc any-repeat path; vocabulary disjoint from the corpus AND
+    * from [[C4SpanBlock]]. */
+  private val C4SentBlock2 =
+    "alpha beta gamma delta now. epsilon zeta eta theta soon. iota kappa lambda mu done."
+
+  /** d_c4_span_sent's corpus: sentence-wrapped as ONE space-joined line,
+    * with segmenter edge-case injections (abbreviations, bare-number
+    * enumeration, quote-wrapped terminal) and the span-dedup duplication
+    * blocks. Replayed token-for-token in the oracle SQL. */
+  private def c4SegmentInjected(s: SparkSession, dir: String): DataFrame =
+    c4SentenceWrapped(t(s, dir, "documents"), " ")
+      .withColumn("text", concat(col("text"),
+        when(col("doc_id") % 11 === 0,
+          lit(" dr. smith met mr. jones at 3.5 p.m. sharp!")).otherwise(lit("")),
+        when(col("doc_id") % 13 === 0,
+          lit(" was it worth 2. maybe not?")).otherwise(lit("")),
+        when(col("doc_id") % 17 === 0,
+          lit(" she said \"stop!\" then left.")).otherwise(lit("")),
+        when(col("doc_id") % 20 === 1,
+          lit(" " + C4SpanBlock.replace("\n", " "))).otherwise(lit("")),
+        when(col("doc_id") % 50 === 0,
+          lit(" " + C4SentBlock2 + " " + C4SentBlock2)).otherwise(lit(""))))
+
   /** Line-gate injections: one line per line-rule failure mode — no
     * terminal punctuation (%31), a 'javascript' word in an otherwise-legal
     * line (%37), under five words (%43). */
@@ -2619,6 +2686,71 @@ object SparkEntry {
            |SELECT doc_id, CAST(n_kept AS BIGINT) AS n_kept, ${sqlU2S("u")} AS text_fp
            |FROM m3""".stripMargin
 
+
+  /** The d_c4_span_sent oracle: wrap as ONE space-joined line, inject the
+    * segmenter edge cases + duplication blocks, SEGMENT (token boundary
+    * flag → running-count group → per-group string_agg — same semantics
+    * as the engine's aggregate fold, different physical plan), then the
+    * c4SpanDedupOracle three-sentence keep-one over segmenter output.
+    * Abbreviation list is interpolated from TextAnalysis.SentenceAbbrevs
+    * so the two engines cannot drift. */
+  private lazy val c4SpanSentOracle: String = {
+    val abbrevs = graft.pipeline.TextAnalysis.SentenceAbbrevs
+      .map(a => s"'$a'").mkString(", ")
+    s"""WITH ${c4WrapSql("' '")},
+       |inj AS (SELECT doc_id, t0
+       |    || CASE WHEN doc_id % 11 = 0 THEN ' dr. smith met mr. jones at 3.5 p.m. sharp!' ELSE '' END
+       |    || CASE WHEN doc_id % 13 = 0 THEN ' was it worth 2. maybe not?' ELSE '' END
+       |    || CASE WHEN doc_id % 17 = 0 THEN ' she said "stop!" then left.' ELSE '' END
+       |    || CASE WHEN doc_id % 20 = 1 THEN ' ${C4SpanBlock.replace("\n", " ")}' ELSE '' END
+       |    || CASE WHEN doc_id % 50 = 0 THEN ' $C4SentBlock2 $C4SentBlock2' ELSE '' END
+       |    AS text FROM w),
+       |tkl AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM inj),
+       |tp AS (SELECT doc_id, CAST(u.i AS BIGINT) AS i, toks[i] AS tok
+       |       FROM tkl, unnest(range(1, len(toks) + 1)) AS u(i)),
+       |bf AS (SELECT doc_id, i, tok,
+       |         CASE WHEN regexp_matches(core, '[.!?]$$')
+       |               AND lower(core) NOT IN ($abbrevs)
+       |               AND NOT regexp_matches(lower(core), '^[a-z]\\.$$')
+       |               AND NOT regexp_matches(core, '^[0-9]+\\.$$')
+       |              THEN 1 ELSE 0 END AS b
+       |       FROM (SELECT doc_id, i, tok,
+       |               regexp_replace(tok, '["'')\\]»”’]+$$', '') AS core FROM tp)),
+       |gp AS (SELECT doc_id, i, tok,
+       |         CAST(coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY i
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS grp
+       |       FROM bf),
+       |ln AS (SELECT doc_id, grp AS pos, string_agg(tok, ' ' ORDER BY i) AS line
+       |       FROM gp GROUP BY 1, 2),
+       |ls AS (SELECT doc_id, list(line ORDER BY pos) AS lines FROM ln GROUP BY 1),
+       |g AS (SELECT doc_id, CAST(u.i AS BIGINT) - 1 AS pos,
+       |             lines[i] || chr(10) || lines[i+1] || chr(10) || lines[i+2] AS gm
+       |      FROM ls, unnest(range(1, len(lines) - 1)) AS u(i)
+       |      WHERE len(lines) >= 3),
+       |hot AS (SELECT gm, min(doc_id * 1048576 + pos) AS wk FROM g GROUP BY gm
+       |        HAVING count(*) >= 2),
+       |mk AS (SELECT doc_id, pos FROM g JOIN hot USING (gm)
+       |       WHERE doc_id * 1048576 + pos <> wk),
+       |cov AS (SELECT DISTINCT doc_id, pos + u.j AS pos
+       |        FROM mk, unnest(range(0, 3)) AS u(j)),
+       |kept AS (SELECT ln.doc_id, ln.pos, ln.line FROM ln
+       |         ANTI JOIN cov ON ln.doc_id = cov.doc_id AND ln.pos = cov.pos),
+       |reb AS (SELECT doc_id, count(*) AS n_kept,
+       |               string_agg(line, chr(10) ORDER BY pos) AS txt
+       |        FROM kept GROUP BY doc_id),
+       |alld AS (SELECT d.doc_id, coalesce(r.n_kept, 0) AS n_kept,
+       |                coalesce(r.txt, '') AS txt
+       |         FROM inj d LEFT JOIN reb r ON d.doc_id = r.doc_id),
+       |hs AS (SELECT doc_id, n_kept,
+       |         ${sqlPoly("cps", 1125899906842597L, 1099511628211L)} AS u
+       |       FROM (SELECT doc_id, n_kept, list_transform(range(1, length(txt) + 1),
+       |                    j -> CAST(unicode(txt[j]) AS HUGEINT)) AS cps FROM alld)),
+       |m1 AS (SELECT doc_id, n_kept, (${sqlXorShr("u", 33)} * 6364136223846793005) % $U64 AS u FROM hs),
+       |m2 AS (SELECT doc_id, n_kept, (${sqlXorShr("u", 29)} * 2685821657736338717) % $U64 AS u FROM m1),
+       |m3 AS (SELECT doc_id, n_kept, ${sqlXorShr("u", 32)} AS u FROM m2)
+       |SELECT doc_id, CAST(n_kept AS BIGINT) AS n_kept, ${sqlU2S("u")} AS text_fp
+       |FROM m3""".stripMargin
+  }
 
   /** Span-mask oracle template shared by d_repeated_spans_removed /
     * _keep / _mask: positional n-gram stream (gram STRINGS — Spark's
@@ -4926,6 +5058,7 @@ object SparkEntry {
     // (the lineDedup 2^20 pack); non-keeper windows cover [pos, pos+2];
     // anti-join the sentence stream, rebuild, Poly64+mix64 fingerprint
     "d_c4_span_dedup" -> c4SpanDedupOracle,
+    "d_c4_span_sent" -> c4SpanSentOracle,
 
     // cost-visible aggregate over the SAME oracle body (string-concat, not
     // stripMargin: the inner oracle's `||` continuation lines would lose a
@@ -5475,6 +5608,70 @@ object SparkEntry {
          |            ELSE 'tail' END AS bucket
          |FROM sc2 CROSS JOIN th""".stripMargin
     },
+
+    // order-3 Stupid Backoff: model = 1/2/3-gram counts over the en slice;
+    // per position the longest available level with a model hit wins, α=0.4
+    // per backoff step built by DOUBLE literal multiplication (the Spark
+    // side folds the identical IEEE product — pow() is not ULP-pinned);
+    // denominators recovered as the (k−1)-level numerator one position
+    // left (lag window), exactly the Spark plan
+    "d_lm_ngram" ->
+      """WITH sc AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 10 = 0
+        |    THEN text || ' qqxzoov' || CAST(doc_id % 7 AS VARCHAR)
+        |    ELSE text END AS text
+        |  FROM documents),
+        |tr AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS toks
+        |       FROM documents WHERE lang = 'en'),
+        |mg AS (SELECT u.k AS n,
+        |              array_to_string(list_slice(toks, i - u.k + 1, i), ' ') AS gram
+        |       FROM (SELECT toks, unnest(range(1, len(toks) + 1)) AS i FROM tr) t,
+        |            unnest([1, 2, 3]) AS u(k)
+        |       WHERE u.k <= i),
+        |model AS MATERIALIZED (SELECT n, gram, count(*) AS cnt FROM mg GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total, count(*) AS n_vocab
+        |        FROM model WHERE n = 1),
+        |dt AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |       FROM sc),
+        |pp AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, u.k AS k,
+        |              array_to_string(list_slice(toks, i - u.k + 1, i), ' ') AS gram
+        |       FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM dt) t,
+        |            unnest([1, 2, 3]) AS u(k)
+        |       WHERE u.k <= i),
+        |pv AS (SELECT doc_id, pos,
+        |              max(CASE WHEN k = 1 THEN cnt END) AS c1,
+        |              max(CASE WHEN k = 2 THEN cnt END) AS c2,
+        |              max(CASE WHEN k = 3 THEN cnt END) AS c3
+        |       FROM pp LEFT JOIN model ON model.n = pp.k AND model.gram = pp.gram
+        |       GROUP BY 1, 2),
+        |dn AS (SELECT doc_id, pos, c1, c2, c3,
+        |              lag(c1) OVER w AS d2, lag(c2) OVER w AS d3
+        |       FROM pv WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |st AS (SELECT doc_id, pos, c1,
+        |         least(pos + 1, 3) AS k0,
+        |         CASE WHEN least(pos + 1, 3) >= 3 AND c3 IS NOT NULL THEN 3
+        |              WHEN least(pos + 1, 3) >= 2 AND c2 IS NOT NULL THEN 2
+        |              ELSE 1 END AS lvl,
+        |         CASE WHEN least(pos + 1, 3) >= 3 AND c3 IS NOT NULL
+        |                THEN CAST(c3 AS DOUBLE) / d3
+        |              WHEN least(pos + 1, 3) >= 2 AND c2 IS NOT NULL
+        |                THEN CAST(c2 AS DOUBLE) / d2
+        |              ELSE CAST(coalesce(c1, 0) + 1 AS DOUBLE) / (n_total + n_vocab)
+        |         END AS ratio
+        |       FROM dn CROSS JOIN tot),
+        |lp AS (SELECT doc_id, c1, k0 - lvl AS b,
+        |         CAST(round(ln(CASE k0 - lvl
+        |           WHEN 0 THEN CAST(1.0 AS DOUBLE) * ratio
+        |           WHEN 1 THEN CAST(1.0 AS DOUBLE) * CAST(0.4 AS DOUBLE) * ratio
+        |           ELSE CAST(1.0 AS DOUBLE) * CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE) * ratio
+        |           END) * 1000000) AS BIGINT) AS lpm
+        |       FROM st)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |       CAST(sum(CASE WHEN c1 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |       CAST(sum(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_full,
+        |       CAST(sum(b) AS BIGINT) AS n_backoff_steps,
+        |       CAST(sum(lpm) AS BIGINT) AS lm_micro_total
+        |FROM lp GROUP BY 1""".stripMargin,
 
     "d_domain_classify" ->
       """WITH tr AS (

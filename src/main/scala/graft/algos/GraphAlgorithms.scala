@@ -1309,7 +1309,6 @@ object GraphAlgorithms {
   def hits(g: KGraph, iterations: Int = 16): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     val edges = cp(g.edges.select(col("src"), col("dst")).distinct())
-    val spark = g.vertices.sparkSession
     def l2normed(s: DataFrame, c: String): DataFrame = {
       val n = s.agg(sqrt(sum(col(c) * col(c))).as("_n"))
       s.crossJoin(broadcast(n))

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -204,6 +205,64 @@ object TextAnalysis {
       .drop("_toks", "_chunk")
   }
 
+  // ---------------------------------------------------------------------
+  // Deterministic rule-based sentence segmentation — C4's cleaning and
+  // span-dedup unit is the SENTENCE (Raffel et al. JMLR'20 §2.2), not the
+  // newline: terminal punctuation + closing-quote strip + abbreviation
+  // guard + no-split-after-bare-numbers, all expressed as rowwise Column
+  // logic so BOTH engines replay it token-for-token (the cross-engine
+  // gate discipline — no model, no lookahead, no state beyond the fold).
+  // ---------------------------------------------------------------------
+
+  /** Abbreviation guard list for [[sentenceBoundary]] (lowercased, with
+    * trailing period): tokens that end with '.' but do not end a
+    * sentence. Fixed and documented — determinism over coverage. */
+  val SentenceAbbrevs: Seq[String] = Seq(
+    "mr.", "mrs.", "ms.", "dr.", "prof.", "st.", "jr.", "sr.", "vs.",
+    "etc.", "e.g.", "i.e.", "fig.", "no.", "inc.", "ltd.", "co.", "al.",
+    "approx.", "dept.", "est.", "a.m.", "p.m.", "u.s.")
+
+  /** True iff a sentence ends AT this whitespace token: after stripping
+    * trailing closing quotes/brackets, the token ends with `.`/`!`/`?`
+    * and is neither a guarded abbreviation, a single-letter initial
+    * ("j."), nor a bare number ("3." — the no-split-inside-numbers rule;
+    * "3.14" never triggers because its dot is mid-token). */
+  def sentenceBoundary(tok: Column): Column = {
+    val core = regexp_replace(tok, "[\"')\\]»”’]+$", "")
+    val lc = lower(core)
+    core.rlike("[.!?]$") &&
+      !array_contains(typedLit(SentenceAbbrevs), lc) &&
+      !lc.rlike("^[a-z]\\.$") &&
+      !core.rlike("^[0-9]+\\.$")
+  }
+
+  /** Split `text` into sentences (array of space-rejoined token runs, one
+    * per [[sentenceBoundary]] group; a trailing run with no terminal is
+    * its own sentence; empty text yields a single empty sentence — the
+    * whitespace-token convention).
+    *
+    * Scale shape: ONE rowwise `aggregate` fold over the token array —
+    * zero shuffle, composes into the same corpus scan as the rest of
+    * TextAnalysis; feeds [[graft.pipeline.Dedup.sentenceSpanDedup]] so
+    * C4's three-sentence unit is a real sentence, not a pre-wrapped
+    * newline. */
+  def segmentSentences(text: Column): Column = {
+    val emptyArr = array().cast("array<string>")
+    aggregate(
+      wsTokens(text),
+      struct(emptyArr.as("done"), emptyArr.as("cur")),
+      (acc, x) => {
+        val cur2 = array_append(acc.getField("cur"), x)
+        when(sentenceBoundary(x),
+          struct(array_append(acc.getField("done"),
+            array_join(cur2, " ")).as("done"), emptyArr.as("cur")))
+          .otherwise(struct(acc.getField("done").as("done"), cur2.as("cur")))
+      },
+      acc => when(size(acc.getField("cur")) === 0, acc.getField("done"))
+        .otherwise(array_append(acc.getField("done"),
+          array_join(acc.getField("cur"), " "))))
+  }
+
   /** Unigram-LM quality score (the CCNet/RedPajama perplexity-proxy
     * filter): each document's mean token log-probability under the corpus's
     * own add-one-smoothed unigram distribution — low scores flag documents
@@ -308,11 +367,25 @@ object TextAnalysis {
     * scored frame is localCheckpointed so the corpus is scored ONCE, not
     * once per pass. Returns (idCol, n_tokens, n_oov, nll_micro, bucket). */
   def lmBuckets(model: DataFrame, docs: DataFrame, idCol: String = "doc_id",
-                textCol: String = "text", subBucketBits: Int = 7): DataFrame = {
-    val scored = lmScoreAgainst(model, docs, idCol, textCol)
-      .withColumn("nll_micro", expr(s"(-lm_micro_total) div n_tokens"))
-      .select(col(idCol), col("n_tokens"), col("n_oov"), col("nll_micro"))
-      .localCheckpoint(true)
+                textCol: String = "text", subBucketBits: Int = 7): DataFrame =
+    bucketizeNll(
+      lmScoreAgainst(model, docs, idCol, textCol)
+        .withColumn("nll_micro", expr(s"(-lm_micro_total) div n_tokens"))
+        .select(col(idCol), col("n_tokens"), col("n_oov"), col("nll_micro")),
+      subBucketBits)
+
+  /** The tercile half of [[lmBuckets]], factored out so ANY per-document
+    * NLL scorer plugs in (the order-n Stupid Backoff model via
+    * [[lmNgramBuckets]], the unigram model via [[lmBuckets]]): head/middle/
+    * tail assignment over a scored frame carrying an integer `nll_micro`
+    * column. Thresholds come from the MERGEABLE [[Sketches.logHistogram]]
+    * (exact below 2^(s+1), ≤ 0.4 % relative above) decoded on the driver —
+    * a control read over bucket rows, never the data — and the assignment
+    * pass is a rowwise comparison against two literals (never a corpus
+    * sort). The scored frame is localCheckpointed so the corpus is scored
+    * ONCE, not once per pass. */
+  def bucketizeNll(scoredIn: DataFrame, subBucketBits: Int = 7): DataFrame = {
+    val scored = scoredIn.localCheckpoint(true)
     val hist = Sketches.logHistogram(scored, "nll_micro", subBucketBits)
     // thresholds are the tercile buckets' inclusive UPPER bounds (not the
     // midpoint representatives — a midpoint can undercut every value in
@@ -327,6 +400,160 @@ object TextAnalysis {
         .when(col("nll_micro") <= ts(1), lit("middle"))
         .otherwise(lit("tail")))
   }
+
+  // ---------------------------------------------------------------------
+  // Order-n LM with Stupid Backoff — the deployed CCNet filter's actual
+  // shape (Wenzek et al., LREC 2020 §4.3 score with an order-5 KenLM; a
+  // unigram model ranks documents substantially by OOV mass, not fluency).
+  // Stupid Backoff (Brants et al., EMNLP 2007 §4: S(w|ctx) = f(ctx·w)/f(ctx)
+  // when the full n-gram was seen, else α·S(w|shorter ctx), fixed α = 0.4)
+  // is the web-scale member of the n-gram family: NO discounting, NO
+  // normalization pass — scores are ratios of raw counts, so training stays
+  // a pure pointwise-SUM-mergeable aggregate (the lmModel/nbModel contract)
+  // and the integer micro-nat quantization discipline survives intact.
+  // ---------------------------------------------------------------------
+
+  /** Mergeable order-n gram model: (n, gram, cnt) raw counts of every
+    * k-gram, k = 1..order, over the reference corpus (gram = space-joined
+    * lowercased whitespace tokens). Raw counts at EVERY order make the
+    * model prefix-closed — cnt(n, ctx·w) > 0 implies cnt(n−1, ctx) > 0 —
+    * so Stupid Backoff's denominators always exist when a numerator hits.
+    * Merge shards with [[mergeLmNgramModels]] (pointwise sum — union of
+    * shard models ≡ model of the union).
+    *
+    * Scale shape: one rowwise nested-HOF gram expansion (≤ order structs
+    * per token, no self-joins) into one combinable count aggregate — the
+    * lmModel plan, `order`× wider. */
+  def lmNgramModel(df: DataFrame, textCol: String = "text",
+                   order: Int = 3): DataFrame = {
+    require(order >= 2 && order <= 8, s"order must be in [2, 8], got $order")
+    Dedup.spread(df)
+      .select(wsTokens(lower(trim(col(textCol)))).as("_toks"))
+      .select(explode(expr(
+        s"""flatten(transform(_toks, (x, i) ->
+           |  transform(filter(sequence(1, $order), k -> k <= i + 1), k ->
+           |    named_struct('n', k,
+           |      'gram', array_join(slice(_toks, i - k + 2, k), ' ')))))"""
+          .stripMargin)).as("g"))
+      .groupBy(col("g.n").as("n"), col("g.gram").as("gram"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Pointwise-sum merge of [[lmNgramModel]] shards. */
+  def mergeLmNgramModels(ms: Seq[DataFrame]): DataFrame = {
+    require(ms.nonEmpty, "nothing to merge")
+    ms.map(_.select(col("n"), col("gram"), col("cnt").cast("long")))
+      .reduce(_ unionByName _)
+      .groupBy(col("n"), col("gram")).agg(sum(col("cnt")).as("cnt"))
+  }
+
+  /** Score `docs` under an order-n [[lmNgramModel]] with Stupid Backoff:
+    * each position i starts at the LONGEST level its left context allows
+    * (k₀ = min(i+1, order) — no penalty for a document's first tokens) and
+    * backs off k₀ → k₀−1 → … → 1, multiplying α = 0.4 per step, until a
+    * level whose full k-gram the model has seen; the level-k score is the
+    * raw-count ratio cnt(k-gram)/cnt((k−1)-gram-context). The unigram
+    * floor is add-one-smoothed, (cnt+1)/(N+V) — the [[lmScoreAgainst]]
+    * cnt=0 discipline (Brants' unsmoothed f(w)/N is zero on OOV, which no
+    * log score survives), so `n_oov` rides along unchanged.
+    *
+    * Cross-engine discipline (gate-pinned): per-position contributions
+    * quantize to integer micro-nats BEFORE the per-document sum; the α
+    * power is built by literal double MULTIPLICATION (0.4·(0.4·…)), never
+    * pow(), so both engines fold the identical IEEE product. Returns
+    * (idCol, n_tokens, n_oov, n_full, n_backoff_steps, lm_micro_total):
+    * n_full = positions scored at their full available level,
+    * n_backoff_steps = total α-steps taken — the backoff profile that
+    * makes a degenerate gate visible (all-unigram ⟹ the order-n machinery
+    * proved nothing).
+    *
+    * Scale shape: the probe stream (≤ order rows per token) joins the
+    * model ONCE on (n, gram) — one equi-join regardless of order, AQE
+    * broadcasts a small model; numerator counts pivot back per position in
+    * one combinable aggregate; each level's DENOMINATOR cnt((k−1)-prefix)
+    * is the numerator of level k−1 at position i−1, recovered by a lag
+    * window PARTITIONED BY document (bounded by one doc's tokens) instead
+    * of a second round of model joins; the per-doc reduction reuses that
+    * partitioning. No driver-side state, no unpartitioned window. */
+  def lmNgramScoreAgainst(model: DataFrame, docs: DataFrame,
+                          idCol: String = "doc_id", textCol: String = "text",
+                          order: Int = 3): DataFrame = {
+    require(order >= 2 && order <= 8, s"order must be in [2, 8], got $order")
+    val m = model.select(col("n").cast("int").as("n"), col("gram"),
+      col("cnt").cast("long").as("cnt"))
+    val totals = m.filter(col("n") === 1)
+      .agg(sum(col("cnt")).as("n_total"), count(lit(1)).as("n_vocab"))
+    val probes = Dedup.spread(docs)
+      .select(col(idCol).as("doc_id"),
+        wsTokens(lower(trim(col(textCol)))).as("_toks"))
+      .select(col("doc_id"), explode(expr(
+        s"""flatten(transform(_toks, (x, i) ->
+           |  transform(filter(sequence(1, $order), k -> k <= i + 1), k ->
+           |    named_struct('pos', i, 'n', k,
+           |      'gram', array_join(slice(_toks, i - k + 2, k), ' ')))))"""
+          .stripMargin)).as("g"))
+      .select(col("doc_id"), col("g.pos").as("pos"), col("g.n").as("n"),
+        col("g.gram").as("gram"))
+    val pivoted = probes.join(m, Seq("n", "gram"), "left_outer")
+      .groupBy(col("doc_id"), col("pos"))
+      .agg(max(when(col("n") === 1, col("cnt"))).as("c1"),
+        (2 to order).map(k =>
+          max(when(col("n") === k, col("cnt"))).as(s"c$k")): _*)
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val withDenoms = (2 to order).foldLeft(pivoted) { (df, k) =>
+      // cnt of the level-k context (k−1)-gram = level-(k−1) numerator one
+      // position left; prefix closure guarantees it whenever c_k is hit
+      df.withColumn(s"d$k", lag(col(s"c${k - 1}"), 1).over(byDoc))
+    }
+    // alpha^b by literal multiplication — identical IEEE folding on both
+    // engines (pow() is not ULP-pinned across engines; products of the
+    // literal 0.4 are)
+    def alphaPow(b: Int): Column =
+      (1 to b).foldLeft(lit(1.0)) { (c, _) => c * lit(0.4) }
+    val uni = (coalesce(col("c1"), lit(0L)) + 1).cast("double") /
+      (col("n_total") + col("n_vocab"))
+    // start level k0 = min(pos+1, order); CASE descends to the first hit
+    val k0 = least(col("pos") + 1, lit(order))
+    val lvl = (order to 2 by -1).foldRight(lit(1): Column) { (k, els) =>
+      when(k0 >= k && col(s"c$k").isNotNull, lit(k)).otherwise(els)
+    }
+    val ratio = (order to 2 by -1).foldRight(uni) { (k, els) =>
+      when(k0 >= k && col(s"c$k").isNotNull,
+        col(s"c$k").cast("double") / col(s"d$k")).otherwise(els)
+    }
+    val backoff = (0 to order).foldRight(lit(0): Column) { (b, els) =>
+      // b backoff steps taken iff lvl == k0 - b; enumerated so the alpha
+      // product is a literal chain per branch
+      when(k0 - lvl === b, lit(b)).otherwise(els)
+    }
+    val micro = (0 until order).foldRight(lit(0L): Column) { (b, els) =>
+      when(k0 - lvl === b,
+        round(log(alphaPow(b) * ratio) * 1e6).cast("long")).otherwise(els)
+    }
+    withScalars(withDenoms, totals)
+      .withColumn("_lvl", lvl).withColumn("_b", backoff)
+      .withColumn("_lpm", micro)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("c1").isNull, 1L).otherwise(0L)).as("n_oov"),
+        sum(when(col("_b") === 0, 1L).otherwise(0L)).as("n_full"),
+        sum(col("_b").cast("long")).as("n_backoff_steps"),
+        sum(col("_lpm")).as("lm_micro_total"))
+      .withColumnRenamed("doc_id", idCol)
+  }
+
+  /** [[lmBuckets]] with the order-n Stupid Backoff scorer — CCNet's
+    * head/middle/tail split over the score that actually measures fluency
+    * (repeat-heavy word salad scores well under a unigram model; an
+    * order-n model buckets it by its n-gram novelty). */
+  def lmNgramBuckets(model: DataFrame, docs: DataFrame,
+                     idCol: String = "doc_id", textCol: String = "text",
+                     order: Int = 3, subBucketBits: Int = 7): DataFrame =
+    bucketizeNll(
+      lmNgramScoreAgainst(model, docs, idCol, textCol, order)
+        .withColumn("nll_micro", expr(s"(-lm_micro_total) div n_tokens"))
+        .select(col(idCol), col("n_tokens"), col("n_oov"), col("nll_micro")),
+      subBucketBits)
 
   // ---------------------------------------------------------------------
   // Supervised reference-domain classification — mergeable multinomial

@@ -228,6 +228,66 @@ class PipelineSpec extends SparkSpec {
     assert(out(5L) === ((3L, fp("c1.\nd1.\ne1."))))
   }
 
+  test("segmentSentences: golden hand-segmented fixtures — terminal punct " +
+       "splits; abbreviations, single-letter initials and bare numbers do " +
+       "not; trailing closers strip; remainder is its own sentence") {
+    val cases = Seq(
+      "the cat sat. the dog ran!" ->
+        Seq("the cat sat.", "the dog ran!"),
+      // abbreviation guards (dr./mr./p.m.), mid-token dot never splits
+      "dr. smith met mr. jones at 3.5 p.m. sharp! next one." ->
+        Seq("dr. smith met mr. jones at 3.5 p.m. sharp!", "next one."),
+      // bare-number enumeration: "2." is not a terminal
+      "was it worth 2. maybe not?" ->
+        Seq("was it worth 2. maybe not?"),
+      // closing-quote strip: the '!' hides behind '"'
+      "she said \"stop!\" then left." ->
+        Seq("she said \"stop!\"", "then left."),
+      // single-letter initials
+      "j. k. rowling wrote it. done." ->
+        Seq("j. k. rowling wrote it.", "done."),
+      "pi is 3.14 exactly. yes?" ->
+        Seq("pi is 3.14 exactly.", "yes?"),
+      // no terminal at all: the whole text is one trailing sentence
+      "no trailing terminal here" -> Seq("no trailing terminal here"),
+      // question/exclamation with closers, parenthesis variant
+      "really (and truly)? sure." -> Seq("really (and truly)?", "sure."),
+      "etc. and so on. fine." -> Seq("etc. and so on.", "fine."),
+      "" -> Seq(""))
+    val got = cases.map(_._1).toDF("text")
+      .select(TextAnalysis.segmentSentences(col("text")).as("s"))
+      .collect().map(_.getSeq[String](0).toList)
+    cases.zip(got).foreach { case ((in, want), s) =>
+      assert(s === want.toList, s"input: '$in'")
+    }
+  }
+
+  test("segmentSentences ∘ sentenceSpanDedup ≡ sentenceSpanDedup over " +
+       "pre-newline-wrapped text when the segmenter and the wrapping agree") {
+    // space-joined docs whose sentences the segmenter must re-discover;
+    // doc 2 repeats doc 1's 3-sentence block (cross-doc keep-one)
+    val s1 = "k0 k1 k2."; val s2 = "k3 k4 k5!"; val s3 = "k6 k7 k8?"
+    val flat = Seq(
+      (1L, s"$s1 $s2 $s3 t0 t1."),
+      (2L, s"pre p0. $s1 $s2 $s3 post q0."),
+      (3L, "x0 x1. y0 y1."))
+    val wrapped = flat.map { case (id, t) =>
+      // the hand-wrapped equivalent: same sentences, newline-joined
+      (id, t.replaceAll("(?<=[.!?]) ", "\n"))
+    }
+    val a = Dedup.sentenceSpanDedup(
+        flat.toDF("doc_id", "text").withColumn("text",
+          array_join(TextAnalysis.segmentSentences(col("text")), "\n")),
+        n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val b = Dedup.sentenceSpanDedup(wrapped.toDF("doc_id", "text"), n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(a.toSeq === b.toSeq)
+    // and the dedup actually fired: doc 2 lost the 3-sentence block
+    val byId = a.map(t => t._1 -> t._2).toMap
+    assert(byId(1L) === 4L && byId(2L) === 2L && byId(3L) === 2L)
+  }
+
   test("removeRepeatedSpansAny masks within-document repeats that " +
        "removeRepeatedSpans (cross-doc criterion) leaves intact") {
     val Q = "q0 q1 q2 q3"
@@ -1800,6 +1860,145 @@ class PipelineSpec extends SparkSpec {
     assert(out.columns.toSeq ===
       Seq("doc_id", "n_tokens", "n_oov", "nll_micro", "bucket"))
     assert(out.count() === 0L)
+  }
+
+  test("lmNgramModel: hand-computed gram counts at every order, prefix-" +
+       "closed; shard merge ≡ one-shot model") {
+    val ref = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val m = TextAnalysis.lmNgramModel(ref, order = 3).collect()
+      .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(m === Map(
+      (1, "a") -> 3L, (1, "b") -> 3L, (1, "c") -> 1L,
+      (2, "a b") -> 3L, (2, "b a") -> 1L, (2, "b c") -> 1L,
+      (3, "a b a") -> 1L, (3, "b a b") -> 1L, (3, "a b c") -> 1L))
+    // prefix closure: every (k, ctx·w) has its (k−1, ctx) row
+    m.keys.filter(_._1 > 1).foreach { case (k, gram) =>
+      val ctx = gram.split(" ").dropRight(1).mkString(" ")
+      assert(m.contains((k - 1, ctx)), s"missing prefix ($k, $gram)")
+    }
+    val merged = TextAnalysis.mergeLmNgramModels(Seq(
+        TextAnalysis.lmNgramModel(ref.filter(col("doc_id") === 1L), order = 3),
+        TextAnalysis.lmNgramModel(ref.filter(col("doc_id") === 2L), order = 3)))
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(merged === m)
+  }
+
+  test("lmNgramScoreAgainst: randomized driver-reference equivalence on the " +
+       "exact micro-nat totals and the backoff profile (split model/score " +
+       "corpora, OOV present, every backoff depth exercised)") {
+    val rng = new scala.util.Random(47)
+    val vocab = (0 until 8).map(i => s"w$i")
+    var sawFull = 0L; var sawSteps = 0L; var sawOov = 0L
+    (0 until 10).foreach { trial =>
+      val modelDocs = (0 until 4).map { _ =>
+        val len = 4 + rng.nextInt(12)
+        (0 until len).map(_ => vocab(rng.nextInt(5))).mkString(" ")
+      }
+      val scoreDocs = (0 until 5).map { id =>
+        val len = 1 + rng.nextInt(10)
+        (id.toLong, (0 until len).map(_ => vocab(rng.nextInt(vocab.size))).mkString(" "))
+      }
+      // driver Stupid Backoff, replicating the engine's IEEE shapes exactly:
+      // alpha powers by literal double multiplication, micro quantization
+      // per position before the long sum
+      val grams = (1 to 3).map { k =>
+        k -> modelDocs.flatMap(_.split(" ").toSeq.sliding(k).filter(_.size == k)
+          .map(_.mkString(" "))).groupBy(identity).view.mapValues(_.size.toLong).toMap
+      }.toMap
+      val nTotal = grams(1).values.sum
+      val nVocab = grams(1).size.toLong
+      def alphaPow(b: Int): Double = (1 to b).foldLeft(1.0)((c, _) => c * 0.4)
+      val want = scoreDocs.map { case (id, t) =>
+        val toks = t.split(" ").toSeq
+        var (nFull, nSteps, nOov, total) = (0L, 0L, 0L, 0L)
+        toks.indices.foreach { i =>
+          val k0 = math.min(i + 1, 3)
+          val hitK = (k0 to 2 by -1).find { k =>
+            grams(k).contains(toks.slice(i - k + 1, i + 1).mkString(" "))
+          }.getOrElse(1)
+          val ratio = if (hitK >= 2) {
+            val num = grams(hitK)(toks.slice(i - hitK + 1, i + 1).mkString(" "))
+            val den = grams(hitK - 1)(toks.slice(i - hitK + 1, i).mkString(" "))
+            num.toDouble / den
+          } else {
+            val c1 = grams(1).getOrElse(toks(i), 0L)
+            if (c1 == 0L) nOov += 1
+            (c1 + 1).toDouble / (nTotal + nVocab)
+          }
+          val b = k0 - hitK
+          if (b == 0) nFull += 1
+          nSteps += b
+          total += math.round(math.log(alphaPow(b) * ratio) * 1e6)
+        }
+        id -> ((toks.size.toLong, nOov, nFull, nSteps, total))
+      }.toMap
+      val got = TextAnalysis.lmNgramScoreAgainst(
+          TextAnalysis.lmNgramModel(modelDocs.map(Tuple1(_)).toDF("text"), order = 3),
+          scoreDocs.toDF("doc_id", "text"), order = 3)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+      scoreDocs.foreach { case (id, _) =>
+        assert(got(id) === want(id), s"trial $trial doc $id")
+        sawFull += want(id)._3; sawSteps += want(id)._4; sawOov += want(id)._2
+      }
+    }
+    // the trials must exercise full hits, backoff steps AND the OOV floor —
+    // an accidentally-degenerate fixture would prove nothing
+    assert(sawFull > 0 && sawSteps > 0 && sawOov > 0,
+      s"degenerate fixture: full=$sawFull steps=$sawSteps oov=$sawOov")
+  }
+
+  test("lmNgramScoreAgainst: shard-merged model scores integer-identically " +
+       "to the one-shot model (maintained-profile contract)") {
+    val ref = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat on a log"),
+      (3L, "a cat and a dog met")).toDF("doc_id", "text")
+    val oneShot = TextAnalysis.lmNgramModel(ref, order = 3)
+    val merged = TextAnalysis.mergeLmNgramModels(
+      Seq(1L, 2L, 3L).map(id =>
+        TextAnalysis.lmNgramModel(ref.filter(col("doc_id") === id), order = 3)))
+    val probe = Seq((9L, "the cat sat on a log"), (10L, "dog unseen the")).toDF("doc_id", "text")
+    def run(m: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.lmNgramScoreAgainst(m, probe, order = 3).collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(run(merged) === run(oneShot))
+  }
+
+  test("lmNgramBuckets: order-n terciles DIVERGE from the unigram terciles " +
+       "on repeat-heavy fixtures — word salad with the fluent docs' exact " +
+       "token multiset leaves 'head' only under the order-n scorer") {
+    val fluent = "the quick brown fox jumps over the lazy dog"
+    val salad = "dog the over quick lazy brown jumps fox the"
+    // same multiset by construction — the unigram model cannot tell them apart
+    assert(fluent.split(" ").sorted.toSeq === salad.split(" ").sorted.toSeq)
+    val ref = Seq.tabulate(8)(i => (100L + i, fluent)).toDF("doc_id", "text")
+    val docs = (
+      (0 until 6).map(i => (i.toLong, fluent)) ++
+      (0 until 6).map(i => (10L + i, salad)) ++
+      (0 until 6).map(i => (20L + i, "qq zz ww vv"))
+    ).toDF("doc_id", "text")
+    val uni = TextAnalysis.lmBuckets(TextAnalysis.lmModel(ref), docs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getString(4)))).toMap
+    val ng = TextAnalysis.lmNgramBuckets(
+        TextAnalysis.lmNgramModel(ref, order = 3), docs, order = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getString(4)))).toMap
+    (0 until 6).foreach { i =>
+      // unigram: integer-identical NLL and bucket for the twin pair
+      assert(uni(i.toLong)._1 === uni(10L + i)._1)
+      assert(uni(i.toLong)._2 === uni(10L + i)._2)
+      // order-n: the salad twin scores strictly worse and CHANGES bucket
+      assert(ng(10L + i)._1 > ng(i.toLong)._1)
+      assert(ng(i.toLong)._2 === "head", s"fluent doc $i")
+      assert(ng(10L + i)._2 !== "head", s"salad doc ${10 + i}")
+    }
+    // material divergence: at least a third of the corpus moves bucket
+    val moved = (0 until 18).count { j =>
+      val id = Seq(j, 10 + j - 6, 20 + j - 12)(j / 6).toLong
+      uni(id)._2 !== ng(id)._2
+    }
+    assert(moved >= 6, s"only $moved/18 docs changed bucket")
   }
 
   test("nbClassify: exact micro-nat argmax vs driver reference; OOV floor " +

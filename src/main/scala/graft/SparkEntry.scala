@@ -466,7 +466,22 @@ object SparkEntry {
       GraphAlgorithms.hyperBall(rmatDrillGraph(s, 20, 8000000L), p = 6)),
     "rmat_prep18" -> ((s, _) => rmatDrillGraph(s, 18, 2000000L).edges),
     "rmat_ktruss" -> ((s, _) =>
-      GraphAlgorithms.kTruss(rmatDrillGraph(s, 18, 2000000L).edges, k = 6)))
+      GraphAlgorithms.kTruss(rmatDrillGraph(s, 18, 2000000L).edges, k = 6)),
+    // the r13 scale cliff, re-measured under the r14 support-ascending
+    // peel (one full sweep, then decrement-only waves): was 541 s / 62 GB
+    // under the burst-fallback policy
+    "rmat_ktruss20" -> ((s, _) =>
+      GraphAlgorithms.kTruss(rmatDrillGraph(s, 20, 8000000L).edges, k = 6)),
+    // second scale point for the non-truss iterative drills (scale 22,
+    // ~31M canonical edges — 4× the scale-20 row) so each algorithm's
+    // growth curve is two-point-pinned like ktruss's Σdeg² curve
+    "rmat_prep22" -> ((s, _) => rmatDrillGraph(s, 22, 32000000L).edges),
+    "rmat_wcc22" -> ((s, _) =>
+      GraphAlgorithms.wcc(rmatDrillGraph(s, 22, 32000000L))),
+    "rmat_kcore22" -> ((s, _) =>
+      GraphAlgorithms.kCore(rmatDrillGraph(s, 22, 32000000L).edges, k = 8)),
+    "rmat_hyperball22" -> ((s, _) =>
+      GraphAlgorithms.hyperBall(rmatDrillGraph(s, 22, 32000000L), p = 6)))
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -1536,6 +1551,12 @@ object SparkEntry {
     "d_dsir_weights" -> ((s, dir) =>
       Curation.dsirWeights(t(s, dir, "documents"), col("lang") =!= "en")),
 
+    // DSIR over the paper's actual feature space: hashed unigrams AND
+    // bigrams (Xie et al. 2023 §3.1) — the word-order-sensitive variant
+    // (the spec pins a phrase-ordering fixture the unigram weights tie on)
+    "d_dsir_weights_bi" -> ((s, dir) =>
+      Curation.dsirWeightsBigrams(t(s, dir, "documents"), col("lang") =!= "en")),
+
     // DSIR selection: top 20% of docs by importance weight (weight DESC,
     // doc_id ASC) via the bounded-heap top-k — no global sort
     "d_dsir_sample" -> ((s, dir) => {
@@ -2194,6 +2215,26 @@ object SparkEntry {
       Multimodal.resizePlan(media, maxSide = 512)
         .select(col("id"), col("target_width"), col("target_height"),
           round(col("scale"), 6).as("scale"))
+    }),
+
+    // perceptual near-dup image clusters over the 64-bit pHash: pigeonhole
+    // band candidates → bit_count(xor) ≤ 6 verify → WCC. The decode→DCT
+    // stage is spec-gated on real JDK-encoded PNGs (the driver tables
+    // carry no binaries); the GATE pins the clustering machinery on
+    // deterministic synthetic hashes — mix64(doc_id div 4) with per-residue
+    // bit flips at Hamming 3 / 5 / 16, so each group of four clusters as
+    // {base, +3bits, +5bits} with the 16-bit variant a singleton (the
+    // 3↔5 pair sits at Hamming 8 and connects only TRANSITIVELY through
+    // the base — the WCC path is non-vacuous by construction)
+    "mm_phash_dups" -> ((s, dir) => {
+      val v = pmod(col("doc_id"), lit(4))
+      val hashes = t(s, dir, "documents").select(col("doc_id").as("id"),
+        graft.functions.Poly64.mix64(expr("doc_id div 4")).bitwiseXOR(
+          when(v === 1, lit(66561L))              // bits {0,10,16}
+            .when(v === 2, lit(2201172838402L))   // bits {1,11,21,31,41}
+            .when(v === 3, lit(1431655765L))      // 16 alternating bits
+            .otherwise(lit(0L))).as("phash64"))
+      Multimodal.phashClusters(hashes, maxHamming = 6)
     }),
 
     "ev_hourly" -> ((s, dir) =>
@@ -3224,14 +3265,31 @@ object SparkEntry {
     * yields raw+target bucket counts; the add-one-smoothed ln ratio
     * quantizes to integer micro-nats PER BUCKET (order-independent long
     * sums — the lmScore cross-engine discipline), then sums per doc. */
-  private def dsirWeightsCte: String = {
+  private def dsirWeightsCte: String = dsirCteFrom(
+    """tk AS (
+      |  SELECT doc_id, (lang <> 'en') AS is_tgt,
+      |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      |  FROM documents)""".stripMargin)
+
+  /** The bigram-feature tk stream (unigrams UNION ALL adjacent pairs) for
+    * d_dsir_weights_bi — same downstream model/scoring CTEs. */
+  private def dsirWeightsBiCte: String = dsirCteFrom(
+    """d9 AS (
+      |  SELECT doc_id, (lang <> 'en') AS is_tgt,
+      |    string_split_regex(lower(trim(text)), '\s+') AS toks
+      |  FROM documents),
+      |tk AS (
+      |  SELECT doc_id, is_tgt, toks[i] AS tok
+      |  FROM d9, unnest(range(1, len(toks) + 1)) AS u(i)
+      |  UNION ALL
+      |  SELECT doc_id, is_tgt, toks[i] || ' ' || toks[i + 1] AS tok
+      |  FROM d9, unnest(range(1, len(toks))) AS u(i))""".stripMargin)
+
+  private def dsirCteFrom(tkCte: String): String = {
     val tokCps = "list_transform(range(1, length(tok) + 1), " +
       "i -> CAST(unicode(tok[i]) AS HUGEINT))"
     val poly = sqlPoly(tokCps, graft.functions.Poly64.Seed1, graft.functions.Poly64.Mult1)
-    s"""WITH tk AS (
-       |  SELECT doc_id, (lang <> 'en') AS is_tgt,
-       |    unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
-       |  FROM documents),
+    s"""WITH $tkCte,
        |bk AS (SELECT doc_id, is_tgt,
        |         CAST(($poly) % 64 AS BIGINT) AS bucket
        |       FROM tk),
@@ -5249,6 +5307,10 @@ object SparkEntry {
       s"""$dsirWeightsCte
          |SELECT doc_id, weight_micro FROM w""".stripMargin,
 
+    "d_dsir_weights_bi" ->
+      s"""$dsirWeightsBiCte
+         |SELECT doc_id, weight_micro FROM w""".stripMargin,
+
     "d_dsir_sample" ->
       s"""$dsirWeightsCte
          |SELECT doc_id, weight_micro FROM (
@@ -5447,6 +5509,37 @@ object SparkEntry {
         |       CAST(ceil(h * scale) AS INTEGER) AS target_height,
         |       round(scale, 6) AS scale
         |FROM s""".stripMargin,
+
+    // synthetic pHash replay: mix64 (the m1/m2/m3 xorshift chain) of
+    // doc_id//4 in the HUGEINT mod-2^64 domain, signed reinterpretation,
+    // per-residue XOR masks, then 7 ten-bit bands (DuckDB's >>/&/xor/
+    // bit_count match Java two's-complement semantics bit for bit —
+    // verified on negative values), Hamming verify, recursive WCC
+    "mm_phash_dups" -> {
+      s"""WITH RECURSIVE
+         |p0 AS (SELECT doc_id, CAST(doc_id // 4 AS HUGEINT) AS u,
+         |              doc_id % 4 AS v FROM documents),
+         |q1 AS (SELECT doc_id, v, (${sqlXorShr("u", 33)} * 6364136223846793005) % $U64 AS u FROM p0),
+         |q2 AS (SELECT doc_id, v, (${sqlXorShr("u", 29)} * 2685821657736338717) % $U64 AS u FROM q1),
+         |q3 AS (SELECT doc_id, v, ${sqlXorShr("u", 32)} AS u FROM q2),
+         |ph AS (SELECT doc_id AS id,
+         |         xor(${sqlU2S("u")}, CASE v WHEN 1 THEN 66561
+         |           WHEN 2 THEN 2201172838402 WHEN 3 THEN 1431655765
+         |           ELSE 0 END) AS h
+         |       FROM q3),
+         |bd AS (SELECT id, h, u.i AS band, (h >> CAST(u.i * 10 AS INTEGER)) & 1023 AS bits
+         |       FROM ph, unnest(range(0, 7)) AS u(i)),
+         |cand AS (SELECT DISTINCT l.id AS a, r.id AS b, l.h AS ha, r.h AS hb
+         |         FROM bd l JOIN bd r ON l.band = r.band AND l.bits = r.bits
+         |           AND l.id < r.id),
+         |ver AS (SELECT a, b FROM cand WHERE bit_count(xor(ha, hb)) <= 6),
+         |sym AS (SELECT a, b FROM ver UNION SELECT b, a FROM ver),
+         |reach(a, b) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
+         |SELECT a AS id, min(b) AS rep FROM reach GROUP BY a""".stripMargin
+    },
 
     "ev_hourly" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,

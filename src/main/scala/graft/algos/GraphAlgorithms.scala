@@ -852,24 +852,46 @@ object GraphAlgorithms {
   /** k-truss: the maximal subgraph where every EDGE sits in ≥ k−2
     * triangles — the edge-level density peel (stronger than k-core:
     * cohesion through shared neighbors, not raw degree; the standard
-    * community-core primitive). Peeling is INCREMENTAL in the tail rounds:
+    * community-core primitive). Each round picks its physical plan from a
+    * cost model over what the round MOVES:
     *
-    *  - a round that drops ≥ `rebuildFraction` of the edges recomputes
-    *    every support from a rebuilt prepared neighborhood (canonical
-    *    edges + per-vertex sorted adjacency, HUB-SPLIT at `hubDegreeCap`
-    *    exactly like the triangle family): each edge's support is the sum
-    *    of its aligned-bucket partial intersections (codegen'd galloping
-    *    kernel — never a monolithic hub array or a wedge enumeration);
-    *  - a round that drops only a sliver (the typical long tail of a peel)
-    *    instead enumerates the triangles DESTROYED by the dropped edges —
-    *    witnesses w ∈ N(a) ∩ N(b) per removed edge (a,b) via the same
-    *    aligned-bucket machinery, validated against the current edge set
-    *    (the retained adjacency may be a stale superset from the last
-    *    rebuild), deduped as sorted vertex triples — and decrements the
-    *    supports of each destroyed triangle's surviving edges. Work is
-    *    proportional to the REMOVED edges and their triangles, not the
-    *    surviving graph, and convergence (no edge below k−2) is detected
-    *    from the maintained support column with no final sweep at all.
+    *  - MAJORITY-removal rounds (the first filters on a heavy tail) run a
+    *    full support sweep over the survivors — ORIENTED: each edge points
+    *    at its higher-(degree, id) endpoint, each triangle is enumerated
+    *    exactly once as w ∈ fwd(u) ∩ fwd(v) (codegen'd galloping kernel),
+    *    and supports come from one count over the triple stream exploded
+    *    to its three edges. Wire cost is degeneracy-bounded (a hub's
+    *    forward list holds only its higher-degree neighbors), not Σdeg²;
+    *    the removed edges' destroyed triangles fall out of the SAME
+    *    materialized triple stream, so the transition to exact survivor
+    *    supports costs a semi-join, not a second pass. Majority rounds
+    *    shrink the edge set geometrically, so ALL sweeps together cost
+    *    ≤ 2× the first.
+    *  - MINORITY-removal rounds (everything after the burst phase) peel
+    *    INCREMENTALLY: enumerate the triangles DESTROYED by the dropped
+    *    edges — witnesses w ∈ N(a) ∩ N(b) per removed edge via the same
+    *    aligned-bucket machinery, deduped as sorted vertex triples — and
+    *    decrement the supports of each destroyed triangle's surviving
+    *    edges. Work is proportional to the REMOVED edges and their
+    *    triangles, not the surviving graph; convergence (no edge below
+    *    k−2) is detected from the maintained support column with no final
+    *    sweep at all. `rebuildFraction` sets when a burst decrement round
+    *    re-prepares the adjacency from the current edge set
+    *    (validation-free decrements on fresh neighborhoods) versus
+    *    decrementing against the stale superset with per-witness
+    *    validation semi-joins; 0.0 selects the pure-full-sweep reference
+    *    mode the equivalence specs peel against.
+    *
+    * `corePrefilter` (default on, k ≥ 4) first shrinks the graph to the
+    * (k−1)-core — a superset of the k-truss (every truss vertex keeps
+    * degree ≥ k−1 inside the truss) — with the DEGREE peel, whose rounds
+    * move only degree deltas (59 MB at R-MAT scale 20) instead of
+    * neighborhood arrays; the support sweep then runs on the core
+    * subgraph only.
+    *
+    * The pre-r14 policy swept on ANY ≥5% burst — 62 GB / 541 s measured at
+    * R-MAT scale 20 (SCALE.md); decrement-always OOMs the same drill by
+    * enumerating nearly every triangle on a majority-removal first round.
     *
     * Monotone, so it terminates; rounds are data-bounded, each cut with
     * localCheckpoint. Input is canonicalized (undirected simple graph:
@@ -879,7 +901,8 @@ object GraphAlgorithms {
     * then only an upper bound on the k-truss. */
   def kTruss(edges: DataFrame, k: Int, maxIter: Int = 100,
              hubDegreeCap: Int = HubDegreeCap,
-             rebuildFraction: Double = 0.05): DataFrame = {
+             rebuildFraction: Double = 0.05,
+             corePrefilter: Boolean = true): DataFrame = {
     require(k >= 3, "k must be at least 3")
     require(rebuildFraction >= 0.0 && rebuildFraction <= 1.0,
       "rebuildFraction must be in [0, 1]")
@@ -897,6 +920,68 @@ object GraphAlgorithms {
       p.e.join(sup, Seq("a", "b"), "left_outer")
         .select(col("a"), col("b"),
           coalesce(col("support"), lit(0L)).as("support"))
+    }
+    // ORIENTED full sweep: support for every current edge from ONE
+    // degree-ordered triangle enumeration (Latapy's compact-forward /
+    // Shun–Tangwongsan shape). Orient each edge toward its higher-(deg,id)
+    // endpoint; every triangle then has exactly one vertex with two
+    // out-legs, so w ∈ fwd(u) ∩ fwd(v) over the oriented edge (u,v)
+    // enumerates each triangle ONCE. The wire cost is Σ_e |fwd| shipped
+    // per incident edge — bounded by the graph's degeneracy, NOT Σdeg²:
+    // a 10⁵-degree hub's forward list holds only its higher-degree
+    // neighbors (near-empty), so hub edges ship next to nothing where the
+    // per-edge N(a)∩N(b) sweep shipped the hub's whole adjacency per edge
+    // (measured on the scale-20 drill: 37.8 GB total under the per-edge
+    // sweep). Supports = each triple exploded to its 3 canonical edges +
+    // one count aggregate; the removed edges' destroyed triangles come
+    // FREE from the same materialized triple stream (semi-join instead of
+    // a second intersection pass). Pathological regular cores (K_n) make
+    // fwd lists long, but there the work equals the triangle count —
+    // intrinsic.
+    def orientedSweep(eCur: DataFrame): (DataFrame, DataFrame) = {
+      val deg = eCur.select(explode(array(col("a"), col("b"))).as("x"))
+        .groupBy(col("x")).agg(count(lit(1)).as("d"))
+      val dirE = eCur
+        .join(deg.select(col("x").as("a"), col("d").as("da")), Seq("a"))
+        .join(deg.select(col("x").as("b"), col("d").as("db")), Seq("b"))
+        .select(when(col("da") < col("db") ||
+            (col("da") === col("db") && col("a") < col("b")),
+            struct(col("a").as("u"), col("b").as("v")))
+          .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
+      val fwd = dirE.groupBy(col("u"))
+        .agg(array_sort(collect_list(col("v"))).as("f"))
+      val tri = dirE
+        .join(fwd.select(col("u"), col("f").as("fu")), Seq("u"))
+        .join(fwd.select(col("u").as("v"), col("f").as("fv")), Seq("v"))
+        .select(col("u"), col("v"),
+          explode(graft.functions.GraphSetExpressions
+            .sortedIntersect(col("fu"), col("fv"))).as("w"))
+      val triCp = barrier(cp(tri))
+      val sup = triCp.select(explode(array(
+          struct(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b")),
+          struct(least(col("u"), col("w")).as("a"), greatest(col("u"), col("w")).as("b")),
+          struct(least(col("v"), col("w")).as("a"), greatest(col("v"), col("w")).as("b")))).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
+      val swept = eCur.join(sup, Seq("a", "b"), "left_outer")
+        .select(col("a"), col("b"),
+          coalesce(col("support"), lit(0L)).as("support"))
+      (swept, triCp)
+    }
+    // triangles of `triCp` that contain at least one `removed` edge, as
+    // (a, b, w) witness rows for decrementsFromWitnesses — the removed
+    // edges' destroyed-triangle set without re-intersecting anything
+    def destroyedFromTriples(triCp: DataFrame, removed: DataFrame): DataFrame = {
+      val remE = removed.select(col("a").as("ra"), col("b").as("rb"))
+      triCp.select(col("u").as("a"), col("v").as("b"), col("w"),
+          explode(array(
+            struct(least(col("u"), col("v")).as("ea"), greatest(col("u"), col("v")).as("eb")),
+            struct(least(col("u"), col("w")).as("ea"), greatest(col("u"), col("w")).as("eb")),
+            struct(least(col("v"), col("w")).as("ea"), greatest(col("v"), col("w")).as("eb")))).as("e"))
+        .join(remE, col("e.ea") === col("ra") && col("e.eb") === col("rb"),
+          "left_semi")
+        .select(col("a"), col("b"), col("w"))
     }
     def prep(eCanon: DataFrame): UndirectedNeighborhood =
       prepareNeighborhoodFromEdges(
@@ -923,7 +1008,14 @@ object GraphAlgorithms {
           greatest(col("a"), col("w")) === col("pb"), "left_semi")
         .join(prevE, least(col("b"), col("w")) === col("pa") &&
           greatest(col("b"), col("w")) === col("pb"), "left_semi")
-      val tri = valid
+      decrementsFromWitnesses(valid, surv)
+    }
+    // Shared tail of every decrement path: (a, b, w) destroyed-triangle
+    // witness rows → distinct sorted triples (a triangle losing 2–3 edges
+    // in one round must not double-decrement) → per-surviving-edge deltas.
+    def decrementsFromWitnesses(witnesses: DataFrame,
+                                surv: DataFrame): DataFrame = {
+      val tri = witnesses
         .select(array_sort(array(col("a"), col("b"), col("w"))).as("t"))
         .distinct()
         .select(col("t").getItem(0).as("x"), col("t").getItem(1).as("y"),
@@ -940,6 +1032,21 @@ object GraphAlgorithms {
     }
     val dbg = sys.env.contains("GRAFT_TRUSS_DEBUG")
     var e = barrier(cp(canonicalEdges(edges)))   // (a, b): the current set
+    if (corePrefilter && k >= 4) {
+      // k-truss ⊆ (k−1)-core (every truss vertex keeps degree ≥ k−1
+      // inside the truss), and the degree peel moves only degree DELTAS
+      // (59 MB at R-MAT scale 20 vs the support sweep's tens of GB) — so
+      // shrink the graph with the cheap peel BEFORE the expensive one.
+      // On the scale-20 drill this halves the first sweep's input; at
+      // k=3 the 2-core only trims trees, rarely worth the pass.
+      val core = kCore(
+        e.select(col("a").as("src"), col("b").as("dst")), k - 1)
+        .select(col("id"))
+      e = barrier(cp(e
+        .join(core.select(col("id").as("a")), Seq("a"), "left_semi")
+        .join(core.select(col("id").as("b")), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))))
+    }
     var n = e.count()
     var p: UndirectedNeighborhood = null
     // When non-null: cp'd (a, b, support), EXACT within the current set —
@@ -953,42 +1060,83 @@ object GraphAlgorithms {
     while (result == null && iter < maxIter) {
       val t0 = System.nanoTime()
       var mode = ""
+      // The per-round plan choice is a cost model, not a fixed phase order:
+      //  - a SWEEP ships every SURVIVING edge's neighborhoods (Σdeg² over
+      //    survivors);
+      //  - a DECREMENT ships every REMOVED edge's neighborhoods plus the
+      //    triangles they destroy (plus validation semi-joins when the
+      //    retained adjacency is stale).
+      // So decrement when removals are the MINORITY of the round and sweep
+      // when they are the majority: majority-removal sweeps shrink the edge
+      // set geometrically (each costs ≤ half its predecessor — total ≤ 2×
+      // the first), while minority-removal decrements do work proportional
+      // to what actually left the graph. The pre-r14 policy swept on ANY
+      // ≥ rebuildFraction (5%) burst — 62 GB at R-MAT scale 20 — and the
+      // opposite extreme (decrement-always) enumerates nearly every
+      // triangle in the graph on a 90%-removal first round (measured: 37 GB
+      // shuffled and an executor OOM before finishing).
+      val SweepMajority = 0.5
       if (supExact != null) {
         val removed = supExact.filter(col("support") < k - 2)
         val nR = removed.count()
         if (nR == 0L) { result = supExact; mode = "converged" }
         else {
           val surv = supExact.filter(col("support") >= k - 2)
-          if (nR >= rebuildFraction * n) {
-            // burst of removals: fall back to a full sweep next round
+          if (nR >= SweepMajority * n) {
+            // majority burst (rare outside the first rounds): re-sweeping
+            // the small survivor set beats enumerating the big removal's
+            // triangles
             e = surv.select(col("a"), col("b")); supExact = null
             mode = "fallback"
+          } else if (p == null || nR >= rebuildFraction * n) {
+            // minority burst: REBUILD the adjacency from the pre-removal
+            // set and decrement against it (validate=false is sound — p is
+            // exactly prev; fresh neighborhoods, no validation semi-joins).
+            // The rebuild is one groupBy-collect over current edges —
+            // never a support re-sweep.
+            p = prep(supExact.select(col("a"), col("b")))
+            supExact = barrier(cp(decremented(p, removed, supExact, surv,
+              validate = false)))
+            mode = "incremental-rebuild"
           } else {
             supExact = barrier(cp(decremented(p, removed, supExact, surv,
               validate = true)))
-            e = supExact.select(col("a"), col("b"))
             mode = "incremental"
           }
+          if (supExact != null) e = supExact.select(col("a"), col("b"))
           n -= nR
         }
+      } else if (rebuildFraction > 0.0) {
+        // ONE oriented enumeration per sweep: supports for every edge AND
+        // the removed edges' destroyed triangles out of the same
+        // materialized triple stream — the post-filter survivor-support
+        // recovery is a semi-join + triple-dedup + delta join, no second
+        // intersection pass, whatever the removal fraction. The prepared
+        // per-edge neighborhood (p) is built lazily only if an incremental
+        // round later needs witness enumeration for its slivers.
+        val (swept0, triCp) = orientedSweep(e)
+        val swept = barrier(cp(swept0))
+        val f = swept.filter(col("support") >= k - 2)
+        val n2 = f.count()
+        if (n2 == n) { result = f; mode = "converged" } // incl. n == 0
+        else if (n2 == 0L) { result = f; mode = "empty" }
+        else {
+          val witnesses = destroyedFromTriples(triCp,
+            swept.filter(col("support") < k - 2))
+          supExact = barrier(cp(decrementsFromWitnesses(witnesses, f)))
+          e = supExact.select(col("a"), col("b")); n = n2
+          p = null // built on demand by the first sliver round
+          mode = "full->incremental"
+        }
       } else {
+        // rebuildFraction == 0: the pure-full-sweep reference mode the
+        // equivalence specs peel both ways against
         p = prep(e)
         val f = barrier(cp(supportOf(p).filter(col("support") >= k - 2)))
         val n2 = f.count()
         if (n2 == n) { result = f; mode = "converged" } // incl. n == 0
         else if (n2 == 0L) { result = f; mode = "empty" }
-        else if (n - n2 < rebuildFraction * n) {
-          // the peel entered its long tail: recover EXACT supports for the
-          // survivors with one decrement pass (f's supports are w.r.t. the
-          // pre-filter set), then peel incrementally from here on
-          val removed = e.join(f, Seq("a", "b"), "left_anti")
-          supExact = barrier(cp(decremented(p, removed, e, f, validate = false)))
-          e = supExact.select(col("a"), col("b")); n = n2
-          mode = "full->incremental"
-        } else {
-          e = f.select(col("a"), col("b")); n = n2
-          mode = "full"
-        }
+        else { e = f.select(col("a"), col("b")); n = n2; mode = "full" }
       }
       if (dbg) println(f"[ktruss] round=$iter mode=$mode e=$n " +
         f"t=${(System.nanoTime() - t0) / 1e9}%.2f s")

@@ -621,12 +621,46 @@ object Curation {
    */
   def dsirWeights(corpus: DataFrame, targetPred: Column,
                   idCol: String = "doc_id", textCol: String = "text",
-                  numBuckets: Int = 64): DataFrame = {
-    val bk = Dedup.spread(corpus).select(col(idCol).as("id"),
-        targetPred.as("is_tgt"),
-        explode(TextAnalysis.wsTokens(lower(trim(col(textCol))))).as("tok"))
-      .select(col("id"), col("is_tgt"),
-        pmod(Poly64.poly64(col("tok")), lit(numBuckets.toLong)).as("bucket"))
+                  numBuckets: Int = 64): DataFrame =
+    dsirWeightsFrom(
+      Dedup.spread(corpus).select(col(idCol).as("id"),
+          targetPred.as("is_tgt"),
+          explode(TextAnalysis.wsTokens(lower(trim(col(textCol))))).as("tok")),
+      idCol, numBuckets)
+
+  /**
+   * [[dsirWeights]] over the paper's ACTUAL feature space — hashed
+   * unigrams AND bigrams (Xie et al. 2023 §3.1 use both; unigrams alone
+   * cannot distinguish "new york" from "york new", so phrase-structured
+   * target domains lose their signal). The bigram stream is one more
+   * rowwise HOF (zip_with against the shifted token array) exploding into
+   * the SAME bucket aggregation — still two corpus scans, still a B-row
+   * broadcast model.
+   */
+  def dsirWeightsBigrams(corpus: DataFrame, targetPred: Column,
+                         idCol: String = "doc_id", textCol: String = "text",
+                         numBuckets: Int = 64): DataFrame =
+    dsirWeightsFrom(
+      Dedup.spread(corpus).select(col(idCol).as("id"),
+          targetPred.as("is_tgt"),
+          TextAnalysis.wsTokens(lower(trim(col(textCol)))).as("_toks"))
+        .select(col("id"), col("is_tgt"), explode(expr(
+          // unigrams ++ bigrams: zip each token with its right neighbor
+          // (the shifted slice); the last zip pairs with NULL and filters
+          """concat(_toks,
+            |  filter(zip_with(_toks, slice(_toks, 2, size(_toks)),
+            |           (a, b) -> concat(a, ' ', b)),
+            |         g -> g IS NOT NULL))""".stripMargin)).as("tok")),
+      idCol, numBuckets)
+
+  /** Shared train-then-score core of the DSIR family: `features` is the
+    * exploded (id, is_tgt, tok) stream; everything downstream (bucket
+    * hash, one-aggregation two-distribution model, micro-nat log-ratio
+    * scoring) is feature-space-agnostic. */
+  private def dsirWeightsFrom(features: DataFrame, idCol: String,
+                              numBuckets: Int): DataFrame = {
+    val bk = features.select(col("id"), col("is_tgt"),
+      pmod(Poly64.poly64(col("tok")), lit(numBuckets.toLong)).as("bucket"))
     val model = bk.groupBy(col("bucket")).agg(
       count(lit(1)).as("raw_cnt"),
       sum(when(col("is_tgt"), 1L).otherwise(0L)).as("tgt_cnt"))

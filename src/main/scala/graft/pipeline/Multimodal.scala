@@ -371,9 +371,19 @@ object Multimodal {
     * only join is an equi-join on (band, band_bits): no all-pairs product
     * at any corpus size, same shape as the SimHash text machinery.
     * Verification is a codegen'd `bit_count(xor)`. Returns (id, rep). */
-  def nearDupImages(media: Dataset[MediaRecord], maxHamming: Int = 6): DataFrame = {
+  def nearDupImages(media: Dataset[MediaRecord], maxHamming: Int = 6): DataFrame =
+    phashClusters(imageDctHashes(media).localCheckpoint(true), maxHamming)
+
+  /** The clustering stage of [[nearDupImages]], factored over any
+    * (id, phash64) frame so the pigeonhole machinery is gate-able without
+    * an image decode in the loop (the oracle replays 64-bit integer math;
+    * it cannot replay a PNG decoder): maxHamming+1 bit-bands — any pair
+    * within the Hamming budget collides on at least one untouched band —
+    * so the only join is an equi-join on (band, band_bits); verification
+    * is a codegen'd `bit_count(xor)`; components via the shared WCC.
+    * Returns (id, rep). */
+  def phashClusters(hashes: DataFrame, maxHamming: Int = 6): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 32, "maxHamming out of range")
-    val hashes = imageDctHashes(media).localCheckpoint(true)
     val bands = maxHamming + 1
     val width = (64 + bands - 1) / bands
     val chunks = hashes.select(col("id"), col("phash64"),

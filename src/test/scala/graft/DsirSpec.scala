@@ -186,6 +186,51 @@ class DsirSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan)
   }
 
+  test("dsirWeightsBigrams matches a driver reference and is word-order-" +
+       "sensitive where the unigram weights provably tie") {
+    // target domain is PHRASE-structured: "new york" as a unit; the decoy
+    // doc carries the identical token multiset in scrambled order
+    val phrased = Seq(
+      (0L, "new york is big and new york is old", "tg"),
+      (1L, "new york has new parks", "tg"),
+      (2L, "york new is big and york new is old", "raw"),  // scrambled twin of 0
+      (3L, "quiet brown bird near tree", "raw"),
+      (4L, "new york wins again", "raw"))
+    val df = phrased.toDF("doc_id", "text", "lang")
+    val uni = Curation.dsirWeights(df, col("lang") === "tg")
+      .as[(Long, Long)].collect().toMap
+    val bi = Curation.dsirWeightsBigrams(df, col("lang") === "tg")
+      .as[(Long, Long)].collect().toMap
+    // unigram: doc 2 is indistinguishable from doc 0 (same multiset)
+    assert(uni(0L) === uni(2L))
+    // bigram: the phrase order separates them — doc 0 (target phrasing)
+    // outweighs its scrambled twin
+    assert(bi(0L) > bi(2L), s"bigram weights must split the twins: $bi")
+    // and the doc that uses the target phrase outranks the unrelated one
+    assert(bi(4L) > bi(3L))
+    // driver reference over the union feature stream (unigrams + adjacent
+    // bigrams), same hash/smoothing/quantization math
+    val bn = 64
+    val feats = phrased.flatMap { case (id, text, lang) =>
+      val ts = text.trim.toLowerCase.split("\\s+").toSeq
+      (ts ++ ts.sliding(2).filter(_.size == 2).map(_.mkString(" ")))
+        .map(t => (id, lang == "tg",
+          java.lang.Math.floorMod(
+            Poly64.hash(UTF8String.fromString(t), Poly64.Seed1, Poly64.Mult1),
+            bn.toLong)))
+    }
+    val raw = feats.groupBy(_._3).map { case (b, xs) => b -> xs.size.toLong }
+    val tgt = feats.filter(_._2).groupBy(_._3).map { case (b, xs) => b -> xs.size.toLong }
+    val rawN = feats.size.toLong; val tgtN = feats.count(_._2).toLong
+    val delta = raw.map { case (b, rc) =>
+      val x = (math.log((tgt.getOrElse(b, 0L) + 1).toDouble / (tgtN + bn))
+        - math.log((rc + 1).toDouble / (rawN + bn))) * 1e6
+      b -> BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    val want = feats.groupBy(_._1).map { case (id, xs) => id -> xs.map(x => delta(x._3)).sum }
+    assert(bi === want)
+  }
+
   test("empty target slice degrades gracefully (uniform target prior)") {
     val df = docs.toDF("doc_id", "text", "lang")
     val got = Curation.dsirWeights(df, col("lang") === "xx")

@@ -1233,6 +1233,32 @@ class PipelineSpec extends SparkSpec {
     assert(clusters.values.toSet.size === 4)
   }
 
+  test("phashClusters on synthetic hashes: Hamming-3/5 variants cluster " +
+       "with their base (5↔3 only TRANSITIVELY, at Hamming 8), the 16-bit " +
+       "variant stays a singleton — the mm_phash_dups gate's geometry") {
+    import spark.implicits._
+    val m1 = 66561L          // bits {0,10,16} — Hamming 3 from base
+    val m2 = 2201172838402L  // bits {1,11,21,31,41} — Hamming 5
+    val m3 = 1431655765L     // 16 alternating bits — beyond the budget
+    assert(java.lang.Long.bitCount(m1) === 3 && java.lang.Long.bitCount(m2) === 5
+      && java.lang.Long.bitCount(m3) === 16)
+    assert(java.lang.Long.bitCount(m1 ^ m2) === 8) // the transitive-only pair
+    val hashes = (0L until 40L).map { id =>
+      val base = graft.functions.Poly64.mix(id / 4)
+      val mask = (id % 4) match {
+        case 1 => m1; case 2 => m2; case 3 => m3; case _ => 0L
+      }
+      (id, base ^ mask)
+    }.toDF("id", "phash64")
+    val rep = Multimodal.phashClusters(hashes, maxHamming = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 40L by 4).foreach { g =>
+      assert(rep(g) === g && rep(g + 1) === g && rep(g + 2) === g,
+        s"group $g: base/+3/+5 must share the base rep")
+      assert(rep(g + 3) === g + 3, s"group $g: the 16-bit variant clustered")
+    }
+  }
+
   test("multimodal: Goertzel fingerprints are amplitude- and noise-invariant") {
     import spark.implicits._
     // same tone at different amplitudes + additive noise → same fingerprint;
@@ -1727,6 +1753,46 @@ class PipelineSpec extends SparkSpec {
     val b = TextAnalysis.lmScoreAgainst(oneShot, probe).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     assert(a === b)
+  }
+
+  test("streaming ingest: per-batch order-n LM maintenance — merged " +
+       "(n, gram, cnt) shards track the full corpus; Stupid Backoff " +
+       "scores against the maintained model ≡ one-shot (integer-exact)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val batches = Seq(
+      Seq((1L, "the cat sat on the mat")),
+      Seq((2L, "the dog sat on a log"), (3L, "a cat and a dog met")),
+      Seq((4L, "the cat sat on the log")))
+    val mSchema = StructType(Seq(StructField("n", IntegerType),
+      StructField("gram", StringType), StructField("cnt", LongType)))
+    var acc = Seq.empty[org.apache.spark.sql.Row]
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val base = spark.createDataFrame(
+          spark.sparkContext.parallelize(acc, 2), mSchema)
+        acc = TextAnalysis.mergeLmNgramModels(
+          Seq(base, TextAnalysis.lmNgramModel(batch, order = 3))).collect().toSeq
+        ()
+      }
+      .start()
+    batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    val maintained = spark.createDataFrame(
+      spark.sparkContext.parallelize(acc, 2), mSchema)
+    val oneShot = TextAnalysis.lmNgramModel(
+      batches.flatten.toDF("doc_id", "text"), order = 3)
+    assert(acc.map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap ===
+      oneShot.collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap)
+    // scoring parity, all levels + OOV exercised by the probe
+    val probe = Seq((9L, "the cat sat on a mat"), (10L, "dog unseen the cat sat")).toDF("doc_id", "text")
+    def run(m: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.lmNgramScoreAgainst(m, probe, order = 3).collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(run(maintained) === run(oneShot))
   }
 
   test("streaming ingest: per-batch NB model+prior maintenance — " +

@@ -300,6 +300,31 @@ class SkewSpec extends SparkSpec {
     }
   }
 
+  test("r14 support-ascending kTruss peel ≡ full-sweep reference on " +
+       "randomized R-MAT graphs (burst rounds rebuild adjacency, never " +
+       "re-sweep supports)") {
+    // deterministic R-MAT: the heavy-tailed regime where the first filter
+    // removes a large burst — under the pre-r14 policy that forced full
+    // Σdeg² re-sweeps (62 GB measured at scale 20); the r14 policy must
+    // produce the identical truss through decrement-only waves
+    for ((scale, edges, k) <- Seq((8, 1200L, 3), (9, 3000L, 4), (9, 5000L, 5))) {
+      val g = graft.core.GraphGenerators.rmatGraph(spark, scale, edges)
+      val e = g.edges.select(col("src"), col("dst"))
+      def run(frac: Double, core: Boolean = true) =
+        GraphAlgorithms.kTruss(e, k, rebuildFraction = frac,
+            corePrefilter = core)
+          .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      // no prefilter, pure full sweeps: the ground-truth reference
+      val reference = run(0.0, core = false)
+      val waves = run(0.05)      // default policy: prefilter + cost model
+      val noRebuild = run(1.0)   // stale adjacency + validation throughout
+      val noCore = run(0.05, core = false)
+      assert(waves === reference, s"scale=$scale k=$k waves != reference")
+      assert(noRebuild === reference, s"scale=$scale k=$k stale != reference")
+      assert(noCore === reference, s"scale=$scale k=$k no-prefilter != reference")
+    }
+  }
+
   test("incremental kTruss ≡ full on a HUB-SPLIT graph (bucketed witnesses)") {
     // the decrement pass's witness arrays come from the aligned-bucket
     // expansion; removed edges incident to a split hub carry SEVERAL

@@ -60,7 +60,8 @@ class PlanAuditSpec extends SparkSpec {
     // tables (d_domain_classify crosses tf with the broadcast #classes-row
     // class table — the NB scoring shape, SCALE.md r13 section)
     "d_bm25_top", "d_cooccur", "d_dsir_sample", "d_dsir_weights",
-    "d_hybrid_rrf", "d_lm_score", "d_lm_domain", "d_tfidf_top",
+    "d_dsir_weights_bi", "d_hybrid_rrf", "d_lm_score", "d_lm_domain",
+    "d_lm_ngram", "d_tfidf_top",
     "d_edit_pairs", "d_edit_clusters", "g_generators", "d_domain_classify")
 
   test("sweep: no gated query plans an unpartitioned Window over " +

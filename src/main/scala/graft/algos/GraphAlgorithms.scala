@@ -861,26 +861,32 @@ object GraphAlgorithms {
     *    exactly once as w ∈ fwd(u) ∩ fwd(v) (codegen'd galloping kernel),
     *    and supports come from one count over the triple stream exploded
     *    to its three edges. Wire cost is degeneracy-bounded (a hub's
-    *    forward list holds only its higher-degree neighbors), not Σdeg²;
-    *    the removed edges' destroyed triangles fall out of the SAME
-    *    materialized triple stream, so the transition to exact survivor
-    *    supports costs a semi-join, not a second pass. Majority rounds
-    *    shrink the edge set geometrically, so ALL sweeps together cost
-    *    ≤ 2× the first.
+    *    forward list holds only its higher-degree neighbors), not Σdeg².
+    *    The triple stream is NEVER materialized: it flows straight through
+    *    the partial-aggregating support count inside one codegen stage, so
+    *    peak memory is the per-partition edge-count hash map, not the
+    *    triangle count (the r14 variant localCheckpointed ALL triples to
+    *    make destroyed-witness recovery a semi-join — hundreds of millions
+    *    of exploded rows held in block storage on triangle-dense graphs:
+    *    12.5 GB spill and an 8 g-heap OOM at R-MAT scale 20). Majority
+    *    rounds shrink the edge set geometrically, so ALL sweeps together
+    *    cost ≤ 2× the first; a sweep whose removals turn out to be the
+    *    MINORITY hands exact survivor supports to the incremental regime
+    *    by decrementing the removed edges' destroyed triangles against the
+    *    pre-removal adjacency (work bounded by the removed slice).
     *  - MINORITY-removal rounds (everything after the burst phase) peel
     *    INCREMENTALLY: enumerate the triangles DESTROYED by the dropped
     *    edges — witnesses w ∈ N(a) ∩ N(b) per removed edge via the same
-    *    aligned-bucket machinery, deduped as sorted vertex triples — and
-    *    decrement the supports of each destroyed triangle's surviving
-    *    edges. Work is proportional to the REMOVED edges and their
-    *    triangles, not the surviving graph; convergence (no edge below
-    *    k−2) is detected from the maintained support column with no final
-    *    sweep at all. `rebuildFraction` sets when a burst decrement round
-    *    re-prepares the adjacency from the current edge set
-    *    (validation-free decrements on fresh neighborhoods) versus
-    *    decrementing against the stale superset with per-witness
-    *    validation semi-joins; 0.0 selects the pure-full-sweep reference
-    *    mode the equivalence specs peel against.
+    *    aligned-bucket machinery over an adjacency built PER ROUND and
+    *    RESTRICTED to the removed edges' endpoint vertices, deduped as
+    *    sorted vertex triples — and decrement the supports of each
+    *    destroyed triangle's surviving edges. Both the adjacency build and
+    *    the witness intersections are proportional to the REMOVED edges
+    *    and their triangles, not the surviving graph; convergence (no edge
+    *    below k−2) is detected from the maintained support column with no
+    *    final sweep at all. `rebuildFraction` = 0.0 selects the
+    *    pure-full-sweep reference mode the equivalence specs peel against;
+    *    any positive value selects the cost-model peel.
     *
     * `corePrefilter` (default on, k ≥ 4) first shrinks the graph to the
     * (k−1)-core — a superset of the k-truss (every truss vertex keeps
@@ -933,12 +939,13 @@ object GraphAlgorithms {
     // per-edge N(a)∩N(b) sweep shipped the hub's whole adjacency per edge
     // (measured on the scale-20 drill: 37.8 GB total under the per-edge
     // sweep). Supports = each triple exploded to its 3 canonical edges +
-    // one count aggregate; the removed edges' destroyed triangles come
-    // FREE from the same materialized triple stream (semi-join instead of
-    // a second intersection pass). Pathological regular cores (K_n) make
-    // fwd lists long, but there the work equals the triangle count —
-    // intrinsic.
-    def orientedSweep(eCur: DataFrame): (DataFrame, DataFrame) = {
+    // one count aggregate, all inside ONE stage with map-side partial
+    // aggregation — the triple rows are never stored or shuffled, only
+    // (edge, partial count) aggregates leave the stage, so peak memory is
+    // bounded by the edge count regardless of how triangle-dense the graph
+    // is. Pathological regular cores (K_n) make fwd lists long, but there
+    // the work equals the triangle count — intrinsic.
+    def orientedSweep(eCur: DataFrame): DataFrame = {
       val deg = eCur.select(explode(array(col("a"), col("b"))).as("x"))
         .groupBy(col("x")).agg(count(lit(1)).as("d"))
       val dirE = eCur
@@ -957,58 +964,56 @@ object GraphAlgorithms {
         .select(col("u"), col("v"),
           explode(graft.functions.GraphSetExpressions
             .sortedIntersect(col("fu"), col("fv"))).as("w"))
-      val triCp = barrier(cp(tri))
-      val sup = triCp.select(explode(array(
+      val sup = tri.select(explode(array(
           struct(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b")),
           struct(least(col("u"), col("w")).as("a"), greatest(col("u"), col("w")).as("b")),
           struct(least(col("v"), col("w")).as("a"), greatest(col("v"), col("w")).as("b")))).as("e"))
         .select(col("e.a").as("a"), col("e.b").as("b"))
         .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
-      val swept = eCur.join(sup, Seq("a", "b"), "left_outer")
+      eCur.join(sup, Seq("a", "b"), "left_outer")
         .select(col("a"), col("b"),
           coalesce(col("support"), lit(0L)).as("support"))
-      (swept, triCp)
-    }
-    // triangles of `triCp` that contain at least one `removed` edge, as
-    // (a, b, w) witness rows for decrementsFromWitnesses — the removed
-    // edges' destroyed-triangle set without re-intersecting anything
-    def destroyedFromTriples(triCp: DataFrame, removed: DataFrame): DataFrame = {
-      val remE = removed.select(col("a").as("ra"), col("b").as("rb"))
-      triCp.select(col("u").as("a"), col("v").as("b"), col("w"),
-          explode(array(
-            struct(least(col("u"), col("v")).as("ea"), greatest(col("u"), col("v")).as("eb")),
-            struct(least(col("u"), col("w")).as("ea"), greatest(col("u"), col("w")).as("eb")),
-            struct(least(col("v"), col("w")).as("ea"), greatest(col("v"), col("w")).as("eb")))).as("e"))
-        .join(remE, col("e.ea") === col("ra") && col("e.eb") === col("rb"),
-          "left_semi")
-        .select(col("a"), col("b"), col("w"))
     }
     def prep(eCanon: DataFrame): UndirectedNeighborhood =
       prepareNeighborhoodFromEdges(
         eCanon.select(col("a").as("src"), col("b").as("dst")),
         hubDegreeCap, assumeCanonical = true)
-    // Supports of `surv` after deleting `removed`, given exact supports
-    // (w.r.t. surv ∪ removed = prev) on both frames. `p`'s adjacency may be
-    // a SUPERSET of prev (stale since the last rebuild): witness candidates
-    // are therefore validated by requiring both non-removed legs in prev.
-    // Each destroyed triangle is counted once (distinct sorted triple, so a
+    // Adjacency of `prev` RESTRICTED to the endpoint vertices of `removed`
+    // — exactly the rows the witness intersection probes, so building more
+    // would be waste. Degrees (and therefore hub splitting) are TRUE
+    // degrees in prev: the semi-join keeps or drops whole vertices, never
+    // slices an edge list. eCount is the FULL prev edge count — adjSide's
+    // broadcast heuristic reads it as "how big a graph is this", and the
+    // restricted adjacency of a small removed set can still be huge when
+    // the touched vertices are hubs.
+    def prepTouched(prev: DataFrame, removed: DataFrame,
+                    eCount: Long): UndirectedNeighborhood = {
+      val touched = removed
+        .select(explode(array(col("a"), col("b"))).as("src")).distinct()
+      val bd = bidir(prev.select(col("a").as("src"), col("b").as("dst")),
+          withValue = false)
+        .join(touched, Seq("src"), "left_semi")
+      val hubs = cp(bd.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") > hubDegreeCap)
+        .select(col("src"), hubBucketCount(col("deg"), hubDegreeCap).as("nbuckets")))
+      val adj = cp(adjacencyArrays(bd, hubs))
+      UndirectedNeighborhood(prev, adj, hubs, eCount, hubs.count())
+    }
+    // Supports of `surv` after deleting `removed` from prev = surv ∪
+    // removed, given exact supports on surv w.r.t. prev. Witnesses
+    // w ∈ N(a) ∩ N(b) come from a per-round adjacency of prev restricted
+    // to the removed edges' endpoints — EXACT (both legs (a,w) and (b,w)
+    // are prev edges by construction, so no validation pass exists) and
+    // proportional to the removed slice, not the surviving graph. Each
+    // destroyed triangle is counted once (distinct sorted triple, so a
     // triangle losing 2–3 edges in one round can't double-decrement) and
     // decrements only its surviving edges.
-    // `validate = false` is sound ONLY when p was built from exactly `prev`
-    // (then w ∈ N_p(a) ∩ N_p(b) already implies both legs are in prev —
-    // the semi-joins would keep every row).
-    def decremented(p: UndirectedNeighborhood, removed: DataFrame,
-                    prev: DataFrame, surv: DataFrame,
-                    validate: Boolean): DataFrame = {
-      val witnesses = edgeAdjacency(p.copy(e = removed.select(col("a"), col("b"))))
+    def decremented(prev: DataFrame, removed: DataFrame, surv: DataFrame,
+                    eCount: Long): DataFrame = {
+      val pT = prepTouched(prev, removed, eCount)
+      val witnesses = edgeAdjacency(pT.copy(e = removed.select(col("a"), col("b"))))
         .select(col("a"), col("b"), explode(inter).as("w"))
-      val prevE = prev.select(col("a").as("pa"), col("b").as("pb"))
-      val valid = if (!validate) witnesses else witnesses
-        .join(prevE, least(col("a"), col("w")) === col("pa") &&
-          greatest(col("a"), col("w")) === col("pb"), "left_semi")
-        .join(prevE, least(col("b"), col("w")) === col("pa") &&
-          greatest(col("b"), col("w")) === col("pb"), "left_semi")
-      decrementsFromWitnesses(valid, surv)
+      decrementsFromWitnesses(witnesses, surv)
     }
     // Shared tail of every decrement path: (a, b, w) destroyed-triangle
     // witness rows → distinct sorted triples (a triangle losing 2–3 edges
@@ -1048,7 +1053,6 @@ object GraphAlgorithms {
         .select(col("a"), col("b"))))
     }
     var n = e.count()
-    var p: UndirectedNeighborhood = null
     // When non-null: cp'd (a, b, support), EXACT within the current set —
     // the peel then proceeds by decrement alone (tail regime). When null,
     // the next round is a full sweep: prep + support + filter in ONE fused
@@ -1061,21 +1065,24 @@ object GraphAlgorithms {
       val t0 = System.nanoTime()
       var mode = ""
       // The per-round plan choice is a cost model, not a fixed phase order:
-      //  - a SWEEP ships every SURVIVING edge's neighborhoods (Σdeg² over
-      //    survivors);
-      //  - a DECREMENT ships every REMOVED edge's neighborhoods plus the
-      //    triangles they destroy (plus validation semi-joins when the
-      //    retained adjacency is stale).
-      // So decrement when removals are the MINORITY of the round and sweep
-      // when they are the majority: majority-removal sweeps shrink the edge
-      // set geometrically (each costs ≤ half its predecessor — total ≤ 2×
-      // the first), while minority-removal decrements do work proportional
-      // to what actually left the graph. The pre-r14 policy swept on ANY
-      // ≥ rebuildFraction (5%) burst — 62 GB at R-MAT scale 20 — and the
-      // opposite extreme (decrement-always) enumerates nearly every
-      // triangle in the graph on a 90%-removal first round (measured: 37 GB
-      // shuffled and an executor OOM before finishing).
-      val SweepMajority = 0.5
+      //  - an (oriented) SWEEP ships every SURVIVING edge's forward list —
+      //    degeneracy-bounded, the cheap per-edge constant;
+      //  - a DECREMENT ships every REMOVED edge's FULL neighborhoods plus
+      //    the triangles they destroy — exact per-edge intersections, the
+      //    expensive per-edge constant (a removed edge at a hub ships the
+      //    hub's whole adjacency; a surviving hub edge in the oriented
+      //    sweep ships a near-empty forward list).
+      // With that asymmetry the crossover sits well below one half: sweep
+      // whenever removals exceed ~15% of the round and decrement only true
+      // slivers. Sweeps at ≥15% shrinkage still telescope (total ≤ ~7× the
+      // first, each degeneracy-bounded and unmaterialized), while the
+      // measured alternative on a 44%-removal round at sf0.1 — per-edge
+      // decrement of 105k removed co-purchase edges — cost MORE than
+      // re-sweeping the 133k survivors. The failure modes this threshold
+      // avoids were both measured at R-MAT scale 20: per-edge sweeps on
+      // every ≥5% burst (62 GB, pre-r14) and decrement-always (37 GB + an
+      // executor OOM on the 90%-removal first round).
+      val SweepMajority = 0.15
       if (supExact != null) {
         val removed = supExact.filter(col("support") < k - 2)
         val nR = removed.count()
@@ -1083,55 +1090,46 @@ object GraphAlgorithms {
         else {
           val surv = supExact.filter(col("support") >= k - 2)
           if (nR >= SweepMajority * n) {
-            // majority burst (rare outside the first rounds): re-sweeping
-            // the small survivor set beats enumerating the big removal's
+            // burst (rare outside the first rounds): re-sweeping the
+            // smaller survivor set beats enumerating the big removal's
             // triangles
             e = surv.select(col("a"), col("b")); supExact = null
             mode = "fallback"
-          } else if (p == null || nR >= rebuildFraction * n) {
-            // minority burst: REBUILD the adjacency from the pre-removal
-            // set and decrement against it (validate=false is sound — p is
-            // exactly prev; fresh neighborhoods, no validation semi-joins).
-            // The rebuild is one groupBy-collect over current edges —
-            // never a support re-sweep.
-            p = prep(supExact.select(col("a"), col("b")))
-            supExact = barrier(cp(decremented(p, removed, supExact, surv,
-              validate = false)))
-            mode = "incremental-rebuild"
           } else {
-            supExact = barrier(cp(decremented(p, removed, supExact, surv,
-              validate = true)))
+            supExact = barrier(cp(decremented(
+              supExact.select(col("a"), col("b")), removed, surv, n)))
+            e = supExact.select(col("a"), col("b"))
             mode = "incremental"
           }
-          if (supExact != null) e = supExact.select(col("a"), col("b"))
           n -= nR
         }
       } else if (rebuildFraction > 0.0) {
-        // ONE oriented enumeration per sweep: supports for every edge AND
-        // the removed edges' destroyed triangles out of the same
-        // materialized triple stream — the post-filter survivor-support
-        // recovery is a semi-join + triple-dedup + delta join, no second
-        // intersection pass, whatever the removal fraction. The prepared
-        // per-edge neighborhood (p) is built lazily only if an incremental
-        // round later needs witness enumeration for its slivers.
-        val (swept0, triCp) = orientedSweep(e)
-        val swept = barrier(cp(swept0))
+        // ONE oriented enumeration per sweep, streamed straight into the
+        // per-edge support aggregate — no triple materialization at any
+        // removal fraction. Post-filter survivor supports are recovered by
+        // the SAME cost model the incremental regime uses: a burst removal
+        // just re-sweeps the (geometrically smaller) survivor set next
+        // round, while a sliver removal enumerates its destroyed triangles
+        // against the pre-removal restricted adjacency and hands exact
+        // supports to the decrement regime.
+        val swept = barrier(cp(orientedSweep(e)))
         val f = swept.filter(col("support") >= k - 2)
         val n2 = f.count()
         if (n2 == n) { result = f; mode = "converged" } // incl. n == 0
         else if (n2 == 0L) { result = f; mode = "empty" }
-        else {
-          val witnesses = destroyedFromTriples(triCp,
-            swept.filter(col("support") < k - 2))
-          supExact = barrier(cp(decrementsFromWitnesses(witnesses, f)))
+        else if (n - n2 >= SweepMajority * n) {
+          e = f.select(col("a"), col("b")); n = n2
+          mode = "full"
+        } else {
+          supExact = barrier(cp(decremented(
+            e, swept.filter(col("support") < k - 2), f, n)))
           e = supExact.select(col("a"), col("b")); n = n2
-          p = null // built on demand by the first sliver round
           mode = "full->incremental"
         }
       } else {
         // rebuildFraction == 0: the pure-full-sweep reference mode the
         // equivalence specs peel both ways against
-        p = prep(e)
+        val p = prep(e)
         val f = barrier(cp(supportOf(p).filter(col("support") >= k - 2)))
         val n2 = f.count()
         if (n2 == n) { result = f; mode = "converged" } // incl. n == 0

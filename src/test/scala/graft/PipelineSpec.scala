@@ -6,6 +6,13 @@ import graft.pipeline.{Ann, Curation, Dedup, Events, Multimodal, TextAnalysis}
 class PipelineSpec extends SparkSpec {
   import spark.implicits._
 
+  /** Micro-nat quantization for driver references: Spark's round() is
+    * BigDecimal HALF_UP (half away from zero), NOT math.round (half toward
+    * +∞) — the two differ on negative exact-.5 values, which log scores
+    * can land on. Every reference that quantizes a log must use this. */
+  def microNat(x: Double): Long =
+    BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+
   def docs = Seq(
     (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
     (2L, "the quick brown fox jumps over the lazy dog near the river bank yesterday"), // near-dup of 1
@@ -1233,6 +1240,98 @@ class PipelineSpec extends SparkSpec {
     assert(clusters.values.toSet.size === 4)
   }
 
+  test("multimodal: pHash survives JPEG re-encode + bilinear resample; " +
+       "nearDupImages clusters re-encoded variants end-to-end") {
+    import spark.implicits._
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    // the robustness property pHash exists for: the BYTES change completely
+    // (different codec, different dimensions), the perceptual hash must not
+    def decode(p: Array[Byte]): BufferedImage =
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+    def resample(img: BufferedImage, w: Int, h: Int): Array[Byte] = {
+      val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, w, h, null)
+      g.dispose()
+      val bos = new ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      bos.toByteArray
+    }
+    def jpeg(img: BufferedImage, quality: Float): Array[Byte] = {
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+      val p = writer.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(quality)
+      val bos = new ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      ios.close(); writer.dispose()
+      bos.toByteArray
+    }
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    // natural-image-like fixtures: random COARSE grids bilinearly upsampled
+    // (broad low-frequency spectrum — every DCT coefficient pHash reads
+    // carries O(1) independent energy, so threshold bits are decisive, the
+    // way they are on photographs). encodePng's wraparound sawtooth ramps
+    // alias pathologically under an exact 0.5× resample, and pure
+    // sinusoids leave all but two coefficients AT the threshold (measured:
+    // 18- and 22-bit drifts respectively) — both artifacts of adversarial
+    // spectra, not of the transform family pHash is built for.
+    def blobPng(seed: Long, w: Int, h: Int): Array[Byte] = {
+      val rnd = new scala.util.Random(seed)
+      val coarse = new BufferedImage(8, 6, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 6; x <- 0 until 8) {
+        val l = rnd.nextInt(256)
+        coarse.setRGB(x, y, (l << 16) | (l << 8) | l)
+      }
+      resample(coarse, w, h)
+    }
+    val origs = (0 until 4).map(i => (i * 10L, blobPng(i * 7919L + 11, 64, 48)))
+    val variants = origs.flatMap { case (id, p) =>
+      val img = decode(p)
+      Seq((id, p, "png"),
+        (id + 1, jpeg(img, 0.7f), "jpeg"),          // lossy re-encode
+        (id + 2, resample(img, 32, 24), "png"),      // downsample 0.5×
+        (id + 3, resample(img, 96, 72), "png"))      // upsample 1.5×
+    }
+    val hashes = variants.map { case (id, p, _) =>
+      id -> Multimodal.Codecs.dctPHash(p).get
+    }.toMap
+    // measured Hamming distributions (recorded in NOTES): variants must sit
+    // within the default budget, distinct patterns well outside it
+    val kinds = Seq("jpeg", "down", "up")
+    val within = origs.flatMap { case (id, _) =>
+      (1 to 3).map(d => hamming(hashes(id), hashes(id + d)))
+    }
+    val across = for (a <- origs; b <- origs if a._1 < b._1)
+      yield hamming(hashes(a._1), hashes(b._1))
+    kinds.zipWithIndex.foreach { case (kind, i) =>
+      val ds = origs.map { case (id, _) => hamming(hashes(id), hashes(id + i + 1)) }
+      info(s"$kind Hamming per base: ${ds.mkString(",")}")
+    }
+    info(s"variant Hamming: min=${within.min} max=${within.max} " +
+      s"dist=${within.sorted.mkString(",")}")
+    info(s"cross-pattern Hamming: min=${across.min} max=${across.max}")
+    assert(within.max <= 6, s"re-encode drifted past budget: $within")
+    assert(across.min > 6, s"distinct patterns collide: $across")
+    val media = variants.map { case (id, p, fmt) =>
+      val img = decode(p)
+      Multimodal.MediaRecord(id, p,
+        Multimodal.MediaMeta("image", fmt, img.getWidth, img.getHeight, 0, 0L))
+    }.toDS()
+    val clusters = Multimodal.nearDupImages(media, maxHamming = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    origs.foreach { case (id, _) =>
+      (1 to 3).foreach(d => assert(clusters(id + d) === clusters(id),
+        s"variant ${id + d} split from $id"))
+    }
+    assert(clusters.values.toSet.size === 4)
+  }
+
   test("phashClusters on synthetic hashes: Hamming-3/5 variants cluster " +
        "with their base (5↔3 only TRANSITIVELY, at Hamming 8), the 16-bit " +
        "variant stays a singleton — the mm_phash_dups gate's geometry") {
@@ -1693,7 +1792,7 @@ class PipelineSpec extends SparkSpec {
     val got = TextAnalysis.lmScoreAgainst(model, probe).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getDouble(4))).toList.sortBy(_._1)
-    def lpm(cnt: Long): Long = math.round(math.log((cnt + 1).toDouble / 11) * 1e6)
+    def lpm(cnt: Long): Long = microNat(math.log((cnt + 1).toDouble / 11) * 1e6)
     val wantScore = BigDecimal((lpm(4) + 2 * lpm(0)) / 1e6 / 3)
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(got(0) === ((9L, 3L, 2L, lpm(4) + 2 * lpm(0), wantScore)))
@@ -1873,7 +1972,7 @@ class PipelineSpec extends SparkSpec {
       val nTotal = counts.values.sum
       val nVocab = counts.size.toLong
       def lpm(tf: Long, cnt: Long): Long =
-        math.round(tf * math.log((cnt + 1).toDouble / (nTotal + nVocab)) * 1e6)
+        microNat(tf * math.log((cnt + 1).toDouble / (nTotal + nVocab)) * 1e6)
       val want = scoreDocs.map { case (id, t) =>
         val tf = t.split(" ").groupBy(identity).view.mapValues(_.size.toLong)
         val total = tf.map { case (w, f) => lpm(f, counts.getOrElse(w, 0L)) }.sum
@@ -1994,7 +2093,7 @@ class PipelineSpec extends SparkSpec {
           val b = k0 - hitK
           if (b == 0) nFull += 1
           nSteps += b
-          total += math.round(math.log(alphaPow(b) * ratio) * 1e6)
+          total += microNat(math.log(alphaPow(b) * ratio) * 1e6)
         }
         id -> ((toks.size.toLong, nOov, nFull, nSteps, total))
       }.toMap
@@ -2089,9 +2188,9 @@ class PipelineSpec extends SparkSpec {
       val tf = text.split("\\s+").filter(_.nonEmpty)
         .groupBy(identity).view.mapValues(_.size.toLong).toMap
       Seq("a", "b").map { l =>
-        val prior = math.round(math.log(2.0 / 4.0) * 1e6)
+        val prior = microNat(math.log(2.0 / 4.0) * 1e6)
         val like = tf.map { case (w, f) =>
-          math.round(f * math.log(
+          microNat(f * math.log(
             (cnts.getOrElse((l, w), 0L) + 1).toDouble / (nClass(l) + v)) * 1e6)
         }.sum
         (prior + like, l)
@@ -2114,7 +2213,7 @@ class PipelineSpec extends SparkSpec {
     assert(got(1L)._1 === "a" && got(2L)._1 === "b")
     // empty doc: likelihood 0, equal priors (2 docs each) → integer tie →
     // max label wins deterministically
-    assert(got(5L) === (("b", math.round(math.log(0.5) * 1e6))))
+    assert(got(5L) === (("b", microNat(math.log(0.5) * 1e6))))
   }
 
   test("nbClassify: held-out accuracy is perfect on separable synthetic " +

@@ -125,22 +125,30 @@ object Bench {
     // contaminated and the existing file on disk is a clean run, divert to
     // BENCH_FULL_dirty.json — the stdout line above still carries the full
     // result (stamped contaminated:true) for whoever captures it.
+    // field-level probe, not a substring match on one exact serialization:
+    // tolerate whitespace around the colon however the JSON was written
     def existingIsClean(path: String): Boolean =
       try {
         val p = java.nio.file.Paths.get(path)
         java.nio.file.Files.exists(p) &&
-          java.nio.file.Files.readString(p).contains("\"contaminated\":false")
+          "\"contaminated\"\\s*:\\s*false".r
+            .findFirstIn(java.nio.file.Files.readString(p)).isDefined
       } catch { case NonFatal(_) => false }
     for (path <- Seq("BENCH_FULL.json", s"$repoDir/BENCH_FULL.json").distinct) {
+      val dirty = path.stripSuffix(".json") + "_dirty.json"
       val target =
         if (contaminated && existingIsClean(path)) {
           Console.err.println(s"[bench] contaminated run NOT overwriting clean " +
-            s"$path; writing ${path.stripSuffix(".json")}_dirty.json instead")
-          path.stripSuffix(".json") + "_dirty.json"
+            s"$path; writing $dirty instead")
+          dirty
         } else path
       try {
         val w = new java.io.PrintWriter(target)
         try w.println(line) finally w.close()
+        // a clean run supersedes any stale _dirty sibling — leaving it
+        // around invites reading old-load numbers as current-code evidence
+        if (target == path && !contaminated)
+          java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(dirty))
       } catch { case NonFatal(_) => () }
     }
     spark.stop()

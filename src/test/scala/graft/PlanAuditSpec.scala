@@ -62,6 +62,10 @@ class PlanAuditSpec extends SparkSpec {
     "d_bm25_top", "d_cooccur", "d_dsir_sample", "d_dsir_weights",
     "d_dsir_weights_bi", "d_hybrid_rrf", "d_lm_score", "d_lm_domain",
     "d_lm_ngram", "d_tfidf_top",
+    // r15: the order-5 tercile split and the bigram-weighted sampler
+    // inherit their parents' 1-row scalar attaches verbatim (d_lm_ngram's
+    // totals row; d_dsir_weights_bi's B-row model + totals)
+    "d_lm_ngram_buckets", "d_dsir_sample_bi",
     "d_edit_pairs", "d_edit_clusters", "g_generators", "d_domain_classify")
 
   test("sweep: no gated query plans an unpartitioned Window over " +

@@ -473,20 +473,23 @@ object SparkEntry {
     // r15 streamed oriented sweep runs it at the default heap
     "rmat_ktruss20" -> ((s, _) =>
       GraphAlgorithms.kTruss(rmatDrillGraph(s, 20, 8000000L).edges, k = 6)),
-    // second truss scale point (4× the edges) so the oriented sweep's
-    // growth curve is two-point-pinned like its predecessor's Σdeg² curve
-    "rmat_ktruss22" -> ((s, _) =>
-      GraphAlgorithms.kTruss(rmatDrillGraph(s, 22, 32000000L).edges, k = 6)),
-    // second scale point for the non-truss iterative drills (scale 22,
-    // ~31M canonical edges — 4× the scale-20 row) so each algorithm's
-    // growth curve is two-point-pinned like ktruss's Σdeg² curve
+    // second scale point for the iterative drills (scale 22, ~31M
+    // canonical edges — 4× the scale-20 row) so each algorithm's growth
+    // curve is two-point-pinned like ktruss's Σdeg² curve. prep22 runs
+    // FIRST so generation cost is its own row, and the truss — the
+    // heaviest peel — runs LAST so an executor-memory cliff there cannot
+    // poison the lighter drills' session
     "rmat_prep22" -> ((s, _) => rmatDrillGraph(s, 22, 32000000L).edges),
     "rmat_wcc22" -> ((s, _) =>
       GraphAlgorithms.wcc(rmatDrillGraph(s, 22, 32000000L))),
     "rmat_kcore22" -> ((s, _) =>
       GraphAlgorithms.kCore(rmatDrillGraph(s, 22, 32000000L).edges, k = 8)),
     "rmat_hyperball22" -> ((s, _) =>
-      GraphAlgorithms.hyperBall(rmatDrillGraph(s, 22, 32000000L), p = 6)))
+      GraphAlgorithms.hyperBall(rmatDrillGraph(s, 22, 32000000L), p = 6)),
+    // second truss scale point (4× the edges) so the oriented sweep's
+    // growth curve is two-point-pinned like its predecessor's Σdeg² curve
+    "rmat_ktruss22" -> ((s, _) =>
+      GraphAlgorithms.kTruss(rmatDrillGraph(s, 22, 32000000L).edges, k = 6)))
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

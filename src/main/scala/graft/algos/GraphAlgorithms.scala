@@ -945,10 +945,18 @@ object GraphAlgorithms {
     // bounded by the edge count regardless of how triangle-dense the graph
     // is. Pathological regular cores (K_n) make fwd lists long, but there
     // the work equals the triangle count — intrinsic.
-    def orientedSweep(eCur: DataFrame): DataFrame = {
+    //
+    // The orientation is fixed ONCE per full phase and REUSED by its later
+    // sweeps: correctness needs only SOME fixed total order (each triangle
+    // has exactly one minimal vertex under it), so survivors keep their
+    // direction as edges drop; the entry degrees keep forward lists
+    // degeneracy-bounded and a shrinking graph only shortens them. Saves
+    // the degree aggregation + two attach joins on every sweep after the
+    // first.
+    def orient(eCur: DataFrame): DataFrame = {
       val deg = eCur.select(explode(array(col("a"), col("b"))).as("x"))
         .groupBy(col("x")).agg(count(lit(1)).as("d"))
-      val dirE = eCur
+      eCur
         .join(deg.select(col("x").as("a"), col("d").as("da")), Seq("a"))
         .join(deg.select(col("x").as("b"), col("d").as("db")), Seq("b"))
         .select(when(col("da") < col("db") ||
@@ -956,6 +964,15 @@ object GraphAlgorithms {
             struct(col("a").as("u"), col("b").as("v")))
           .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
         .select(col("e.u").as("u"), col("e.v").as("v"))
+    }
+    // (a, b, support > 0) over the oriented edge set: rows exist only for
+    // edges in ≥ 1 triangle. Every exploded triangle edge IS a current
+    // edge ((u,v) ∈ dirE; w ∈ fwd(u) and w ∈ fwd(v)), so a missing row
+    // means support 0 — which any k ≥ 3 filter removes anyway; skipping
+    // the support-0 attach saves a full-edge-set outer join per sweep, and
+    // a zero-support edge destroys no triangles, so the decrement path
+    // never needs it either.
+    def sweepDir(dirE: DataFrame): DataFrame = {
       val fwd = dirE.groupBy(col("u"))
         .agg(array_sort(collect_list(col("v"))).as("f"))
       val tri = dirE
@@ -964,15 +981,12 @@ object GraphAlgorithms {
         .select(col("u"), col("v"),
           explode(graft.functions.GraphSetExpressions
             .sortedIntersect(col("fu"), col("fv"))).as("w"))
-      val sup = tri.select(explode(array(
+      tri.select(explode(array(
           struct(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b")),
           struct(least(col("u"), col("w")).as("a"), greatest(col("u"), col("w")).as("b")),
           struct(least(col("v"), col("w")).as("a"), greatest(col("v"), col("w")).as("b")))).as("e"))
         .select(col("e.a").as("a"), col("e.b").as("b"))
         .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
-      eCur.join(sup, Seq("a", "b"), "left_outer")
-        .select(col("a"), col("b"),
-          coalesce(col("support"), lit(0L)).as("support"))
     }
     def prep(eCanon: DataFrame): UndirectedNeighborhood =
       prepareNeighborhoodFromEdges(
@@ -1053,6 +1067,8 @@ object GraphAlgorithms {
         .select(col("a"), col("b"))))
     }
     var n = e.count()
+    // the full phase's fixed orientation (u, v); null outside a full phase
+    var dirE: DataFrame = null
     // When non-null: cp'd (a, b, support), EXACT within the current set —
     // the peel then proceeds by decrement alone (tail regime). When null,
     // the next round is a full sweep: prep + support + filter in ONE fused
@@ -1094,6 +1110,7 @@ object GraphAlgorithms {
             // smaller survivor set beats enumerating the big removal's
             // triangles
             e = surv.select(col("a"), col("b")); supExact = null
+            dirE = null // re-orient from the current survivor degrees
             mode = "fallback"
           } else {
             supExact = barrier(cp(decremented(
@@ -1112,18 +1129,27 @@ object GraphAlgorithms {
         // round, while a sliver removal enumerates its destroyed triangles
         // against the pre-removal restricted adjacency and hands exact
         // supports to the decrement regime.
-        val swept = barrier(cp(orientedSweep(e)))
+        if (dirE == null) dirE = barrier(cp(orient(e)))
+        val swept = barrier(cp(sweepDir(dirE)))
         val f = swept.filter(col("support") >= k - 2)
         val n2 = f.count()
         if (n2 == n) { result = f; mode = "converged" } // incl. n == 0
         else if (n2 == 0L) { result = f; mode = "empty" }
         else if (n - n2 >= SweepMajority * n) {
           e = f.select(col("a"), col("b")); n = n2
+          dirE = barrier(cp(dirE.join(f.select(col("a"), col("b")),
+            least(col("u"), col("v")) === col("a") &&
+              greatest(col("u"), col("v")) === col("b"), "left_semi")))
           mode = "full"
         } else {
+          // swept.filter(< k−2) omits support-0 removals by construction —
+          // they destroy no triangles, so the witness enumeration loses
+          // nothing; prev (= e) still carries the full pre-removal set for
+          // the restricted adjacency
           supExact = barrier(cp(decremented(
             e, swept.filter(col("support") < k - 2), f, n)))
           e = supExact.select(col("a"), col("b")); n = n2
+          dirE = null
           mode = "full->incremental"
         }
       } else {

@@ -5728,10 +5728,10 @@ object SparkEntry {
          |h AS (SELECT bucket, count(*) AS cnt FROM b WHERE bucket >= 0 GROUP BY bucket),
          |n AS (SELECT sum(cnt) AS n FROM h),
          |c AS (SELECT bucket, sum(cnt) OVER (ORDER BY bucket) AS cum FROM h),
-         |t AS (SELECT p, greatest(1, CAST(ceil(p * n.n) AS BIGINT)) AS rk
+         |tq AS (SELECT p, greatest(1, CAST(ceil(p * n.n) AS BIGINT)) AS rk
          |      FROM n, unnest([${1.0 / 3}, ${2.0 / 3}]) AS u(p)),
-         |pick AS (SELECT t.p, min(c.bucket) AS bucket
-         |         FROM t JOIN c ON c.cum >= t.rk GROUP BY t.p),
+         |pick AS (SELECT tq.p, min(c.bucket) AS bucket
+         |         FROM tq JOIN c ON c.cum >= tq.rk GROUP BY tq.p),
          |dec AS (SELECT p, bucket, (bucket // $sub) - 1 AS sh,
          |               bucket - ((bucket // $sub) - 1) * $sub AS m FROM pick),
          |thv AS (SELECT p, CAST(CASE WHEN bucket < $exact THEN bucket
@@ -5895,10 +5895,10 @@ object SparkEntry {
          |h AS (SELECT bucket, count(*) AS cnt FROM b WHERE bucket >= 0 GROUP BY bucket),
          |n AS (SELECT sum(cnt) AS n FROM h),
          |c AS (SELECT bucket, sum(cnt) OVER (ORDER BY bucket) AS cum FROM h),
-         |t AS (SELECT p, greatest(1, CAST(ceil(p * n.n) AS BIGINT)) AS rk
+         |tq AS (SELECT p, greatest(1, CAST(ceil(p * n.n) AS BIGINT)) AS rk
          |      FROM n, unnest([${1.0 / 3}, ${2.0 / 3}]) AS u(p)),
-         |pick AS (SELECT t.p, min(c.bucket) AS bucket
-         |         FROM t JOIN c ON c.cum >= t.rk GROUP BY t.p),
+         |pick AS (SELECT tq.p, min(c.bucket) AS bucket
+         |         FROM tq JOIN c ON c.cum >= tq.rk GROUP BY tq.p),
          |dec AS (SELECT p, bucket, (bucket // $sub) - 1 AS sh,
          |               bucket - ((bucket // $sub) - 1) * $sub AS m FROM pick),
          |thv AS (SELECT p, CAST(CASE WHEN bucket < $exact THEN bucket

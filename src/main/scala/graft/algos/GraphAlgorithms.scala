@@ -49,6 +49,38 @@ object GraphAlgorithms {
   private def barrier(df: DataFrame): DataFrame =
     org.apache.spark.sql.graft.StatsBarrier.freshLeaf(df)
 
+  /** Dev hook (GRAFT_EXPLAIN_ROUNDS=1): print the FORMATTED plan of one
+    * loop-internal step per tag — the per-round plan evidence the final
+    * checkpointed leaf of an iterative algorithm cannot show (committed
+    * under plans/r16 as loop_*_{before,after}.txt). */
+  private val explainedTags = scala.collection.mutable.Set.empty[String]
+  private def dbgExplain(tag: String, df: DataFrame): Unit =
+    if (sys.env.contains("GRAFT_EXPLAIN_ROUNDS") && explainedTags.add(tag))
+      println(s"=== ROUND PLAN [$tag] ===\n" + df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+
+  /** Materialize a message relation hash-partitioned AND sorted by the
+    * per-round join key, ONCE: every superstep's edges⋈frontier join then
+    * re-shuffles (and re-sorts) only the (shrinking) frontier side instead
+    * of the full edge relation per round — the guide §2.4 "two operations
+    * keyed the same way share one exchange" rule applied across loop
+    * iterations. AQE is disabled around this ONE eager materialization:
+    * under an AdaptiveSparkPlan, Dataset.localCheckpoint records
+    * UnknownPartitioning on its LogicalRDD (the final partitioning isn't
+    * known when the leaf is captured — verified in the committed
+    * loop_*_before plan dumps), which silently discards the layout and
+    * restores the per-round exchange; the non-adaptive plan captures
+    * hashpartitioning(key, session shuffle partitions), exactly the
+    * number later frontier exchanges co-partition to. */
+  private def cpKeyed(edges: DataFrame, key: String): DataFrame = {
+    val conf = edges.sparkSession.conf
+    val prev = conf.get("spark.sql.adaptive.enabled", "true")
+    try {
+      conf.set("spark.sql.adaptive.enabled", "false")
+      edges.repartition(col(key)).sortWithinPartitions(key).localCheckpoint(true)
+    } finally conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   /** Both-direction edge list (src,dst[,value]) for undirected propagation. */
   private def bidir(edges: DataFrame, withValue: Boolean): DataFrame = {
     val fwd = if (withValue) edges.select(col("src"), col("dst"), col("value"))
@@ -76,6 +108,7 @@ object GraphAlgorithms {
     var iter = 0
     var active = 1L
     while (active > 0 && iter < maxIterations) {
+      if (iter == 1) dbgExplain("frontier-step", step(state))
       val newState = barrier(cpLazy(step(state)))
       iter += 1
       if (iter % convergenceCheckEvery == 0 || iter >= maxIterations) {
@@ -96,7 +129,7 @@ object GraphAlgorithms {
   // Returns (id, component).
   // =========================================================================
   def wcc(g: KGraph, maxIterations: Int = 100): DataFrame = {
-    val edges = cp(bidir(g.edges, withValue = false))
+    val edges = cpKeyed(bidir(g.edges, withValue = false), "src")
     // state carries a `changed` flag so each superstep is ONE materialization
     // (localCheckpoint) + ONE count that reuses it — no separate frontier DF.
     val init = g.vertices.select(col("id"), col("id").as("comp"), lit(true).as("changed"))
@@ -179,9 +212,9 @@ object GraphAlgorithms {
   // =========================================================================
   def sssp(g: KGraph, srcVertexId: Long, maxIterations: Int = 100,
            directed: Boolean = true): DataFrame = {
-    val edges = cp(
+    val edges = cpKeyed(
       if (directed) g.edges.select(col("src"), col("dst"), col("value"))
-      else bidir(g.edges, withValue = true))
+      else bidir(g.edges, withValue = true), "src")
     val init = g.vertices.select(col("id"),
       when(col("id") === srcVertexId, lit(0.0)).otherwise(lit(null).cast("double")).as("dist"),
       (col("id") === srcVertexId).as("changed"))
@@ -206,9 +239,9 @@ object GraphAlgorithms {
   // =========================================================================
   def bfs(g: KGraph, srcVertexId: Long, maxIterations: Int = 100,
           directed: Boolean = true): DataFrame = {
-    val edges = cp(
+    val edges = cpKeyed(
       if (directed) g.edges.select(col("src"), col("dst"))
-      else bidir(g.edges, withValue = false))
+      else bidir(g.edges, withValue = false), "src")
     val init = g.vertices.select(col("id"),
       when(col("id") === srcVertexId, lit(0L)).otherwise(lit(null).cast("long")).as("dist"),
       (col("id") === srcVertexId).as("changed"))
@@ -237,9 +270,9 @@ object GraphAlgorithms {
   // =========================================================================
   def mssp(g: KGraph, landmarks: Seq[Long], maxIterations: Int = 100,
            directed: Boolean = true): DataFrame = {
-    val edges = cp(
+    val edges = cpKeyed(
       if (directed) g.edges.select(col("src"), col("dst"), col("value"))
-      else bidir(g.edges, withValue = true))
+      else bidir(g.edges, withValue = true), "src")
     val init = g.vertices.select(col("id"))
       .filter(col("id").isin(landmarks: _*))
       .select(col("id"), col("id").as("landmark"), lit(0.0).as("dist"), lit(true).as("changed"))
@@ -279,9 +312,9 @@ object GraphAlgorithms {
   def pageRank(g: KGraph, tolerance: Double = 0.0001, resetProb: Double = 0.15,
                srcVertexId: Option[Long] = None, maxIterations: Int = 100): DataFrame = {
     val outDeg = g.edges.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
-    val edges = cp(g.edges.select(col("src"), col("dst"))
+    val edges = cpKeyed(g.edges.select(col("src"), col("dst"))
       .join(outDeg, Seq("src"))
-      .select(col("src"), col("dst"), (lit(1.0) / col("odeg")).as("w")))
+      .select(col("src"), col("dst"), (lit(1.0) / col("odeg")).as("w")), "src")
 
     val damp = 1.0 - resetProb
     // Standard: every vertex starts at rank = delta = resetProb (superstep 0
@@ -315,7 +348,7 @@ object GraphAlgorithms {
   // Returns (id, value=label).
   // =========================================================================
   def labelPropagation(g: KGraph, maxIterations: Int = 50): DataFrame = {
-    val edges = cp(g.edges.select(col("src"), col("dst")))
+    val edges = cpKeyed(g.edges.select(col("src"), col("dst")), "src")
     val init = g.vertices.select(col("id"), col("id").as("label"), lit(true).as("changed"))
     val state = frontierLoop(init, maxIterations, col("changed")) { state =>
       // every vertex re-broadcasts its label each round (LabelPropagation.java:52-57)
@@ -905,6 +938,23 @@ object GraphAlgorithms {
     * their converged support as (src, dst, support) with src < dst. Logs a
     * warning if `maxIter` exhausts before the fixpoint — the result is
     * then only an upper bound on the k-truss. */
+  /** Scale-adaptive reduce-partition count for the k-truss support count:
+    * the session default (tuned to the core count) until the live edge
+    * count outgrows it, then ~150k edge keys per partition, capped at
+    * 4096. Because the credit count runs POST-repartition, its hash map
+    * holds exactly edges/parts keys for ANY divisor — the divisor trades
+    * per-task input volume (streamed, not held) against map-side
+    * combining and shuffle-block size: 50k/partition measured +71% shufW
+    * at R-MAT scale 22 (near-raw credits, tiny blocks); 150k keeps the
+    * map at ~6 MB/task while combining ~3× better. Derived from the
+    * CURRENT edge set each sweep — a constant tuned to either local mode
+    * or one cluster size is exactly what the guide's §2 warns against. */
+  private def supportParts(spark: org.apache.spark.sql.SparkSession,
+                           n: Long): Int = {
+    val base = spark.sessionState.conf.numShufflePartitions
+    math.max(base, math.min(4096L, n / 150000L).toInt)
+  }
+
   def kTruss(edges: DataFrame, k: Int, maxIter: Int = 100,
              hubDegreeCap: Int = HubDegreeCap,
              rebuildFraction: Double = 0.05,
@@ -972,16 +1022,50 @@ object GraphAlgorithms {
     // the support-0 attach saves a full-edge-set outer join per sweep, and
     // a zero-support edge destroys no triangles, so the decrement path
     // never needs it either.
-    def sweepDir(dirE: DataFrame): DataFrame = {
+    // The explode's partial (map-side) count aggregate keeps each task's
+    // hash map bounded ONLY if each task sees a bounded slice of the
+    // triangle stream: at the session's local shuffle-partition count a
+    // scale-20+ sweep put the whole current edge set into every task's
+    // key universe, overflowed the ~0.25 GB/thread map, and fell back to
+    // sorting the entire exploded stream (measured pre-rework: 18.8 GB
+    // mem-spill at R-MAT scale 20, 148 GB at scale 22 — sort-agg
+    // fallback). Fix: run the triangle-enumeration join (and therefore
+    // the explode + partial count that live in its output stage) at a
+    // scale-adaptive partition count — ~50k edges per partition — so the
+    // per-task distinct-credit universe fits the hash map and the partial
+    // aggregate stays in memory. The v-keyed partitioning also combines
+    // well map-side: all base credits (u,v) of one row and all (v,·) leg
+    // credits of one v land in the same task. At the session default
+    // (small graphs) `parts` equals the session shuffle-partition count
+    // and the plan is unchanged.
+    def sweepDir(dirE: DataFrame, parts: Int): DataFrame = {
       val fwd = dirE.groupBy(col("u"))
         .agg(array_sort(collect_list(col("v"))).as("f"))
-      val tri = dirE
+      // BOTH sides carry the explicit partition count: a one-sided
+      // repartition gets rewritten by EnsureRequirements back to the
+      // session count when it co-partitions the join (verified on 4.1:
+      // REPARTITION_BY_NUM 76 → 32), silently restoring the overflow.
+      // The SECOND attach streams rows that carry a forward list PER EDGE
+      // (Σ_e |fwd| entries — 12.5 GB materialized at R-MAT scale 22); a
+      // sort-merge join would SORT that stream, and that sort was the
+      // dominant spill (per-stage measured at scale 22: 48.5 GB memory
+      // spill in the first sweep's second-join stage alone). The fv build
+      // side is only per-vertex lists (tiny per partition at `parts`), so
+      // SHUFFLE_HASH streams the heavy side with no sort. The FIRST attach
+      // keeps sort-merge: its inputs are the bare edge list + the fwd
+      // table (a few hundred MB total at scale 22 — cheap sorts), and 32
+      // concurrent hash builds of the full fwd table at the session
+      // partition count measurably tipped an 8 g heap over (OOM in a
+      // localCheckpoint unroll while the builds held execution memory).
+      dirE
         .join(fwd.select(col("u"), col("f").as("fu")), Seq("u"))
-        .join(fwd.select(col("u").as("v"), col("f").as("fv")), Seq("v"))
+        .repartition(parts, col("v"))
+        .join(fwd.select(col("u").as("v"), col("f").as("fv"))
+          .repartition(parts, col("v")).hint("shuffle_hash"), Seq("v"))
         .select(col("u"), col("v"),
           explode(graft.functions.GraphSetExpressions
             .sortedIntersect(col("fu"), col("fv"))).as("w"))
-      tri.select(explode(array(
+        .select(explode(array(
           struct(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b")),
           struct(least(col("u"), col("w")).as("a"), greatest(col("u"), col("w")).as("b")),
           struct(least(col("v"), col("w")).as("a"), greatest(col("v"), col("w")).as("b")))).as("e"))
@@ -999,7 +1083,14 @@ object GraphAlgorithms {
     // slices an edge list. eCount is the FULL prev edge count — adjSide's
     // broadcast heuristic reads it as "how big a graph is this", and the
     // restricted adjacency of a small removed set can still be huge when
-    // the touched vertices are hubs.
+    // the touched vertices are hubs. The scan/filter side of this build is
+    // O(|prev|) per decrement round; only the groupBy-collect output is
+    // removal-proportional. (r16 measured a join-based witness enumeration
+    // as the alternative — one prev scan, no arrays — and it LOST 5× on a
+    // 4.3%-removal round at R-MAT scale 20: without the galloping sorted
+    // intersection a removed hub edge enumerates every (a, w) candidate
+    // leg instead of pruning to the actual witnesses, so the array build
+    // pays for itself at any removal size that matters.)
     def prepTouched(prev: DataFrame, removed: DataFrame,
                     eCount: Long): UndirectedNeighborhood = {
       val touched = removed
@@ -1018,9 +1109,9 @@ object GraphAlgorithms {
     // w ∈ N(a) ∩ N(b) come from a per-round adjacency of prev restricted
     // to the removed edges' endpoints — EXACT (both legs (a,w) and (b,w)
     // are prev edges by construction, so no validation pass exists) and
-    // proportional to the removed slice, not the surviving graph. Each
-    // destroyed triangle is counted once (distinct sorted triple, so a
-    // triangle losing 2–3 edges in one round can't double-decrement) and
+    // shuffle-proportional to the removed slice, not the surviving graph.
+    // Each destroyed triangle is counted once (distinct sorted triple, so
+    // a triangle losing 2–3 edges in one round can't double-decrement) and
     // decrements only its surviving edges.
     def decremented(prev: DataFrame, removed: DataFrame, surv: DataFrame,
                     eCount: Long): DataFrame = {
@@ -1130,7 +1221,8 @@ object GraphAlgorithms {
         // against the pre-removal restricted adjacency and hands exact
         // supports to the decrement regime.
         if (dirE == null) dirE = barrier(cp(orient(e)))
-        val swept = barrier(cp(sweepDir(dirE)))
+        dbgExplain("ktruss-sweep", sweepDir(dirE, supportParts(edges.sparkSession, n)))
+        val swept = barrier(cp(sweepDir(dirE, supportParts(edges.sparkSession, n))))
         val f = swept.filter(col("support") >= k - 2)
         val n2 = f.count()
         if (n2 == n) { result = f; mode = "converged" } // incl. n == 0
@@ -1277,19 +1369,23 @@ object GraphAlgorithms {
                             withEstimates: Boolean = false)
       : (DataFrame, Seq[(Int, Long, Long, Double)]) = {
     import graft.pipeline.Sketches
-    val edges = cp(g.edges.select(col("src"), col("dst"))
-      .filter(col("src") =!= col("dst")).distinct())
-    val regMax = Sketches.hllRegMaxBytes(p)
-    var state = barrier(cp(Sketches.hllPackedSingletonsBytes(
+    val regCols = Sketches.hllLongCols(p)
+    // partitioned+sorted by the join key ONCE (see cpKeyed): every
+    // round's edges⋈state join re-shuffles and re-sorts only the state
+    // side instead of all E edge rows per round
+    val edges = cpKeyed(g.edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct(), "dst")
+    var state = barrier(cp(Sketches.hllPackedSingletonsLongs(
       g.vertices.select(col("id"), col("id").cast("string").as("k")),
       "id", "k", p)))
     // the Σ-estimate column only serves neighborhoodFunction /
     // effectiveDiameter — register/trajectory callers skip it; all three
-    // statistics come from ONE rowwise pass over the byte-packed arrays
+    // statistics come from ONE rowwise pass over the packed registers
     def stats(df: DataFrame): (Long, Long, Double) = {
-      val estCol = if (withEstimates) Sketches.hllEstimateBytes(p)(col("regs"))
+      val regs = array(regCols.map(col): _*)
+      val estCol = if (withEstimates) Sketches.hllEstimateLongs(p)(regs)
                    else lit(0.0)
-      val r = df.select(Sketches.hllByteStats(col("regs")).as("_st"),
+      val r = df.select(Sketches.hllLongStats(regs).as("_st"),
           estCol.as("_e"))
         .agg(coalesce(sum(col("_st._1").cast("long")), lit(0L)),
           coalesce(sum(col("_st._2")), lit(0L)),
@@ -1302,7 +1398,8 @@ object GraphAlgorithms {
     var iter = 0
     var done = cur._1 == 0L // edgeless/empty graph: nothing to propagate
     while (!done && iter < maxIterations) {
-      val next = barrier(cp(hbStep(edges, state, regMax)))
+      if (iter == 1) dbgExplain("hyperball-step", hbStep(edges, state, regCols))
+      val next = barrier(cp(hbStep(edges, state, regCols)))
       val ns = stats(next)
       iter += 1
       done = (ns._1, ns._2) == ((cur._1, cur._2))
@@ -1315,21 +1412,30 @@ object GraphAlgorithms {
   }
 
   /** One HyperBall round over PACKED counters: each vertex pointwise-max-
-    * merges its successors' arrays into its own — one join + one map-side-
-    * combinable udaf aggregate, shipping ONE array per edge (the in-core
-    * HyperBall layout; a row-per-register formulation multiplies message
-    * volume by the ball's bucket count — measured on the R-MAT drill:
-    * 23.7 GB shuffle / 658 s row-form, 6.7 GB / 60 s int-array-packed,
-    * 2.3 GB BYTE-packed (the current layout: 1 byte/register BINARY,
-    * identical register values at identical unpacked row counts; the
-    * traded cost is that per-vertex statistics run as JVM functions
-    * instead of higher-order column functions — Sketches.hllByteStats). */
+    * merges its successors' registers into its own — one join + one
+    * combinable aggregate, shipping 2^p register BYTES per edge (the
+    * in-core HyperBall layout; a row-per-register formulation multiplies
+    * message volume by the ball's bucket count — measured on the R-MAT
+    * drill: 23.7 GB shuffle / 658 s row-form, 6.7 GB int-array-packed,
+    * 2.3 GB at 1 byte/register). Registers ride 2^p/8 LongType columns
+    * (8 byte lanes each) merged by graft.functions.BytewiseMaxAgg — a
+    * DeclarativeAggregate with a fixed-width buffer, so the merge plans as
+    * a true codegen HashAggregate; the prior BINARY-column UDAF planned as
+    * ObjectHashAggregate, whose hash map abandons to sort-based
+    * aggregation at 128 distinct keys per task
+    * (spark.sql.objectHashAggregate.sortBased.fallbackThreshold) — at
+    * R-MAT scale 22 that sort-agg path spilled 58 GB and OOM'd the default
+    * 8 g heap; the hash path holds per-task register maps in memory. */
   private def hbStep(edges: DataFrame, state: DataFrame,
-                     regMax: org.apache.spark.sql.expressions.UserDefinedFunction): DataFrame =
+                     regCols: Seq[String]): DataFrame = {
+    import graft.functions.RegMaxFunctions.bytewiseMaxAgg
     state.unionByName(
         edges.join(state.withColumnRenamed("id", "dst"), Seq("dst"))
-          .select(col("src").as("id"), col("regs")))
-      .groupBy(col("id")).agg(regMax(col("regs")).as("regs"))
+          .select(col("src").as("id") +: regCols.map(col): _*))
+      .groupBy(col("id"))
+      .agg(bytewiseMaxAgg(col(regCols.head)).as(regCols.head),
+        regCols.tail.map(c => bytewiseMaxAgg(col(c)).as(c)): _*)
+  }
 
   /** Converged per-vertex out-ball HLL registers (id, bucket, r) — the
     * register table of every vertex's full reachable set, at ≤ 2^p rows per
@@ -1337,7 +1443,7 @@ object GraphAlgorithms {
     * [[graft.pipeline.Sketches.hllEstimateBy]] for ball-size estimates
     * (closeness/harmonic centrality numerators). */
   def hyperBall(g: KGraph, p: Int = 6, maxIterations: Int = 64): DataFrame =
-    graft.pipeline.Sketches.hllUnpackBytes(hyperBallLoop(g, p, maxIterations)._1, "id")
+    graft.pipeline.Sketches.hllUnpackLongs(hyperBallLoop(g, p, maxIterations)._1, "id", p)
 
   /** Per-round register trajectory (t, n_regs, sum_r) — the exact-integer
     * shadow of the neighborhood function: rows for t = 0 and every round
@@ -1363,7 +1469,7 @@ object GraphAlgorithms {
     val spark = g.edges.sparkSession
     import spark.implicits._
     val (state, traj) = hyperBallLoop(g, p, maxIterations)
-    (graft.pipeline.Sketches.hllUnpackBytes(state, "id"),
+    (graft.pipeline.Sketches.hllUnpackLongs(state, "id", p),
       traj.map { case (t, n, s, _) => (t.toLong, n, s) }
         .toDF("t", "n_regs", "sum_r"))
   }
@@ -1399,16 +1505,18 @@ object GraphAlgorithms {
   def geometricCentralities(g: KGraph, p: Int = 8,
                             maxIterations: Int = 64): DataFrame = {
     import graft.pipeline.Sketches
-    val edges = cp(g.edges.select(col("src"), col("dst"))
-      .filter(col("src") =!= col("dst")).distinct())
-    val regMax = Sketches.hllRegMaxBytes(p)
-    var state = barrier(cp(Sketches.hllPackedSingletonsBytes(
+    val regCols = Sketches.hllLongCols(p)
+    val regs = array(regCols.map(col): _*)
+    // dst-partitioned+sorted once, reused by every round's join
+    val edges = cpKeyed(g.edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct(), "dst")
+    var state = barrier(cp(Sketches.hllPackedSingletonsLongs(
       g.vertices.select(col("id"), col("id").cast("string").as("k")),
       "id", "k", p)))
     def est(df: DataFrame): DataFrame =
-      df.select(col("id"), Sketches.hllEstimateBytes(p)(col("regs")).as("est"))
+      df.select(col("id"), Sketches.hllEstimateLongs(p)(regs).as("est"))
     def stats(df: DataFrame): (Long, Long) = {
-      val r = df.select(Sketches.hllByteStats(col("regs")).as("_st"))
+      val r = df.select(Sketches.hllLongStats(regs).as("_st"))
         .agg(coalesce(sum(col("_st._1").cast("long")), lit(0L)),
           coalesce(sum(col("_st._2")), lit(0L)))
         .head()
@@ -1421,7 +1529,7 @@ object GraphAlgorithms {
     var iter = 0
     var done = cur._1 == 0L
     while (!done && iter < maxIterations) {
-      val next = barrier(cp(hbStep(edges, state, regMax)))
+      val next = barrier(cp(hbStep(edges, state, regCols)))
       val ns = stats(next)
       iter += 1
       done = ns == cur

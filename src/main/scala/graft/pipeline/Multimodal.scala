@@ -209,7 +209,13 @@ object Multimodal {
       * their median. Sign-pattern-of-low-frequencies is what survives
       * re-encoding, resampling, and brightness/contrast scaling — the
       * transformations that defeat byte-exact and average-hash dedup.
-      * O(32³) per image, deterministic: same pixels → same 64-bit hash. */
+      * O(32³) per image, deterministic: same pixels → same 64-bit hash.
+      *
+      * HASH VERSION NOTE: the r15 cell-iteration rewrite below changed
+      * cell boundaries (floor(g·d/N) ranges instead of the old per-pixel
+      * min(N−1, y·N/h) mapping) for ALL images, not just the w/h < 32
+      * hole it fixed — pHash values persisted from pre-r15 rounds are
+      * incomparable with current ones and need recomputation. */
     def dctPHash(payload: Array[Byte]): Option[Long] = {
       val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(payload))
       if (img == null) None

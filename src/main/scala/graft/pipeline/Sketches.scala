@@ -710,6 +710,102 @@ object Sketches {
     })
   }
 
+  // -------------------------------------------------------------------------
+  // LONG-packed registers (2^p / 8 LongType columns r0..r{L-1}, byte lane
+  // j of column i = register 8·i + j, little-endian within the long) — the
+  // byte layout's density with a HASH-AGGREGATABLE merge: each column
+  // aggregates under graft.functions.BytewiseMaxAgg, a DeclarativeAggregate
+  // with a fixed-width LongType buffer, so the per-round register merge
+  // plans as a true HashAggregate (codegen + UnsafeFixedWidthAggregationMap)
+  // instead of the ObjectHashAggregate a typed-Aggregator UDAF gets — which
+  // abandons its hash map after 128 distinct keys per task
+  // (spark.sql.objectHashAggregate.sortBased.fallbackThreshold) and
+  // sort-aggregates everything: the measured 58 GB spill / default-heap OOM
+  // on the scale-22 HyperBall drill. Register VALUES are identical across
+  // all layouts (ranks ≤ 61 < 127 keep every byte lane 7-bit, the SWAR
+  // precondition); per-row statistics keep hllByteStats' exact fold order
+  // (byte index ascending) so estimates agree to the last bit.
+  // -------------------------------------------------------------------------
+
+  /** Column names of the long-packed register layout at precision p. */
+  def hllLongCols(p: Int): Seq[String] =
+    (0 until ((1 << p) / 8)).map(i => s"r$i")
+
+  /** One long-packed singleton counter per group — [[hllPackedSingletons]]
+    * in the r0..r{L-1} layout (same one-key-per-group init contract). */
+  def hllPackedSingletonsLongs(df: DataFrame, groupCol: String, keyCol: String,
+                               p: Int): DataFrame = {
+    val L = (1 << p) / 8
+    val packed = expr("shiftleft(CAST(r AS BIGINT), CAST((bucket % 8) * 8 AS INT))")
+    hllRegistersBy(df, groupCol, keyCol, p)
+      .select(col(groupCol) +: (0 until L).map { i =>
+        when(col("bucket").divide(8).cast("int") === i, packed)
+          .otherwise(lit(0L)).as(s"r$i")
+      }: _*)
+  }
+
+  /** Long-packed → row table: (groupCol, bucket, r) for non-empty buckets —
+    * value-identical to [[hllUnpackBytes]] on the byte layout. */
+  def hllUnpackLongs(packed: DataFrame, groupCol: String, p: Int): DataFrame = {
+    val toInts = udf((a: Seq[Long]) => {
+      val out = new Array[Int](a.length * 8)
+      var i = 0
+      while (i < a.length) {
+        val v = a(i); var j = 0
+        while (j < 8) { out(i * 8 + j) = ((v >>> (8 * j)) & 0xFFL).toInt; j += 1 }
+        i += 1
+      }
+      out
+    })
+    packed
+      .select(col(groupCol),
+        posexplode(toInts(array(hllLongCols(p).map(col): _*))).as(Seq("bucket", "r")))
+      .filter(col("r") > 0)
+      .select(col(groupCol), col("bucket").cast("long"), col("r").cast("int"))
+  }
+
+  /** (non-zero register count, rank sum) over the long-packed columns —
+    * [[hllByteStats]]' statistic and fold order (byte index ascending). */
+  def hllLongStats: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((a: Seq[Long]) => {
+      var n = 0; var s = 0L; var i = 0
+      while (i < a.length) {
+        val v = a(i); var j = 0
+        while (j < 8) {
+          val r = ((v >>> (8 * j)) & 0xFFL).toInt
+          if (r > 0) { n += 1; s += r }
+          j += 1
+        }
+        i += 1
+      }
+      (n, s)
+    })
+
+  /** [[hllEstimateBytes]] off the long-packed columns — identical fold
+    * order (byte index ascending), branch, and math library (StrictMath)
+    * so the layouts agree to the last bit. */
+  def hllEstimateLongs(p: Int): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    require(p >= 4 && p <= 18, s"p must be in [4, 18], got $p")
+    val m = 1 << p
+    val alpha = alphaFor(m)
+    udf((a: Seq[Long]) => {
+      var acc = 0.0; var zeros = 0; var i = 0
+      while (i < a.length) {
+        val v = a(i); var j = 0
+        while (j < 8) {
+          val r = ((v >>> (8 * j)) & 0xFFL).toInt
+          acc += StrictMath.pow(2.0, -r.toDouble)
+          if (r == 0) zeros += 1
+          j += 1
+        }
+        i += 1
+      }
+      val e = alpha * m * m / acc
+      if (e <= 2.5 * m && zeros > 0) m * StrictMath.log(m.toDouble / zeros)
+      else e
+    })
+  }
+
   private def alphaFor(m: Int): Double = m match {
     case 16 => 0.673
     case 32 => 0.697

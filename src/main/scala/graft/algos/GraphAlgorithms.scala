@@ -32,6 +32,14 @@ object GraphAlgorithms {
     * materialization to the caller's next action so one job does both
     * (used inside the iterative loops where a count() follows immediately). */
   private def cp(df: DataFrame): DataFrame = df.localCheckpoint(true)
+  /** cp at SERIALIZED storage — for loop-carried GRAPH-SIZED checkpoints
+    * whose blocks stay pinned while later stages read them: deserialized
+    * row objects cost ~2× the bytes and fragment an 8 g heap enough to
+    * flip marginal scale-22 rounds into GCLocker OOMs (measured on the
+    * k-truss canonical-edge and sweep checkpoints). */
+  private def cpSer(df: DataFrame): DataFrame =
+    df.localCheckpoint(true,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
   private def cpLazy(df: DataFrame): DataFrame = df.localCheckpoint(false)
 
   /** Stats barrier for LOOP-carried checkpoints. localCheckpoint cuts the
@@ -77,7 +85,18 @@ object GraphAlgorithms {
     val prev = conf.get("spark.sql.adaptive.enabled", "true")
     try {
       conf.set("spark.sql.adaptive.enabled", "false")
-      edges.repartition(col(key)).sortWithinPartitions(key).localCheckpoint(true)
+      // SERIALIZED storage: the per-round join+aggregate stage reads these
+      // blocks DIRECTLY (no exchange between them any more), and a block
+      // being read is PINNED un-evictable — deserialized row objects
+      // (~3 GB for the scale-22 bidir relation) pinned across 32
+      // concurrent tasks starved HashAggregate's initial map allocation
+      // outright (measured: UNABLE_TO_ACQUIRE, got 0, at R-MAT scale 22
+      // round 0). Compact serialized blocks pin ~½ the bytes; the
+      // per-round deserialization is a streaming read the codegen'd scan
+      // absorbs.
+      edges.repartition(col(key)).sortWithinPartitions(key)
+        .localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     } finally conf.set("spark.sql.adaptive.enabled", prev)
   }
 
@@ -108,6 +127,7 @@ object GraphAlgorithms {
     var iter = 0
     var active = 1L
     while (active > 0 && iter < maxIterations) {
+      if (iter == 0) dbgExplain("frontier-step0", step(state))
       if (iter == 1) dbgExplain("frontier-step", step(state))
       val newState = barrier(cpLazy(step(state)))
       iter += 1
@@ -1141,7 +1161,7 @@ object GraphAlgorithms {
           (col("support") - coalesce(col("dec"), lit(0L))).as("support"))
     }
     val dbg = sys.env.contains("GRAFT_TRUSS_DEBUG")
-    var e = barrier(cp(canonicalEdges(edges)))   // (a, b): the current set
+    var e = barrier(cpSer(canonicalEdges(edges)))   // (a, b): the current set
     if (corePrefilter && k >= 4) {
       // k-truss ⊆ (k−1)-core (every truss vertex keeps degree ≥ k−1
       // inside the truss), and the degree peel moves only degree DELTAS
@@ -1152,7 +1172,7 @@ object GraphAlgorithms {
       val core = kCore(
         e.select(col("a").as("src"), col("b").as("dst")), k - 1)
         .select(col("id"))
-      e = barrier(cp(e
+      e = barrier(cpSer(e
         .join(core.select(col("id").as("a")), Seq("a"), "left_semi")
         .join(core.select(col("id").as("b")), Seq("b"), "left_semi")
         .select(col("a"), col("b"))))
@@ -1204,7 +1224,7 @@ object GraphAlgorithms {
             dirE = null // re-orient from the current survivor degrees
             mode = "fallback"
           } else {
-            supExact = barrier(cp(decremented(
+            supExact = barrier(cpSer(decremented(
               supExact.select(col("a"), col("b")), removed, surv, n)))
             e = supExact.select(col("a"), col("b"))
             mode = "incremental"
@@ -1220,16 +1240,16 @@ object GraphAlgorithms {
         // round, while a sliver removal enumerates its destroyed triangles
         // against the pre-removal restricted adjacency and hands exact
         // supports to the decrement regime.
-        if (dirE == null) dirE = barrier(cp(orient(e)))
+        if (dirE == null) dirE = barrier(cpSer(orient(e)))
         dbgExplain("ktruss-sweep", sweepDir(dirE, supportParts(edges.sparkSession, n)))
-        val swept = barrier(cp(sweepDir(dirE, supportParts(edges.sparkSession, n))))
+        val swept = barrier(cpSer(sweepDir(dirE, supportParts(edges.sparkSession, n))))
         val f = swept.filter(col("support") >= k - 2)
         val n2 = f.count()
         if (n2 == n) { result = f; mode = "converged" } // incl. n == 0
         else if (n2 == 0L) { result = f; mode = "empty" }
         else if (n - n2 >= SweepMajority * n) {
           e = f.select(col("a"), col("b")); n = n2
-          dirE = barrier(cp(dirE.join(f.select(col("a"), col("b")),
+          dirE = barrier(cpSer(dirE.join(f.select(col("a"), col("b")),
             least(col("u"), col("v")) === col("a") &&
               greatest(col("u"), col("v")) === col("b"), "left_semi")))
           mode = "full"
@@ -1238,7 +1258,7 @@ object GraphAlgorithms {
           // they destroy no triangles, so the witness enumeration loses
           // nothing; prev (= e) still carries the full pre-removal set for
           // the restricted adjacency
-          supExact = barrier(cp(decremented(
+          supExact = barrier(cpSer(decremented(
             e, swept.filter(col("support") < k - 2), f, n)))
           e = supExact.select(col("a"), col("b")); n = n2
           dirE = null

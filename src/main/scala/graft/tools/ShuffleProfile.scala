@@ -108,6 +108,12 @@ object ShuffleProfile {
     val records = scala.collection.mutable.ListBuffer.empty[String]
     work.foreach { case (name, run) =>
       org.apache.spark.graft.BusFlush.waitUntilEmpty(sc)
+      // GC outside the measured window (Bench's attribution rule): the
+      // scale-22 drills run within ~1 GB of the heap ceiling, and carrying
+      // the previous drill's allocation debt into the next one flipped
+      // marginal runs into GCLocker-storm OOMs (observed on the truss's
+      // canonical-edge checkpoint, a stage untouched since r15)
+      System.gc()
       reset()
       val t0 = System.nanoTime()
       val n =

@@ -489,7 +489,59 @@ object SparkEntry {
     // second truss scale point (4× the edges) so the oriented sweep's
     // growth curve is two-point-pinned like its predecessor's Σdeg² curve
     "rmat_ktruss22" -> ((s, _) =>
-      GraphAlgorithms.kTruss(rmatDrillGraph(s, 22, 32000000L).edges, k = 6)))
+      GraphAlgorithms.kTruss(rmatDrillGraph(s, 22, 32000000L).edges, k = 6)),
+    // HITS at scale, two points (VERDICT r16 item 5 / r15 item 5): the
+    // per-round shape is two degree-keyed shuffles; 8 rounds keeps the
+    // drill minutes-bounded while exercising the full loop machinery
+    "rmat_hits" -> ((s, _) =>
+      GraphAlgorithms.hits(rmatDrillGraph(s, 20, 8000000L), iterations = 8)),
+    "rmat_hits22" -> ((s, _) =>
+      GraphAlgorithms.hits(rmatDrillGraph(s, 22, 32000000L), iterations = 8)),
+    // Pregel RDD runtime at scale (VERDICT r16 item 5): pins the
+    // serialized loop persists (Pregel.LoopStorage) — the deserialized
+    // carrier/adjacency objects pinned by the per-superstep cogroup were
+    // the same block-pinning failure mode r16 fixed in the DataFrame
+    // loops. SemiClustering carries the fattest per-vertex state of the
+    // Pregel family (bounded cluster sets, member lists in messages);
+    // SybilRank is the lean-state counterpoint at scale 22.
+    "rmat_semicluster" -> ((s, _) => {
+      import graft.algos.compute.AdvancedAlgorithms.{SemiClustering, SemiCluster}
+      import graft.pregel.Pregel
+      val g = rmatDrillGraph(s, 20, 8000000L)
+      val edges = g.edges.select(col("src"), col("dst"))
+        .rdd.flatMap(r => Iterator(
+          (r.getLong(0), (r.getLong(1), 1.0)),
+          (r.getLong(1), (r.getLong(0), 1.0))))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      val verts = edges.map(_._1).distinct().map(id => (id, Set.empty[SemiCluster]))
+      val res = Pregel.run(s, new SemiClustering(iterations = 3, maxClusters = 2,
+        clusterCapacity = 4, scoreFactor = 0.5),
+        verts, edges, numPartitions = 64, maxIterations = 3)
+      import s.implicits._
+      val out = res.vertices.map { case (id, clusters) => (id, clusters.size) }
+        .toDF("id", "n_clusters").localCheckpoint(true)
+      res.unpersistState(); edges.unpersist(false)
+      out
+    }),
+    "rmat_sybilrank22" -> ((s, _) => {
+      import graft.algos.compute.AdvancedAlgorithms.{SybilRank, SybilValue}
+      import graft.pregel.Pregel
+      val g = rmatDrillGraph(s, 22, 32000000L)
+      val edges = g.edges.select(col("src"), col("dst"))
+        .rdd.flatMap(r => Iterator(
+          (r.getLong(0), (r.getLong(1), 1.0)),
+          (r.getLong(1), (r.getLong(0), 1.0))))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      val verts = edges.map(_._1).distinct()
+        .map(id => (id, SybilValue(0.0, isTrusted = id % 100 == 0)))
+      val res = Pregel.run(s, new SybilRank(), verts, edges,
+        numPartitions = 128, maxIterations = 5)
+      import s.implicits._
+      val out = res.vertices.map { case (id, v) => (id, math.round(v.rank * 1e6) / 1e6) }
+        .toDF("id", "rank").localCheckpoint(true)
+      res.unpersistState(); edges.unpersist(false)
+      out
+    }))
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -61,8 +61,13 @@ object GraphAlgorithms {
     * loop-internal step per tag — the per-round plan evidence the final
     * checkpointed leaf of an iterative algorithm cannot show (committed
     * under plans/r16 as loop_*_{before,after}.txt). */
-  private val explainedTags = scala.collection.mutable.Set.empty[String]
-  private def dbgExplain(tag: String, df: DataFrame): Unit =
+  private val explainedTags =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  /** `df` is BY-NAME: when the env hook is unset (every production run)
+    * the step plan is never even constructed — the analyzer work of
+    * building a throwaway DataFrame per loop otherwise runs on every
+    * invocation (ADVICE r16 #2). */
+  private def dbgExplain(tag: String, df: => DataFrame): Unit =
     if (sys.env.contains("GRAFT_EXPLAIN_ROUNDS") && explainedTags.add(tag))
       println(s"=== ROUND PLAN [$tag] ===\n" + df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
@@ -81,23 +86,45 @@ object GraphAlgorithms {
     * hashpartitioning(key, session shuffle partitions), exactly the
     * number later frontier exchanges co-partition to. */
   private def cpKeyed(edges: DataFrame, key: String): DataFrame = {
-    val conf = edges.sparkSession.conf
-    val prev = conf.get("spark.sql.adaptive.enabled", "true")
-    try {
-      conf.set("spark.sql.adaptive.enabled", "false")
-      // SERIALIZED storage: the per-round join+aggregate stage reads these
-      // blocks DIRECTLY (no exchange between them any more), and a block
-      // being read is PINNED un-evictable — deserialized row objects
-      // (~3 GB for the scale-22 bidir relation) pinned across 32
-      // concurrent tasks starved HashAggregate's initial map allocation
-      // outright (measured: UNABLE_TO_ACQUIRE, got 0, at R-MAT scale 22
-      // round 0). Compact serialized blocks pin ~½ the bytes; the
-      // per-round deserialization is a streaming read the codegen'd scan
-      // absorbs.
-      edges.repartition(col(key)).sortWithinPartitions(key)
-        .localCheckpoint(true,
-          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    } finally conf.set("spark.sql.adaptive.enabled", prev)
+    // SIZE GATE (VERDICT r16 item 3): on a toy graph the eager
+    // repartition+sort+checkpoint is pure overhead — the per-round
+    // edges⋈frontier join broadcasts the (even smaller) frontier side
+    // anyway, so the keyed layout buys nothing and its fixed cost showed
+    // up as a systematic 15–50% regression across the whole frontier
+    // family at sf0.1. Below the (conf-parameterized) size estimate we
+    // keep the r15 shape: a plain eager checkpoint. The estimate is the
+    // optimizer's sizeInBytes — for the parquet-backed gate graphs and
+    // the generator-backed drill graphs it is ballpark-correct, and a
+    // wrong guess only costs speed in one direction (a huge graph
+    // mis-read as small runs the r15 per-round-exchange plan; a small one
+    // mis-read as huge pays one needless sort), never correctness.
+    val minBytes = edges.sparkSession.conf
+      .get("spark.graft.keyedCheckpoint.minBytes", (32L * 1024 * 1024).toString)
+      .toLong
+    val est = edges.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (sys.env.contains("GRAFT_KEYED_DEBUG"))
+      println(s"[cpKeyed] key=$key estBytes=$est minBytes=$minBytes " +
+        s"keyed=${est >= minBytes}")
+    if (est < minBytes) cp(edges)
+    else
+      // AQE off for this ONE eager materialization, via a CLONED session
+      // (ScopedSession) so the override is invisible to concurrent queries
+      // on the shared session (VERDICT r16 item 7; the r16 set/restore on
+      // the shared conf raced). SERIALIZED storage: the per-round
+      // join+aggregate stage reads these blocks DIRECTLY (no exchange
+      // between them any more), and a block being read is PINNED
+      // un-evictable — deserialized row objects (~3 GB for the scale-22
+      // bidir relation) pinned across 32 concurrent tasks starved
+      // HashAggregate's initial map allocation outright (measured:
+      // UNABLE_TO_ACQUIRE, got 0, at R-MAT scale 22 round 0). Compact
+      // serialized blocks pin ~½ the bytes; the per-round deserialization
+      // is a streaming read the codegen'd scan absorbs.
+      org.apache.spark.sql.graft.ScopedSession.withConfs(edges,
+        "spark.sql.adaptive.enabled" -> "false") { df =>
+        df.repartition(col(key)).sortWithinPartitions(key)
+          .localCheckpoint(true,
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      }
   }
 
   /** Both-direction edge list (src,dst[,value]) for undirected propagation. */
@@ -958,21 +985,23 @@ object GraphAlgorithms {
     * their converged support as (src, dst, support) with src < dst. Logs a
     * warning if `maxIter` exhausts before the fixpoint — the result is
     * then only an upper bound on the k-truss. */
-  /** Scale-adaptive reduce-partition count for the k-truss support count:
-    * the session default (tuned to the core count) until the live edge
-    * count outgrows it, then ~150k edge keys per partition, capped at
-    * 4096. Because the credit count runs POST-repartition, its hash map
-    * holds exactly edges/parts keys for ANY divisor — the divisor trades
-    * per-task input volume (streamed, not held) against map-side
-    * combining and shuffle-block size: 50k/partition measured +71% shufW
-    * at R-MAT scale 22 (near-raw credits, tiny blocks); 150k keeps the
-    * map at ~6 MB/task while combining ~3× better. Derived from the
-    * CURRENT edge set each sweep — a constant tuned to either local mode
-    * or one cluster size is exactly what the guide's §2 warns against. */
+  /** Scale-adaptive partition count for the k-truss support sweep: the
+    * session default (tuned to the core count) until the live edge count
+    * outgrows it, then ~150k edge keys per partition, capped at 4096.
+    * `parts` sizes three things in TriangleCreditSweep at once — the keyed
+    * edge layout (per-task run slice), the per-partition fv map (finer
+    * parts = smaller maps but less demand dedup), and the credit partials'
+    * combining (coarser parts = better map-side combining, bigger shuffle
+    * blocks; 50k/partition measured +71% shufW at R-MAT scale 22 under
+    * the r16 sweep — the trade carries over). Derived from the CURRENT
+    * edge set each sweep — a constant tuned to either local mode or one
+    * cluster size is exactly what the guide's §2 warns against. */
   private def supportParts(spark: org.apache.spark.sql.SparkSession,
                            n: Long): Int = {
     val base = spark.sessionState.conf.numShufflePartitions
-    math.max(base, math.min(4096L, n / 150000L).toInt)
+    val perPart = spark.conf
+      .get("spark.graft.truss.edgesPerPartition", "50000").toLong
+    math.max(base, math.min(4096L, n / perPart).toInt)
   }
 
   def kTruss(edges: DataFrame, k: Int, maxIter: Int = 100,
@@ -1036,62 +1065,25 @@ object GraphAlgorithms {
         .select(col("e.u").as("u"), col("e.v").as("v"))
     }
     // (a, b, support > 0) over the oriented edge set: rows exist only for
-    // edges in ≥ 1 triangle. Every exploded triangle edge IS a current
+    // edges in ≥ 1 triangle. Every enumerated triangle edge IS a current
     // edge ((u,v) ∈ dirE; w ∈ fwd(u) and w ∈ fwd(v)), so a missing row
     // means support 0 — which any k ≥ 3 filter removes anyway; skipping
     // the support-0 attach saves a full-edge-set outer join per sweep, and
     // a zero-support edge destroys no triangles, so the decrement path
     // never needs it either.
-    // The explode's partial (map-side) count aggregate keeps each task's
-    // hash map bounded ONLY if each task sees a bounded slice of the
-    // triangle stream: at the session's local shuffle-partition count a
-    // scale-20+ sweep put the whole current edge set into every task's
-    // key universe, overflowed the ~0.25 GB/thread map, and fell back to
-    // sorting the entire exploded stream (measured pre-rework: 18.8 GB
-    // mem-spill at R-MAT scale 20, 148 GB at scale 22 — sort-agg
-    // fallback). Fix: run the triangle-enumeration join (and therefore
-    // the explode + partial count that live in its output stage) at a
-    // scale-adaptive partition count — ~50k edges per partition — so the
-    // per-task distinct-credit universe fits the hash map and the partial
-    // aggregate stays in memory. The v-keyed partitioning also combines
-    // well map-side: all base credits (u,v) of one row and all (v,·) leg
-    // credits of one v land in the same task. At the session default
-    // (small graphs) `parts` equals the session shuffle-partition count
-    // and the plan is unchanged.
-    def sweepDir(dirE: DataFrame, parts: Int): DataFrame = {
-      val fwd = dirE.groupBy(col("u"))
-        .agg(array_sort(collect_list(col("v"))).as("f"))
-      // BOTH sides carry the explicit partition count: a one-sided
-      // repartition gets rewritten by EnsureRequirements back to the
-      // session count when it co-partitions the join (verified on 4.1:
-      // REPARTITION_BY_NUM 76 → 32), silently restoring the overflow.
-      // The SECOND attach streams rows that carry a forward list PER EDGE
-      // (Σ_e |fwd| entries — 12.5 GB materialized at R-MAT scale 22); a
-      // sort-merge join would SORT that stream, and that sort was the
-      // dominant spill (per-stage measured at scale 22: 48.5 GB memory
-      // spill in the first sweep's second-join stage alone). The fv build
-      // side is only per-vertex lists (tiny per partition at `parts`), so
-      // SHUFFLE_HASH streams the heavy side with no sort. The FIRST attach
-      // keeps sort-merge: its inputs are the bare edge list + the fwd
-      // table (a few hundred MB total at scale 22 — cheap sorts), and 32
-      // concurrent hash builds of the full fwd table at the session
-      // partition count measurably tipped an 8 g heap over (OOM in a
-      // localCheckpoint unroll while the builds held execution memory).
-      dirE
-        .join(fwd.select(col("u"), col("f").as("fu")), Seq("u"))
-        .repartition(parts, col("v"))
-        .join(fwd.select(col("u").as("v"), col("f").as("fv"))
-          .repartition(parts, col("v")).hint("shuffle_hash"), Seq("v"))
-        .select(col("u"), col("v"),
-          explode(graft.functions.GraphSetExpressions
-            .sortedIntersect(col("fu"), col("fv"))).as("w"))
-        .select(explode(array(
-          struct(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b")),
-          struct(least(col("u"), col("w")).as("a"), greatest(col("u"), col("w")).as("b")),
-          struct(least(col("v"), col("w")).as("a"), greatest(col("v"), col("w")).as("b")))).as("e"))
-        .select(col("e.a").as("a"), col("e.b").as("b"))
-        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
-    }
+    //
+    // r17: the sweep is the cogroup-style TriangleCreditSweep — forward
+    // lists ship once per DEMANDING PARTITION over the keyed edge layout
+    // instead of once per edge through a join exchange (the r16 SQL
+    // formulation moved Σ_u|fwd(u)|² list entries — ~12.5 GB/sweep at
+    // R-MAT scale 22 — and its array-stream sorts were the dominant
+    // spill). See TriangleCreditSweep's header for the full design and
+    // equivalence argument; `parts` keeps the same scale-adaptive sizing
+    // (~150k live edges per partition, supportParts below). Returns
+    // ALREADY materialized (serialized localCheckpoint).
+    def sweepDir(dirE: DataFrame, parts: Int): DataFrame =
+      TriangleCreditSweep.sweep(dirE, parts,
+        sup => dbgExplain("ktruss-sweep", sup))
     def prep(eCanon: DataFrame): UndirectedNeighborhood =
       prepareNeighborhoodFromEdges(
         eCanon.select(col("a").as("src"), col("b").as("dst")),
@@ -1241,8 +1233,9 @@ object GraphAlgorithms {
         // against the pre-removal restricted adjacency and hands exact
         // supports to the decrement regime.
         if (dirE == null) dirE = barrier(cpSer(orient(e)))
-        dbgExplain("ktruss-sweep", sweepDir(dirE, supportParts(edges.sparkSession, n)))
-        val swept = barrier(cpSer(sweepDir(dirE, supportParts(edges.sparkSession, n))))
+        // sweepDir materializes internally (it must outlive its keyed edge
+        // checkpoint) — barrier alone resets the carried stats estimate
+        val swept = barrier(sweepDir(dirE, supportParts(edges.sparkSession, n)))
         val f = swept.filter(col("support") >= k - 2)
         val n2 = f.count()
         if (n2 == n) { result = f; mode = "converged" } // incl. n == 0

@@ -6,6 +6,7 @@ import scala.reflect.ClassTag
 import org.apache.spark.HashPartitioner
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.storage.StorageLevel
 
 /**
  * Pregel (BSP vertex-centric) runtime — the Spark replacement for the
@@ -49,6 +50,16 @@ import org.apache.spark.sql.SparkSession
  * contractual at the RDD layer.
  */
 object Pregel {
+
+  /** Storage level for every loop-carried persist in the runtime (the
+    * carrier, adjacency and per-superstep `out`): SERIALIZED, for the same
+    * reason the DataFrame loops' checkpoints are (r16 "stabilization"
+    * finding, VERDICT r16 item 5): the next superstep's cogroup reads these
+    * blocks directly and a block being read is pinned un-evictable —
+    * deserialized row objects at ~2× the bytes starved execution memory at
+    * R-MAT drill scale. One extra deserialization pass per superstep is the
+    * price; semantics are storage-level-only. */
+  private[pregel] val LoopStorage = StorageLevel.MEMORY_AND_DISK_SER
 
   /** Per-vertex outgoing edge (reference EdgeWithValue.java:23-74). */
   case class OutEdge[K, EV](target: K, value: EV)
@@ -199,10 +210,10 @@ object Pregel {
     var carrier: RDD[(K, VertexOut[K, VV, EV, M])] =
       vertices.partitionBy(part)
         .mapValues(v => VertexOut[K, VV, EV, M](v, halted = false, Nil, None, Map.empty))
-        .persist()
+        .persist(Pregel.LoopStorage)
     var adj: RDD[(K, Array[OutEdge[K, EV]])] = edges
       .mapValues { case (dst, ev) => OutEdge(dst, ev) }
-      .groupByKey(part).mapValues(_.toArray).persist()
+      .groupByKey(part).mapValues(_.toArray).persist(Pregel.LoopStorage)
 
     val initMsgs: Seq[M] = initialMessage.toSeq
 
@@ -323,7 +334,7 @@ object Pregel {
               }
             }
           }
-        }, preservesPartitioning = true).persist()
+        }, preservesPartitioning = true).persist(Pregel.LoopStorage)
 
       if (superstep > 0 && superstep % checkpointInterval == 0) {
         // reliable when a checkpoint dir is configured (survives executor
@@ -381,7 +392,7 @@ object Pregel {
         val newAdj = adj.fullOuterJoin(muts, part).mapValues {
           case (_, Some(updated)) => updated
           case (oldOpt, None)     => oldOpt.getOrElse(Array.empty[OutEdge[K, EV]])
-        }.persist()
+        }.persist(Pregel.LoopStorage)
         if (superstep > 0 && superstep % checkpointInterval == 0) {
           if (spark.sparkContext.getCheckpointDir.isDefined) newAdj.checkpoint()
           else newAdj.localCheckpoint()
